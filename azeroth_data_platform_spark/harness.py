@@ -1,0 +1,396 @@
+"""Driver-contract harness: named queries + DuckDB oracle SQL.
+
+Each entry pairs an idiomatic-PySpark implementation (operators/*) with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables. Column
+names, types, and arithmetic are kept bit-identical on both sides (see
+functions/numerics.py for the determinism strategy); semantics choices are
+documented in operators/gold.py.
+
+The driver's corpus is TPC-H-ish; FIXTURES.md §A fixes the domain-analog
+mapping (lineitem≈silver_auctions, part≈dim_items, events≈price ticks) and
+operators/adapters.py implements it identically in Spark and in the shared
+SQL CTE prefixes below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.numerics import davg_sql, dstddev_samp_sql, int_units_sql
+from .operators import adapters, gold, joins, serving
+from .operators.adapters import DIM_SQL, SILVER_SQL, TICKS_SQL
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared oracle CTE prefixes (DuckDB reads the same tables as views).
+_W_SILVER = f"WITH silver AS ({SILVER_SQL})"
+_W_DIM = f"WITH dim AS ({DIM_SQL})"
+_W_TICKS = (
+    "WITH ticks AS (SELECT event_id AS tick_id, event_type AS item_key, "
+    "CAST(ts AS TIMESTAMP) AS ts, value AS price, "
+    "CAST(event_id % 10 + 1 AS BIGINT) AS quantity FROM events)"
+)
+
+# A1 aggregate column list is reused by o1; keep one definition.
+_A1_AGG_SQL = f"""
+  SELECT item_id, snapshot_date,
+         MIN(unit_price)    AS min_buyout,
+         MAX(unit_price)    AS max_buyout,
+         MEDIAN(unit_price) AS median_buyout,
+         CAST(SUM(quantity) AS BIGINT) AS quantity_available,
+         CAST(SUM(CAST(unit_price AS DECIMAL(18,2)) * CAST(quantity AS DECIMAL(10,0))) AS DOUBLE)
+           AS market_cap,
+         {dstddev_samp_sql("unit_price")} AS price_volatility,
+         COUNT(*) AS auction_count
+  FROM silver GROUP BY item_id, snapshot_date"""
+
+# Dense daily analog from events: 30 contiguous days of ticks → real 7-day
+# windows (the lineitem analog is temporally sparse, so z-scores there are
+# mostly single-observation NULLs).
+_SILVER_EVENTS_SQL = (
+    "SELECT event_id AS id, user_id % 50 AS item_id, "
+    "CAST(event_id % 10 + 1 AS BIGINT) AS quantity, value AS unit_price, "
+    "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS snapshot_date FROM events"
+)
+_W_SILVER_EVENTS = f"WITH silver AS ({_SILVER_EVENTS_SQL})"
+
+# A3 rolling z-score pipeline, shared by a3/a3e/o3/o9 oracles.
+_A3_SQL = f"""
+  daily AS (
+    SELECT item_id, snapshot_date, MIN(unit_price) AS current_price
+    FROM silver GROUP BY item_id, snapshot_date),
+  daily_x AS (
+    SELECT *, {int_units_sql("current_price")} AS x0 FROM daily),
+  win AS (
+    SELECT item_id, snapshot_date, current_price,
+           CAST(SUM(CAST(current_price AS DECIMAL(28,2))) OVER w AS DOUBLE)
+             / COUNT(current_price) OVER w AS avg_price_7d,
+           COUNT(current_price) OVER w AS n7,
+           CAST(SUM(x0) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(x0 * x0) OVER w AS DOUBLE) AS sxx
+    FROM daily_x
+    WINDOW w AS (PARTITION BY item_id
+                 ORDER BY date_diff('day', DATE '1970-01-01', snapshot_date)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+  zstats AS (
+    SELECT item_id, snapshot_date, current_price, avg_price_7d,
+           CASE WHEN n7 >= 2 THEN
+             SQRT(GREATEST((sxx - sx*sx/CAST(n7 AS DOUBLE)) / (CAST(n7 AS DOUBLE) - 1.0), 0.0)) / 100.0
+           ELSE NULL END AS std_dev_7d
+    FROM win),
+  zscored AS (
+    SELECT *, (current_price - avg_price_7d) / NULLIF(std_dev_7d, 0.0) AS z_score
+    FROM zstats),
+  a3 AS (
+    SELECT item_id, snapshot_date, current_price, avg_price_7d, std_dev_7d, z_score,
+           CASE WHEN z_score <= -2.0 THEN 'BUY'
+                WHEN z_score >= 2.0  THEN 'SELL'
+                ELSE 'HOLD' END AS recommendation
+    FROM zscored)"""
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session confs the queries rely on, set defensively at call time.
+
+    * UTC session TZ — timestamps/dates must render identically to the
+      (UTC-naive) DuckDB oracle regardless of driver host TZ.
+    * nanosAsLong — events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized Spark reader rejects; we read the raw int64 and convert to
+      microseconds ourselves (adapters.price_ticks).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return adapters.silver_auctions(spark, sf_dir)
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return adapters.dim_items(spark, sf_dir)
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ev = adapters.read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("tick_id"),
+        F.col("event_type").alias("item_key"),
+        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+        F.col("value").alias("price"),
+        (F.col("event_id") % 10 + 1).cast("bigint").alias("quantity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_market_summary(_silver(spark, sf_dir))
+
+
+def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.hourly_ohlc(_ticks(spark, sf_dir))
+
+
+def _silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily silver analog from the events table (see _SILVER_EVENTS_SQL)."""
+    _prep(spark)
+    ev = adapters.read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        (F.col("user_id") % 50).alias("item_id"),
+        (F.col("event_id") % 10 + 1).cast("bigint").alias("quantity"),
+        F.col("value").alias("unit_price"),
+        F.expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").alias("snapshot_date"),
+    )
+
+
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.rolling_zscore(_silver(spark, sf_dir))
+
+
+def q_a3e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.rolling_zscore(_silver_events(spark, sf_dir))
+
+
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.sales_velocity(_silver(spark, sf_dir))
+
+
+def q_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.market_concentration(_silver(spark, sf_dir))
+
+
+def q_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.market_index(_silver(spark, sf_dir))
+
+
+def q_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.sector_trends(_silver(spark, sf_dir), _dim(spark, sf_dir))
+
+
+def q_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark, sf_dir).select("item_id").distinct()
+
+
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # An artificially incomplete dim (the driver corpus has no gaps): drop
+    # every 7th item, null names for the largest sizes — then run the
+    # reference's missing-or-incomplete probe.
+    part = adapters.read_table(spark, sf_dir, "part")
+    dim = part.where(F.col("p_partkey") % 7 != 0).select(
+        F.col("p_partkey").alias("item_id"),
+        F.when(F.col("p_size") >= 46, F.lit(None).cast("string"))
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    return joins.missing_item_ids(_silver(spark, sf_dir), dim, limit=100)
+
+
+def q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = joins.enrich_with_dim(_silver(spark, sf_dir), _dim(spark, sf_dir))
+    return out.select(
+        "id", "item_id", "name", "item_class", "quantity", "unit_price", "snapshot_date"
+    )
+
+
+def q_o1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.latest_daily_summaries(q_a1(spark, sf_dir), limit=100)
+
+
+def q_o3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.opportunities(q_a3e(spark, sf_dir), recommendation="sell")
+
+
+def q_o7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.paginate_items(_dim(spark, sf_dir), skip=100, limit=50)
+
+
+def q_o9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.best_opportunity(q_a3e(spark, sf_dir))
+
+
+def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expired = serving.retention_candidates(_silver(spark, sf_dir), keep_days=30)
+    return expired.agg(
+        F.count(F.lit(1)).alias("n_expired"),
+        F.min("snapshot_date").alias("oldest"),
+        F.max("snapshot_date").alias("newest"),
+    )
+
+
+def q_p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Copper→gold display formatting (dashboard/app.py:27-31): integer gold
+    # with '.' thousands separators and a 'g' suffix.
+    s = _silver(spark, sf_dir)
+    return s.select(
+        "id",
+        "item_id",
+        F.concat(
+            F.regexp_replace(
+                F.format_number(F.floor(F.coalesce(F.col("unit_price"), F.lit(0.0)) / 10000), 0),
+                ",",
+                ".",
+            ),
+            F.lit("g"),
+        ).alias("price_gold"),
+    )
+
+
+def q_pjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON field extraction (transformation.py:21-26 analog) + KPI rollup.
+    _prep(spark)
+    ev = adapters.read_table(spark, sf_dir, "events")
+    k = F.expr("TRY_CAST(get_json_object(props, '$.k') AS INT)")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.count(k).alias("k_count"),
+        F.max(k).alias("k_max"),
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "a1_daily_market_summary": q_a1,
+    "a2_hourly_ohlc": q_a2,
+    "a3_rolling_zscore": q_a3,
+    "a3e_rolling_zscore_dense": q_a3e,
+    "a4_sales_velocity": q_a4,
+    "a5_market_concentration": q_a5,
+    "a6_market_index": q_a6,
+    "a7_sector_trends": q_a7,
+    "a8_distinct_items": q_a8,
+    "j1_missing_items": q_j1,
+    "j2_dim_enrichment": q_j2,
+    "o1_latest_daily_summaries": q_o1,
+    "o3_sell_opportunities": q_o3,
+    "o7_items_page": q_o7,
+    "o9_best_opportunity": q_o9,
+    "f4_retention_candidates": q_f4,
+    "p11_format_gold": q_p11,
+    "pj_json_kpis": q_pjson,
+}
+
+
+ORACLES: dict[str, str] = {
+    "a1_daily_market_summary": f"{_W_SILVER}{_A1_AGG_SQL}",
+    "a2_hourly_ohlc": f"""{_W_TICKS},
+      t AS (SELECT item_key, date_trunc('hour', ts) AS snapshot_hour, price, quantity,
+                   row_number() OVER (PARTITION BY item_key, date_trunc('hour', ts)
+                                      ORDER BY ts, tick_id) AS rn,
+                   count(*) OVER (PARTITION BY item_key, date_trunc('hour', ts)) AS n
+            FROM ticks)
+      SELECT item_key, snapshot_hour,
+             MAX(CASE WHEN rn = 1 THEN price END) AS open_price,
+             MAX(CASE WHEN rn = n THEN price END) AS close_price,
+             MAX(price) AS high_price,
+             MIN(price) AS low_price,
+             {davg_sql("price", 2)} AS average_price,
+             CAST(SUM(quantity) AS BIGINT) AS volume
+      FROM t GROUP BY item_key, snapshot_hour""",
+    "a3_rolling_zscore": f"{_W_SILVER}, {_A3_SQL} SELECT * FROM a3",
+    "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
+    "a4_sales_velocity": f"""{_W_SILVER},
+      daily AS (SELECT item_id, snapshot_date, CAST(SUM(quantity) AS BIGINT) AS stock_on_book
+                FROM silver GROUP BY item_id, snapshot_date),
+      win AS (SELECT item_id, snapshot_date, stock_on_book,
+                     lag(stock_on_book) OVER (PARTITION BY item_id ORDER BY snapshot_date) AS prev,
+                     CAST(SUM(CAST(stock_on_book AS DECIMAL(28,0))) OVER w AS DOUBLE)
+                       / COUNT(stock_on_book) OVER w AS avg_daily_stock
+              FROM daily
+              WINDOW w AS (PARTITION BY item_id
+                           ORDER BY date_diff('day', DATE '1970-01-01', snapshot_date)
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT item_id, snapshot_date, stock_on_book,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE CAST(GREATEST(prev - stock_on_book, 0) AS BIGINT) END AS estimated_daily_sales,
+             avg_daily_stock,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE CAST(GREATEST(prev - stock_on_book, 0) AS DOUBLE) END
+               / NULLIF(avg_daily_stock, 0.0) * 100.0 AS turnover_percentage
+      FROM win""",
+    "a5_market_concentration": f"""{_W_SILVER},
+      f AS (SELECT *, MIN(unit_price) OVER (PARTITION BY item_id, snapshot_date) AS fp
+            FROM silver),
+      g AS (SELECT item_id, snapshot_date,
+                   CAST(SUM(quantity) AS BIGINT) AS total_market_quantity,
+                   MIN(fp) AS floor_price,
+                   CAST(SUM(CASE WHEN unit_price = fp THEN quantity ELSE 0 END) AS BIGINT)
+                     AS quantity_at_floor
+            FROM f GROUP BY item_id, snapshot_date),
+      p AS (SELECT *, CAST(quantity_at_floor AS DOUBLE)
+                        / NULLIF(CAST(total_market_quantity AS DOUBLE), 0.0) * 100.0
+                        AS floor_concentration_pct
+            FROM g)
+      SELECT item_id, snapshot_date, total_market_quantity, floor_price, quantity_at_floor,
+             floor_concentration_pct,
+             CASE WHEN floor_concentration_pct >= 80.0 THEN 'MONOPOLIZED'
+                  WHEN floor_concentration_pct >= 50.0 THEN 'CONCENTRATED'
+                  WHEN floor_concentration_pct >= 20.0 THEN 'COMPETITIVE'
+                  ELSE 'DISPERSED' END AS market_status
+      FROM p""",
+    "a6_market_index": f"""{_W_SILVER},
+      per_item AS (SELECT snapshot_date, item_id, MEDIAN(unit_price) AS median_price
+                   FROM silver GROUP BY snapshot_date, item_id),
+      per_day AS (SELECT snapshot_date, COUNT(*) AS items_in_index,
+                         CAST(SUM(CAST(median_price AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+                           AS index_value
+                  FROM per_item GROUP BY snapshot_date)
+      SELECT snapshot_date, items_in_index, index_value,
+             (index_value / lag(index_value) OVER (ORDER BY snapshot_date) - 1.0) * 100.0
+               AS inflation_pct_daily
+      FROM per_day""",
+    "a7_sector_trends": f"""{_W_SILVER}, dim AS ({DIM_SQL})
+      SELECT dim.item_class, silver.snapshot_date,
+             CAST(SUM(silver.quantity) AS BIGINT) AS total_quantity,
+             CAST(SUM(CAST(silver.unit_price AS DECIMAL(18,2)) * CAST(silver.quantity AS DECIMAL(10,0))) AS DOUBLE)
+               AS market_cap,
+             {davg_sql("silver.unit_price")} AS avg_price,
+             MEDIAN(silver.unit_price) AS median_price,
+             COUNT(*) AS auction_count,
+             COUNT(DISTINCT silver.item_id) AS distinct_items
+      FROM silver LEFT JOIN dim ON silver.item_id = dim.item_id
+      GROUP BY dim.item_class, silver.snapshot_date""",
+    "a8_distinct_items": f"{_W_SILVER} SELECT DISTINCT item_id FROM silver",
+    "j1_missing_items": f"""{_W_SILVER},
+      dim AS (SELECT p_partkey AS item_id,
+                     CASE WHEN p_size >= 46 THEN NULL ELSE p_name END AS name
+              FROM part WHERE p_partkey % 7 <> 0)
+      SELECT DISTINCT silver.item_id
+      FROM silver LEFT JOIN dim ON silver.item_id = dim.item_id
+      WHERE dim.item_id IS NULL OR dim.name IS NULL
+      ORDER BY silver.item_id LIMIT 100""",
+    "j2_dim_enrichment": f"""{_W_SILVER}, dim AS ({DIM_SQL})
+      SELECT silver.id, silver.item_id, dim.name, dim.item_class,
+             silver.quantity, silver.unit_price, silver.snapshot_date
+      FROM silver LEFT JOIN dim ON silver.item_id = dim.item_id""",
+    "o1_latest_daily_summaries": f"""{_W_SILVER}, a1 AS ({_A1_AGG_SQL})
+      SELECT * FROM a1 ORDER BY snapshot_date DESC, item_id ASC LIMIT 100""",
+    "o3_sell_opportunities": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
+      SELECT * FROM a3 WHERE recommendation = UPPER('sell')""",
+    "o7_items_page": f"{_W_DIM} SELECT * FROM dim ORDER BY item_id LIMIT 50 OFFSET 100",
+    "o9_best_opportunity": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
+      SELECT * FROM a3 WHERE z_score IS NOT NULL
+      ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 1""",
+    "f4_retention_candidates": f"""{_W_SILVER}
+      SELECT COUNT(*) AS n_expired, MIN(snapshot_date) AS oldest, MAX(snapshot_date) AS newest
+      FROM silver
+      WHERE snapshot_date < (SELECT MAX(snapshot_date) FROM silver) - INTERVAL 30 DAY""",
+    "p11_format_gold": f"""{_W_SILVER}
+      SELECT id, item_id,
+             REPLACE(FORMAT('{{:,}}', CAST(FLOOR(COALESCE(unit_price, 0) / 10000) AS BIGINT)), ',', '.') || 'g'
+               AS price_gold
+      FROM silver""",
+    "pj_json_kpis": """
+      SELECT event_type,
+             CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+             COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_count,
+             MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+      FROM events GROUP BY event_type""",
+}

@@ -1,0 +1,292 @@
+"""Gold-layer analytics operators (SURVEY.md §2.5/§2.8, A1–A7 + F7).
+
+The reference declares these via its serving-layer ORM schemas — the gold
+asset files are one-line stubs — so the column lists below ARE the spec:
+
+  A1 daily market summary      /root/reference/backend_api/app/models.py:30-44
+  A2 hourly OHLC candles       /root/reference/backend_api/app/models.py:46-58
+  A3 7-day rolling z-score     /root/reference/backend_api/app/models.py:60-72
+                               (stub: data_pipeline/assets/gold/gold_safe_investments.py:1)
+  A4 demand / sales velocity   /root/reference/backend_api/app/models.py:74-84
+                               (stub: data_pipeline/assets/gold/gold_sales_velocity.py:1)
+  A5 market concentration      /root/reference/backend_api/app/models.py:86-97
+  A6 market index + inflation  /root/reference/backend_api/app/models.py:99-105
+  A7 sector trends             (stub: data_pipeline/assets/gold/gold_sector_trends.py:1,
+                               item_class from data_pipeline/utils/database.py:35)
+
+Semantics choices (reference is silent; fixed here and mirrored in the
+oracle SQL — see SURVEY.md §7):
+  * median is exact (interpolated), not approximate;
+  * "current_price" for A3 is the day's min price (the floor a buyer faces);
+  * the 7-day frame is calendar days: rangeBetween(-6, 0) over a day number,
+    so gap days shrink the window rather than stretching it;
+  * z thresholds: z <= -2 → BUY, z >= +2 → SELL, else HOLD;
+  * first-day lag-nulls stay NULL (A4 sales, A6 inflation);
+  * all floor ties count toward floor quantity (A5);
+  * stddev is the sample flavor.
+
+Scale design: every operator is a single groupBy or window over the fact
+table — one shuffle each, partial aggregation map-side, no driver
+collection, no UDFs (whole-stage codegen end-to-end). The shuffle key is
+(item_id[, date]) — high cardinality, naturally skew-free; AQE handles
+residual skew. Aggregates that feed results use deterministic decimal /
+integer-space accumulation (functions/numerics.py) so output is
+bit-reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import davg, dec, dstddev_samp, int_units
+
+def _market_cap() -> Column:
+    """Σ price×quantity with exact decimal accumulation.
+
+    decimal(18,2) × decimal(10,0) → decimal(29,2): stays under Spark's
+    38-digit cap with no precision-loss rules, and sums identically in any
+    engine (functions/numerics.py rationale).
+    """
+    return (
+        F.sum(F.col("unit_price").cast("decimal(18,2)") * F.col("quantity").cast("decimal(10,0)"))
+        .cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — daily market summary
+
+
+def daily_market_summary(silver: DataFrame) -> DataFrame:
+    """Per (item_id, snapshot_date) price/liquidity stats.
+
+    Columns mirror gold_market_summary (models.py:30-44).
+    """
+    return silver.groupBy("item_id", "snapshot_date").agg(
+        F.min("unit_price").alias("min_buyout"),
+        F.max("unit_price").alias("max_buyout"),
+        F.median("unit_price").alias("median_buyout"),
+        F.sum("quantity").alias("quantity_available"),
+        _market_cap().alias("market_cap"),
+        dstddev_samp("unit_price").alias("price_volatility"),
+        F.count(F.lit(1)).alias("auction_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — hourly OHLC candles
+
+
+def hourly_ohlc(ticks: DataFrame) -> DataFrame:
+    """Per (item_key, hour) OHLC candle from a tick stream.
+
+    Columns mirror gold_price_history (models.py:46-58, including its
+    'avarage_price' [sic] corrected to average_price). open/close use
+    min_by/max_by on a (ts, tick_id) struct — deterministic tie-break, one
+    aggregation pass, no window shuffle. Expects columns
+    (tick_id, item_key, ts, price, quantity).
+    """
+    hour = F.date_trunc("hour", F.col("ts")).alias("snapshot_hour")
+    order_key = F.struct(F.col("ts"), F.col("tick_id"))
+    return ticks.groupBy("item_key", hour).agg(
+        F.min_by("price", order_key).alias("open_price"),
+        F.max_by("price", order_key).alias("close_price"),
+        F.max("price").alias("high_price"),
+        F.min("price").alias("low_price"),
+        davg("price", 2).alias("average_price"),
+        F.sum("quantity").alias("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — 7-day rolling stats + z-score + BUY/SELL label (F7)
+
+Z_BUY = -2.0
+Z_SELL = 2.0
+
+
+def _day_number(col: str = "snapshot_date") -> Column:
+    """Days since epoch — numeric order key for calendar rangeBetween."""
+    return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
+
+
+def rolling_zscore(silver: DataFrame, decimals: int = 2) -> DataFrame:
+    """Per (item_id, snapshot_date): 7-day rolling mean/stddev of the daily
+    floor price, z-score of today's price against that window, and the
+    BUY/SELL/HOLD recommendation (models.py:60-72; threshold discussion in
+    SURVEY.md §7).
+
+    Two shuffles total: one groupBy to the daily grain, one window
+    partitioned by item_id (the groupBy already co-partitions by item_id, so
+    AQE usually plans the window without a second exchange).
+    """
+    daily = silver.groupBy("item_id", "snapshot_date").agg(
+        F.min("unit_price").alias("current_price")
+    )
+    w = (
+        Window.partitionBy("item_id")
+        .orderBy(_day_number())
+        .rangeBetween(-6, Window.currentRow)
+    )
+    x0 = int_units("current_price", decimals)
+    n = F.count("current_price").over(w).cast("double")
+    sx = F.sum(x0).over(w).cast("double")
+    sxx = F.sum(x0 * x0).over(w).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    scale = float(10**decimals)
+
+    out = (
+        daily.withColumn(
+            "avg_price_7d",
+            F.sum(dec("current_price", 2)).over(w).cast("double")
+            / F.count("current_price").over(w),
+        )
+        .withColumn(
+            "std_dev_7d",
+            F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(scale)).otherwise(
+                F.lit(None).cast("double")
+            ),
+        )
+        .withColumn(
+            "z_score",
+            (F.col("current_price") - F.col("avg_price_7d"))
+            / F.nullif(F.col("std_dev_7d"), F.lit(0.0)),
+        )
+        .withColumn(
+            "recommendation",
+            F.when(F.col("z_score") <= Z_BUY, "BUY")
+            .when(F.col("z_score") >= Z_SELL, "SELL")
+            .otherwise("HOLD"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A4 — demand / sales velocity
+
+
+def sales_velocity(silver: DataFrame) -> DataFrame:
+    """Per (item_id, snapshot_date): stock that disappeared since the
+    previous snapshot (floored at 0), trailing 7-day average stock, and
+    turnover percentage (models.py:74-84; stub intent
+    gold_sales_velocity.py:1). First snapshot has no predecessor → NULLs.
+    """
+    daily = silver.groupBy("item_id", "snapshot_date").agg(
+        F.sum("quantity").alias("stock_on_book")
+    )
+    w_ord = Window.partitionBy("item_id").orderBy(_day_number())
+    w_range = (
+        Window.partitionBy("item_id")
+        .orderBy(_day_number())
+        .rangeBetween(-6, Window.currentRow)
+    )
+    prev = F.lag("stock_on_book").over(w_ord)
+    sales = F.when(
+        prev.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.greatest(prev - F.col("stock_on_book"), F.lit(0).cast("bigint")))
+    avg_stock = (
+        F.sum(F.col("stock_on_book").cast("decimal(28,0)")).over(w_range).cast("double")
+        / F.count("stock_on_book").over(w_range)
+    )
+    return (
+        daily.withColumn("estimated_daily_sales", sales)
+        .withColumn("avg_daily_stock", avg_stock)
+        .withColumn(
+            "turnover_percentage",
+            F.col("estimated_daily_sales").cast("double")
+            / F.nullif(F.col("avg_daily_stock"), F.lit(0.0))
+            * 100.0,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — market concentration
+
+CONCENTRATION_BUCKETS = ((80.0, "MONOPOLIZED"), (50.0, "CONCENTRATED"), (20.0, "COMPETITIVE"))
+
+
+def market_concentration(silver: DataFrame) -> DataFrame:
+    """Per (item_id, snapshot_date): how much supply sits at the floor price
+    (models.py:86-97). All rows tied at the exact floor count toward it.
+
+    Single aggregation pass: min + conditional sum via a window-free
+    two-phase agg (min computed per group, floor quantity via sum of
+    quantity where price equals the group min — expressed with a window min
+    so Catalyst plans one shuffle).
+    """
+    w = Window.partitionBy("item_id", "snapshot_date")
+    floored = silver.withColumn("floor_price", F.min("unit_price").over(w))
+    out = floored.groupBy("item_id", "snapshot_date").agg(
+        F.sum("quantity").alias("total_market_quantity"),
+        F.min("floor_price").alias("floor_price"),
+        F.sum(
+            F.when(F.col("unit_price") == F.col("floor_price"), F.col("quantity")).otherwise(
+                F.lit(0)
+            )
+        ).alias("quantity_at_floor"),
+    )
+    pct = (
+        F.col("quantity_at_floor").cast("double")
+        / F.nullif(F.col("total_market_quantity").cast("double"), F.lit(0.0))
+        * 100.0
+    )
+    status = F.when(F.lit(False), F.lit(None).cast("string"))
+    for threshold, label in CONCENTRATION_BUCKETS:
+        status = status.when(F.col("floor_concentration_pct") >= threshold, label)
+    return out.withColumn("floor_concentration_pct", pct).withColumn(
+        "market_status", status.otherwise("DISPERSED")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — market index + daily inflation
+
+
+def market_index(silver: DataFrame) -> DataFrame:
+    """Per snapshot_date across all items: equal-weighted index of per-item
+    median prices, and its day-over-day percent change (models.py:99-105).
+
+    The day-over-day lag runs on a single-partition window — fine, because
+    by then the data is one row per date (thousands of rows at most).
+    """
+    per_item = silver.groupBy("snapshot_date", "item_id").agg(
+        F.median("unit_price").alias("median_price")
+    )
+    per_day = per_item.groupBy("snapshot_date").agg(
+        F.count(F.lit(1)).alias("items_in_index"),
+        (F.sum(dec("median_price")).cast("double") / F.count(F.lit(1))).alias("index_value"),
+    )
+    w = Window.orderBy("snapshot_date")
+    return per_day.withColumn(
+        "inflation_pct_daily",
+        (F.col("index_value") / F.lag("index_value").over(w) - 1.0) * 100.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — sector trends (needs the J2 dim join)
+
+
+def sector_trends(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
+    """Per (item_class, snapshot_date) sector aggregates
+    (gold_sector_trends.py:1 intent; item_class via the J2 broadcast join,
+    database.py:35).
+
+    The dim side is broadcast (reference caps its growth at 100 rows/run —
+    postgres_client.py:68-80 — and even a full item catalog is ~1e5 rows);
+    the fact side never shuffles for the join, only for the groupBy.
+    """
+    joined = silver.join(
+        F.broadcast(dim_items.select("item_id", "item_class")), "item_id", "left"
+    )
+    return joined.groupBy("item_class", "snapshot_date").agg(
+        F.sum("quantity").alias("total_quantity"),
+        _market_cap().alias("market_cap"),
+        davg("unit_price").alias("avg_price"),
+        F.median("unit_price").alias("median_price"),
+        F.count(F.lit(1)).alias("auction_count"),
+        F.countDistinct("item_id").alias("distinct_items"),
+    )

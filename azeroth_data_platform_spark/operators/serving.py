@@ -1,0 +1,79 @@
+"""Serving-layer query operators (SURVEY.md §2.4 filters, §2.6 sorts/limits).
+
+These reproduce the FastAPI read paths (/root/reference/backend_api/app/
+main.py:31-79) as DataFrame transforms over materialized gold frames. Each
+is trivially Catalyst-optimal (filter+sort+limit push into one TakeOrdered
+physical op); they exist so the serving surface is a tested, named part of
+the engine.
+
+Determinism note: the reference's ORDER BY ... LIMIT endpoints order by
+non-unique keys (snapshot_date, z_score) — ties make row selection
+planner-dependent in ANY engine. Every operator here appends the natural
+unique key as a tie-break so results are stable across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_daily_summaries(gold_daily: DataFrame, limit: int = 100) -> DataFrame:
+    """O1 (main.py:39-42): newest daily summaries, optionally per item (F1)."""
+    return gold_daily.orderBy(
+        F.col("snapshot_date").desc(), F.col("item_id").asc()
+    ).limit(limit)
+
+
+def item_price_history(gold_ohlc: DataFrame, item_key, candles: int = 48) -> DataFrame:
+    """O2+F1 (main.py:44-49): last N hourly candles for one item."""
+    return (
+        gold_ohlc.where(F.col("item_key") == F.lit(item_key))
+        .orderBy(F.col("snapshot_hour").desc())
+        .limit(candles)
+    )
+
+
+def opportunities(gold_zscore: DataFrame, recommendation: str | None = None) -> DataFrame:
+    """O3+F2+F7 (main.py:51-57): best BUYs first (z ascending, NULLs last).
+
+    The filter argument is upper-cased like the API does (main.py:55).
+    """
+    out = gold_zscore
+    if recommendation is not None:
+        out = out.where(F.col("recommendation") == F.upper(F.lit(recommendation)))
+    return out.orderBy(
+        F.col("z_score").asc_nulls_last(),
+        F.col("item_id").asc(),
+        F.col("snapshot_date").asc(),
+    )
+
+
+def best_opportunity(gold_zscore: DataFrame) -> DataFrame:
+    """O9 (dashboard argmin, app.py:96-98): the single lowest-z row."""
+    return (
+        gold_zscore.where(F.col("z_score").isNotNull())
+        .orderBy(F.col("z_score").asc(), F.col("item_id").asc(), F.col("snapshot_date").asc())
+        .limit(1)
+    )
+
+
+def paginate_items(dim_items: DataFrame, skip: int = 0, limit: int = 100) -> DataFrame:
+    """O7 (main.py:31-34): offset/limit pagination, stabilized by ordering on
+    the unique key (the reference paginates an unordered heap scan —
+    nondeterministic; SURVEY.md §2.6 note)."""
+    return dim_items.orderBy("item_id").offset(skip).limit(limit)
+
+
+def retention_candidates(silver: DataFrame, keep_days: int = 30) -> DataFrame:
+    """F4 (postgres_client.py:52-66): rows older than the retention window.
+
+    Anchored on the dataset's max date rather than the wall clock so results
+    are reproducible; production retention passes the run date explicitly.
+    """
+    anchor = silver.agg(F.max("snapshot_date").alias("max_date"))
+    return (
+        silver.crossJoin(F.broadcast(anchor))
+        .where(F.col("snapshot_date") < F.date_sub(F.col("max_date"), keep_days))
+        .drop("max_date")
+    )
