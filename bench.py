@@ -1,0 +1,73 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its FULL physical plan via the noop data source (no sink
+cost, no driver collect — the honest way to time a distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Exclude trivially-small serving reads from the headline set; keep every
+    # operator that moves real data.
+    headline = [
+        "a1_daily_market_summary",
+        "a2_hourly_ohlc",
+        "a3_rolling_zscore",
+        "a3e_rolling_zscore_dense",
+        "a4_sales_velocity",
+        "a5_market_concentration",
+        "a6_market_index",
+        "a7_sector_trends",
+        "a8_distinct_items",
+        "j2_dim_enrichment",
+        "o1_latest_daily_summaries",
+        "p11_format_gold",
+        "pj_json_kpis",
+    ]
+    headline += [q for q in harness.QUERIES if q.startswith(("dd_", "ts_", "ann_"))]
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    harness.QUERIES["a8_distinct_items"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = harness.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
