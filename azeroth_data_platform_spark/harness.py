@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.numerics import davg_sql, dstddev_samp_sql, int_units_sql
-from .operators import adapters, gold, joins, serving
+from .operators import adapters, dedup, gold, joins, multimodal, serving, similarity, textstats
 from .operators.adapters import DIM_SQL, SILVER_SQL, TICKS_SQL
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -256,6 +256,76 @@ def q_pjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings tables)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return adapters.read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return adapters.read_table(spark, sf_dir, "embeddings")
+
+
+def q_dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dedup(_docs(spark, sf_dir))
+
+
+def q_dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup(_embs(spark, sf_dir))
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
+
+
+def q_ts_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def q_ts_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_ts_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.binary_stats(_docs(spark, sf_dir))
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas feature extraction — not SQL-expressible; driver records
+    # the weaker rows-only check (no oracle entry).
+    return multimodal.extract_features(multimodal.attach_binary(_docs(spark, sf_dir)))
+
+
 QUERIES: dict[str, QueryFn] = {
     "a1_daily_market_summary": q_a1,
     "a2_hourly_ohlc": q_a2,
@@ -275,6 +345,19 @@ QUERIES: dict[str, QueryFn] = {
     "f4_retention_candidates": q_f4,
     "p11_format_gold": q_p11,
     "pj_json_kpis": q_pjson,
+    "dd_exact": q_dd_exact,
+    "dd_ngram_jaccard": q_dd_ngram,
+    "dd_minhash_lsh": q_dd_minhash,
+    "dd_simhash": q_dd_simhash,
+    "dd_embed_neardup": q_dd_embed,
+    "ann_topk_bruteforce": q_ann_brute,
+    "ann_topk_lsh": q_ann_lsh,
+    "ts_token_stats": q_ts_tokens,
+    "ts_quality_score": q_ts_quality,
+    "ts_language_id": q_ts_langid,
+    "ts_fingerprint": q_ts_fingerprint,
+    "mm_binary_stats": q_mm_binary_stats,
+    "mm_feature_extract": q_mm_features,
 }
 
 
@@ -393,4 +476,17 @@ ORACLES: dict[str, str] = {
              COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_count,
              MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
       FROM events GROUP BY event_type""",
+    "dd_exact": dedup.EXACT_SQL,
+    "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+    "dd_minhash_lsh": dedup.MINHASH_LSH_SQL,
+    "dd_simhash": dedup.SIMHASH_SQL,
+    "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
+    "ann_topk_bruteforce": similarity.BRUTE_FORCE_TOPK_SQL,
+    "ann_topk_lsh": similarity.lsh_bucketed_topk_sql(),
+    "ts_token_stats": textstats.TOKEN_STATS_SQL,
+    "ts_quality_score": textstats.QUALITY_SQL,
+    "ts_language_id": textstats.LANGID_SQL,
+    "ts_fingerprint": textstats.FINGERPRINT_SQL,
+    "mm_binary_stats": multimodal.BINARY_STATS_SQL,
+    # mm_feature_extract: intentionally no oracle (mapInPandas operator)
 }

@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface (SURVEY.md §2.7: it has no set ops at
+all) — these are the dedup family a 100 TB document pipeline needs, built
+as pure DataFrame compositions (no UDFs; md5 + array lambdas stay inside
+codegen).
+
+Scale design per operator:
+  * exact:       one hash-groupBy shuffle on the content hash. Skew-free
+                 (hashes are uniform).
+  * ngram-jaccard: exact pairwise via shingle self-join — O(Σ df(sh)²) —
+                 correct but quadratic in hot shingles; at scale use it
+                 only to VERIFY candidates from LSH/SimHash, never on the
+                 full corpus (stop-shingle filtering mitigates; the LSH
+                 operator below is the scale path).
+  * minhash-lsh: the scale path. 16 hashes → 4 bands of 4; candidate
+                 generation is an equi-join on (band, band_key) buckets —
+                 linear shuffles, no cross product; exact jaccard runs only
+                 on candidates.
+  * simhash:     60-bit fingerprint per doc via 60 conditional sums (one
+                 groupBy); pairing by hamming distance. Pairing here is
+                 pairwise for oracle-checkability; at scale, block on
+                 fingerprint chunks (4×15-bit bands, pigeonhole: hamming≤3
+                 guarantees one exact band match) and compare within blocks.
+  * embedding-cosine: pairwise for oracle-checkability; at scale bucket by
+                 LSH of the embedding (see similarity.py) first.
+
+All hash arithmetic is engine-portable (md5 hex strings, integer ops) so
+every operator has an exact DuckDB oracle twin — the *_SQL strings are
+generated from the same templates as the Spark expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sql
+
+SHINGLE_N = 3
+MINHASH_SEEDS = 16
+LSH_BANDS = 4
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60  # 15 hex nibbles of md5 → fits a signed 64-bit int
+SIMHASH_MAX_HAMMING = 8
+COSINE_DUP_THRESHOLD = 0.4
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with the
+    surviving representative (min doc_id) and the duplicate count."""
+    return (
+        documents.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("representative_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+EXACT_SQL = """
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS representative_doc_id,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY md5(text)"""
+
+
+# ---------------------------------------------------------------------------
+# word-shingle machinery (shared by jaccard / minhash / simhash)
+
+
+def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    terms = ", ' ', ".join(f"element_at(ws, i + {k + 1})" for k in range(n))
+    sh = F.expr(
+        f"transform(sequence(0, size(ws) - {n}), i -> concat({terms}))"
+    )
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= n)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def _shingle_sql(n: int = SHINGLE_N) -> str:
+    terms = " || ' ' || ".join(f"ws[i + {k}]" for k in range(n))
+    return f"""
+  w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= {n}),
+  s AS (SELECT DISTINCT doc_id, sh FROM
+          (SELECT doc_id, unnest([{terms} FOR i IN range(1, len(ws) - {n - 2})]) AS sh
+           FROM w))"""
+
+
+_SIZES_SQL = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id)"
+
+
+def _pairwise_jaccard(sh: DataFrame) -> DataFrame:
+    """(d1, d2, jaccard) for every doc pair sharing >=1 shingle."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_dedup(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs above `threshold`."""
+    return _pairwise_jaccard(shingles(documents)).where(F.col("jaccard") >= threshold)
+
+
+NGRAM_JACCARD_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+  SELECT d1, d2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+  FROM pairs JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_lsh_dedup(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    seeds: int = MINHASH_SEEDS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash signatures → banded LSH buckets → exact-jaccard verification.
+
+    The minhash of seed s is min over shingles of md5('s:' || shingle) —
+    lexicographic min of hex strings, a portable stand-in for a keyed hash
+    family. Candidates are pairs sharing any band bucket (equi-join — the
+    whole point: no pairwise comparison until after bucketing).
+    """
+    rows_per_band = seeds // bands
+    sh = shingles(documents)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {seeds - 1}), "
+                "s -> struct(s AS seed, md5(concat(CAST(s AS STRING), ':', sh)) AS h))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.seed", "x.h")
+    mh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    band_key = F.md5(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]),
+            "",
+        )
+    )
+    bands_df = (
+        mh.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(band_key.alias("band_key"))
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = _pairwise_jaccard(sh).join(cand, ["d1", "d2"])
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+MINHASH_LSH_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  seeds AS (SELECT unnest(range(0, {MINHASH_SEEDS})) AS seed),
+  mh AS (SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
+         FROM s CROSS JOIN seeds GROUP BY doc_id, seed),
+  bands AS (SELECT doc_id, seed // {MINHASH_SEEDS // LSH_BANDS} AS band,
+                   md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+            FROM mh GROUP BY doc_id, seed // {MINHASH_SEEDS // LSH_BANDS}),
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+  SELECT p.d1, p.d2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+  FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
+       JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
+  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _simhash_bit_exprs(duck: bool) -> tuple[list[str], str]:
+    """Per-bit contribution sums + fingerprint assembly, engine-flavored.
+
+    Bit b of md5(sh): hex nibble b//4 (1-based substr), bit 3-(b%4) within
+    the nibble. Contribution ±1 per distinct shingle; sign of the sum sets
+    the fingerprint bit.
+    """
+    instr = "strpos" if duck else "instr"
+    div = "//" if duck else "DIV"
+    sums = []
+    for b in range(SIMHASH_BITS):
+        nib = f"({instr}('0123456789abcdef', substr(md5(sh), {b // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} {div} {2 ** (3 - b % 4)}) % 2)"
+        sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
+    fp = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return sums, fp
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash fingerprint per document (one groupBy pass)."""
+    sums, fp = _simhash_bit_exprs(duck=False)
+    sh = shingles(documents)
+    sh.createOrReplaceTempView("_simhash_shingles")
+    spark = sh.sparkSession
+    return spark.sql(
+        f"""
+        SELECT doc_id, {fp} AS simhash
+        FROM (SELECT doc_id, {", ".join(sums)}
+              FROM _simhash_shingles GROUP BY doc_id)
+        """
+    )
+
+
+def simhash_dedup(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (pairwise comparison —
+    see module docstring for the banded scale path)."""
+    fps = simhash_fingerprints(documents)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_sql() -> str:
+    sums, fp = _simhash_bit_exprs(duck=True)
+    return f"""
+  WITH {_shingle_sql()},
+  bitsums AS (SELECT doc_id, {", ".join(sums)} FROM s GROUP BY doc_id),
+  fps AS (SELECT doc_id, {fp} AS simhash FROM bitsums)
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_neardup(
+    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Vector near-dup pairs above a cosine threshold (pairwise; bucket with
+    similarity.py's LSH first at scale)."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    cos = F.expr(cosine_sql("a.embedding", "b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+EMBED_NEARDUP_SQL = f"""
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         {cosine_sql("a.embedding", "b.embedding", duck=True)} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cosine_sql("a.embedding", "b.embedding", duck=True)} >= {COSINE_DUP_THRESHOLD}"""

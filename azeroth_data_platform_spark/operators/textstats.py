@@ -1,0 +1,176 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Beyond the reference's surface (its only text ops are string formatting —
+SURVEY.md §2.2); these are the standard document-prep stages an LLM data
+pipeline runs over billions of documents. Every operator is a pure
+column-expression map over the documents table — no shuffle, no UDF, fully
+codegen'd, trivially scalable: throughput is parquet-scan-bound.
+
+Tokenization here is whitespace-based (the corpus is space-delimited);
+swap TOKEN_SPLIT for a BPE-ish regex for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+# Marker-word profiles for the n-gram-free language-ID heuristic. Real
+# pipelines use char-n-gram profiles (cld3-style); the operator shape —
+# per-language score columns + deterministic argmax — is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "las", "y"),
+    "de": ("der", "die", "und", "das"),
+}
+
+ROLLING_MOD = 2_147_483_647  # 2^31 − 1, Mersenne prime
+ROLLING_BASE = 31
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: token count, char count, average token length."""
+    words = _words()
+    return documents.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(words)
+        ).alias("avg_token_len"),
+    )
+
+
+def _marker_count(markers: tuple[str, ...]) -> F.Column:
+    cond = " OR ".join(f"w = '{m}'" for m in markers)
+    return F.expr(f"size(filter(split(text, ' '), w -> {cond}))")
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic document quality: stopword ratio, digit ratio, length band.
+
+    Formula is a deterministic linear combination — the point is the
+    operator shape (pure projection feeding a filter threshold), matching
+    quality-filter stages in public LLM-data pipelines.
+    """
+    words = _words()
+    n_tokens = F.size(words)
+    stop_cond = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
+    stop_ratio = (
+        F.expr(f"size(filter(split(text, ' '), w -> {stop_cond}))").cast("double") / n_tokens
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+        / F.length("text")
+    )
+    length_ok = (F.length("text") >= 50) & (F.length("text") <= 5000)
+    score = (
+        F.lit(1.0)
+        - F.least(stop_ratio * 2.0, F.lit(0.5))
+        - F.least(digit_ratio * 5.0, F.lit(0.3))
+        - F.when(length_ok, 0.0).otherwise(0.2)
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language ID with deterministic argmax (ties → lexical
+    order of language code; zero evidence → 'und')."""
+    out = documents.select("doc_id", "lang", "text")
+    for code, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"score_{code}", _marker_count(markers))
+    best = F.greatest(*[F.col(f"score_{c}") for c in LANG_MARKERS])
+    pred = F.lit("und")
+    # reversed: earlier language wins ties because later whens only fire on
+    # strictly-equal greatest
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{code}") == best), code).otherwise(pred)
+    return out.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{c}") for c in sorted(LANG_MARKERS)],
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling hash over characters (mod 2³¹−1) — the classic
+    content fingerprint for shard-level dedup bookkeeping. Sequential fold
+    → deterministic; h·31+c < 2³⁶ so the long accumulator never overflows.
+    """
+    fp = F.expr(
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, "
+        f"(h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- DuckDB oracle SQL twins -------------------------------------------------
+
+TOKEN_STATS_SQL = """
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars_measured,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
+           AS avg_token_len
+  FROM documents"""
+
+_STOP_COND = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
+QUALITY_SQL = f"""
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), w -> {_STOP_COND})) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+           AS digit_ratio,
+         1.0
+           - LEAST(CAST(len(list_filter(string_split(text, ' '), w -> {_STOP_COND})) AS DOUBLE)
+                     / len(string_split(text, ' ')) * 2.0, 0.5)
+           - LEAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                     / length(text) * 5.0, 0.3)
+           - CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 0.0 ELSE 0.2 END
+           AS quality_score
+  FROM documents"""
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for code, markers in LANG_MARKERS.items():
+        cond = " OR ".join(f"w = '{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), w -> {cond})) AS score_{code}"
+        )
+    best = "GREATEST(" + ", ".join(f"score_{c}" for c in LANG_MARKERS) + ")"
+    pred = "'und'"
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = f"CASE WHEN {best} > 0 AND score_{code} = {best} THEN '{code}' ELSE {pred} END"
+    ordered = ", ".join(f"score_{c}" for c in sorted(LANG_MARKERS))
+    return f"""
+      WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
+      SELECT doc_id, lang, {ordered}, {pred} AS lang_pred,
+             ({pred}) = lang AS agrees_with_label
+      FROM scored"""
+
+
+LANGID_SQL = _langid_sql()
+
+FINGERPRINT_SQL = f"""
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                     (h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD}) AS fingerprint
+  FROM documents"""
