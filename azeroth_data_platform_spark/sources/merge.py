@@ -1,0 +1,102 @@
+"""Merge-shaped sinks: idempotent append and type-1 upsert (SURVEY.md §2.1).
+
+  S6 append-if-absent  /root/reference/data_pipeline/utils/postgres_client.py:32-50
+                       (INSERT ... ON CONFLICT (id) DO NOTHING)
+  S7 type-1 upsert     /root/reference/data_pipeline/utils/postgres_client.py:92-121
+                       (INSERT ... ON CONFLICT (item_id) DO UPDATE)
+  S8 create-if-absent  /root/reference/data_pipeline/utils/database.py:24-27
+  S9 retention delete  /root/reference/data_pipeline/utils/postgres_client.py:52-66
+
+On a cluster with a table format these are one-statement Delta/Iceberg
+``MERGE INTO`` (SURVEY.md §2.1 mapping); this environment has plain parquet,
+so we implement the same semantics as anti-join/union + staged atomic swap —
+which is also exactly what MERGE does physically, minus the transaction log.
+
+Scale notes: the anti-join broadcasts whichever side is small (batch for S6
+against a large target — Catalyst/AQE picks); the rewrite path (S7/S9) is
+the known cost of format-less upserts — partition the target (snapshot_date)
+so rewrites touch only affected partitions, which `overwrite_partitions`
+does via deterministic per-partition replacement (the reference's
+idempotent-rerun story, SURVEY.md §2.11 X5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _staged_rewrite(df: DataFrame, target: str) -> None:
+    """Write df to a staging dir, then swap it in (read-your-writes safe:
+    parquet can't overwrite a path that feeds its own plan)."""
+    staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    if _exists(target):
+        shutil.rmtree(target)
+    os.rename(staging, target)
+
+
+def insert_if_absent(
+    spark: SparkSession, target: str, batch: DataFrame, key: str = "id"
+) -> int:
+    """S6: append batch rows whose key is not already present; returns the
+    inserted count (the reference returns rowcount — postgres_client.py:44).
+    Re-running the same batch is a no-op — the idempotency contract."""
+    batch = batch.dropDuplicates([key])
+    if not _exists(target):
+        batch.write.mode("overwrite").parquet(target)
+        return batch.count()
+    existing = spark.read.parquet(target).select(key)
+    fresh = batch.join(existing, key, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(target)
+    return n
+
+
+def upsert(
+    spark: SparkSession, target: str, batch: DataFrame, key: str = "item_id"
+) -> None:
+    """S7: type-1 upsert — batch rows replace same-key target rows, new keys
+    insert. Equivalent Delta: MERGE ... WHEN MATCHED UPDATE WHEN NOT
+    MATCHED INSERT."""
+    batch = batch.dropDuplicates([key])
+    if not _exists(target):
+        batch.write.mode("overwrite").parquet(target)
+        return
+    existing = spark.read.parquet(target)
+    kept = existing.join(batch.select(key), key, "left_anti")
+    _staged_rewrite(kept.unionByName(batch).localCheckpoint(), target)
+
+
+def overwrite_partitions(
+    spark: SparkSession, target: str, batch: DataFrame, partition_col: str
+) -> None:
+    """X5: deterministic partition replacement (Delta ``replaceWhere``) —
+    re-running a day's job replaces exactly that day's partition."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+
+
+def retention_delete(
+    spark: SparkSession, target: str, predicate: str
+) -> int:
+    """S9: DELETE FROM target WHERE <predicate>; returns rows deleted.
+
+    With a partitioned target prefer dropping whole partitions (free);
+    this row-level path is the faithful general fallback."""
+    if not _exists(target):
+        return 0
+    existing = spark.read.parquet(target)
+    keep = existing.where(f"NOT ({predicate})")
+    deleted = existing.count() - keep.count()
+    if deleted:
+        _staged_rewrite(keep.localCheckpoint(), target)
+    return deleted

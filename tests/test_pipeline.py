@@ -1,0 +1,151 @@
+"""End-to-end pipeline tests on synthetic bronze fixtures (SURVEY.md §5.3/5.4
+and FIXTURES.md §B1 coverage: commodity vs item auctions, missing fields,
+bad numerics, empty batches, idempotent re-runs, dim upsert)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from azeroth_data_platform_spark.operators.silver import silver_transform
+from azeroth_data_platform_spark.plans.pipeline import run_pipeline
+from azeroth_data_platform_spark.sources import merge, rest
+from azeroth_data_platform_spark.sources.readers import read_bronze_auctions
+
+SNAP = dt.date(2026, 2, 1)
+
+BRONZE_DOC = {
+    "_links": {"self": {"href": "..."}},
+    "auctions": [
+        # item-style: buyout only, nested modifiers → P6 imputation
+        {
+            "id": 101,
+            "item": {"id": 19019, "modifiers": [{"type": 9, "value": 70}]},
+            "buyout": 1250000,
+            "quantity": 1,
+            "time_left": "VERY_LONG",
+        },
+        # commodity-style: unit_price only, no modifiers
+        {"id": 102, "item": {"id": 2589}, "unit_price": 150, "quantity": 200, "time_left": "SHORT"},
+        # bad numeric string → coerce to NULL (P4)
+        {"id": 103, "item": {"id": 2589}, "unit_price": "garbage", "quantity": 3, "time_left": "LONG"},
+        # missing quantity → default 1 (P5); buyout imputation uses it
+        {"id": 104, "item": {"id": 777}, "buyout": 500, "time_left": "MEDIUM"},
+    ],
+}
+
+
+@pytest.fixture()
+def bronze_path(tmp_path):
+    p = tmp_path / "2026-02-01"
+    p.mkdir()
+    (p / "raw_auctions_2026-02-01.json").write_text(json.dumps(BRONZE_DOC))
+    return str(p)
+
+
+def test_silver_transform_defensive_paths(spark, bronze_path):
+    out = {
+        r.id: r
+        for r in silver_transform(read_bronze_auctions(spark, bronze_path), SNAP).collect()
+    }
+    assert len(out) == 4
+    # P6: buyout/quantity imputation for item auctions
+    assert out[101].unit_price == 1250000
+    assert out[101].modifiers[0].asDict() == {"type": 9, "value": 70}
+    # commodity keeps its unit_price
+    assert out[102].unit_price == 150 and out[102].buyout is None
+    # P4: bad numeric → NULL survives (no buyout to impute from)
+    assert out[103].unit_price is None
+    # P5 + P6: missing quantity defaults to 1 → 500 DIV 1
+    assert out[104].quantity == 1 and out[104].unit_price == 500
+    assert all(r.snapshot_date == SNAP for r in out.values())
+
+
+def test_bronze_missing_auctions_key_yields_empty(spark, tmp_path):
+    (tmp_path / "bad.json").write_text(json.dumps({"no_auctions": True}))
+    df = read_bronze_auctions(spark, str(tmp_path))
+    assert df.isEmpty()
+
+
+def test_insert_if_absent_is_idempotent(spark, tmp_path, bronze_path):
+    target = str(tmp_path / "silver")
+    batch = silver_transform(read_bronze_auctions(spark, bronze_path), SNAP)
+    assert merge.insert_if_absent(spark, target, batch, key="id") == 4
+    # same batch again → 0 inserts, count unchanged (S6 ON CONFLICT DO NOTHING)
+    assert merge.insert_if_absent(spark, target, batch, key="id") == 0
+    assert spark.read.parquet(target).count() == 4
+
+
+def test_upsert_type1_overwrites_in_place(spark, tmp_path):
+    target = str(tmp_path / "dim")
+    schema = "item_id long, name string, quality string"
+    v1 = spark.createDataFrame([(1, "Old Name", "Poor"), (2, "Stays", "Rare")], schema)
+    merge.upsert(spark, target, v1, key="item_id")
+    v2 = spark.createDataFrame([(1, "New Name", "Epic"), (3, "Added", "Common")], schema)
+    merge.upsert(spark, target, v2, key="item_id")
+    out = {r.item_id: r for r in spark.read.parquet(target).collect()}
+    assert len(out) == 3
+    assert out[1].name == "New Name" and out[1].quality == "Epic"  # updated
+    assert out[2].name == "Stays"  # untouched
+    assert out[3].name == "Added"  # inserted
+
+
+def test_retention_delete(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, dt.date(2026, 1, 1)), (2, dt.date(2026, 2, 1))], "id long, snapshot_date date"
+    )
+    df.write.parquet(target)
+    assert merge.retention_delete(spark, target, "snapshot_date < DATE '2026-01-15'") == 1
+    assert [r.id for r in spark.read.parquet(target).collect()] == [2]
+
+
+def _fake_item_fetch(url: str):
+    item_id = int(url.rsplit("/", 1)[1])
+    if item_id == 777:
+        return 404, None  # the reference skips 404s (dimensions.py:55-57)
+    return 200, {
+        "name": f"Item {item_id}",
+        "quality": {"name": "Epic"},
+        "item_class": {"name": "Trade Goods"},
+        # item_subclass absent → default "Junk" (dimensions.py:49-52)
+    }
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path, bronze_path):
+    wh = str(tmp_path / "warehouse")
+    meta = run_pipeline(spark, bronze_path, wh, SNAP, item_fetch=_fake_item_fetch)
+    assert meta["silver_inserted"] == 4
+    assert meta["dim_enriched"] == 2  # 19019 + 2589 enriched; 777 was a 404
+    dim = {r.item_id: r for r in spark.read.parquet(f"{wh}/dim_items").collect()}
+    assert dim[2589].item_subclass == "Junk"  # default applied
+    gold = spark.read.parquet(f"{wh}/gold_market_summary")
+    assert gold.count() == 3  # three distinct items on the snapshot date
+    # re-run the same day: silver unchanged (idempotent), gold rebuilt
+    meta2 = run_pipeline(spark, bronze_path, wh, SNAP, item_fetch=_fake_item_fetch)
+    assert meta2["silver_inserted"] == 0
+    assert spark.read.parquet(f"{wh}/gold_market_summary").count() == 3
+
+
+def test_run_pipeline_empty_batch_guard(spark, tmp_path):
+    p = tmp_path / "empty"
+    p.mkdir()
+    (p / "raw.json").write_text(json.dumps({"auctions": []}))
+    meta = run_pipeline(spark, str(p), str(tmp_path / "wh"), SNAP)
+    assert meta["silver_inserted"] == 0
+
+
+def test_token_cache_reuses_until_expiry():
+    calls = []
+
+    def fetch_token():
+        calls.append(1)
+        return f"tok{len(calls)}", 100.0
+
+    tc = rest.TokenCache(fetch_token)
+    assert tc.get(now=0.0) == "tok1"
+    assert tc.get(now=50.0) == "tok1"  # still fresh
+    assert tc.get(now=71.0) == "tok2"  # within 30s of expiry → refresh
+    assert len(calls) == 2

@@ -1,0 +1,72 @@
+"""Streaming OHLC: memory-sink smoke proving watermark + tumbling window
+semantics match the batch operator (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark.operators.gold import hourly_ohlc
+from azeroth_data_platform_spark.streaming.ohlc import streaming_hourly_ohlc
+
+SCHEMA = "tick_id long, item_key string, ts timestamp, price double, quantity bigint"
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _rows():
+    return [
+        (1, "ore", T0, 10.0, 1),
+        (2, "ore", T0 + dt.timedelta(minutes=20), 30.0, 2),
+        (3, "ore", T0 + dt.timedelta(minutes=50), 20.0, 1),
+        (4, "ore", T0 + dt.timedelta(hours=1, minutes=5), 15.0, 1),
+        (5, "herb", T0 + dt.timedelta(minutes=10), 5.0, 3),
+        # a "late" hour-10 tick arriving after hour-11 data — inside watermark
+        (6, "ore", T0 + dt.timedelta(minutes=59), 40.0, 1),
+    ]
+
+
+def test_streaming_candles_match_batch(spark, tmp_path):
+    src = tmp_path / "ticks"
+    src.mkdir()
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_hourly_ohlc(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("candles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: a tick far past the watermark horizon closes
+        # the hour-10/11 windows (event-time clock only moves with data)
+        advancer = [(99, "clock", T0 + dt.timedelta(hours=5), 1.0, 1)]
+        spark.createDataFrame(advancer, SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            (r.item_key, r.snapshot_hour): r
+            for r in spark.sql("SELECT * FROM candles").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.item_key, r.snapshot_hour): r
+        for r in hourly_ohlc(spark.createDataFrame(_rows(), SCHEMA)).collect()
+    }
+    # append mode only emits windows the watermark has closed: the hour-10
+    # windows (hour-11 data advanced the clock). Every emitted candle must
+    # equal its batch twin field-for-field.
+    assert got, "watermark should have closed the hour-10 windows"
+    for key, row in got.items():
+        b = batch[key]
+        for f in ("open_price", "close_price", "high_price", "low_price", "average_price", "volume"):
+            assert getattr(row, f) == getattr(b, f), (key, f)
+    ore10 = got[("ore", T0)]
+    assert ore10.open_price == 10.0 and ore10.close_price == 40.0
+    assert ore10.high_price == 40.0 and ore10.volume == 5
