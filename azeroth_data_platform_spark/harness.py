@@ -217,6 +217,31 @@ def q_o9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.best_opportunity(q_a3e(spark, sf_dir))
 
 
+def q_o2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2+F1 (main.py:44-49): last 48 hourly candles for one item.
+    return serving.item_price_history(q_a2(spark, sf_dir), item_key="purchase", candles=48)
+
+
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 (main.py:39-41): daily summaries for a single item, newest first.
+    return (
+        q_a1(spark, sf_dir)
+        .where(F.col("item_id") == 42)
+        .orderBy(F.col("snapshot_date").desc())
+    )
+
+
+def q_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 (dashboard KPIs, app.py:94): scalar rollup counts.
+    s = _silver(spark, sf_dir)
+    return s.agg(
+        F.count(F.lit(1)).alias("total_auctions"),
+        F.countDistinct("item_id").alias("distinct_items"),
+        F.countDistinct("snapshot_date").alias("distinct_days"),
+        F.sum("quantity").alias("total_quantity"),
+    )
+
+
 def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
     expired = serving.retention_candidates(_silver(spark, sf_dir), keep_days=30)
     return expired.agg(
@@ -340,8 +365,11 @@ QUERIES: dict[str, QueryFn] = {
     "j2_dim_enrichment": q_j2,
     "o1_latest_daily_summaries": q_o1,
     "o3_sell_opportunities": q_o3,
+    "o2_item_price_history": q_o2,
     "o7_items_page": q_o7,
     "o9_best_opportunity": q_o9,
+    "f1_item_daily_summary": q_f1,
+    "a9_kpi_counts": q_a9,
     "f4_retention_candidates": q_f4,
     "p11_format_gold": q_p11,
     "pj_json_kpis": q_pjson,
@@ -458,6 +486,30 @@ ORACLES: dict[str, str] = {
     "o3_sell_opportunities": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
       SELECT * FROM a3 WHERE recommendation = UPPER('sell')""",
     "o7_items_page": f"{_W_DIM} SELECT * FROM dim ORDER BY item_id LIMIT 50 OFFSET 100",
+    "o2_item_price_history": f"""{_W_TICKS},
+      t AS (SELECT item_key, date_trunc('hour', ts) AS snapshot_hour, price, quantity,
+                   row_number() OVER (PARTITION BY item_key, date_trunc('hour', ts)
+                                      ORDER BY ts, tick_id) AS rn,
+                   count(*) OVER (PARTITION BY item_key, date_trunc('hour', ts)) AS n
+            FROM ticks),
+      a2 AS (SELECT item_key, snapshot_hour,
+                    MAX(CASE WHEN rn = 1 THEN price END) AS open_price,
+                    MAX(CASE WHEN rn = n THEN price END) AS close_price,
+                    MAX(price) AS high_price,
+                    MIN(price) AS low_price,
+                    {davg_sql("price", 2)} AS average_price,
+                    CAST(SUM(quantity) AS BIGINT) AS volume
+             FROM t GROUP BY item_key, snapshot_hour)
+      SELECT * FROM a2 WHERE item_key = 'purchase'
+      ORDER BY snapshot_hour DESC LIMIT 48""",
+    "f1_item_daily_summary": f"""{_W_SILVER}, a1 AS ({_A1_AGG_SQL})
+      SELECT * FROM a1 WHERE item_id = 42 ORDER BY snapshot_date DESC""",
+    "a9_kpi_counts": f"""{_W_SILVER}
+      SELECT COUNT(*) AS total_auctions,
+             COUNT(DISTINCT item_id) AS distinct_items,
+             COUNT(DISTINCT snapshot_date) AS distinct_days,
+             CAST(SUM(quantity) AS BIGINT) AS total_quantity
+      FROM silver""",
     "o9_best_opportunity": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
       SELECT * FROM a3 WHERE z_score IS NOT NULL
       ORDER BY z_score ASC, item_id ASC, snapshot_date ASC LIMIT 1""",

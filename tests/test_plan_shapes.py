@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must actually appear in the executed plan (SURVEY.md §4 — predicate
+pushdown, broadcast joins, whole-stage codegen). A correct-but-shuffling
+plan is a silent 100×-at-scale regression; these tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark import harness
+from azeroth_data_platform_spark.operators import adapters, gold
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a7_dim_join_is_broadcast(spark, sf_dir):
+    df = harness.QUERIES["a7_sector_trends"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must never shuffle for this join
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    silver = adapters.silver_auctions(spark, sf_dir)
+    df = silver.where(F.col("item_id") == 42).select("item_id", "unit_price")
+    plan = _plan(df)
+    # Catalyst pushes the equality through the projection into the scan
+    assert "PushedFilters: [" in plan and "l_partkey" in plan
+    assert "IsNotNull(l_partkey)" in plan or "EqualTo(l_partkey,42)" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    silver = adapters.silver_auctions(spark, sf_dir)
+    df = silver.groupBy("item_id").agg(F.sum("quantity").alias("q"))
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in scan_line and "l_quantity" in scan_line
+    assert "l_extendedprice" not in scan_line  # unused column must not be scanned
+
+
+def test_gold_aggs_have_map_side_partial_aggregation(spark, sf_dir):
+    df = gold.daily_market_summary(adapters.silver_auctions(spark, sf_dir))
+    plan = _plan(df)
+    # partial_ aggregate before the exchange = map-side combine
+    assert "partial_" in plan
+
+
+def test_serving_topn_uses_take_ordered(spark, sf_dir):
+    df = harness.QUERIES["o1_latest_daily_summaries"](spark, sf_dir)
+    plan = _plan(df)
+    # order+limit must collapse to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    df = harness.QUERIES["ann_topk_bruteforce"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan  # corpus must stream, not cross-shuffle
