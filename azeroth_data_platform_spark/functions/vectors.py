@@ -44,3 +44,18 @@ def cosine_sql(a: str, b: str, dim: int = EMBED_DIM, duck: bool = False) -> str:
 
 def cosine(a: str, b: str, dim: int = EMBED_DIM) -> Column:
     return F.expr(cosine_sql(a, b, dim))
+
+
+def norm_sql(a: str, dim: int = EMBED_DIM, duck: bool = False) -> str:
+    """‖a‖ — precompute once per vector before a pairwise join: cosine then
+    costs one dot product per pair instead of three."""
+    return f"SQRT({dot_sql(a, a, dim, duck)})"
+
+
+def cosine_with_norms_sql(
+    a: str, b: str, norm_a: str, norm_b: str, dim: int = EMBED_DIM, duck: bool = False
+) -> str:
+    """Cosine using precomputed norms. Bit-identical to :func:`cosine_sql`
+    (same expressions over the same data, evaluated once instead of per
+    pair), so oracle parity is preserved."""
+    return f"({dot_sql(a, b, dim, duck)}) / NULLIF({norm_a} * {norm_b}, 0.0)"

@@ -145,6 +145,32 @@ NGRAM_JACCARD_SQL = f"""
 # MinHash + LSH
 
 
+# Universal-hash family for MinHash: one md5 per shingle parsed to an
+# integer, then seeds apply affine maps (a·h+b) mod p. p = 2³¹−1 keeps
+# a·h < 2⁶² inside int64; a/b are fixed odd/prime-spread constants so the
+# family is deterministic and identical in the SQL oracle. 16× fewer
+# cryptographic hashes than md5-per-seed — the dominant cost at scale.
+MINHASH_P = 2_147_483_647
+_HEX_NIBBLES = 8  # 32 bits of the md5 → base integer
+
+
+def _hex_int_sql(expr: str, duck: bool) -> str:
+    """First 8 md5 nibbles → integer, portable across engines."""
+    instr = "strpos" if duck else "instr"
+    terms = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (_HEX_NIBBLES - 1 - i)}"
+        for i in range(_HEX_NIBBLES)
+    )
+    return f"(({terms}) % {MINHASH_P})"
+
+
+def _affine_sql(seed: int, h: str) -> str:
+    a = 2 * seed + 1
+    b = (seed * 7919 + 13) % MINHASH_P
+    return f"(({a} * {h} + {b}) % {MINHASH_P})"
+
+
 def minhash_lsh_dedup(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -153,27 +179,30 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """MinHash signatures → banded LSH buckets → exact-jaccard verification.
 
-    The minhash of seed s is min over shingles of md5('s:' || shingle) —
-    lexicographic min of hex strings, a portable stand-in for a keyed hash
-    family. Candidates are pairs sharing any band bucket (equi-join — the
-    whole point: no pairwise comparison until after bucketing).
+    The minhash of seed s is min over shingles of an affine universal hash
+    of the shingle's md5 (see MINHASH_P block). Candidates are pairs
+    sharing any band bucket (equi-join — the whole point: no pairwise
+    comparison until after bucketing).
     """
     rows_per_band = seeds // bands
     sh = shingles(documents)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {seeds - 1}), "
-                "s -> struct(s AS seed, md5(concat(CAST(s AS STRING), ':', sh)) AS h))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.seed", "x.h")
+    base = _hex_int_sql("md5(sh)", duck=False)
+    pairs = ", ".join(
+        f"struct({s} AS seed, {_affine_sql(s, 'h0')} AS h)" for s in range(seeds)
+    )
+    seeded = (
+        sh.withColumn("h0", F.expr(base))
+        .select("doc_id", F.explode(F.expr(f"array({pairs})")).alias("x"))
+        .select("doc_id", "x.seed", "x.h")
+    )
     mh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
     band_key = F.md5(
         F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]),
-            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+            "-",
         )
     )
     bands_df = (
@@ -200,11 +229,14 @@ def minhash_lsh_dedup(
 MINHASH_LSH_SQL = f"""
   WITH {_shingle_sql()},
   {_SIZES_SQL},
-  seeds AS (SELECT unnest(range(0, {MINHASH_SEEDS})) AS seed),
-  mh AS (SELECT doc_id, seed, MIN(md5(seed || ':' || sh)) AS mh
-         FROM s CROSS JOIN seeds GROUP BY doc_id, seed),
+  hashed AS (SELECT doc_id, {_hex_int_sql("md5(sh)", duck=True)} AS h0 FROM s),
+  seeded AS (SELECT doc_id, u.seed, u.h FROM hashed,
+             UNNEST([{", ".join(f"{{'seed': {s}, 'h': {_affine_sql(s, 'h0')}}}" for s in range(MINHASH_SEEDS))}])
+               AS t(u)),
+  mh AS (SELECT doc_id, seed, MIN(h) AS mh
+         FROM seeded GROUP BY doc_id, seed),
   bands AS (SELECT doc_id, seed // {MINHASH_SEEDS // LSH_BANDS} AS band,
-                   md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+                   md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
             FROM mh GROUP BY doc_id, seed // {MINHASH_SEEDS // LSH_BANDS}),
   cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            FROM bands a JOIN bands b
@@ -298,7 +330,13 @@ def embedding_neardup(
     embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:
     """Vector near-dup pairs above a cosine threshold (pairwise; bucket with
-    similarity.py's LSH first at scale)."""
+    similarity.py's LSH first at scale).
+
+    Perf note: the cosine is deliberately inlined (not precomputed norms) —
+    the threshold predicate gets pushed into the nested-loop join
+    condition, and the pure-arithmetic form stays codegen'd there while a
+    NULLIF/common-expr form falls back to interpreted evaluation (measured
+    5× slower at sf0.1)."""
     a = embeddings.alias("a")
     b = embeddings.alias("b")
     cos = F.expr(cosine_sql("a.embedding", "b.embedding"))

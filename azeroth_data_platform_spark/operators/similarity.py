@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import EMBED_DIM, cosine_sql
+from ..functions.vectors import EMBED_DIM, cosine_with_norms_sql, norm_sql
 
 TOP_K = 10
 N_QUERIES = 5  # harness: vec_id < 5 are the query vectors
@@ -34,12 +34,19 @@ def brute_force_topk(
 
     queries: (vec_id, embedding) — small; broadcast. Ties broken by
     candidate vec_id so results are total-ordered and reproducible.
+    Norms are precomputed per side so each (q,c) pair costs one dot product.
     """
     q = queries.select(
-        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.expr(norm_sql("embedding")).alias("q_nrm"),
     ).alias("q")
-    c = embeddings.alias("c")
-    cos = F.expr(cosine_sql("q.q_embedding", "c.embedding"))
+    c = embeddings.select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("c_nrm")
+    ).alias("c")
+    cos = F.expr(
+        cosine_with_norms_sql("q.q_embedding", "c.embedding", "q.q_nrm", "c.c_nrm")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.q_vec_id"))
         .select(
@@ -56,11 +63,15 @@ def brute_force_topk(
 
 
 BRUTE_FORCE_TOPK_SQL = f"""
-  WITH scored AS (
+  WITH normed AS (SELECT vec_id, embedding,
+                         {norm_sql("embedding", duck=True)} AS nrm
+                  FROM embeddings),
+  scored AS (
     SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
-           {cosine_sql("q.embedding", "c.embedding", duck=True)} AS cosine
-    FROM embeddings c
-    JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM normed c
+    JOIN (SELECT * FROM normed WHERE vec_id < {N_QUERIES}) q
       ON c.vec_id <> q.vec_id),
   ranked AS (
     SELECT *, row_number() OVER (PARTITION BY q_vec_id
@@ -104,17 +115,22 @@ def lsh_bucketed_topk(
     cross product and one shuffle. Rank/tie rules match brute_force_topk.
     """
     bucket = F.expr(lsh_bucket_sql("embedding"))
-    c = embeddings.withColumn("bucket", bucket).alias("c")
+    nrm = F.expr(norm_sql("embedding"))
+    c = embeddings.withColumn("bucket", bucket).withColumn("c_nrm", nrm).alias("c")
     q = (
         queries.withColumn("bucket", bucket)
+        .withColumn("q_nrm", nrm)
         .select(
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("q_embedding"),
             "bucket",
+            "q_nrm",
         )
         .alias("q")
     )
-    cos = F.expr(cosine_sql("q.q_embedding", "c.embedding"))
+    cos = F.expr(
+        cosine_with_norms_sql("q.q_embedding", "c.embedding", "q.q_nrm", "c.c_nrm")
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("c.vec_id") != F.col("q.q_vec_id"))
@@ -131,10 +147,13 @@ def lsh_bucketed_topk(
 def lsh_bucketed_topk_sql() -> str:
     bucket = lsh_bucket_sql("embedding", duck=True)
     return f"""
-  WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+  WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket,
+                    {norm_sql("embedding", duck=True)} AS nrm
+             FROM embeddings),
   scored AS (
     SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
-           {cosine_sql("q.embedding", "c.embedding", duck=True)} AS cosine
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
     FROM b c JOIN (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
       ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
   ranked AS (
