@@ -20,7 +20,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.numerics import davg_sql, dstddev_samp_sql, int_units_sql
-from .operators import adapters, dedup, gold, joins, multimodal, serving, similarity, textstats
+from .operators import (
+    adapters,
+    dedup,
+    gold,
+    joins,
+    multimodal,
+    serving,
+    similarity,
+    textstats,
+    windows,
+)
 from .operators.adapters import DIM_SQL, SILVER_SQL, TICKS_SQL
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -281,6 +291,25 @@ def q_pjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts converted to a proper microsecond timestamp."""
+    _prep(spark)
+    ev = adapters.read_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sessionize(_events_ts(spark, sf_dir))
+
+
+def q_x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.event_type_pivot(_events_ts(spark, sf_dir))
+
+
+def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings tables)
 
@@ -373,6 +402,9 @@ QUERIES: dict[str, QueryFn] = {
     "f4_retention_candidates": q_f4,
     "p11_format_gold": q_p11,
     "pj_json_kpis": q_pjson,
+    "w_sessionize": q_w_sessionize,
+    "x_pivot_event_counts": q_x_pivot,
+    "x_sector_rollup": q_x_rollup,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram,
     "dd_minhash_lsh": q_dd_minhash,
@@ -528,6 +560,9 @@ ORACLES: dict[str, str] = {
              COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_count,
              MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
       FROM events GROUP BY event_type""",
+    "w_sessionize": windows.SESSIONIZE_SQL,
+    "x_pivot_event_counts": windows.PIVOT_SQL,
+    "x_sector_rollup": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_ROLLUP_SQL}",
     "dd_exact": dedup.EXACT_SQL,
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "dd_minhash_lsh": dedup.MINHASH_LSH_SQL,

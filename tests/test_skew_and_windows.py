@@ -1,0 +1,48 @@
+"""Salted aggregation equivalence + sessionization unit semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark.functions.numerics import dec
+from azeroth_data_platform_spark.functions.skew import salted_sum
+from azeroth_data_platform_spark.operators.windows import sessionize
+
+
+def test_salted_sum_bit_identical_to_direct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # partials must stay decimal through BOTH phases — casting a partial to
+    # double would reintroduce order-dependence, defeating the point
+    sums = {
+        "revenue": F.sum(dec("l_extendedprice", 2)),
+        "qty": F.sum(F.col("l_quantity").cast("bigint")),
+    }
+    direct = (
+        li.groupBy("l_returnflag")
+        .agg(*[c.alias(n) for n, c in sums.items()])
+        .collect()
+    )
+    salted = salted_sum(li, ["l_returnflag"], sums, buckets=8).collect()
+    d = {r.l_returnflag: (float(r.revenue), r.qty) for r in direct}
+    s = {r.l_returnflag: (float(r.revenue), r.qty) for r in salted}
+    assert d == s  # exact decimal accumulation ⇒ salting is bit-invisible
+
+
+def test_sessionize_gap_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t0, "view", 1.0),
+        (2, 7, t0 + dt.timedelta(minutes=10), "click", 2.0),
+        (3, 7, t0 + dt.timedelta(minutes=50), "view", 3.0),  # 40min gap → new session
+        (4, 8, t0, "view", 4.0),  # other user: own session numbering
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {(r.user_id, r.session_seq): r for r in sessionize(ev, gap_minutes=30).collect()}
+    assert len(out) == 3
+    assert out[(7, 0)].n_events == 2 and out[(7, 0)].session_value == 3.0
+    assert out[(7, 1)].n_events == 1 and out[(7, 1)].session_start == t0 + dt.timedelta(minutes=50)
+    assert out[(8, 0)].n_events == 1
