@@ -42,7 +42,9 @@ def main() -> int:
         "p11_format_gold",
         "pj_json_kpis",
     ]
-    headline += [q for q in harness.QUERIES if q.startswith(("dd_", "ts_", "ann_"))]
+    headline += [
+        q for q in harness.QUERIES if q.startswith(("dd_", "ts_", "ann_", "w_", "x_"))
+    ]
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     harness.QUERIES["a8_distinct_items"](spark, sf_dir).write.format("noop").mode(
