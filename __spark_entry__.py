@@ -11,11 +11,15 @@ thin contract adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from azeroth_data_platform_spark import harness
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from azeroth_data_platform_spark import harness  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -31,7 +31,7 @@ from .operators import (
     textstats,
     windows,
 )
-from .operators.adapters import DIM_SQL, SILVER_SQL, TICKS_SQL
+from .operators.adapters import DIM_SQL, SILVER_SQL
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -1,0 +1,73 @@
+"""Sinks beyond merge: bronze blob writes, partitioned gold writes, and
+bucketed tables for shuffle-free joins (SURVEY.md §2.1 S3; §4 partitioning).
+
+Bucketing is the 100 TB lever the medallion layout earns: write silver and
+any co-joined table bucketed by the join key and every later equi-join or
+groupBy on that key skips its exchange entirely. Local tests pin exactly
+that plan property (tests/test_bucketing.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+N_BUCKETS = 16
+
+
+def write_json_blob(payload: dict, root: str, key: str) -> str:
+    """S3: the reference's bronze object write (minio_client.py:33-49) —
+    one raw JSON document per day key, driver-side by design (the payload
+    arrives via one HTTP response, not a distributed job)."""
+    path = os.path.join(root, key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+    return path
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "snapshot_date") -> None:
+    """Date-partitioned parquet — partition pruning for every date-ranged
+    read (the engine twin of the reference's date-keyed object paths)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def prune_old_day_keys(root: str, cutoff_day: str) -> list[str]:
+    """S10 (minio_client.py:51-67): drop bronze objects older than the
+    retention window. The reference lists every object and checks
+    LastModified; with day-keyed paths (`YYYY-MM-DD/...`) pruning is a
+    directory-name comparison — O(#days), no listing of object contents,
+    which is the only version that works on a 100 TB bronze prefix."""
+    import shutil
+
+    removed = []
+    if not os.path.isdir(root):
+        return removed
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if os.path.isdir(full) and len(name) == 10 and name < cutoff_day:
+            shutil.rmtree(full)
+            removed.append(name)
+    return removed
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "item_id",
+    path: str | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Persist as a Hive-style bucketed (+sorted) table: later equi-joins and
+    aggregations on `bucket_col` between tables bucketed the same way run
+    with zero exchanges. `path` overrides the warehouse location (the
+    warehouse dir itself is a static conf)."""
+    writer = (
+        df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

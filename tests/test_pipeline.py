@@ -149,3 +149,15 @@ def test_token_cache_reuses_until_expiry():
     assert tc.get(now=50.0) == "tok1"  # still fresh
     assert tc.get(now=71.0) == "tok2"  # within 30s of expiry → refresh
     assert len(calls) == 2
+
+
+def test_prune_old_day_keys(tmp_path):
+    from azeroth_data_platform_spark.sources.writers import prune_old_day_keys, write_json_blob
+
+    for day in ("2026-01-01", "2026-01-20", "2026-02-01"):
+        write_json_blob({"auctions": []}, str(tmp_path), f"{day}/raw_{day}.json")
+    removed = prune_old_day_keys(str(tmp_path), cutoff_day="2026-01-15")
+    assert removed == ["2026-01-01"]
+    import os
+
+    assert sorted(os.listdir(tmp_path)) == ["2026-01-20", "2026-02-01"]
