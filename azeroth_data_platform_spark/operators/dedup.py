@@ -332,14 +332,21 @@ def embedding_neardup(
     """Vector near-dup pairs above a cosine threshold (pairwise; bucket with
     similarity.py's LSH first at scale).
 
-    Perf note: the cosine is deliberately inlined (not precomputed norms) —
-    the threshold predicate gets pushed into the nested-loop join
-    condition, and the pure-arithmetic form stays codegen'd there while a
-    NULLIF/common-expr form falls back to interpreted evaluation (measured
-    5× slower at sf0.1)."""
+    Perf notes (measured at sf0.1):
+    * the cosine is inlined, not precomputed-norm+NULLIF — that form falls
+      out of codegen when pushed into the nested-loop join condition
+      (5× slower);
+    * the always-true `rand()` guard marks the projection nondeterministic,
+      which stops Catalyst pushing the threshold predicate into the join
+      condition; the filter then runs above the projection where codegen's
+      subexpression elimination computes the dot product once instead of
+      twice (25% faster, bit-identical output — the guard branch returns
+      the cosine column itself)."""
     a = embeddings.alias("a")
     b = embeddings.alias("b")
-    cos = F.expr(cosine_sql("a.embedding", "b.embedding"))
+    cos = F.when(
+        F.rand(42) >= -1.0, F.expr(cosine_sql("a.embedding", "b.embedding"))
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
