@@ -366,6 +366,10 @@ def q_ts_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(_docs(spark, sf_dir))
 
 
+def q_ts_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id_ngram(_docs(spark, sf_dir))
+
+
 def q_ts_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
@@ -415,6 +419,7 @@ QUERIES: dict[str, QueryFn] = {
     "ts_token_stats": q_ts_tokens,
     "ts_quality_score": q_ts_quality,
     "ts_language_id": q_ts_langid,
+    "ts_language_id_ngram": q_ts_langid_ngram,
     "ts_fingerprint": q_ts_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,
     "mm_feature_extract": q_mm_features,
@@ -573,6 +578,7 @@ ORACLES: dict[str, str] = {
     "ts_token_stats": textstats.TOKEN_STATS_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
     "ts_language_id": textstats.LANGID_SQL,
+    "ts_language_id_ngram": textstats.LANGID_NGRAM_SQL,
     "ts_fingerprint": textstats.FINGERPRINT_SQL,
     "mm_binary_stats": multimodal.BINARY_STATS_SQL,
     # mm_feature_extract: intentionally no oracle (mapInPandas operator)

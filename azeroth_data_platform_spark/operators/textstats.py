@@ -107,6 +107,64 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# Char-trigram profiles (top distinctive trigrams per language; a real
+# system learns these from corpora — cld3-style. Spaces are significant).
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", "nd ", " th", "ing", "and"),
+    "fr": ("le ", " de", "es ", "ent", " le", "que"),
+    "es": (" de", "os ", " la", "ión", "ado", "que"),
+    "de": ("er ", "en ", "ch ", "der", "sch", "ein"),
+}
+
+
+def language_id_ngram(documents: DataFrame) -> DataFrame:
+    """Char-n-gram language ID: score = how many of the text's trigrams hit
+    each language's profile set; deterministic argmax (ties → lexical order,
+    no evidence → 'und'). Pure array-lambda expressions — no shuffle.
+    """
+    out = documents.select("doc_id", "lang", "text")
+    for code, grams in TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        out = out.withColumn(
+            f"tscore_{code}",
+            F.expr(
+                "size(filter(transform(sequence(1, greatest(length(text) - 2, 0)), "
+                f"i -> substring(text, i, 3)), g -> array_contains(array({arr}), g)))"
+            ),
+        )
+    best = F.greatest(*[F.col(f"tscore_{c}") for c in TRIGRAM_PROFILES])
+    pred = F.lit("und")
+    for code in sorted(TRIGRAM_PROFILES, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"tscore_{code}") == best), code).otherwise(pred)
+    return out.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"tscore_{c}") for c in sorted(TRIGRAM_PROFILES)],
+        pred.alias("lang_pred"),
+    )
+
+
+def _langid_ngram_sql() -> str:
+    score_cols = []
+    for code, grams in TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        score_cols.append(
+            f"len(list_filter([substring(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)], "
+            f"g -> list_contains([{arr}], g))) AS tscore_{code}"
+        )
+    best = "GREATEST(" + ", ".join(f"tscore_{c}" for c in TRIGRAM_PROFILES) + ")"
+    pred = "'und'"
+    for code in sorted(TRIGRAM_PROFILES, reverse=True):
+        pred = f"CASE WHEN {best} > 0 AND tscore_{code} = {best} THEN '{code}' ELSE {pred} END"
+    ordered = ", ".join(f"tscore_{c}" for c in sorted(TRIGRAM_PROFILES))
+    return f"""
+      WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
+      SELECT doc_id, lang, {ordered}, {pred} AS lang_pred FROM scored"""
+
+
+LANGID_NGRAM_SQL = _langid_ngram_sql()
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Polynomial rolling hash over characters (mod 2³¹−1) — the classic
     content fingerprint for shard-level dedup bookkeeping. Sequential fold

@@ -56,6 +56,19 @@ def test_serving_topn_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_partition_pruning_on_date_partitioned_silver(spark, sf_dir, tmp_path_factory):
+    # write silver date-partitioned (the production layout), read one day:
+    # the scan must prune to that partition, not list-and-filter
+    path = str(tmp_path_factory.mktemp("part") / "silver")
+    silver = adapters.silver_auctions(spark, sf_dir).limit(5000)
+    silver.write.partitionBy("snapshot_date").parquet(path)
+    one_day = spark.read.parquet(path).where(F.col("snapshot_date") == "1995-01-02")
+    plan = _plan(one_day)
+    assert "PartitionFilters: [isnotnull(snapshot_date" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "snapshot_date" in scan_line
+
+
 def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     df = harness.QUERIES["ann_topk_bruteforce"](spark, sf_dir)
     plan = _plan(df)
