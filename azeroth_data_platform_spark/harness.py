@@ -252,6 +252,28 @@ def q_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O4 (main.py:62-65): latest demand rows, newest first.
+    return q_a4(spark, sf_dir).orderBy(
+        F.col("snapshot_date").desc(), F.col("item_id").asc()
+    ).limit(100)
+
+
+def q_o5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O5 (main.py:67-73): most concentrated markets first. pct ties are
+    # common (many 100% floors) → full deterministic tie-break.
+    return q_a5(spark, sf_dir).orderBy(
+        F.col("floor_concentration_pct").desc(),
+        F.col("item_id").asc(),
+        F.col("snapshot_date").asc(),
+    ).limit(100)
+
+
+def q_o6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O6 (main.py:75-79): last 30 index days.
+    return q_a6(spark, sf_dir).orderBy(F.col("snapshot_date").desc()).limit(30)
+
+
 def q_f4(spark: SparkSession, sf_dir: str) -> DataFrame:
     expired = serving.retention_candidates(_silver(spark, sf_dir), keep_days=30)
     return expired.agg(
@@ -399,6 +421,9 @@ QUERIES: dict[str, QueryFn] = {
     "o1_latest_daily_summaries": q_o1,
     "o3_sell_opportunities": q_o3,
     "o2_item_price_history": q_o2,
+    "o4_latest_demand": q_o4,
+    "o5_top_concentration": q_o5,
+    "o6_latest_index": q_o6,
     "o7_items_page": q_o7,
     "o9_best_opportunity": q_o9,
     "f1_item_daily_summary": q_f1,
@@ -583,3 +608,17 @@ ORACLES: dict[str, str] = {
     "mm_binary_stats": multimodal.BINARY_STATS_SQL,
     # mm_feature_extract: intentionally no oracle (mapInPandas operator)
 }
+
+# Serving reads over materialized gold frames (O4/O5/O6) — derived by
+# wrapping the corresponding gold oracle.
+ORACLES["o4_latest_demand"] = (
+    f"SELECT * FROM ({ORACLES['a4_sales_velocity']}) t "
+    "ORDER BY snapshot_date DESC, item_id ASC LIMIT 100"
+)
+ORACLES["o5_top_concentration"] = (
+    f"SELECT * FROM ({ORACLES['a5_market_concentration']}) t "
+    "ORDER BY floor_concentration_pct DESC, item_id ASC, snapshot_date ASC LIMIT 100"
+)
+ORACLES["o6_latest_index"] = (
+    f"SELECT * FROM ({ORACLES['a6_market_index']}) t ORDER BY snapshot_date DESC LIMIT 30"
+)
