@@ -332,6 +332,58 @@ def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
 
+def q_x_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join (region→nation→customer→orders→lineitem→supplier):
+    revenue per nation-year where customer and supplier share the nation.
+    Exercises Catalyst join reordering + broadcast of every dim-sized side;
+    the only shuffles are the big-table joins and the final groupBy."""
+    _prep(spark)
+    t = lambda n: adapters.read_table(spark, sf_dir, n)  # noqa: E731
+    li, o, c, s, n, r = (t(x) for x in ("lineitem", "orders", "customer", "supplier", "nation", "region"))
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(rev.cast("decimal(38,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_x_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join + aggregate + deterministic top-k: highest-revenue
+    orders for one market segment (TakeOrdered plan, no global sort)."""
+    _prep(spark)
+    li = adapters.read_table(spark, sf_dir, "lineitem")
+    o = adapters.read_table(spark, sf_dir, "orders")
+    c = adapters.read_table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(rev.cast("decimal(38,4)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings tables)
 
@@ -434,6 +486,8 @@ QUERIES: dict[str, QueryFn] = {
     "w_sessionize": q_w_sessionize,
     "x_pivot_event_counts": q_x_pivot,
     "x_sector_rollup": q_x_rollup,
+    "x_multiway_star_join": q_x_multiway,
+    "x_topk_orders": q_x_topk_orders,
     "dd_exact": q_dd_exact,
     "dd_ngram_jaccard": q_dd_ngram,
     "dd_minhash_lsh": q_dd_minhash,
@@ -593,6 +647,31 @@ ORACLES: dict[str, str] = {
     "w_sessionize": windows.SESSIONIZE_SQL,
     "x_pivot_event_counts": windows.PIVOT_SQL,
     "x_sector_rollup": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_ROLLUP_SQL}",
+    "x_multiway_star_join": """
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(10,2)) - CAST(l.l_discount AS DECIMAL(10,2)))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lineitems
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name, year(o.o_orderdate)""",
+    "x_topk_orders": """
+      SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(10,2)) - CAST(l.l_discount AS DECIMAL(10,2)))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+      ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 20""",
     "dd_exact": dedup.EXACT_SQL,
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "dd_minhash_lsh": dedup.MINHASH_LSH_SQL,
