@@ -121,16 +121,23 @@ def language_id_ngram(documents: DataFrame) -> DataFrame:
     """Char-n-gram language ID: score = how many of the text's trigrams hit
     each language's profile set; deterministic argmax (ties → lexical order,
     no evidence → 'und'). Pure array-lambda expressions — no shuffle.
+
+    The trigram array is materialized once per row behind a no-op
+    nondeterministic guard — otherwise projection collapse inlines it into
+    every per-language score (4× the work; measured 6.5s → 1.5s at sf0.1).
     """
-    out = documents.select("doc_id", "lang", "text")
+    grams_expr = F.when(
+        F.rand(7) >= -1.0,
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
+        ),
+    )
+    out = documents.select("doc_id", "lang", "text", grams_expr.alias("_grams"))
     for code, grams in TRIGRAM_PROFILES.items():
         arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
         out = out.withColumn(
             f"tscore_{code}",
-            F.expr(
-                "size(filter(transform(sequence(1, greatest(length(text) - 2, 0)), "
-                f"i -> substring(text, i, 3)), g -> array_contains(array({arr}), g)))"
-            ),
+            F.expr(f"size(filter(_grams, g -> array_contains(array({arr}), g)))"),
         )
     best = F.greatest(*[F.col(f"tscore_{c}") for c in TRIGRAM_PROFILES])
     pred = F.lit("und")
