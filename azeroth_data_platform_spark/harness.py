@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .functions.numerics import davg_sql, dstddev_samp_sql, int_units_sql
 from .operators import (
     adapters,
+    corpus,
     dedup,
     gold,
     joins,
@@ -414,6 +415,14 @@ def q_dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup(_docs(spark, sf_dir))
 
 
+def q_dd_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_banded_dedup(_docs(spark, sf_dir))
+
+
+def q_tp_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.clean_corpus(_docs(spark, sf_dir))
+
+
 def q_dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_embs(spark, sf_dir))
 
@@ -492,6 +501,8 @@ QUERIES: dict[str, QueryFn] = {
     "dd_ngram_jaccard": q_dd_ngram,
     "dd_minhash_lsh": q_dd_minhash,
     "dd_simhash": q_dd_simhash,
+    "dd_simhash_banded": q_dd_simhash_banded,
+    "tp_clean_corpus": q_tp_clean_corpus,
     "dd_embed_neardup": q_dd_embed,
     "ann_topk_bruteforce": q_ann_brute,
     "ann_topk_lsh": q_ann_lsh,
@@ -676,6 +687,8 @@ ORACLES: dict[str, str] = {
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "dd_minhash_lsh": dedup.MINHASH_LSH_SQL,
     "dd_simhash": dedup.SIMHASH_SQL,
+    "dd_simhash_banded": dedup.SIMHASH_BANDED_SQL,
+    "tp_clean_corpus": corpus.CLEAN_CORPUS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ann_topk_bruteforce": similarity.BRUTE_FORCE_TOPK_SQL,
     "ann_topk_lsh": similarity.lsh_bucketed_topk_sql(),

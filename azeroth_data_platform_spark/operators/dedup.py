@@ -307,6 +307,74 @@ def simhash_dedup(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) 
     )
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BANDED_MAX_HAMMING = SIMHASH_BANDS - 1  # pigeonhole: ham<=3 ⇒ a band matches
+
+
+def simhash_banded_dedup(
+    documents: DataFrame, max_hamming: int = SIMHASH_BANDED_MAX_HAMMING
+) -> DataFrame:
+    """SimHash at scale: 4×15-bit pigeonhole blocking instead of pairwise.
+
+    Any pair with hamming ≤ 3 must agree exactly on at least one 15-bit
+    band, so candidates come from four equi-joins on (band, band value) —
+    linear shuffles — and only candidates pay the hamming check. Exact
+    (no recall loss) for the ≤3 threshold by the pigeonhole principle.
+    """
+    fps = simhash_fingerprints(documents)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> struct(b AS band, shiftright(simhash, b * {SIMHASH_BAND_BITS})"
+                f" % {2 ** SIMHASH_BAND_BITS} AS bv))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "simhash", "x.band", "x.bv")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def _simhash_banded_sql() -> str:
+    sums, fp = _simhash_bit_exprs(duck=True)
+    bands = ", ".join(
+        f"{{'band': {b}, 'bv': (simhash >> {b * SIMHASH_BAND_BITS}) % {2 ** SIMHASH_BAND_BITS}}}"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+  WITH {_shingle_sql()},
+  bitsums AS (SELECT doc_id, {", ".join(sums)} FROM s GROUP BY doc_id),
+  fps AS (SELECT doc_id, {fp} AS simhash FROM bitsums),
+  banded AS (SELECT doc_id, simhash, u.band, u.bv FROM fps,
+             UNNEST([{bands}]) AS t(u)),
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+  SELECT * FROM cand WHERE hamming <= {SIMHASH_BANDED_MAX_HAMMING}"""
+
+
+SIMHASH_BANDED_SQL = _simhash_banded_sql()
+
+
 def _simhash_sql() -> str:
     sums, fp = _simhash_bit_exprs(duck=True)
     return f"""

@@ -112,3 +112,54 @@ def test_streaming_to_gold_end_to_end(spark, tmp_path):
     # no duplicate candles: one row per (item, hour)
     assert gold.count() == gold.select("item_key", "snapshot_hour").distinct().count()
     assert gold.where(f"item_key = 'ore' AND snapshot_hour = TIMESTAMP '{T0}'").count() == 1
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """session_window(ts, gap) in a stream produces the same sessions as the
+    batch gap-based sessionize operator."""
+    from azeroth_data_platform_spark.operators.windows import sessionize
+
+    rows = [
+        (1, 7, T0, "view", 1.0),
+        (2, 7, T0 + dt.timedelta(minutes=10), "click", 2.0),
+        (3, 7, T0 + dt.timedelta(minutes=50), "view", 3.0),  # 40min gap → new session
+        (4, 8, T0, "view", 4.0),
+        # clock advancer far in the future closes all sessions
+        (99, 9, T0 + dt.timedelta(days=2), "view", 0.0),
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(rows[:2], schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[2:], schema).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in spark.sql("SELECT * FROM sess").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize(spark.createDataFrame(rows[:4], schema), gap_minutes=30).collect()
+    }
+    # every emitted streaming session matches its batch twin
+    assert got, "sessions should have closed past the watermark"
+    for key, n in got.items():
+        if key[0] == 9:
+            continue  # the clock advancer itself
+        assert batch[key] == n, key
