@@ -437,6 +437,35 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
+
+
+def q_x_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quantile IQR outlier counts per item (percentile(0.25/0.75)
+    verified bit-equal to DuckDB quantile_cont)."""
+    s = _silver(spark, sf_dir)
+    q = s.groupBy("item_id").agg(
+        F.percentile("unit_price", 0.25).alias("q1"),
+        F.percentile("unit_price", 0.75).alias("q3"),
+        F.count(F.lit(1)).alias("n_prices"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    bounded = s.join(q, "item_id").where(
+        (F.col("unit_price") < F.col("q1") - 1.5 * iqr)
+        | (F.col("unit_price") > F.col("q3") + 1.5 * iqr)
+    )
+    outliers = bounded.groupBy("item_id").agg(F.count(F.lit(1)).alias("n_outliers"))
+    return q.join(outliers, "item_id", "left").select(
+        "item_id",
+        "q1",
+        "q3",
+        "n_prices",
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+    )
+
+
 def q_ts_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -506,6 +535,8 @@ QUERIES: dict[str, QueryFn] = {
     "dd_embed_neardup": q_dd_embed,
     "ann_topk_bruteforce": q_ann_brute,
     "ann_topk_lsh": q_ann_lsh,
+    "ann_topk_ivf": q_ann_ivf,
+    "x_price_iqr_outliers": q_x_iqr,
     "ts_token_stats": q_ts_tokens,
     "ts_quality_score": q_ts_quality,
     "ts_language_id": q_ts_langid,
@@ -692,6 +723,20 @@ ORACLES: dict[str, str] = {
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ann_topk_bruteforce": similarity.BRUTE_FORCE_TOPK_SQL,
     "ann_topk_lsh": similarity.lsh_bucketed_topk_sql(),
+    "ann_topk_ivf": similarity.ivf_topk_sql(),
+    "x_price_iqr_outliers": f"""{_W_SILVER},
+      q AS (SELECT item_id, quantile_cont(unit_price, 0.25) AS q1,
+                   quantile_cont(unit_price, 0.75) AS q3,
+                   COUNT(*) AS n_prices
+            FROM silver GROUP BY item_id),
+      o AS (SELECT s.item_id, COUNT(*) AS n_outliers
+            FROM silver s JOIN q ON s.item_id = q.item_id
+            WHERE s.unit_price < q.q1 - 1.5 * (q.q3 - q.q1)
+               OR s.unit_price > q.q3 + 1.5 * (q.q3 - q.q1)
+            GROUP BY s.item_id)
+      SELECT q.item_id, q.q1, q.q3, q.n_prices,
+             CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+      FROM q LEFT JOIN o ON q.item_id = o.item_id""",
     "ts_token_stats": textstats.TOKEN_STATS_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
     "ts_language_id": textstats.LANGID_SQL,

@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import EMBED_DIM, cosine_with_norms_sql, norm_sql
+from ..functions.vectors import (
+    EMBED_DIM,
+    cosine_sql,
+    cosine_with_norms_sql,
+    dot_sql,
+    norm_sql,
+)
 
 TOP_K = 10
 N_QUERIES = 5  # harness: vec_id < 5 are the query vectors
@@ -142,6 +148,86 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+N_IVF_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """IVF-flat ANN: a coarse quantizer assigns every vector to its nearest
+    centroid; a query probes its `N_PROBE` nearest centroid buckets and
+    ranks only those candidates by exact cosine.
+
+    Centroids here are a deterministic subset of the corpus (vec_id <
+    N_CENTROIDS) rather than k-means-trained — the index structure,
+    assignment argmin, and probe mechanics are the real thing; training
+    better centroids is an offline concern that doesn't change the plan.
+    Assignment distance uses ‖v−c‖² − ‖v‖² = c·c − 2·v·c (the v·v term is
+    constant per v and drops out of the argmin).
+    """
+    centroids = (
+        embeddings.where(F.col("vec_id") < N_IVF_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+
+    def assign(df: DataFrame, out_rank: int) -> DataFrame:
+        a = df.alias("v")
+        c = centroids.alias("c")
+        dist = F.expr(
+            f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        return (
+            a.join(F.broadcast(c))
+            .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= out_rank)
+        )
+
+    cand = assign(embeddings, 1).select(
+        F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding"), "cid"
+    )
+    probes = assign(queries, N_PROBE).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding"), "cid"
+    )
+    cos = F.expr(cosine_sql("q_embedding", "c_embedding"))
+    scored = (
+        cand.join(F.broadcast(probes), "cid")
+        .where(F.col("c_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "c_vec_id", cos.alias("cosine"))
+        .distinct()  # a candidate can appear via both probed buckets
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_sql() -> str:
+    dist = (
+        f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
+        f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
+    )
+    return f"""
+  WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+                 WHERE vec_id < {N_IVF_CENTROIDS}),
+  assign_all AS (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS crank
+    FROM embeddings v CROSS JOIN cents c),
+  cand AS (SELECT vec_id AS c_vec_id, embedding AS c_embedding, cid
+           FROM assign_all WHERE crank = 1),
+  probes AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding, cid
+             FROM assign_all WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}),
+  scored AS (
+    SELECT DISTINCT p.q_vec_id, cand.c_vec_id,
+           {cosine_sql("p.q_embedding", "cand.c_embedding", duck=True)} AS cosine
+    FROM cand JOIN probes p ON cand.cid = p.cid AND cand.c_vec_id <> p.q_vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, c_vec_id ASC) AS rank
+    FROM scored)
+  SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def lsh_bucketed_topk_sql() -> str:
