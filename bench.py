@@ -43,7 +43,9 @@ def main() -> int:
         "pj_json_kpis",
     ]
     headline += [
-        q for q in harness.QUERIES if q.startswith(("dd_", "ts_", "ann_", "w_", "x_"))
+        q
+        for q in harness.QUERIES
+        if q.startswith(("dd_", "ts_", "ann_", "w_", "x_", "tp_"))
     ]
 
     # Warm the JVM + parquet footers once so timings measure the plans.
