@@ -39,6 +39,64 @@ def clean_corpus(documents: DataFrame, quality_threshold: float = QUALITY_THRESH
     )
 
 
+N_SHARDS = 8
+# per-stratum keep-rate in percent: downsample the low-quality tail,
+# keep everything above the bar
+SAMPLE_RATES = {"hi": 100, "lo": 40}
+QUALITY_BAND_SPLIT = 0.75
+
+
+def _doc_hash_sql(duck: bool) -> str:
+    """Engine-portable uniform hash of doc_id ∈ [0, 100) — md5-derived, so
+    sampling decisions are identical in Spark, DuckDB, or anything else
+    that can md5 a string. Deterministic sampling means a re-run of the
+    pipeline selects the same corpus — reproducible training data."""
+    instr = "strpos" if duck else "instr"
+    h = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    if duck:
+        h = h.replace("AS STRING", "AS VARCHAR")
+    return f"(({h}) % 100)"
+
+
+def stratified_sample(cleaned: DataFrame) -> DataFrame:
+    """Deterministic stratified downsampling + shard assignment over the
+    cleaned corpus: quality bands get different keep-rates, survivors get a
+    stable shard id for train-file layout (`partitionBy("shard")` on
+    write). Pure projections + one filter — scan-bound at any scale."""
+    band = F.when(F.col("quality_score") >= QUALITY_BAND_SPLIT, "hi").otherwise("lo")
+    h = F.expr(_doc_hash_sql(duck=False))
+    rate = F.when(F.col("band") == "hi", F.lit(SAMPLE_RATES["hi"])).otherwise(
+        F.lit(SAMPLE_RATES["lo"])
+    )
+    return (
+        cleaned.withColumn("band", band)
+        .withColumn("h", h)
+        .where(F.col("h") < rate)
+        .select(
+            "doc_id",
+            "band",
+            "n_tokens",
+            "lang_pred",
+            (F.col("h") % N_SHARDS).alias("shard"),
+        )
+    )
+
+
+def _stratified_sample_sql() -> str:
+    h = _doc_hash_sql(duck=True)
+    return f"""
+  banded AS (SELECT *, CASE WHEN quality_score >= {QUALITY_BAND_SPLIT} THEN 'hi' ELSE 'lo' END AS band,
+                    {h} AS h
+             FROM cleaned)
+  SELECT doc_id, band, n_tokens, lang_pred, CAST(h % {N_SHARDS} AS BIGINT) AS shard
+  FROM banded
+  WHERE h < CASE WHEN band = 'hi' THEN {SAMPLE_RATES["hi"]} ELSE {SAMPLE_RATES["lo"]} END"""
+
+
 CLEAN_CORPUS_SQL = f"""
   WITH q AS (SELECT doc_id, n_tokens, quality_score
              FROM ({textstats.QUALITY_SQL}) qq
@@ -49,3 +107,7 @@ CLEAN_CORPUS_SQL = f"""
   FROM q LEFT JOIN nd ON q.doc_id = nd.doc_id
   JOIN lp ON lp.doc_id = q.doc_id
   WHERE nd.doc_id IS NULL"""
+
+TRAIN_SAMPLE_SQL = (
+    f"WITH cleaned AS (SELECT * FROM ({CLEAN_CORPUS_SQL}) cc), {_stratified_sample_sql()}"
+)
