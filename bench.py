@@ -25,8 +25,10 @@ def main() -> int:
 
     spark = get_spark("bench")
 
-    # Exclude trivially-small serving reads from the headline set; keep every
-    # operator that moves real data.
+    # FROZEN headline set (established round 1): the benchmark metric must
+    # stay comparable across rounds, so new queries added in later rounds do
+    # NOT join this list — extend via a separate metric if needed. Excludes
+    # trivially-small serving reads; keeps every operator that moves data.
     headline = [
         "a1_daily_market_summary",
         "a2_hourly_ohlc",
@@ -41,12 +43,30 @@ def main() -> int:
         "o1_latest_daily_summaries",
         "p11_format_gold",
         "pj_json_kpis",
+        "w_sessionize",
+        "x_pivot_event_counts",
+        "x_sector_rollup",
+        "x_multiway_star_join",
+        "x_topk_orders",
+        "x_price_iqr_outliers",
+        "dd_exact",
+        "dd_ngram_jaccard",
+        "dd_minhash_lsh",
+        "dd_simhash",
+        "dd_simhash_banded",
+        "dd_embed_neardup",
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ts_token_stats",
+        "ts_quality_score",
+        "ts_language_id",
+        "ts_language_id_ngram",
+        "ts_fingerprint",
+        "tp_clean_corpus",
+        "tp_train_sample",
     ]
-    headline += [
-        q
-        for q in harness.QUERIES
-        if q.startswith(("dd_", "ts_", "ann_", "w_", "x_", "tp_"))
-    ]
+    headline = [q for q in headline if q in harness.QUERIES]
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     harness.QUERIES["a8_distinct_items"](spark, sf_dir).write.format("noop").mode(
