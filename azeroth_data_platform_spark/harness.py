@@ -146,6 +146,41 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.daily_market_summary(_silver(spark, sf_dir))
 
 
+def q_a1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold_market_history — the A1 sibling keyed the same way but with
+    avg instead of median/max (/root/reference/data_pipeline/utils/
+    database.py:40-52: item_id, snapshot_date, avg_price, min_price,
+    total_quantity, auction_count)."""
+    s = _silver(spark, sf_dir)
+    from azeroth_data_platform_spark.functions.numerics import davg
+
+    return s.groupBy("item_id", "snapshot_date").agg(
+        davg("unit_price", 2).alias("avg_price"),
+        F.min("unit_price").alias("min_price"),
+        F.sum("quantity").alias("total_quantity"),
+        F.count(F.lit(1)).alias("auction_count"),
+    )
+
+
+def q_f7_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard z-score rendering (app.py:82-88): z clamped onto a ±5σ
+    progress scale, plus the copper price formatted for display."""
+    a3 = q_a3e(spark, sf_dir)
+    pct = F.least(F.greatest((F.col("z_score") + 5.0) / 10.0 * 100.0, F.lit(0.0)), F.lit(100.0))
+    return a3.where(F.col("z_score").isNotNull()).select(
+        "item_id",
+        "snapshot_date",
+        "z_score",
+        pct.alias("z_progress_pct"),
+        F.concat(
+            F.regexp_replace(
+                F.format_number(F.floor(F.col("current_price") / 10000), 0), ",", "."
+            ),
+            F.lit("g"),
+        ).alias("price_display"),
+    )
+
+
 def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.hourly_ohlc(_ticks(spark, sf_dir))
 
@@ -502,7 +537,9 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QueryFn] = {
     "a1_daily_market_summary": q_a1,
+    "a1h_market_history": q_a1h,
     "a2_hourly_ohlc": q_a2,
+    "f7_zscore_display": q_f7_display,
     "a3_rolling_zscore": q_a3,
     "a3e_rolling_zscore_dense": q_a3e,
     "a4_sales_velocity": q_a4,
@@ -554,6 +591,19 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "a1_daily_market_summary": f"{_W_SILVER}{_A1_AGG_SQL}",
+    "a1h_market_history": f"""{_W_SILVER}
+      SELECT item_id, snapshot_date,
+             {davg_sql("unit_price", 2)} AS avg_price,
+             MIN(unit_price) AS min_price,
+             CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+             COUNT(*) AS auction_count
+      FROM silver GROUP BY item_id, snapshot_date""",
+    "f7_zscore_display": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
+      SELECT item_id, snapshot_date, z_score,
+             LEAST(GREATEST((z_score + 5.0) / 10.0 * 100.0, 0.0), 100.0) AS z_progress_pct,
+             REPLACE(FORMAT('{{:,}}', CAST(FLOOR(current_price / 10000) AS BIGINT)), ',', '.') || 'g'
+               AS price_display
+      FROM a3 WHERE z_score IS NOT NULL""",
     "a2_hourly_ohlc": f"""{_W_TICKS},
       t AS (SELECT item_key, date_trunc('hour', ts) AS snapshot_hour, price, quantity,
                    row_number() OVER (PARTITION BY item_key, date_trunc('hour', ts)
