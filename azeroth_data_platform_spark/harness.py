@@ -481,6 +481,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterative k-means training → not SQL-expressible → rows-only check.
+    embs = _embs(spark, sf_dir)
+    cents = similarity.kmeans_centroids(embs)
+    return similarity.ivf_topk(
+        embs, embs.where(F.col("vec_id") < similarity.N_QUERIES), centroids=cents
+    )
+
+
 def q_x_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quantile IQR outlier counts per item (percentile(0.25/0.75)
     verified bit-equal to DuckDB quantile_cont)."""
@@ -578,6 +587,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_bruteforce": q_ann_brute,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
+    "ann_topk_ivf_trained": q_ann_ivf_trained,
     "x_price_iqr_outliers": q_x_iqr,
     "ts_token_stats": q_ts_tokens,
     "ts_quality_score": q_ts_quality,

