@@ -518,6 +518,10 @@ def q_ts_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_stats(_docs(spark, sf_dir))
 
 
+def q_ts_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count_bpe(_docs(spark, sf_dir))
+
+
 def q_ts_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -590,6 +594,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf_trained": q_ann_ivf_trained,
     "x_price_iqr_outliers": q_x_iqr,
     "ts_token_stats": q_ts_tokens,
+    "ts_token_count_bpe": q_ts_tokens_bpe,
     "ts_quality_score": q_ts_quality,
     "ts_language_id": q_ts_langid,
     "ts_language_id_ngram": q_ts_langid_ngram,
@@ -804,6 +809,7 @@ ORACLES: dict[str, str] = {
              CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
       FROM q LEFT JOIN o ON q.item_id = o.item_id""",
     "ts_token_stats": textstats.TOKEN_STATS_SQL,
+    "ts_token_count_bpe": textstats.TOKEN_BPE_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
     "ts_language_id": textstats.LANGID_SQL,
     "ts_language_id_ngram": textstats.LANGID_NGRAM_SQL,

@@ -107,6 +107,39 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish tokenizer regex: letter runs, digit runs, or single
+# non-alnum-non-space marks — the pre-tokenization split most BPE vocab
+# trainers apply. Kept to portable regex constructs (char classes only).
+BPE_SPLIT_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Token counting under a BPE-style pre-tokenization: counts letter
+    runs, digit runs, and punctuation marks separately (vs the whitespace
+    tokens of token_stats). Pure regexp projection — scan-bound."""
+    n = F.expr(f"size(regexp_extract_all(text, '{BPE_SPLIT_REGEX}', 0))")
+    words = F.expr("size(regexp_extract_all(text, '[A-Za-z]+', 0))")
+    digits = F.expr("size(regexp_extract_all(text, '[0-9]+', 0))")
+    return documents.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        digits.alias("n_digit_tokens"),
+        (n - words - digits).alias("n_mark_tokens"),
+    )
+
+
+TOKEN_BPE_SQL = f"""
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{BPE_SPLIT_REGEX}')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+         len(regexp_extract_all(text, '[0-9]+')) AS n_digit_tokens,
+         CAST(len(regexp_extract_all(text, '{BPE_SPLIT_REGEX}'))
+              - len(regexp_extract_all(text, '[A-Za-z]+'))
+              - len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_mark_tokens
+  FROM documents"""
+
+
 # Char-trigram profiles (top distinctive trigrams per language; a real
 # system learns these from corpora — cld3-style. Spaces are significant).
 TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {

@@ -1,0 +1,35 @@
+"""The engine's reproducibility claim, tested head-on: result-bearing
+aggregates must be bit-identical under different parallelism (partition
+counts change float merge order — plain double sums would drift)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from azeroth_data_platform_spark import harness
+
+CHECK = [
+    "a1_daily_market_summary",
+    "a3_rolling_zscore",
+    "a6_market_index",
+    "dd_minhash_lsh",
+    "ts_fingerprint",
+]
+
+
+def _run(spark, name, sf_dir, partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = harness.QUERIES[name](spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    cols = sorted(df.columns)
+    return df.reindex(cols, axis=1).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_results_identical_across_parallelism(spark, sf_dir):
+    for name in CHECK:
+        a = _run(spark, name, sf_dir, 3)
+        b = _run(spark, name, sf_dir, 24)
+        pd.testing.assert_frame_equal(a, b, check_exact=True, obj=name)
