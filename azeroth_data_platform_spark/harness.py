@@ -368,6 +368,10 @@ def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
 
+def q_x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sector_cube(_silver(spark, sf_dir), _dim(spark, sf_dir))
+
+
 def q_x_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way star join (region→nation→customer→orders→lineitem→supplier):
     revenue per nation-year where customer and supplier share the nation.
@@ -578,6 +582,7 @@ QUERIES: dict[str, QueryFn] = {
     "w_sessionize": q_w_sessionize,
     "x_pivot_event_counts": q_x_pivot,
     "x_sector_rollup": q_x_rollup,
+    "x_sector_cube": q_x_cube,
     "x_multiway_star_join": q_x_multiway,
     "x_topk_orders": q_x_topk_orders,
     "dd_exact": q_dd_exact,
@@ -759,6 +764,7 @@ ORACLES: dict[str, str] = {
     "w_sessionize": windows.SESSIONIZE_SQL,
     "x_pivot_event_counts": windows.PIVOT_SQL,
     "x_sector_rollup": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_ROLLUP_SQL}",
+    "x_sector_cube": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_CUBE_SQL}",
     "x_multiway_star_join": """
       SELECT r.r_name AS region_name, n.n_name AS nation_name,
              CAST(year(o.o_orderdate) AS INTEGER) AS order_year,

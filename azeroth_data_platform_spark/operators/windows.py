@@ -103,6 +103,31 @@ PIVOT_SQL = f"""
          {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
   FROM events GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)"""
 
+def sector_cube(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
+    """Two-dimension cube over (item_class, time_left): every subtotal
+    combination in one pass. Per-column grouping flags (not grouping_id)
+    so the output is engine-portable without bit-order assumptions."""
+    joined = silver.join(
+        F.broadcast(dim_items.select("item_id", "item_class")), "item_id", "left"
+    )
+    return joined.cube("item_class", "time_left").agg(
+        F.grouping("item_class").cast("int").alias("class_total"),
+        F.grouping("time_left").cast("int").alias("time_total"),
+        F.sum("quantity").alias("total_quantity"),
+        F.count(F.lit(1)).alias("auction_count"),
+    )
+
+
+SECTOR_CUBE_SQL = """
+  SELECT dim.item_class, silver.time_left,
+         CAST(GROUPING(dim.item_class) AS INTEGER) AS class_total,
+         CAST(GROUPING(silver.time_left) AS INTEGER) AS time_total,
+         CAST(SUM(silver.quantity) AS BIGINT) AS total_quantity,
+         COUNT(*) AS auction_count
+  FROM silver LEFT JOIN dim ON silver.item_id = dim.item_id
+  GROUP BY CUBE(dim.item_class, silver.time_left)"""
+
+
 SECTOR_ROLLUP_SQL = """
   SELECT dim.item_class,
          CAST(GROUPING(dim.item_class) AS INTEGER) AS is_total,

@@ -34,6 +34,10 @@ def get_spark(app_name: str = "azeroth_data_platform_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # spill sizing: 128 MB input splits keep per-task working sets well
+        # under executor memory at any SF; explicit so cluster deploys don't
+        # inherit a surprising site default
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
-
 from azeroth_data_platform_spark.operators import gold
 
 D = dt.date
