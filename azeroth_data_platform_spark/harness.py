@@ -368,6 +368,22 @@ def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
 
+def q_x_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: odd events are "trades", even events are "quotes"; each
+    trade picks up the latest quote at-or-before its timestamp."""
+    from .operators.asof import asof_join
+
+    ticks = _ticks(spark, sf_dir)
+    trades = ticks.where(F.col("tick_id") % 2 == 1).select(
+        F.col("tick_id").alias("trade_id"), "item_key", "ts",
+        F.col("price").alias("trade_price"),
+    )
+    quotes = ticks.where(F.col("tick_id") % 2 == 0).select(
+        "item_key", "ts", F.col("price").alias("quote_price")
+    )
+    return asof_join(trades, quotes, key="item_key", right_values=("quote_price",))
+
+
 def q_x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_cube(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
@@ -583,6 +599,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pivot_event_counts": q_x_pivot,
     "x_sector_rollup": q_x_rollup,
     "x_sector_cube": q_x_cube,
+    "x_asof_join": q_x_asof,
     "x_multiway_star_join": q_x_multiway,
     "x_topk_orders": q_x_topk_orders,
     "dd_exact": q_dd_exact,
@@ -765,6 +782,15 @@ ORACLES: dict[str, str] = {
     "x_pivot_event_counts": windows.PIVOT_SQL,
     "x_sector_rollup": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_ROLLUP_SQL}",
     "x_sector_cube": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_CUBE_SQL}",
+    "x_asof_join": f"""{_W_TICKS},
+      trades AS (SELECT tick_id AS trade_id, item_key, ts, price AS trade_price
+                 FROM ticks WHERE tick_id % 2 = 1),
+      quotes AS (SELECT item_key, ts, price AS quote_price
+                 FROM ticks WHERE tick_id % 2 = 0)
+      SELECT t.trade_id, t.item_key, t.ts, t.trade_price,
+             q.quote_price AS asof_quote_price, q.ts AS asof_ts
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.item_key = q.item_key AND t.ts >= q.ts""",
     "x_multiway_star_join": """
       SELECT r.r_name AS region_name, n.n_name AS nation_name,
              CAST(year(o.o_orderdate) AS INTEGER) AS order_year,

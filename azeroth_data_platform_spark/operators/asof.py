@@ -1,0 +1,62 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API lacks.
+
+For each left row, attach the most recent right row (same key, right.ts <=
+left.ts). The classic distributed implementation: union both sides tagged,
+sort within key by (ts, side) with the right side winning ties, and
+forward-fill the right columns with `last(..., ignorenulls=True)` over a
+running frame — one shuffle on the key, one sort, no range explosion and
+no per-row probing. This is how quote/trade alignment, SCD lookups, and
+sensor alignment run at 100 TB.
+
+DuckDB has a native ASOF JOIN, which makes the oracle an independent
+implementation — the strongest kind of differential check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: tuple[str, ...] = ("price",),
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right values at-or-before
+    its timestamp (NULLs when no right row precedes it)."""
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        F.col(right_ts).alias("_rts"),
+    ).select(*l.columns)  # align column order for the union
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in right_values
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")

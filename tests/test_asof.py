@@ -1,0 +1,39 @@
+"""As-of join unit semantics: no-predecessor NULLs, equal-ts inclusivity,
+key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from azeroth_data_platform_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "ore", T0 - dt.timedelta(minutes=5), 99.0),  # before any quote → NULL
+            (2, "ore", T0 + dt.timedelta(minutes=1), 100.0),
+            (3, "ore", T0 + dt.timedelta(minutes=10), 101.0),  # same ts as a quote → inclusive
+            (4, "herb", T0 + dt.timedelta(minutes=2), 50.0),  # other key: own quotes only
+        ],
+        "trade_id long, item_key string, ts timestamp, trade_price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("ore", T0, 10.0),
+            ("ore", T0 + dt.timedelta(minutes=10), 12.0),
+            ("herb", T0, 7.0),
+        ],
+        "item_key string, ts timestamp, quote_price double",
+    )
+    out = {
+        r.trade_id: r
+        for r in asof_join(trades, quotes, key="item_key", right_values=("quote_price",)).collect()
+    }
+    assert len(out) == 4
+    assert out[1].asof_quote_price is None and out[1].asof_ts is None
+    assert out[2].asof_quote_price == 10.0 and out[2].asof_ts == T0
+    assert out[3].asof_quote_price == 12.0  # ts == quote ts → matches (>=)
+    assert out[4].asof_quote_price == 7.0  # herb never sees ore quotes
