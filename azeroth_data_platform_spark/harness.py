@@ -368,6 +368,50 @@ def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
 
+def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per trade, how many quotes landed in the preceding
+    5 minutes and their deterministic average price."""
+    from .functions.numerics import davg
+    from .operators.asof import range_join
+
+    ticks = _ticks(spark, sf_dir)
+    trades = ticks.where(F.col("tick_id") % 2 == 1).select(
+        F.col("tick_id").alias("trade_id"), "item_key", "ts"
+    )
+    quotes = ticks.where(F.col("tick_id") % 2 == 0).select(
+        "item_key", "ts", F.col("price").alias("quote_price")
+    )
+    pairs = range_join(trades, quotes, key="item_key", window_seconds=300)
+    return pairs.groupBy("trade_id", "item_key", "ts").agg(
+        F.count(F.lit(1)).alias("n_quotes"),
+        davg("quote_price_r", 2).alias("avg_quote"),
+    )
+
+
+def q_x_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (beyond the reference, SURVEY §2.7): items trading in
+    both halves of the date range, only the first, and only the second —
+    INTERSECT / EXCEPT / counts unioned into one labeled result."""
+    s = _silver(spark, sf_dir)
+    anchor = s.agg(F.min("snapshot_date").alias("d0"), F.max("snapshot_date").alias("d1"))
+    # split at 60 days before the end: "recently active" vs "historical" —
+    # selective enough that all three cohorts are non-empty on the corpus
+    mid = s.crossJoin(F.broadcast(anchor)).withColumn(
+        "in_first_half", F.col("snapshot_date") < F.expr("date_sub(d1, 60)")
+    )
+    first = mid.where("in_first_half").select("item_id").distinct()
+    second = mid.where("NOT in_first_half").select("item_id").distinct()
+    both = first.intersect(second).withColumn("cohort", F.lit("both"))
+    only_first = first.exceptAll(second).withColumn("cohort", F.lit("first_only"))
+    only_second = second.exceptAll(first).withColumn("cohort", F.lit("second_only"))
+    return (
+        both.unionByName(only_first)
+        .unionByName(only_second)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_x_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: odd events are "trades", even events are "quotes"; each
     trade picks up the latest quote at-or-before its timestamp."""
@@ -600,6 +644,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_sector_rollup": q_x_rollup,
     "x_sector_cube": q_x_cube,
     "x_asof_join": q_x_asof,
+    "x_set_ops": q_x_setops,
+    "x_range_join": q_x_range_join,
     "x_multiway_star_join": q_x_multiway,
     "x_topk_orders": q_x_topk_orders,
     "dd_exact": q_dd_exact,
@@ -782,6 +828,28 @@ ORACLES: dict[str, str] = {
     "x_pivot_event_counts": windows.PIVOT_SQL,
     "x_sector_rollup": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_ROLLUP_SQL}",
     "x_sector_cube": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_CUBE_SQL}",
+    "x_range_join": f"""{_W_TICKS},
+      trades AS (SELECT tick_id AS trade_id, item_key, ts FROM ticks WHERE tick_id % 2 = 1),
+      quotes AS (SELECT item_key, ts, price AS quote_price FROM ticks WHERE tick_id % 2 = 0)
+      SELECT t.trade_id, t.item_key, t.ts,
+             COUNT(*) AS n_quotes,
+             CAST(SUM(CAST(q.quote_price AS DECIMAL(28,2))) AS DOUBLE) / COUNT(q.quote_price)
+               AS avg_quote
+      FROM trades t JOIN quotes q
+        ON t.item_key = q.item_key
+       AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 5 MINUTE
+      GROUP BY t.trade_id, t.item_key, t.ts""",
+    "x_set_ops": f"""{_W_SILVER},
+      bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
+      tagged AS (SELECT s.item_id,
+                        s.snapshot_date < (b.d1 - INTERVAL 60 DAY) AS in_first_half
+                 FROM silver s CROSS JOIN bounds b),
+      first_h AS (SELECT DISTINCT item_id FROM tagged WHERE in_first_half),
+      second_h AS (SELECT DISTINCT item_id FROM tagged WHERE NOT in_first_half),
+      u AS (SELECT item_id, 'both' AS cohort FROM (SELECT * FROM first_h INTERSECT SELECT * FROM second_h)
+            UNION ALL SELECT item_id, 'first_only' FROM (SELECT * FROM first_h EXCEPT SELECT * FROM second_h)
+            UNION ALL SELECT item_id, 'second_only' FROM (SELECT * FROM second_h EXCEPT SELECT * FROM first_h))
+      SELECT cohort, COUNT(*) AS n_items FROM u GROUP BY cohort""",
     "x_asof_join": f"""{_W_TICKS},
       trades AS (SELECT tick_id AS trade_id, item_key, ts, price AS trade_price
                  FROM ticks WHERE tick_id % 2 = 1),

@@ -18,6 +18,47 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Interval join: all right rows with right.ts ∈ [left.ts − window, left.ts].
+
+    Spark would plan a raw inequality join as a cross product per key; the
+    scale pattern is time-bucketing: both sides get bucket = ts div window,
+    the left probes its own and the previous bucket (any in-window right
+    row lives in one of the two), and the exact predicate filters after the
+    equi-join. Turns an O(n·m)-per-key nested loop into two hash-join
+    lookups per row.
+
+    Returns left columns + right columns suffixed `_r` (right's key/ts
+    renamed), one output row per qualifying pair.
+    """
+    win_us = window_seconds * 1_000_000
+    bucket_l = F.expr(f"unix_micros({left_ts}) DIV {win_us}")  # integer div: no float boundary drift
+    bucket_r = F.expr(f"unix_micros(_rts) DIV {win_us}")
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns if c not in (key, right_ts)],
+    ).withColumn("_rbucket", bucket_r)
+    l = left.withColumn("_bucket", bucket_l).withColumn(
+        "_probe", F.explode(F.array(F.col("_bucket"), F.col("_bucket") - 1))
+    )
+    joined = l.join(
+        r, (F.col(key) == F.col("_rkey")) & (F.col("_probe") == F.col("_rbucket"))
+    )
+    in_window = (F.col("_rts") <= F.col(left_ts)) & (
+        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_rts"))
+        <= window_seconds * 1_000_000
+    )
+    return joined.where(in_window).drop("_bucket", "_probe", "_rbucket", "_rkey")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -37,3 +37,27 @@ def test_asof_join_semantics(spark):
     assert out[2].asof_quote_price == 10.0 and out[2].asof_ts == T0
     assert out[3].asof_quote_price == 12.0  # ts == quote ts → matches (>=)
     assert out[4].asof_quote_price == 7.0  # herb never sees ore quotes
+
+
+def test_range_join_window_edges(spark):
+    from azeroth_data_platform_spark.operators.asof import range_join
+
+    trades = spark.createDataFrame(
+        [(1, "ore", T0)], "trade_id long, item_key string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("ore", T0 - dt.timedelta(seconds=301), 1.0),  # just outside window
+            ("ore", T0 - dt.timedelta(seconds=300), 2.0),  # exactly at edge → in
+            ("ore", T0 - dt.timedelta(seconds=1), 3.0),
+            ("ore", T0, 4.0),  # equal ts → in
+            ("ore", T0 + dt.timedelta(seconds=1), 5.0),  # future → out
+            ("herb", T0, 9.0),  # other key → out
+        ],
+        "item_key string, ts timestamp, quote_price double",
+    )
+    got = sorted(
+        r.quote_price_r
+        for r in range_join(trades, quotes, key="item_key", window_seconds=300).collect()
+    )
+    assert got == [2.0, 3.0, 4.0]
