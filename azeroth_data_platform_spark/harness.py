@@ -368,6 +368,22 @@ def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_rollup(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
 
+def q_o10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest auctions per item class — the canonical top-k-per-group
+    window pattern as a named serving query."""
+    from pyspark.sql import Window
+
+    j = joins.enrich_with_dim(_silver(spark, sf_dir), _dim(spark, sf_dir))
+    w = Window.partitionBy("item_class").orderBy(
+        F.col("unit_price").desc(), F.col("id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("item_class", "rn", "id", "item_id", "unit_price", "snapshot_date")
+    )
+
+
 def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per trade, how many quotes landed in the preceding
     5 minutes and their deterministic average price."""
@@ -633,6 +649,7 @@ QUERIES: dict[str, QueryFn] = {
     "o5_top_concentration": q_o5,
     "o6_latest_index": q_o6,
     "o7_items_page": q_o7,
+    "o10_topk_per_group": q_o10_topk_per_group,
     "o9_best_opportunity": q_o9,
     "f1_item_daily_summary": q_f1,
     "a9_kpi_counts": q_a9,
@@ -782,6 +799,14 @@ ORACLES: dict[str, str] = {
     "o3_sell_opportunities": f"""{_W_SILVER_EVENTS}, {_A3_SQL}
       SELECT * FROM a3 WHERE recommendation = UPPER('sell')""",
     "o7_items_page": f"{_W_DIM} SELECT * FROM dim ORDER BY item_id LIMIT 50 OFFSET 100",
+    "o10_topk_per_group": f"""{_W_SILVER}, dim AS ({DIM_SQL}),
+      j AS (SELECT s.*, dim.item_class FROM silver s LEFT JOIN dim ON s.item_id = dim.item_id),
+      r AS (SELECT item_class, id, item_id, unit_price, snapshot_date,
+                   row_number() OVER (PARTITION BY item_class
+                                      ORDER BY unit_price DESC, id ASC) AS rn
+            FROM j)
+      SELECT item_class, CAST(rn AS INTEGER) AS rn, id, item_id, unit_price, snapshot_date
+      FROM r WHERE rn <= 3""",
     "o2_item_price_history": f"""{_W_TICKS},
       t AS (SELECT item_key, date_trunc('hour', ts) AS snapshot_hour, price, quantity,
                    row_number() OVER (PARTITION BY item_key, date_trunc('hour', ts)

@@ -46,3 +46,20 @@ def test_sessionize_gap_semantics(spark):
     assert out[(7, 0)].n_events == 2 and out[(7, 0)].session_value == 3.0
     assert out[(7, 1)].n_events == 1 and out[(7, 1)].session_start == t0 + dt.timedelta(minutes=50)
     assert out[(8, 0)].n_events == 1
+
+
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """Sketch aggregates (HLL distinct, approx quantile) can't be
+    oracle-hash-checked across engines, so their accuracy contract is
+    pinned here instead: within standard error of exact."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50a"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL default rsd 5%
+    assert abs(row.p50a - row.p50) / row.p50 < 0.02
