@@ -161,3 +161,14 @@ def test_prune_old_day_keys(tmp_path):
     import os
 
     assert sorted(os.listdir(tmp_path)) == ["2026-01-20", "2026-02-01"]
+
+
+def test_corrupt_bronze_file_does_not_poison_batch(spark, tmp_path):
+    """A malformed JSON blob alongside good ones yields its rows as NULLs
+    (PERMISSIVE mode), which the id-null filter drops — the batch survives."""
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "good.json").write_text(json.dumps(BRONZE_DOC))
+    (p / "corrupt.json").write_text('{"auctions": [ {"id": 7, "item"')  # truncated
+    out = silver_transform(read_bronze_auctions(spark, str(p)), SNAP)
+    assert out.count() == 4  # the four good auctions; corruption skipped

@@ -163,3 +163,38 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
         if key[0] == 9:
             continue  # the clock advancer itself
         assert batch[key] == n, key
+
+
+def test_restart_from_checkpoint_resumes_without_duplicates(spark, tmp_path):
+    """Kill the stream, restart from the same checkpoint, feed more data:
+    no candle lost, none duplicated — the crash-recovery contract."""
+    from azeroth_data_platform_spark.streaming.sinks import start_candle_stream
+
+    src = tmp_path / "ticks3"
+    src.mkdir()
+    gold_path, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+    spark.createDataFrame(_rows(), SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    def new_query():
+        stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+            str(src / "*")
+        )
+        return start_candle_stream(streaming_hourly_ohlc(stream), gold_path, ckpt)
+
+    q1 = new_query()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # simulated crash/redeploy
+
+    advancer = [(99, "clock", T0 + dt.timedelta(hours=5), 1.0, 1)]
+    spark.createDataFrame(advancer, SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = new_query()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    gold = spark.read.parquet(gold_path)
+    assert gold.count() >= 2
+    assert gold.count() == gold.select("item_key", "snapshot_hour").distinct().count()
