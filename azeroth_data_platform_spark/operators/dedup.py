@@ -277,17 +277,15 @@ def _simhash_bit_exprs(duck: bool) -> tuple[list[str], str]:
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """60-bit SimHash fingerprint per document (one groupBy pass)."""
+    # Pure DataFrame composition (no temp views — they're session-global
+    # and would race if the harness ran queries concurrently).
     sums, fp = _simhash_bit_exprs(duck=False)
-    sh = shingles(documents)
-    sh.createOrReplaceTempView("_simhash_shingles")
-    spark = sh.sparkSession
-    return spark.sql(
-        f"""
-        SELECT doc_id, {fp} AS simhash
-        FROM (SELECT doc_id, {", ".join(sums)}
-              FROM _simhash_shingles GROUP BY doc_id)
-        """
-    )
+    agg_cols = []
+    for s in sums:
+        expr_body, alias = s.rsplit(" AS ", 1)
+        agg_cols.append(F.expr(expr_body).alias(alias))
+    bitsums = shingles(documents).groupBy("doc_id").agg(*agg_cols)
+    return bitsums.select("doc_id", F.expr(fp).alias("simhash"))
 
 
 def simhash_dedup(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
