@@ -542,6 +542,10 @@ def q_tp_train_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(corpus.clean_corpus(_docs(spark, sf_dir)))
 
 
+def q_dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.neardup_clusters(_docs(spark, sf_dir))
+
+
 def q_dd_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup(_embs(spark, sf_dir))
 
@@ -672,6 +676,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_simhash_banded": q_dd_simhash_banded,
     "tp_clean_corpus": q_tp_clean_corpus,
     "tp_train_sample": q_tp_train_sample,
+    "dd_neardup_clusters": q_dd_clusters,
     "dd_embed_neardup": q_dd_embed,
     "ann_topk_bruteforce": q_ann_brute,
     "ann_topk_lsh": q_ann_lsh,
@@ -916,6 +921,7 @@ ORACLES: dict[str, str] = {
     "dd_simhash_banded": dedup.SIMHASH_BANDED_SQL,
     "tp_clean_corpus": corpus.CLEAN_CORPUS_SQL,
     "tp_train_sample": corpus.TRAIN_SAMPLE_SQL,
+    "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ann_topk_bruteforce": similarity.BRUTE_FORCE_TOPK_SQL,
     "ann_topk_lsh": similarity.lsh_bucketed_topk_sql(),

@@ -389,6 +389,64 @@ SIMHASH_SQL = _simhash_sql()
 
 
 # ---------------------------------------------------------------------------
+# near-dup clusters (connected components over duplicate pairs)
+
+
+def neardup_clusters(documents: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Group near-duplicate pairs into clusters: each document maps to the
+    minimum doc_id of its connected component — the canonical "keep one
+    representative per duplicate cluster" output of a dedup pipeline.
+
+    Iterative min-label propagation over the MinHash-LSH pair graph: each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in <= graph-diameter rounds (duplicate clusters
+    are tiny — a handful of rounds). Driver-side loop checks a single
+    changed-row count per round; per-round state is localCheckpointed to
+    cut lineage. At scale this is the standard large-graph CC recipe
+    (GraphFrames uses the same alternating large/small-star variant).
+    """
+    pairs = minhash_lsh_dedup(documents).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["d2"] == labels["node"])
+            .groupBy(F.col("d1").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.where("_changed").count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+  WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+  edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+  reach(u, v) AS (
+    SELECT DISTINCT u, u FROM edges
+    UNION
+    SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u"""
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
 

