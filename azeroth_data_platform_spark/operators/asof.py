@@ -66,16 +66,26 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_values: tuple[str, ...] = ("price",),
+    right_id: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right values at-or-before
-    its timestamp (NULLs when no right row precedes it)."""
+    its timestamp (NULLs when no right row precedes it).
+
+    When several right rows share the same (key, ts), pass `right_id` (a
+    unique right-side column) — it joins the window ordering so the winner
+    is deterministic (highest id, i.e. latest-arriving) instead of
+    partition-order-dependent. Without it, callers should pre-deduplicate
+    the right side to one row per (key, ts).
+    """
     lcols = [c for c in left.columns]
+    rid_type = right.schema[right_id].dataType if right_id is not None else None
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        *([F.lit(None).cast(rid_type).alias("_rid")] if right_id is not None else []),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
@@ -84,11 +94,17 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.col(v).alias(f"_rv_{v}") for v in right_values],
         F.col(right_ts).alias("_rts"),
+        *([F.col(right_id).alias("_rid")] if right_id is not None else []),
     ).select(*l.columns)  # align column order for the union
     u = l.unionByName(r)
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if right_id is not None:
+        # right rows (_side=0) sort before left rows at equal ts; among tied
+        # right rows the highest id lands last and wins the forward fill
+        order.insert(1, F.col("_rid").asc_nulls_last())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

@@ -392,7 +392,7 @@ SIMHASH_SQL = _simhash_sql()
 # near-dup clusters (connected components over duplicate pairs)
 
 
-def neardup_clusters(documents: DataFrame, max_iterations: int = 10) -> DataFrame:
+def neardup_clusters(documents: DataFrame, max_iterations: int = 50) -> DataFrame:
     """Group near-duplicate pairs into clusters: each document maps to the
     minimum doc_id of its connected component — the canonical "keep one
     representative per duplicate cluster" output of a dedup pipeline.
@@ -415,6 +415,7 @@ def neardup_clusters(documents: DataFrame, max_iterations: int = 10) -> DataFram
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["d2"] == labels["node"])
@@ -432,7 +433,16 @@ def neardup_clusters(documents: DataFrame, max_iterations: int = 10) -> DataFram
         changed = updated.where("_changed").count()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Label propagation needs up to component-diameter rounds; stopping
+        # early would silently emit wrong cluster_ids for long chains.
+        raise RuntimeError(
+            f"neardup_clusters did not converge within {max_iterations} rounds "
+            "(a connected component's diameter exceeds the cap); raise "
+            "max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

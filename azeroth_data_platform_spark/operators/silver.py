@@ -58,11 +58,15 @@ def silver_transform(
         F.col("id"),
         F.col("item.id").alias("item_id"),
         quantity.alias("quantity"),
-        # buyout DIV quantity: integer copper; quantity >= 1 after the
-        # coalesce, so the division can't blow up
+        # buyout DIV quantity: integer copper. coalesce only covers NULL
+        # quantity; an explicit 0 must also clamp to 1 (greatest) or ANSI
+        # mode raises DIVIDE_BY_ZERO.
         F.coalesce(
             unit_price,
-            F.expr("try_cast(buyout AS BIGINT) DIV coalesce(try_cast(quantity AS BIGINT), 1)"),
+            F.expr(
+                "try_cast(buyout AS BIGINT)"
+                " DIV greatest(coalesce(try_cast(quantity AS BIGINT), 1), 1)"
+            ),
         ).alias("unit_price"),
         buyout.alias("buyout"),
         F.col("time_left"),

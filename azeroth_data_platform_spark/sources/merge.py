@@ -35,26 +35,48 @@ def _exists(path: str) -> bool:
 
 def _staged_rewrite(df: DataFrame, target: str) -> None:
     """Write df to a staging dir, then swap it in (read-your-writes safe:
-    parquet can't overwrite a path that feeds its own plan)."""
-    staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
+    parquet can't overwrite a path that feeds its own plan).
+
+    Swap order keeps the old table recoverable at every step: the old
+    target is renamed aside (cheap, same filesystem) BEFORE staging is
+    renamed into place, and only deleted once the new data is live. If the
+    final rename fails the aside copy is restored, so a crash can lose at
+    most the in-flight rewrite — never the existing table.
+    """
+    token = uuid.uuid4().hex[:8]
+    staging = f"{target}.staging-{token}"
     df.write.mode("overwrite").parquet(staging)
+    aside = None
     if _exists(target):
-        shutil.rmtree(target)
-    os.rename(staging, target)
+        aside = f"{target}.old-{token}"
+        os.rename(target, aside)
+    try:
+        os.rename(staging, target)
+    except OSError:
+        if aside is not None:
+            os.rename(aside, target)  # restore the previous table
+        raise
+    if aside is not None:
+        shutil.rmtree(aside)
 
 
 def insert_if_absent(
-    spark: SparkSession, target: str, batch: DataFrame, key: str = "id"
+    spark: SparkSession, target: str, batch: DataFrame, key: str | list[str] = "id"
 ) -> int:
     """S6: append batch rows whose key is not already present; returns the
     inserted count (the reference returns rowcount — postgres_client.py:44).
-    Re-running the same batch is a no-op — the idempotency contract."""
-    batch = batch.dropDuplicates([key])
+    Re-running the same batch is a no-op — the idempotency contract.
+
+    `key` may be a single column or a list (composite natural key, e.g. a
+    streaming candle's (item_key, snapshot_hour)) — no synthetic key column
+    ever needs to be persisted."""
+    keys = [key] if isinstance(key, str) else list(key)
+    batch = batch.dropDuplicates(keys)
     if not _exists(target):
         batch.write.mode("overwrite").parquet(target)
         return batch.count()
-    existing = spark.read.parquet(target).select(key)
-    fresh = batch.join(existing, key, "left_anti")
+    existing = spark.read.parquet(target).select(*keys)
+    fresh = batch.join(existing, keys, "left_anti")
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(target)

@@ -15,21 +15,21 @@ with the txn log providing the idempotency ledger.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..sources import merge
 
 
 def candle_sink(target_path: str):
-    """foreachBatch function: append-if-absent on the candle's natural key."""
+    """foreachBatch function: append-if-absent on the candle's composite
+    natural key — streaming-written gold has exactly the batch hourly_ohlc
+    schema (no synthetic key column is persisted)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        keyed = batch_df.withColumn(
-            "_candle_key",
-            F.concat_ws("|", F.col("item_key"), F.col("snapshot_hour").cast("string")),
-        )
         merge.insert_if_absent(
-            batch_df.sparkSession, target_path, keyed, key="_candle_key"
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            key=["item_key", "snapshot_hour"],
         )
 
     return _write

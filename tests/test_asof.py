@@ -61,3 +61,26 @@ def test_range_join_window_edges(spark):
         for r in range_join(trades, quotes, key="item_key", window_seconds=300).collect()
     )
     assert got == [2.0, 3.0, 4.0]
+
+
+def test_asof_join_tied_right_ts_deterministic(spark):
+    """Multiple right rows at the same (key, ts): with right_id the highest
+    id (latest-arriving quote) wins, regardless of partition order."""
+    trades = spark.createDataFrame(
+        [(1, "ore", T0 + dt.timedelta(minutes=1))],
+        "trade_id long, item_key string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("ore", T0, 10.0, 7), ("ore", T0, 11.0, 9), ("ore", T0, 12.0, 8)],
+        "item_key string, ts timestamp, quote_price double, quote_id long",
+    )
+    for parts in (1, 8):
+        out = asof_join(
+            trades,
+            quotes.repartition(parts),
+            key="item_key",
+            right_values=("quote_price",),
+            right_id="quote_id",
+        ).collect()
+        assert len(out) == 1
+        assert out[0].asof_quote_price == 11.0  # quote_id 9 wins the tie

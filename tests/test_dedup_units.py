@@ -155,3 +155,22 @@ def test_neardup_clusters_transitive_chain(spark):
     else:
         assert out[10] == out[11] == 10
     assert 13 not in out  # unrelated doc joins no cluster
+
+
+def test_neardup_clusters_raises_when_cap_too_low(spark):
+    """An unconverged propagation must be loud (wrong cluster_ids otherwise):
+    a 3-node chain needs 2 rounds, so a 1-round cap raises."""
+    import pytest
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = base.replace("mu", "nu")
+    rows = [
+        (20, base, "en", "w", len(base)),
+        (21, b, "en", "w", len(b)),
+        (22, b.replace("alpha", "omega"), "en", "w", len(b)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(docs, max_iterations=1)

@@ -172,3 +172,52 @@ def test_corrupt_bronze_file_does_not_poison_batch(spark, tmp_path):
     (p / "corrupt.json").write_text('{"auctions": [ {"id": 7, "item"')  # truncated
     out = silver_transform(read_bronze_auctions(spark, str(p)), SNAP)
     assert out.count() == 4  # the four good auctions; corruption skipped
+
+
+def test_staged_rewrite_failure_keeps_old_table(spark, tmp_path, monkeypatch):
+    """The atomic swap must never lose the target: if renaming staging into
+    place fails, the previous table is restored intact."""
+    import os as _os
+
+    target = str(tmp_path / "dim")
+    schema = "item_id long, name string"
+    merge.upsert(spark, target, spark.createDataFrame([(1, "v1")], schema), key="item_id")
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if src.startswith(str(target) + ".staging-"):
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(merge.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        merge.upsert(spark, target, spark.createDataFrame([(1, "v2")], schema), key="item_id")
+    monkeypatch.undo()
+    out = spark.read.parquet(target).collect()
+    assert [(r.item_id, r.name) for r in out] == [(1, "v1")]
+    assert not [p for p in _os.listdir(tmp_path) if ".old-" in p]
+
+
+def test_insert_if_absent_composite_key(spark, tmp_path):
+    target = str(tmp_path / "candles")
+    schema = "item_key string, snapshot_hour timestamp, close_price double"
+    t0 = dt.datetime(2026, 2, 1, 12)
+    b1 = spark.createDataFrame([("ore", t0, 1.0), ("ore", t0 + dt.timedelta(hours=1), 2.0)], schema)
+    assert merge.insert_if_absent(spark, target, b1, key=["item_key", "snapshot_hour"]) == 2
+    b2 = spark.createDataFrame([("ore", t0, 9.0), ("herb", t0, 3.0)], schema)
+    assert merge.insert_if_absent(spark, target, b2, key=["item_key", "snapshot_hour"]) == 1
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    assert out.columns == ["item_key", "snapshot_hour", "close_price"]
+
+
+def test_silver_zero_quantity_does_not_divide_by_zero(spark, tmp_path):
+    doc = {"auctions": [{"id": 9, "item": {"id": 5}, "buyout": 400, "quantity": 0,
+                        "time_left": "SHORT"}]}
+    p = tmp_path / "2026-02-02"
+    p.mkdir()
+    (p / "raw_auctions_2026-02-02.json").write_text(json.dumps(doc))
+    row = silver_transform(read_bronze_auctions(spark, str(p)), SNAP).collect()[0]
+    assert row.quantity == 0  # explicit zero is preserved (only NULL defaults to 1)
+    assert row.unit_price == 400  # divisor clamped to 1, no DIVIDE_BY_ZERO

@@ -84,6 +84,9 @@ def test_foreachbatch_sink_is_exactly_once(spark, tmp_path):
     sink(candles, epoch_id=0)  # replay after simulated failure
     sink(candles, epoch_id=1)  # and again under a new epoch
     assert spark.read.parquet(target).count() == n1
+    # streaming-written gold must have exactly the batch OHLC schema — no
+    # synthetic merge-key column may leak into the persisted table
+    assert sorted(spark.read.parquet(target).columns) == sorted(candles.columns)
 
 
 def test_streaming_to_gold_end_to_end(spark, tmp_path):
