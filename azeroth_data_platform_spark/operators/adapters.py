@@ -33,7 +33,8 @@ SILVER_SQL = (
 
 DIM_SQL = (
     "SELECT p_partkey AS item_id, p_name AS name, p_brand AS quality, "
-    "p_type AS item_class, p_brand AS item_subclass, p_retailprice AS vendor_price "
+    "p_type AS item_class, p_brand AS item_subclass, p_retailprice AS vendor_price, "
+    "'icons/' || CAST(p_partkey AS VARCHAR) || '.png' AS icon_url "
     "FROM part"
 )
 
@@ -67,6 +68,12 @@ def dim_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("item_class"),
         F.col("p_brand").alias("item_subclass"),
         F.col("p_retailprice").alias("vendor_price"),
+        # icon_url analog (dim_items carries icon_url — database.py:37; the
+        # reference enrichment leaves it NULL, dimensions.py:50 — a
+        # deterministic derived path keeps the column exercised end-to-end)
+        F.concat(F.lit("icons/"), F.col("p_partkey").cast("string"), F.lit(".png")).alias(
+            "icon_url"
+        ),
     )
 
 

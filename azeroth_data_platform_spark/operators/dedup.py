@@ -22,8 +22,9 @@ Scale design per operator:
                  pairwise for oracle-checkability; at scale, block on
                  fingerprint chunks (4×15-bit bands, pigeonhole: hamming≤3
                  guarantees one exact band match) and compare within blocks.
-  * embedding-cosine: pairwise for oracle-checkability; at scale bucket by
-                 LSH of the embedding (see similarity.py) first.
+  * embedding-cosine: the pairwise form is the recall baseline; the scale
+                 path is `embedding_neardup_lsh` — hyperplane-bucket
+                 candidates (equi-join) + exact cosine verify.
 
 All hash arithmetic is engine-portable (md5 hex strings, integer ops) so
 every operator has an exact DuckDB oracle twin — the *_SQL strings are
@@ -497,3 +498,63 @@ EMBED_NEARDUP_SQL = f"""
          {cosine_sql("a.embedding", "b.embedding", duck=True)} AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE {cosine_sql("a.embedding", "b.embedding", duck=True)} >= {COSINE_DUP_THRESHOLD}"""
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+) -> DataFrame:
+    """The bucketed scale twin of `embedding_neardup`: hyperplane-LSH
+    candidate generation (similarity.py's bucket family) + exact cosine
+    verification.
+
+    One side explodes into its own bucket plus every hamming-1 probe, so
+    any pair whose 6-bit signatures differ in ≤1 plane becomes an equi-join
+    candidate — linear shuffles, no cross product. Only candidate pairs pay
+    the exact cosine. Recall vs the quadratic baseline is a measured
+    property (tests/test_ann_recall.py), not assumed; raise planes/probes
+    for bigger corpora.
+    """
+    from .similarity import LSH_PLANES, lsh_bucket_sql
+
+    b = embeddings.select(
+        "vec_id", "embedding", F.expr(lsh_bucket_sql("embedding")).alias("bucket")
+    )
+    probes = ", ".join(["bucket"] + [f"bucket ^ {1 << p}" for p in range(LSH_PLANES)])
+    a = b.select(
+        "vec_id", F.explode(F.expr(f"array({probes})")).alias("bucket")
+    ).alias("a")
+    cand = (
+        a.join(b.select("vec_id", "bucket").alias("c"), "bucket")
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(F.col("a.vec_id").alias("v1"), F.col("c.vec_id").alias("v2"))
+        .distinct()
+    )
+    e1 = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
+    e2 = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select("v1", "v2", F.expr(cosine_sql("emb1", "emb2")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _embed_lsh_sql() -> str:
+    from .similarity import LSH_PLANES, lsh_bucket_sql
+
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)])
+    return f"""
+  WITH b AS (SELECT vec_id, embedding,
+                    {lsh_bucket_sql("embedding", duck=True)} AS bucket
+             FROM embeddings),
+  probes AS (SELECT vec_id, unnest([{probes}]) AS bucket FROM b),
+  cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+           FROM probes a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+  SELECT cand.v1, cand.v2,
+         {cosine_sql("e1.embedding", "e2.embedding", duck=True)} AS cosine
+  FROM cand JOIN embeddings e1 ON e1.vec_id = cand.v1
+            JOIN embeddings e2 ON e2.vec_id = cand.v2
+  WHERE {cosine_sql("e1.embedding", "e2.embedding", duck=True)} >= {COSINE_DUP_THRESHOLD}"""
+
+
+EMBED_LSH_SQL = _embed_lsh_sql()

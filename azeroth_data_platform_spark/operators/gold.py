@@ -41,6 +41,32 @@ from pyspark.sql import functions as F
 
 from ..functions.numerics import davg, dec, dstddev_samp, int_units
 
+def _denormalize(
+    gold: DataFrame,
+    dim: DataFrame | None,
+    key: str = "item_id",
+    with_icon: bool = True,
+) -> DataFrame:
+    """J2 denormalization the ORM gold schemas require: copy item_name
+    (and icon_url, where the model declares it) from the dimension into the
+    gold output (models.py:36-37,52,66-67,80-81,92-93). Broadcast left
+    join — the dim is catalog-sized, the gold side never reshuffles; pass
+    dim=None to skip (unit-test convenience)."""
+    if dim is None:
+        return gold
+    cols = [F.col(key), F.col("name").alias("item_name")]
+    if with_icon:
+        cols.append(F.col("icon_url"))
+    d = dim.select(*cols)
+    joined = gold.join(F.broadcast(d), key, "left")
+    # ORM column order: keys, then the denormalized strings, then measures.
+    keys = [key] + [k for k in ("snapshot_date", "snapshot_hour") if k in gold.columns]
+    rest = [c for c in gold.columns if c not in keys]
+    return joined.select(
+        *keys, "item_name", *(["icon_url"] if with_icon else []), *rest
+    )
+
+
 def _market_cap() -> Column:
     """Σ price×quantity with exact decimal accumulation.
 
@@ -85,10 +111,13 @@ def _median_agg(value: str = "unit_price") -> Column:
 # A1 — daily market summary
 
 
-def daily_market_summary(silver: DataFrame) -> DataFrame:
+def daily_market_summary(silver: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     """Per (item_id, snapshot_date) price/liquidity stats.
 
-    Columns mirror gold_market_summary (models.py:30-44).
+    Columns mirror gold_daily_market_summary (models.py:30-44) including
+    the item_name/icon_url denormalization (models.py:36-37) when a dim is
+    passed; avg_price additionally covers the gold_market_history sibling
+    (database.py:40-52).
 
     Single-shuffle plan: repartition on item_id; the (item_id, date) median
     windows and the final groupBy are both satisfied by that partitioning
@@ -99,33 +128,37 @@ def daily_market_summary(silver: DataFrame) -> DataFrame:
     """
     keys = ["item_id", "snapshot_date"]
     tagged = _with_median_rank(silver.repartition("item_id"), keys)
-    return tagged.groupBy(*keys).agg(
+    out = tagged.groupBy(*keys).agg(
         F.min("unit_price").alias("min_buyout"),
         F.max("unit_price").alias("max_buyout"),
         _median_agg().alias("median_buyout"),
+        davg("unit_price", 2).alias("avg_price"),
         F.sum("quantity").alias("quantity_available"),
         _market_cap().alias("market_cap"),
         dstddev_samp("unit_price").alias("price_volatility"),
         F.count(F.lit(1)).alias("auction_count"),
     )
+    return _denormalize(out, dim)
 
 
 # ---------------------------------------------------------------------------
 # A2 — hourly OHLC candles
 
 
-def hourly_ohlc(ticks: DataFrame) -> DataFrame:
+def hourly_ohlc(ticks: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     """Per (item_key, hour) OHLC candle from a tick stream.
 
     Columns mirror gold_price_history (models.py:46-58, including its
-    'avarage_price' [sic] corrected to average_price). open/close use
-    min_by/max_by on a (ts, tick_id) struct — deterministic tie-break, one
-    aggregation pass, no window shuffle. Expects columns
+    'avarage_price' [sic] corrected to average_price, and the item_name
+    denormalization of models.py:52 — gold_price_history carries item_name
+    but not icon_url — when a dim keyed by item_key is passed). open/close
+    use min_by/max_by on a (ts, tick_id) struct — deterministic tie-break,
+    one aggregation pass, no window shuffle. Expects columns
     (tick_id, item_key, ts, price, quantity).
     """
     hour = F.date_trunc("hour", F.col("ts")).alias("snapshot_hour")
     order_key = F.struct(F.col("ts"), F.col("tick_id"))
-    return ticks.groupBy("item_key", hour).agg(
+    out = ticks.groupBy("item_key", hour).agg(
         F.min_by("price", order_key).alias("open_price"),
         F.max_by("price", order_key).alias("close_price"),
         F.max("price").alias("high_price"),
@@ -133,6 +166,7 @@ def hourly_ohlc(ticks: DataFrame) -> DataFrame:
         davg("price", 2).alias("average_price"),
         F.sum("quantity").alias("volume"),
     )
+    return _denormalize(out, dim, key="item_key", with_icon=False)
 
 
 # ---------------------------------------------------------------------------
@@ -147,11 +181,14 @@ def _day_number(col: str = "snapshot_date") -> Column:
     return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
 
 
-def rolling_zscore(silver: DataFrame, decimals: int = 2) -> DataFrame:
+def rolling_zscore(
+    silver: DataFrame, decimals: int = 2, dim: DataFrame | None = None
+) -> DataFrame:
     """Per (item_id, snapshot_date): 7-day rolling mean/stddev of the daily
     floor price, z-score of today's price against that window, and the
-    BUY/SELL/HOLD recommendation (models.py:60-72; threshold discussion in
-    SURVEY.md §7).
+    BUY/SELL/HOLD recommendation (models.py:60-72 — gold_market_opportunities,
+    including its item_name/icon_url denormalization when a dim is passed;
+    threshold discussion in SURVEY.md §7).
 
     Single-shuffle plan: repartition by item_id up front; the daily-grain
     reduction (window min + duplicate-drop, clustering keys ⊇ partition
@@ -202,17 +239,18 @@ def rolling_zscore(silver: DataFrame, decimals: int = 2) -> DataFrame:
             .otherwise("HOLD"),
         )
     )
-    return out
+    return _denormalize(out, dim)
 
 
 # ---------------------------------------------------------------------------
 # A4 — demand / sales velocity
 
 
-def sales_velocity(silver: DataFrame) -> DataFrame:
+def sales_velocity(silver: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     """Per (item_id, snapshot_date): stock that disappeared since the
     previous snapshot (floored at 0), trailing 7-day average stock, and
-    turnover percentage (models.py:74-84; stub intent
+    turnover percentage (models.py:74-84 — gold_item_demand, including its
+    item_name/icon_url denormalization when a dim is passed; stub intent
     gold_sales_velocity.py:1). First snapshot has no predecessor → NULLs.
 
     Same single-shuffle shape as rolling_zscore: one repartition on
@@ -241,7 +279,7 @@ def sales_velocity(silver: DataFrame) -> DataFrame:
         F.sum(F.col("stock_on_book").cast("decimal(28,0)")).over(w_range).cast("double")
         / F.count("stock_on_book").over(w_range)
     )
-    return (
+    out = (
         daily.withColumn("estimated_daily_sales", sales)
         .withColumn("avg_daily_stock", avg_stock)
         .withColumn(
@@ -251,6 +289,7 @@ def sales_velocity(silver: DataFrame) -> DataFrame:
             * 100.0,
         )
     )
+    return _denormalize(out, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -259,9 +298,11 @@ def sales_velocity(silver: DataFrame) -> DataFrame:
 CONCENTRATION_BUCKETS = ((80.0, "MONOPOLIZED"), (50.0, "CONCENTRATED"), (20.0, "COMPETITIVE"))
 
 
-def market_concentration(silver: DataFrame) -> DataFrame:
+def market_concentration(silver: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     """Per (item_id, snapshot_date): how much supply sits at the floor price
-    (models.py:86-97). All rows tied at the exact floor count toward it.
+    (models.py:86-97 — gold_market_concentration, including its
+    item_name/icon_url denormalization when a dim is passed). All rows tied
+    at the exact floor count toward it.
 
     Single aggregation pass: min + conditional sum via a window-free
     two-phase agg (min computed per group, floor quantity via sum of
@@ -287,9 +328,10 @@ def market_concentration(silver: DataFrame) -> DataFrame:
     status = F.when(F.lit(False), F.lit(None).cast("string"))
     for threshold, label in CONCENTRATION_BUCKETS:
         status = status.when(F.col("floor_concentration_pct") >= threshold, label)
-    return out.withColumn("floor_concentration_pct", pct).withColumn(
+    out = out.withColumn("floor_concentration_pct", pct).withColumn(
         "market_status", status.otherwise("DISPERSED")
     )
+    return _denormalize(out, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -303,11 +345,13 @@ def market_index(silver: DataFrame) -> DataFrame:
     The day-over-day lag runs on a single-partition window — fine, because
     by then the data is one row per date (thousands of rows at most).
     """
-    # One shuffle for both aggregation levels: partitioning by
-    # snapshot_date satisfies the (date, item) median windows, the
-    # per-(date,item) rollup, AND the per-date rollup.
+    # First stage shuffles on the composite (snapshot_date, item_id) key:
+    # parallelism scales with items × dates and no task ever holds a whole
+    # day of the fact table (a date-only key caps parallelism at #dates and
+    # OOMs on a hot day at scale). The per-date rollup then re-shuffles
+    # only the tiny per-item medians.
     tagged = _with_median_rank(
-        silver.repartition("snapshot_date"), ["snapshot_date", "item_id"]
+        silver.repartition("snapshot_date", "item_id"), ["snapshot_date", "item_id"]
     )
     per_item = tagged.groupBy("snapshot_date", "item_id").agg(
         _median_agg().alias("median_price")

@@ -49,6 +49,22 @@ def opportunities(gold_zscore: DataFrame, recommendation: str | None = None) -> 
     )
 
 
+def top_concentration(
+    gold_concentration: DataFrame, market_status: str | None = None, limit: int = 100
+) -> DataFrame:
+    """O5+F2 (main.py:67-73): most concentrated markets first, optionally
+    filtered to one market_status enum value (main.py:70-71). pct ties are
+    common (many 100% floors) → full deterministic tie-break."""
+    out = gold_concentration
+    if market_status is not None:
+        out = out.where(F.col("market_status") == F.lit(market_status))
+    return out.orderBy(
+        F.col("floor_concentration_pct").desc(),
+        F.col("item_id").asc(),
+        F.col("snapshot_date").asc(),
+    ).limit(limit)
+
+
 def best_opportunity(gold_zscore: DataFrame) -> DataFrame:
     """O9 (dashboard argmin, app.py:96-98): the single lowest-z row."""
     return (

@@ -31,6 +31,34 @@ N_QUERIES = 5  # harness: vec_id < 5 are the query vectors
 # tens of candidates. 6 planes → 64 buckets: right for the 500-5e4-vector
 # test corpus; at 1e9+ vectors raise toward 20-24 (and multi-probe).
 LSH_PLANES = 6
+# Salt fan-out for the two-phase final ranking (see _two_phase_topk).
+TOPK_SALTS = 32
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k per query over a scored (q_vec_id, c_vec_id, cosine)
+    candidate set.
+
+    A single Window.partitionBy(q_vec_id) would funnel EVERY scored
+    candidate into #queries partitions — a per-query single-task sort of
+    ~corpus-sized data at scale. Instead: (1) rank within (q_vec_id, salt)
+    where salt spreads candidates over TOPK_SALTS sub-partitions and keep k
+    per sub-partition — this shuffle is keyed on the composite so
+    parallelism is #queries × TOPK_SALTS; (2) rank the ≤ k·TOPK_SALTS
+    survivors per query globally — a trivially small exchange. The
+    comparator (cosine desc, c_vec_id asc) is a total order, so the result
+    is bit-identical to the one-phase rank.
+    """
+    order = [F.col("cosine").desc(), F.col("c_vec_id").asc()]
+    salted = scored.withColumn("_salt", F.pmod(F.col("c_vec_id"), F.lit(TOPK_SALTS)))
+    w1 = Window.partitionBy("q_vec_id", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_prank", F.row_number().over(w1))
+        .where(F.col("_prank") <= k)
+        .drop("_salt", "_prank")
+    )
+    w2 = Window.partitionBy("q_vec_id").orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
 
 
 def brute_force_topk(
@@ -61,11 +89,7 @@ def brute_force_topk(
             cos.alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _two_phase_topk(scored, k)
 
 
 BRUTE_FORCE_TOPK_SQL = f"""
@@ -151,8 +175,7 @@ def lsh_bucketed_topk(
             cos.alias("cosine"),
         )
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _two_phase_topk(scored, k)
 
 
 N_IVF_CENTROIDS = 8
@@ -255,8 +278,7 @@ def ivf_topk(
         .select("q_vec_id", "c_vec_id", cos.alias("cosine"))
         .distinct()  # a candidate can appear via both probed buckets
     )
-    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _two_phase_topk(scored, k)
 
 
 def ivf_topk_sql() -> str:

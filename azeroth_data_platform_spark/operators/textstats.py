@@ -36,8 +36,11 @@ def _words(col: str = "text") -> F.Column:
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Token counting: token count, char count, average token length."""
+    """Token counting — whitespace tokens AND the BPE-style pre-tokenization
+    (letter runs / digit runs / punctuation marks) in one scan-bound
+    projection; see token_count_bpe for the BPE split rationale."""
     words = _words()
+    n_bpe = F.expr(f"size(regexp_extract_all(text, '{BPE_SPLIT_REGEX}', 0))")
     return documents.select(
         "doc_id",
         F.size(words).alias("n_tokens"),
@@ -45,6 +48,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
         (
             F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(words)
         ).alias("avg_token_len"),
+        n_bpe.alias("n_bpe_tokens"),
     )
 
 
@@ -87,22 +91,43 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
 
 def language_id(documents: DataFrame) -> DataFrame:
-    """Marker-word language ID with deterministic argmax (ties → lexical
-    order of language code; zero evidence → 'und')."""
-    out = documents.select("doc_id", "lang", "text")
+    """Language ID, both heuristics in one projection: marker-word scores
+    with deterministic argmax (ties → lexical order of language code; zero
+    evidence → 'und') AND the char-trigram profile scores with their own
+    argmax (`lang_pred_ngram`) — see language_id_ngram for the trigram
+    rationale; its `_grams` materialization guard applies here too."""
+    grams_expr = F.when(
+        F.rand(7) >= -1.0,
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
+        ),
+    )
+    out = documents.select("doc_id", "lang", "text", grams_expr.alias("_grams"))
     for code, markers in LANG_MARKERS.items():
         out = out.withColumn(f"score_{code}", _marker_count(markers))
+    for code, grams in TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        out = out.withColumn(
+            f"tscore_{code}",
+            F.expr(f"size(filter(_grams, g -> array_contains(array({arr}), g)))"),
+        )
     best = F.greatest(*[F.col(f"score_{c}") for c in LANG_MARKERS])
     pred = F.lit("und")
     # reversed: earlier language wins ties because later whens only fire on
     # strictly-equal greatest
     for code in sorted(LANG_MARKERS, reverse=True):
         pred = F.when((best > 0) & (F.col(f"score_{code}") == best), code).otherwise(pred)
+    tbest = F.greatest(*[F.col(f"tscore_{c}") for c in TRIGRAM_PROFILES])
+    tpred = F.lit("und")
+    for code in sorted(TRIGRAM_PROFILES, reverse=True):
+        tpred = F.when((tbest > 0) & (F.col(f"tscore_{code}") == tbest), code).otherwise(tpred)
     return out.select(
         "doc_id",
         "lang",
         *[F.col(f"score_{c}") for c in sorted(LANG_MARKERS)],
+        *[F.col(f"tscore_{c}") for c in sorted(TRIGRAM_PROFILES)],
         pred.alias("lang_pred"),
+        tpred.alias("lang_pred_ngram"),
         (pred == F.col("lang")).alias("agrees_with_label"),
     )
 
@@ -219,12 +244,13 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
 # --- DuckDB oracle SQL twins -------------------------------------------------
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
          length(text) AS n_chars_measured,
          CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
-           AS avg_token_len
+           AS avg_token_len,
+         len(regexp_extract_all(text, '{BPE_SPLIT_REGEX}')) AS n_bpe_tokens
   FROM documents"""
 
 _STOP_COND = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
@@ -252,14 +278,26 @@ def _langid_sql() -> str:
         score_cols.append(
             f"len(list_filter(string_split(text, ' '), w -> {cond})) AS score_{code}"
         )
+    for code, grams in TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        score_cols.append(
+            f"len(list_filter([substring(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)], "
+            f"g -> list_contains([{arr}], g))) AS tscore_{code}"
+        )
     best = "GREATEST(" + ", ".join(f"score_{c}" for c in LANG_MARKERS) + ")"
     pred = "'und'"
     for code in sorted(LANG_MARKERS, reverse=True):
         pred = f"CASE WHEN {best} > 0 AND score_{code} = {best} THEN '{code}' ELSE {pred} END"
+    tbest = "GREATEST(" + ", ".join(f"tscore_{c}" for c in TRIGRAM_PROFILES) + ")"
+    tpred = "'und'"
+    for code in sorted(TRIGRAM_PROFILES, reverse=True):
+        tpred = f"CASE WHEN {tbest} > 0 AND tscore_{code} = {tbest} THEN '{code}' ELSE {tpred} END"
     ordered = ", ".join(f"score_{c}" for c in sorted(LANG_MARKERS))
+    tordered = ", ".join(f"tscore_{c}" for c in sorted(TRIGRAM_PROFILES))
     return f"""
       WITH scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents)
-      SELECT doc_id, lang, {ordered}, {pred} AS lang_pred,
+      SELECT doc_id, lang, {ordered}, {tordered}, {pred} AS lang_pred,
+             {tpred} AS lang_pred_ngram,
              ({pred}) = lang AS agrees_with_label
       FROM scored"""
 

@@ -36,4 +36,6 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert len(df.columns) == 9
+    # A1 = 2 keys + item_name/icon_url denorm + 8 measures (models.py:30-44
+    # plus the gold_market_history avg_price)
+    assert len(df.columns) == 12

@@ -82,8 +82,10 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    use_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     import __spark_entry__ as entrymod
@@ -91,7 +93,12 @@ def main() -> int:
 
     spark = get_spark("parity")
     con = duck_connection(sf_dir)
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if use_all:  # include legacy twins consolidated out of the driver dict
+        from azeroth_data_platform_spark import harness
+
+        qs, oracles = harness.ALL_QUERIES, harness.ALL_ORACLES
+    else:
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
