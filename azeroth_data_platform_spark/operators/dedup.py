@@ -467,29 +467,31 @@ def embedding_neardup(
     """Vector near-dup pairs above a cosine threshold (pairwise; bucket with
     similarity.py's LSH first at scale).
 
-    Perf notes (measured at sf0.1):
-    * the cosine is inlined, not precomputed-norm+NULLIF — that form falls
-      out of codegen when pushed into the nested-loop join condition
-      (5× slower);
-    * the always-true `rand()` guard marks the projection nondeterministic,
-      which stops Catalyst pushing the threshold predicate into the join
-      condition; the filter then runs above the projection where codegen's
-      subexpression elimination computes the dot product once instead of
-      twice (25% faster, bit-identical output — the guard branch returns
-      the cosine column itself)."""
+    Perf note: the threshold filter must stay ABOVE the projection — if
+    Catalyst pushes it into the nested-loop join condition, the unrolled
+    dot product is evaluated by the join's interpreted predicate (BNL join
+    conditions don't whole-stage-codegen) and recomputed in the projection.
+    A nondeterministic term in the FILTER condition (`+ rand·0`, exactly
+    zero, bit-identical output) blocks that pushdown: nondeterministic
+    predicates are never moved into join conditions, and Spark has no
+    x·0→0 fold (it would be unsound for NaN). The round-1 guard — an
+    always-true `when(rand() >= -1)` around the projection — is eliminated
+    outright by Spark 4.1's optimizer, so the barrier lives in the filter
+    instead; tests/test_plan_shapes.py pins the resulting plan."""
+    # Inline cosine (not precomputed-norm projections): measured 7.0 s vs
+    # 48 s at sf0.1 — the norm projections collapse into the per-pair
+    # expression under the nested-loop join and drop the stage out of
+    # codegen, recomputing both norms per pair.
     a = embeddings.alias("a")
     b = embeddings.alias("b")
-    cos = F.when(
-        F.rand(42) >= -1.0, F.expr(cosine_sql("a.embedding", "b.embedding"))
-    ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            cos.alias("cosine"),
+            F.expr(cosine_sql("a.embedding", "b.embedding")).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        .where((F.col("cosine") + F.rand(42) * 0.0) >= threshold)
     )
 
 
@@ -510,9 +512,13 @@ def embedding_neardup_lsh(
     One side explodes into its own bucket plus every hamming-1 probe, so
     any pair whose 6-bit signatures differ in ≤1 plane becomes an equi-join
     candidate — linear shuffles, no cross product. Only candidate pairs pay
-    the exact cosine. Recall vs the quadratic baseline is a measured
-    property (tests/test_ann_recall.py), not assumed; raise planes/probes
-    for bigger corpora.
+    the exact cosine. Each qualifying pair matches EXACTLY once (a probe
+    list holds distinct bucket values, the exact side matches at most one
+    of them, and `v1 < v2` keeps one orientation), so no dedup pass or
+    embedding re-join is needed — both embeddings ride through the
+    equi-join. Recall vs the quadratic baseline is a measured property
+    (tests/test_ann_recall.py), not assumed; raise planes/probes for
+    bigger corpora.
     """
     from .similarity import LSH_PLANES, lsh_bucket_sql
 
@@ -521,21 +527,17 @@ def embedding_neardup_lsh(
     )
     probes = ", ".join(["bucket"] + [f"bucket ^ {1 << p}" for p in range(LSH_PLANES)])
     a = b.select(
-        "vec_id", F.explode(F.expr(f"array({probes})")).alias("bucket")
+        "vec_id", "embedding", F.explode(F.expr(f"array({probes})")).alias("bucket")
     ).alias("a")
-    cand = (
-        a.join(b.select("vec_id", "bucket").alias("c"), "bucket")
-        .where(F.col("a.vec_id") < F.col("c.vec_id"))
-        .select(F.col("a.vec_id").alias("v1"), F.col("c.vec_id").alias("v2"))
-        .distinct()
-    )
-    e1 = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
-    e2 = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
     return (
-        cand.join(e1, "v1")
-        .join(e2, "v2")
-        .select("v1", "v2", F.expr(cosine_sql("emb1", "emb2")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        a.join(b.alias("c"), "bucket")
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("c.vec_id").alias("v2"),
+            F.expr(cosine_sql("a.embedding", "c.embedding")).alias("cosine"),
+        )
+        .where((F.col("cosine") + F.rand(43) * 0.0) >= threshold)
     )
 
 
@@ -547,14 +549,11 @@ def _embed_lsh_sql() -> str:
   WITH b AS (SELECT vec_id, embedding,
                     {lsh_bucket_sql("embedding", duck=True)} AS bucket
              FROM embeddings),
-  probes AS (SELECT vec_id, unnest([{probes}]) AS bucket FROM b),
-  cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
-           FROM probes a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
-  SELECT cand.v1, cand.v2,
-         {cosine_sql("e1.embedding", "e2.embedding", duck=True)} AS cosine
-  FROM cand JOIN embeddings e1 ON e1.vec_id = cand.v1
-            JOIN embeddings e2 ON e2.vec_id = cand.v2
-  WHERE {cosine_sql("e1.embedding", "e2.embedding", duck=True)} >= {COSINE_DUP_THRESHOLD}"""
+  probes AS (SELECT vec_id, embedding, unnest([{probes}]) AS bucket FROM b)
+  SELECT a.vec_id AS v1, c.vec_id AS v2,
+         {cosine_sql("a.embedding", "c.embedding", duck=True)} AS cosine
+  FROM probes a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE {cosine_sql("a.embedding", "c.embedding", duck=True)} >= {COSINE_DUP_THRESHOLD}"""
 
 
 EMBED_LSH_SQL = _embed_lsh_sql()

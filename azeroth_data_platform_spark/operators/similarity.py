@@ -110,19 +110,30 @@ BRUTE_FORCE_TOPK_SQL = f"""
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _plane_sign(plane: int, i: int) -> float:
+    """±1 component i of hyperplane `plane`: +1 iff the first hex nibble of
+    md5('plane:i') is even. Computed driver-side (the input is a literal,
+    so this is exactly the constant folding an engine would do) and emitted
+    as a literal coefficient — identical values to evaluating
+    md5-parity in SQL, with ~20× less generated code per plane (the
+    in-SQL md5 form blew past janino's method-size limit and dropped whole
+    stages out of codegen)."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[0], 16)
+    return 1.0 if nib % 2 == 0 else -1.0
+
+
 def _hyperplane_sign_sql(plane: int, col: str, duck: bool) -> str:
     """Sign of <v, h_plane> where h_plane has ±1 components derived from
     md5(plane:dim) parity — a deterministic, engine-portable pseudo-random
-    hyperplane. Component i is +1 iff the first hex nibble of
-    md5('plane:i') is even."""
-    instr = "strpos" if duck else "instr"
+    hyperplane (literal coefficients; see _plane_sign)."""
     el = (lambda c, i: f"CAST({c}[{i}] AS DOUBLE)") if duck else (
         lambda c, i: f"CAST(element_at({c}, {i}) AS DOUBLE)"
     )
-    terms = []
-    for i in range(1, EMBED_DIM + 1):
-        nib = f"(({instr}('0123456789abcdef', substr(md5('{plane}:{i}'), 1, 1)) - 1) % 2)"
-        terms.append(f"(CASE WHEN {nib} = 0 THEN 1.0 ELSE -1.0 END) * {el(col, i)}")
+    terms = [
+        f"({_plane_sign(plane, i):.1f}) * {el(col, i)}" for i in range(1, EMBED_DIM + 1)
+    ]
     return f"CASE WHEN {' + '.join(terms)} >= 0 THEN 1 ELSE 0 END"
 
 

@@ -95,12 +95,9 @@ def language_id(documents: DataFrame) -> DataFrame:
     with deterministic argmax (ties → lexical order of language code; zero
     evidence → 'und') AND the char-trigram profile scores with their own
     argmax (`lang_pred_ngram`) — see language_id_ngram for the trigram
-    rationale; its `_grams` materialization guard applies here too."""
-    grams_expr = F.when(
-        F.rand(7) >= -1.0,
-        F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
-        ),
+    rationale and the `_grams` single-materialization note."""
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
     )
     out = documents.select("doc_id", "lang", "text", grams_expr.alias("_grams"))
     for code, markers in LANG_MARKERS.items():
@@ -180,15 +177,17 @@ def language_id_ngram(documents: DataFrame) -> DataFrame:
     each language's profile set; deterministic argmax (ties → lexical order,
     no evidence → 'und'). Pure array-lambda expressions — no shuffle.
 
-    The trigram array is materialized once per row behind a no-op
-    nondeterministic guard — otherwise projection collapse inlines it into
-    every per-language score (4× the work; measured 6.5s → 1.5s at sf0.1).
+    The trigram array must materialize once per row, not inline into every
+    per-language score (4× the work; measured 6.5s → 1.5s at sf0.1).
+    Spark's CollapseProject already refuses to inline a non-cheap
+    expression referenced more than once, which keeps `_grams` as its own
+    projection — tests/test_plan_shapes.py pins that the transform appears
+    exactly once in the executed plan, so any optimizer change here is
+    loud. (The round-1 `when(rand())` guard is gone: Spark 4.1 eliminates
+    always-true nondeterministic conditionals outright.)
     """
-    grams_expr = F.when(
-        F.rand(7) >= -1.0,
-        F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
-        ),
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
     )
     out = documents.select("doc_id", "lang", "text", grams_expr.alias("_grams"))
     for code, grams in TRIGRAM_PROFILES.items():

@@ -74,3 +74,45 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     plan = _plan(df)
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan  # corpus must stream, not cross-shuffle
+
+
+def test_embed_neardup_filter_not_pushed_into_bnl_join(spark, sf_dir):
+    """The cosine threshold must evaluate in a codegen'd Filter above the
+    projection — NOT inside the BroadcastNestedLoopJoin condition, whose
+    interpreted predicate would evaluate the unrolled dot product per pair
+    and the projection would recompute it (dedup.embedding_neardup's
+    rand-term barrier; Spark 4.1 eliminated the round-1 when(rand) guard)."""
+    df = harness.QUERIES["dd_embed_neardup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "rand(" in plan  # the barrier survived optimization
+    join_lines = [l for l in plan.splitlines() if "Join" in l or "CartesianProduct" in l]
+    assert join_lines, plan
+    for l in join_lines:
+        assert "element_at" not in l, "dot product leaked into the join condition"
+
+
+def test_langid_trigram_array_materialized_once(spark, sf_dir):
+    """_grams must be one projection feeding every per-language score; if an
+    optimizer change inlines it per score the scan does 4x the work."""
+    for name in ("ts_language_id", "ts_language_id_ngram"):
+        df = harness.ALL_QUERIES[name](spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("transform(sequence") == 1, name
+
+
+def test_ann_final_rank_is_two_phase(spark, sf_dir):
+    """Top-k ranking must not funnel the full candidate set into #queries
+    partitions: the first rank exchange is keyed (q_vec_id, _salt); only the
+    <= k*salts survivors hit the exchange keyed on q_vec_id alone."""
+    for name in ("ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf"):
+        plan = _plan(harness.QUERIES[name](spark, sf_dir))
+        lines = plan.splitlines()
+        salted = [i for i, l in enumerate(lines)
+                  if "Exchange hashpartitioning" in l and "q_vec_id" in l and "_salt" in l]
+        unsalted = [i for i, l in enumerate(lines)
+                    if "Exchange hashpartitioning" in l and "q_vec_id" in l and "_salt" not in l]
+        assert salted, f"{name}: salted partial-rank exchange missing"
+        assert len(unsalted) == 1, f"{name}: expected exactly one final q_vec_id exchange"
+        # executed plans print sinks first: the final (unsalted) exchange
+        # must appear above the salted one it consumes
+        assert unsalted[0] < salted[0], f"{name}: phase order wrong"
