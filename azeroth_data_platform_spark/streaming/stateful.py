@@ -89,3 +89,94 @@ def streaming_anomalies(ticks: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows with state-timeout eviction
+#
+# Structured Streaming's built-in session_window() covers declarative gap
+# sessions; this operator is the custom-state variant: per-key session
+# accumulation whose IDLE keys are evicted by the state-store timeout
+# rather than by new data arriving for that key. That distinction matters
+# at scale — with billions of keys, sessions for keys that never speak
+# again must still close and release their state, and only a timeout can
+# do that.
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_rows(key, start_us: int, last_us: int, n: int, closed_by: str) -> dict:
+    return {
+        "user_id": key[0],
+        "session_start": pd.Timestamp(start_us, unit="us"),
+        "session_end": pd.Timestamp(last_us, unit="us"),
+        "n_events": n,
+        "closed_by": closed_by,
+    }
+
+
+def _sessionize_state(
+    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    if state.hasTimedOut:
+        # idle-key eviction: the watermark passed last_event + gap with no
+        # new data — close the session and RELEASE the state slot
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame([_session_rows(key, start_us, last_us, n, "timeout")])
+        return
+
+    out: list[dict] = []
+    start_us, last_us, n = state.get if state.exists else (None, None, 0)
+    for pdf in batches:
+        for ts in sorted(pdf["ts"]):
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > gap_us:
+                out.append(_session_rows(key, start_us, last_us, n, "gap"))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = ts_us, n + 1
+    state.update((start_us, last_us, n))
+    # evict when the event-time watermark passes last event + gap
+    state.setTimeoutTimestamp(last_us // 1_000 + SESSION_GAP_SECONDS * 1_000)
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """events (streaming): (user_id, ts, ...) → closed sessions. A session
+    closes either when a later event for the SAME key arrives beyond the
+    gap ('gap') or when the watermark passes its idle deadline with no new
+    data at all ('timeout' — the state-store eviction path)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_state,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
