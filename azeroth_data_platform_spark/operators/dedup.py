@@ -503,7 +503,9 @@ EMBED_NEARDUP_SQL = f"""
 
 
 def embedding_neardup_lsh(
-    embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """The bucketed scale twin of `embedding_neardup`: hyperplane-LSH
     candidate generation (similarity.py's bucket family) + exact cosine
@@ -517,15 +519,33 @@ def embedding_neardup_lsh(
     of them, and `v1 < v2` keeps one orientation), so no dedup pass or
     embedding re-join is needed — both embeddings ride through the
     equi-join. Recall vs the quadratic baseline is a measured property
-    (tests/test_ann_recall.py), not assumed; raise planes/probes for
-    bigger corpora.
+    (tests/test_ann_recall.py), not assumed. `probe_hamming` is the
+    recall/cost knob — measured at sf0.001 against the 0.4-cosine baseline
+    (a near-uniform corpus, hard mode for any LSH):
+
+      probes ≤ hamming-1 (7 buckets):  recall 0.32, candidates ~11% of n²
+      probes ≤ hamming-2 (22 buckets): recall 0.48, candidates ~34% of n²
+      banded AND-OR (2×6 planes + h1): recall 0.52, candidates ~22% —
+        the amplification path for real corpora, at the cost of a
+        candidate-dedup pass (pairs can match in several bands)
+
+    Real near-dup corpora sit at cosine ≥ 0.9 (θ≈25°, per-plane flip
+    ≈ 0.14) where the default 6-plane/h1 table already recalls ~0.8.
     """
     from .similarity import LSH_PLANES, lsh_bucket_sql
 
     b = embeddings.select(
         "vec_id", "embedding", F.expr(lsh_bucket_sql("embedding")).alias("bucket")
     )
-    probes = ", ".join(["bucket"] + [f"bucket ^ {1 << p}" for p in range(LSH_PLANES)])
+    import itertools
+
+    probe_list = ["bucket"]
+    for r in range(1, probe_hamming + 1):
+        probe_list += [
+            f"bucket ^ {sum(1 << p for p in bits)}"
+            for bits in itertools.combinations(range(LSH_PLANES), r)
+        ]
+    probes = ", ".join(probe_list)
     a = b.select(
         "vec_id", "embedding", F.explode(F.expr(f"array({probes})")).alias("bucket")
     ).alias("a")
