@@ -127,7 +127,15 @@ def _pairwise_jaccard(sh: DataFrame) -> DataFrame:
 def ngram_jaccard_dedup(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs above `threshold`."""
+    """Exact n-gram-Jaccard near-dup pairs above `threshold`.
+
+    The shingle relation feeds three plan branches (self-join both sides +
+    per-doc sizes) and Spark does not CSE across branches; a lazy
+    localCheckpoint of the shingles was measured 45% faster for a single
+    cold query but slightly SLOWER across the bench's sequential
+    multi-query run (pinned shingle RDDs accumulate until the context
+    cleaner catches up) — recompute wins for the engine's usage pattern,
+    so no checkpoint here (PERF.md round-2 log)."""
     return _pairwise_jaccard(shingles(documents)).where(F.col("jaccard") >= threshold)
 
 
