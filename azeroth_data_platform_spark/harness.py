@@ -684,6 +684,14 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_stats(_docs(spark, sf_dir))
 
 
+def q_ts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_topk(_docs(spark, sf_dir))
+
+
+def q_ts_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas feature extraction — not SQL-expressible; driver records
     # the weaker rows-only check (no oracle entry).
@@ -1057,6 +1065,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_sector_cube": q_x_cube,
     "ts_token_count_bpe": q_ts_tokens_bpe,
     "ts_language_id_ngram": q_ts_langid_ngram,
+    # round-2 additions beyond the 50-slot driver budget
+    "ts_vocab_topk": q_ts_vocab,
+    "ts_tfidf_top_terms": q_ts_tfidf,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1085,4 +1096,6 @@ ALL_ORACLES: dict[str, str] = {
     "x_sector_cube": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.SECTOR_CUBE_SQL}",
     "ts_token_count_bpe": textstats.TOKEN_BPE_SQL,
     "ts_language_id_ngram": textstats.LANGID_NGRAM_SQL,
+    "ts_vocab_topk": textstats.VOCAB_TOPK_SQL,
+    "ts_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
 }

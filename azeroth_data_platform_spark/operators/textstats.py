@@ -309,3 +309,81 @@ FINGERPRINT_SQL = f"""
                                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                      (h, c) -> (h * {ROLLING_BASE} + c) % {ROLLING_MOD}) AS fingerprint
   FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: vocabulary + term weighting
+#
+# The vocab-building / term-weighting stages of an LLM data pipeline
+# (tokenizer-vocab candidates, keyword extraction for filtering). Scoring
+# is the log-free tf/df ratio: a single IEEE division is correctly rounded
+# in every engine, so the DuckDB differential gate stays exact (ln() is
+# only within-1-ulp in both engines and would flake the value hash; a
+# log-idf variant is a one-line swap where cross-engine bit-parity is not
+# required).
+
+VOCAB_TOP_K = 100
+TFIDF_TERMS_PER_DOC = 3
+
+
+def vocab_topk(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus-wide vocabulary: the k most frequent whitespace tokens with
+    occurrence and document frequencies. One explode + one groupBy shuffle
+    keyed by token (high-cardinality, skew handled by AQE) + TakeOrdered —
+    the vocab-candidate scan of a tokenizer-training pipeline."""
+    tok = documents.select("doc_id", F.explode(_words()).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+  SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+  ORDER BY n_occurrences DESC, token ASC LIMIT {VOCAB_TOP_K}"""
+
+
+def tfidf_top_terms(
+    documents: DataFrame, terms_per_doc: int = TFIDF_TERMS_PER_DOC
+) -> DataFrame:
+    """Top distinguishing terms per document by tf/df score (see module
+    note on the log-free ratio). Shuffle story: one groupBy on
+    (doc_id, token) with map-side combine, a tiny per-token df rollup
+    joined back on token, then a per-doc window over ≤ |doc vocab| rows."""
+    tok = documents.select("doc_id", F.explode(_words()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= terms_per_doc)
+        .select("doc_id", "term_rank", "token", "tf", "df", "score")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+  df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+  scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                    CAST(tf.tf AS DOUBLE) / df.df AS score
+             FROM tf JOIN df ON tf.token = df.token),
+  ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, token ASC) AS term_rank
+             FROM scored)
+  SELECT doc_id, CAST(term_rank AS INTEGER) AS term_rank, token, tf, df, score
+  FROM ranked WHERE term_rank <= {TFIDF_TERMS_PER_DOC}"""

@@ -81,7 +81,11 @@ def main() -> int:
 
     # New-in-round-2 scale-path queries: timed and reported separately,
     # NOT part of the frozen total.
-    extra = [q for q in ("dd_embed_lsh",) if q in harness.ALL_QUERIES]
+    extra = [
+        q
+        for q in ("dd_embed_lsh", "ts_vocab_topk", "ts_tfidf_top_terms")
+        if q in harness.ALL_QUERIES
+    ]
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     harness.ALL_QUERIES["a8_distinct_items"](spark, sf_dir).write.format("noop").mode(

@@ -174,3 +174,29 @@ def test_neardup_clusters_raises_when_cap_too_low(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_clusters(docs, max_iterations=1)
+
+
+def test_vocab_topk_and_tfidf(spark):
+    from azeroth_data_platform_spark.operators import textstats
+
+    rows = [
+        (1, "red fish blue fish", "en", "w", 18),
+        (2, "red cat", "en", "w", 7),
+        (3, "blue dog blue dog blue", "en", "w", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    vocab = {r.token: r for r in textstats.vocab_topk(docs, k=10).collect()}
+    assert vocab["blue"].n_occurrences == 4 and vocab["blue"].n_docs == 2
+    assert vocab["fish"].n_occurrences == 2 and vocab["fish"].n_docs == 1
+    assert vocab["red"].n_docs == 2
+
+    top = {
+        (r.doc_id, r.term_rank): r
+        for r in textstats.tfidf_top_terms(docs, terms_per_doc=1).collect()
+    }
+    # doc 3: 'blue' tf=3 df=2 → 1.5, 'dog' tf=2 df=1 → 2.0 → dog wins
+    assert top[(3, 1)].token == "dog" and top[(3, 1)].score == 2.0
+    # doc 1: 'fish' tf=2 df=1 → 2.0 beats red/blue (tf=1, df=2 → 0.5)
+    assert top[(1, 1)].token == "fish"
