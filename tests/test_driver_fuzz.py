@@ -1,0 +1,178 @@
+"""Randomized differential fuzz of the driver contract.
+
+Generates small random tables in the exact on-disk layout the driver uses
+(lineitem / part / documents / embeddings parquet), then replays REAL
+harness queries against their REAL DuckDB oracles on that data — the same
+code path as the correctness gate, but on adversarial inputs the fixed
+corpus can't produce: dim-less items, zero quantities, floor-price ties,
+gap days, single-row groups, duplicate and near-duplicate documents.
+
+Also probes the hostile-session contract: the driver owns the
+SparkSession, so queries must repair a non-UTC session timezone
+themselves (harness._prep).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from azeroth_data_platform_spark import harness
+from tools.parity import compare, duck_connection
+
+# Queries worth fuzzing: aggregation/window/join semantics over lineitem &
+# part, and the text/vector families over documents & embeddings. Events-
+# based queries are excluded (the fuzz writer can't reproduce the corpus's
+# TIMESTAMP(NANOS) physical type portably).
+FUZZ_QUERIES = [
+    "a1_daily_market_summary",
+    "a3_rolling_zscore",
+    "a4_sales_velocity",
+    "a5_market_concentration",
+    "a6_market_index",
+    "a7_sector_trends",
+    "a9_kpi_counts",
+    "j1_missing_items",
+    "j2_dim_enrichment",
+    "o1_latest_daily_summaries",
+    "o5_top_concentration",
+    "x_price_iqr_outliers",
+    "p11_format_gold",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_simhash_banded",
+    "dd_embed_neardup",
+    "dd_embed_lsh",
+    "ts_token_stats",
+    "ts_quality_score",
+    "ts_language_id",
+    "ts_fingerprint",
+    "ts_vocab_topk",
+    "ts_tfidf_top_terms",
+    "tp_clean_corpus",
+    "tp_train_sample",
+]
+
+VOCAB = (
+    "the quick brown fox jumps over a lazy dog and runs far away today "
+    "le chat noir et la lune der hund und die katze el gato y los perros "
+    "data platform auction market price gold silver 123 456 item"
+).split()
+
+
+def _gen_tables(seed: int, outdir: str) -> None:
+    rng = np.random.default_rng(seed)
+    n_li = 400
+    base_date = dt.date(2025, 3, 1)
+    # prices in integer cents / 100 with deliberate repeats → floor ties
+    price_pool = rng.integers(100, 2_000_000, size=60) / 100.0
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(1, 80, size=n_li),
+            "l_linenumber": rng.integers(1, 8, size=n_li),
+            "l_partkey": rng.integers(1, 13, size=n_li),  # 12 items → dense groups
+            "l_suppkey": rng.integers(1, 6, size=n_li),
+            "l_quantity": rng.integers(0, 50, size=n_li).astype("float64"),
+            "l_extendedprice": rng.choice(price_pool, size=n_li),
+            "l_discount": rng.integers(0, 11, size=n_li) / 100.0,
+            "l_shipdate": [
+                base_date + dt.timedelta(days=int(d))
+                # gap days: offsets drawn from a sparse set
+                for d in rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 34], size=n_li)
+            ],
+            "l_returnflag": rng.choice(["N", "A", "R"], size=n_li),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            # keys 1..10 only → lineitem partkeys 11-12 have NO dim row
+            "p_partkey": np.arange(1, 11),
+            "p_name": [f"part {i} {VOCAB[i % len(VOCAB)]}" for i in range(1, 11)],
+            "p_brand": [f"Brand#{i % 3}" for i in range(1, 11)],
+            "p_type": [f"TYPE {i % 4}" for i in range(1, 11)],
+            "p_size": np.arange(1, 11) * 5,
+            "p_retailprice": np.arange(1, 11) * 101.5,
+        }
+    )
+    # documents: templates + mutations + exact dups + short/empty-ish texts
+    docs = []
+    for i in range(60):
+        kind = i % 4
+        if kind == 0:
+            words = list(rng.choice(VOCAB, size=int(rng.integers(8, 30))))
+            docs.append(" ".join(words))
+        elif kind == 1:  # near-dup of a template
+            tmpl = list(VOCAB[:20])
+            j = int(rng.integers(0, 20))
+            tmpl[j] = str(rng.integers(0, 99))
+            docs.append(" ".join(tmpl))
+        elif kind == 2:  # exact dup cluster
+            docs.append("the quick brown fox jumps over the lazy dog today")
+        else:  # short doc
+            docs.append(" ".join(rng.choice(VOCAB, size=3)))
+    documents = pd.DataFrame(
+        {
+            "doc_id": np.arange(60),
+            "text": docs,
+            "lang": rng.choice(["en", "fr", "es", "de"], size=60),
+            "source": rng.choice(["web", "book"], size=60),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    # embeddings: random vectors + planted near-dup pairs
+    vecs = rng.standard_normal((40, 64)).astype("float32")
+    for i in range(0, 8, 2):  # plant 4 near-identical pairs
+        vecs[i + 1] = vecs[i] + rng.standard_normal(64).astype("float32") * 0.01
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(40),
+            "embedding": [v.tolist() for v in vecs],
+            "label": rng.integers(0, 3, size=40),
+        }
+    )
+    lineitem.to_parquet(f"{outdir}/lineitem.parquet")
+    part.to_parquet(f"{outdir}/part.parquet")
+    documents.to_parquet(f"{outdir}/documents.parquet")
+    embeddings.to_parquet(f"{outdir}/embeddings.parquet")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_fuzzed_tables_match_oracles(spark, tmp_path, seed):
+    outdir = str(tmp_path / f"fuzz{seed}")
+    import os
+
+    os.makedirs(outdir)
+    _gen_tables(seed, outdir)
+    con = duck_connection(outdir)
+    try:
+        failures = []
+        for name in FUZZ_QUERIES:
+            sdf = harness.ALL_QUERIES[name](spark, outdir).toPandas()
+            ddf = con.execute(harness.ALL_ORACLES[name]).df()
+            problems = compare(name, sdf, ddf)
+            if problems:
+                failures.append(f"{name}: " + "; ".join(problems))
+        assert not failures, "\n".join(failures)
+    finally:
+        con.close()
+
+
+def test_hostile_session_timezone_is_repaired(spark, sf_dir):
+    """The driver owns the SparkSession; date-sensitive queries must reset
+    the session timezone themselves (harness._prep) or date truncation
+    shifts and every hash mismatches."""
+    con = duck_connection(sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("a1_daily_market_summary", "a3e_rolling_zscore_dense"):
+            sdf = harness.QUERIES[name](spark, sf_dir).toPandas()
+            ddf = con.execute(harness.ORACLES[name]).df()
+            problems = compare(name, sdf, ddf)
+            assert not problems, f"{name}: " + "; ".join(problems)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        con.close()
