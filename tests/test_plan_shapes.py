@@ -116,3 +116,22 @@ def test_ann_final_rank_is_two_phase(spark, sf_dir):
         # executed plans print sinks first: the final (unsalted) exchange
         # must appear above the salted one it consumes
         assert unsalted[0] < salted[0], f"{name}: phase order wrong"
+
+
+def test_market_index_first_stage_shuffles_on_composite_key(spark, sf_dir):
+    """A6's first exchange must be keyed (snapshot_date, item_id) — a
+    date-only key caps parallelism at #dates and puts a whole day of the
+    fact table in one task at scale."""
+    plan = _plan(harness.QUERIES["a6_market_index"](spark, sf_dir))
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, plan
+    # the bottom-most exchange is the fact-table stage (plans print sinks
+    # first); it must carry both keys
+    first_stage = ex[-1]
+    assert "snapshot_date" in first_stage and "item_id" in first_stage, first_stage
+    # and no exchange anywhere partitions the fact table by date alone
+    for l in ex:
+        if "snapshot_date" in l and "item_id" not in l:
+            # allowed only for the tiny per-day rollup ABOVE the per-item
+            # aggregate (printed earlier = closer to the sink)
+            assert ex.index(l) < ex.index(first_stage), l
