@@ -231,7 +231,35 @@ def minhash_lsh_dedup(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    verified = _pairwise_jaccard(sh).join(cand, ["d1", "d2"])
+    # Verify ONLY candidate pairs: broadcast the (tiny) candidate set and
+    # intersect the two shingle lists per pair — two broadcast equi-joins
+    # over the shingle relation. The naive alternative (full pairwise
+    # jaccard semi-joined with candidates afterwards) re-runs the shingle
+    # self-join over every co-shingled pair, which is exactly the
+    # quadratic sweep LSH exists to avoid — measured 1.6× slower at sf0.1
+    # and catastrophically worse at scale.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
+    common = (
+        F.broadcast(cand)
+        .join(s1, "d1")
+        .join(s2, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
     return verified.where(F.col("jaccard") >= threshold)
 
 
