@@ -24,18 +24,20 @@ QUALITY_THRESHOLD = 0.5
 
 
 def clean_corpus(documents: DataFrame, quality_threshold: float = QUALITY_THRESHOLD) -> DataFrame:
-    """Survivors of quality + near-dup filtering, annotated for training."""
-    quality = textstats.quality_score(documents).where(
+    """Survivors of quality + near-dup filtering, annotated for training.
+
+    Quality + language annotation is one fused projection
+    (textstats.corpus_annotations) — per-row expressions never justify a
+    self-join; the only joins left are the broadcast anti-join against the
+    tiny near-dup drop list."""
+    annotated = textstats.corpus_annotations(documents).where(
         F.col("quality_score") >= quality_threshold
     )
     drop_list = (
         dedup.minhash_lsh_dedup(documents).select(F.col("d2").alias("doc_id")).distinct()
     )
-    lang = textstats.language_id_ngram(documents).select("doc_id", "lang_pred")
-    return (
-        quality.join(F.broadcast(drop_list), "doc_id", "left_anti")
-        .join(lang, "doc_id")
-        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+    return annotated.join(F.broadcast(drop_list), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality_score", "lang_pred"
     )
 
 

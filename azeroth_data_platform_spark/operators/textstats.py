@@ -57,6 +57,51 @@ def _marker_count(markers: tuple[str, ...]) -> F.Column:
     return F.expr(f"size(filter(split(text, ' '), w -> {cond}))")
 
 
+def corpus_annotations(documents: DataFrame) -> DataFrame:
+    """Quality score + trigram language prediction in ONE scan-bound
+    projection — the fused annotation stage `clean_corpus` uses instead of
+    joining `quality_score` ⋈ `language_id_ngram` on doc_id (two scans of
+    the same table plus a doc-count shuffle, for columns that are all
+    per-row expressions)."""
+    words = _words()
+    n_tokens = F.size(words)
+    stop_cond = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
+    stop_ratio = (
+        F.expr(f"size(filter(split(text, ' '), w -> {stop_cond}))").cast("double") / n_tokens
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / F.length("text")
+    )
+    length_ok = (F.length("text") >= 50) & (F.length("text") <= 5000)
+    score = (
+        F.lit(1.0)
+        - F.least(stop_ratio * 2.0, F.lit(0.5))
+        - F.least(digit_ratio * 5.0, F.lit(0.3))
+        - F.when(length_ok, 0.0).otherwise(0.2)
+    )
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
+    )
+    out = documents.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        score.alias("quality_score"),
+        grams_expr.alias("_grams"),
+    )
+    for code, grams in TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        out = out.withColumn(
+            f"tscore_{code}",
+            F.expr(f"size(filter(_grams, g -> array_contains(array({arr}), g)))"),
+        )
+    tbest = F.greatest(*[F.col(f"tscore_{c}") for c in TRIGRAM_PROFILES])
+    tpred = F.lit("und")
+    for code in sorted(TRIGRAM_PROFILES, reverse=True):
+        tpred = F.when((tbest > 0) & (F.col(f"tscore_{code}") == tbest), code).otherwise(tpred)
+    return out.select("doc_id", "n_tokens", "quality_score", tpred.alias("lang_pred"))
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic document quality: stopword ratio, digit ratio, length band.
 
