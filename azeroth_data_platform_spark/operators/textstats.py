@@ -140,13 +140,21 @@ def language_id(documents: DataFrame) -> DataFrame:
     with deterministic argmax (ties → lexical order of language code; zero
     evidence → 'und') AND the char-trigram profile scores with their own
     argmax (`lang_pred_ngram`) — see language_id_ngram for the trigram
-    rationale and the `_grams` single-materialization note."""
+    rationale and the `_grams` single-materialization note. The word array
+    is likewise materialized once (`_ws`) instead of re-splitting the text
+    inside every per-language marker filter."""
     grams_expr = F.expr(
         "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"
     )
-    out = documents.select("doc_id", "lang", "text", grams_expr.alias("_grams"))
+    out = documents.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("_ws"),
+        grams_expr.alias("_grams"),
+    )
     for code, markers in LANG_MARKERS.items():
-        out = out.withColumn(f"score_{code}", _marker_count(markers))
+        cond = " OR ".join(f"w = '{m}'" for m in markers)
+        out = out.withColumn(f"score_{code}", F.expr(f"size(filter(_ws, w -> {cond}))"))
     for code, grams in TRIGRAM_PROFILES.items():
         arr = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
         out = out.withColumn(
