@@ -688,6 +688,13 @@ def q_ts_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_topk(_docs(spark, sf_dir))
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1→N mapInPandas frame sampling — not SQL-expressible; rows-only.
+    return multimodal.sample_frame_features(
+        multimodal.attach_binary(_docs(spark, sf_dir))
+    )
+
+
 def q_ts_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -1068,6 +1075,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # round-2 additions beyond the 50-slot driver budget
     "ts_vocab_topk": q_ts_vocab,
     "ts_tfidf_top_terms": q_ts_tfidf,
+    "mm_frame_sample": q_mm_frame_sample,  # rows-only (mapInPandas 1→N)
 }
 
 ALL_ORACLES: dict[str, str] = {

@@ -94,6 +94,54 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+FRAME_SIZE_BYTES = 16
+FRAME_SAMPLE_EVERY = 4
+
+
+def sample_frame_features(
+    multimodal: DataFrame,
+    frame_size: int = FRAME_SIZE_BYTES,
+    every_n: int = FRAME_SAMPLE_EVERY,
+) -> DataFrame:
+    """Video-style frame sampling plumbing: each payload is treated as a
+    sequence of fixed-size frames; every Nth frame is selected and reduced
+    to features — one input row fans out to many output rows (the UDTF
+    shape a real frame sampler has). The per-frame decode is a
+    deterministic stand-in (`sample_frames` documents the real plug-in
+    point; no av/ffmpeg bindings in this environment) — the partitioning,
+    Arrow batch iteration, schema, and 1→N row expansion are real.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_size
+                for idx in range(0, n_frames, every_n):
+                    frame = b[idx * frame_size : (idx + 1) * frame_size]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_index": idx,
+                            "n_frames": n_frames,
+                            "frame_checksum": sum(frame) % 997,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return multimodal.mapInPandas(_batches, FRAME_SCHEMA)
+
+
 def decode_image(payload: bytes) -> "object":
     """STUB — image decoding requires PIL/opencv, absent in this
     environment. The mapInPandas plumbing above is where a real decoder

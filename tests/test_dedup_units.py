@@ -200,3 +200,21 @@ def test_vocab_topk_and_tfidf(spark):
     assert top[(3, 1)].token == "dog" and top[(3, 1)].score == 2.0
     # doc 1: 'fish' tf=2 df=1 → 2.0 beats red/blue (tf=1, df=2 → 0.5)
     assert top[(1, 1)].token == "fish"
+
+
+def test_frame_sampling_fans_out_rows(spark):
+    """Frame-sample plumbing: payload → fixed-size frames → every Nth
+    selected; one input row fans out to ceil(n_frames / every_n) rows with
+    deterministic per-frame features."""
+    from azeroth_data_platform_spark.operators import multimodal
+
+    text = "x" * 100  # 100 bytes → 6 full 16-byte frames → indices 0, 4
+    docs = spark.createDataFrame(
+        [(1, text, "en", "w", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = multimodal.sample_frame_features(multimodal.attach_binary(docs)).collect()
+    rows = {r.frame_index: r for r in out}
+    assert sorted(rows) == [0, 4]
+    assert all(r.n_frames == 6 for r in out)
+    assert rows[0].frame_checksum == (ord("x") * 16) % 997
