@@ -135,3 +135,26 @@ def test_market_index_first_stage_shuffles_on_composite_key(spark, sf_dir):
             # allowed only for the tiny per-day rollup ABOVE the per-item
             # aggregate (printed earlier = closer to the sink)
             assert ex.index(l) < ex.index(first_stage), l
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval join must plan as a hash equi-join on the time bucket —
+    never a per-key nested loop / cartesian expansion."""
+    plan = _plan(harness.QUERIES["x_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gold_denorm_joins_are_broadcast(spark, sf_dir):
+    """Every per-item gold output denormalizes the dim via broadcast —
+    the fact side must never shuffle for the enrichment join."""
+    for name in (
+        "a1_daily_market_summary",
+        "a3_rolling_zscore",
+        "a4_sales_velocity",
+        "a5_market_concentration",
+        "a2_hourly_ohlc",
+    ):
+        plan = _plan(harness.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
