@@ -608,6 +608,18 @@ def q_dd_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_lsh(_embs(spark, sf_dir))
 
 
+def q_dd_embed_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_lsh_banded(_embs(spark, sf_dir))
+
+
+def q_tp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.decontaminate(_docs(spark, sf_dir))
+
+
+def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1076,6 +1088,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ts_vocab_topk": q_ts_vocab,
     "ts_tfidf_top_terms": q_ts_tfidf,
     "mm_frame_sample": q_mm_frame_sample,  # rows-only (mapInPandas 1→N)
+    "dd_embed_lsh_banded": q_dd_embed_lsh_banded,
+    "tp_decontaminate": q_tp_decontaminate,
+    "ts_repetition": q_ts_repetition,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1106,4 +1121,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_language_id_ngram": textstats.LANGID_NGRAM_SQL,
     "ts_vocab_topk": textstats.VOCAB_TOPK_SQL,
     "ts_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
+    "dd_embed_lsh_banded": dedup.EMBED_LSH_BANDED_SQL,
+    "tp_decontaminate": corpus.DECONTAMINATE_SQL,
+    "ts_repetition": textstats.REPETITION_SQL,
 }

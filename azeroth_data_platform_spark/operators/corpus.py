@@ -99,6 +99,72 @@ def _stratified_sample_sql() -> str:
   WHERE h < CASE WHEN band = 'hi' THEN {SAMPLE_RATES["hi"]} ELSE {SAMPLE_RATES["lo"]} END"""
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the train/eval n-gram overlap check every
+# serious LLM data pipeline runs before training (the GPT-3/PaLM-style
+# "13-gram overlap" rule; n is a knob). A corpus document is contaminated
+# if it shares ≥1 word n-gram with any document in the held-out benchmark
+# set. Here the benchmark side is the deterministic doc_id % 10 == 0 slice
+# of the documents table so the operator is self-contained on the test
+# data; in production it would be the eval suites.
+
+DECON_N = 8  # word n-gram length for the overlap check
+DECON_MOD = 10  # doc_id % DECON_MOD == 0 → benchmark side
+
+
+def decontaminate(documents: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Per corpus doc: how many of its distinct word `n`-grams appear in
+    the benchmark set, and the contaminated verdict.
+
+    At 100 TB the asymmetry is the whole design: eval benchmarks are tiny
+    (thousands of docs), so their distinct-shingle set broadcasts and the
+    corpus side is one scan + a broadcast semi-join-shaped aggregation —
+    no shuffle of corpus shingles, no pairwise anything. The corpus-side
+    groupBy keys on doc_id (high cardinality, skew-free)."""
+    sh = dedup.shingles(documents, n)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = F.broadcast(sh.where(is_bench).select("sh").distinct())
+    corpus_sh = sh.where(~is_bench)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_hits.alias("n_contaminated_ngrams"),
+            (n_hits.cast("double") / F.col("n_shingles")).alias("contamination_ratio"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+def _decontaminate_sql() -> str:
+    from .dedup import _shingle_sql
+
+    return f"""
+  WITH {_shingle_sql(DECON_N)},
+  bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % {DECON_MOD} = 0),
+  corpus AS (SELECT * FROM s WHERE doc_id % {DECON_MOD} <> 0),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+  hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+           FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
+  SELECT sizes.doc_id, sizes.n_shingles,
+         COALESCE(hits.n_hits, 0) AS n_contaminated_ngrams,
+         CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sizes.n_shingles
+           AS contamination_ratio,
+         COALESCE(hits.n_hits, 0) > 0 AS contaminated
+  FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id"""
+
+
+DECONTAMINATE_SQL = _decontaminate_sql()
+
+
 CLEAN_CORPUS_SQL = f"""
   WITH q AS (SELECT doc_id, n_tokens, quality_score
              FROM ({textstats.QUALITY_SQL}) qq

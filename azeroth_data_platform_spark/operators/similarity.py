@@ -137,10 +137,17 @@ def _hyperplane_sign_sql(plane: int, col: str, duck: bool) -> str:
     return f"CASE WHEN {' + '.join(terms)} >= 0 THEN 1 ELSE 0 END"
 
 
-def lsh_bucket_sql(col: str, duck: bool = False, planes: int = LSH_PLANES) -> str:
-    """Bucket id = the `planes`-bit signature of hyperplane signs."""
+def lsh_bucket_sql(
+    col: str, duck: bool = False, planes: int = LSH_PLANES, start: int = 0
+) -> str:
+    """Bucket id = the `planes`-bit signature of hyperplane signs.
+
+    `start` selects a disjoint plane range so callers can build several
+    INDEPENDENT hash tables from one deterministic plane family (banded
+    AND-OR amplification — dedup.embedding_neardup_lsh_banded)."""
     bits = " + ".join(
-        f"({_hyperplane_sign_sql(p, col, duck)}) * {2 ** p}" for p in range(planes)
+        f"({_hyperplane_sign_sql(start + p, col, duck)}) * {2 ** p}"
+        for p in range(planes)
     )
     return f"CAST({bits} AS BIGINT)"
 

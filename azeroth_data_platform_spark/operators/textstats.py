@@ -440,3 +440,75 @@ TFIDF_TOP_TERMS_SQL = f"""
              FROM scored)
   SELECT doc_id, CAST(term_rank AS INTEGER) AS term_rank, token, tf, df, score
   FROM ranked WHERE term_rank <= {TFIDF_TERMS_PER_DOC}"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (the Gopher/MassiveText rules): highly
+# repetitive documents — boilerplate, keyword stuffing, templated spam —
+# are flagged by the fraction of the text locked up in repeated words and
+# repeated word-bigrams. Rule shape follows Rae et al. 2021 (Gopher,
+# table A1: "duplicate n-gram fraction" thresholds); the thresholds here
+# are calibrated to the synthetic corpus so both verdicts occur.
+
+REPETITION_TOP_WORD_MAX = 0.10  # most frequent word may claim ≤10% of tokens
+REPETITION_DUP_2GRAM_MAX = 0.05  # ≤5% of bigrams may be repeats
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics + keep/drop verdict — a pure scan-bound
+    projection like the rest of the ts_* family: the word list, its
+    distinct set, and the bigram list are all row-local higher-order
+    function expressions (no explode, no shuffle, no UDF), so throughput
+    is parquet-scan-bound at any corpus size.
+
+    The O(|vocab|·|words|) top-word count inside `transform∘filter` is
+    deliberate: for real documents |vocab per doc| is bounded and the
+    alternative (explode + two groupBys keyed by (doc_id, word)) trades a
+    few row-local ops for two corpus-wide shuffles."""
+    ws = _words()
+    n_words = F.size(ws)
+    top_count = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')),"
+        " w -> size(filter(split(text, ' '), x -> x = w))))"
+    )
+    grams = (
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
+        " element_at(split(text, ' '), i + 2)))"
+    )
+    dup_2gram_frac = F.lit(1.0) - F.expr(f"size(array_distinct({grams}))").cast(
+        "double"
+    ) / (n_words - F.lit(1))
+    top_word_frac = top_count.cast("double") / n_words
+    return (
+        documents.where(n_words >= 2)
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            (F.expr("size(array_distinct(split(text, ' ')))").cast("double") / n_words
+             ).alias("distinct_word_ratio"),
+            top_word_frac.alias("top_word_fraction"),
+            dup_2gram_frac.alias("dup_2gram_fraction"),
+            (
+                (top_word_frac <= REPETITION_TOP_WORD_MAX)
+                & (dup_2gram_frac <= REPETITION_DUP_2GRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 2),
+  m AS (SELECT doc_id, len(ws) AS n_words,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_word_ratio,
+               CAST(list_max([len(list_filter(ws, x -> x = w)) FOR w IN list_distinct(ws)])
+                    AS DOUBLE) / len(ws) AS top_word_fraction,
+               1.0 - CAST(len(list_distinct([ws[i] || ' ' || ws[i + 1]
+                                             FOR i IN range(1, len(ws))]))
+                          AS DOUBLE) / (len(ws) - 1) AS dup_2gram_fraction
+        FROM w)
+  SELECT doc_id, n_words, distinct_word_ratio, top_word_fraction, dup_2gram_fraction,
+         top_word_fraction <= {REPETITION_TOP_WORD_MAX}
+           AND dup_2gram_fraction <= {REPETITION_DUP_2GRAM_MAX} AS keep
+  FROM m"""

@@ -83,7 +83,14 @@ def main() -> int:
     # NOT part of the frozen total.
     extra = [
         q
-        for q in ("dd_embed_lsh", "ts_vocab_topk", "ts_tfidf_top_terms")
+        for q in (
+            "dd_embed_lsh",
+            "dd_embed_lsh_banded",
+            "ts_vocab_topk",
+            "ts_tfidf_top_terms",
+            "tp_decontaminate",
+            "ts_repetition",
+        )
         if q in harness.ALL_QUERIES
     ]
 

@@ -141,3 +141,19 @@ def test_embed_lsh_probe_radius_trades_recall_for_candidates(spark, sf_dir):
     h2 = {(r.v1, r.v2) for r in dedup.embedding_neardup_lsh(embs, probe_hamming=2).collect()}
     assert h1 <= h2 <= base
     assert len(h2) > len(h1)  # wider probes must actually find more pairs
+
+
+def test_embed_lsh_banded_amplifies_recall(spark, sf_dir):
+    """Banded AND-OR amplification must strictly widen recall over the
+    single-band table while staying an exact subset of the quadratic
+    baseline (measured 0.32 → 0.52 at 2 bands, 0.65 at 3, sf0.001)."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    base = {(r.v1, r.v2) for r in dedup.embedding_neardup(embs).collect()}
+    one = {(r.v1, r.v2) for r in dedup.embedding_neardup_lsh(embs).collect()}
+    banded = {(r.v1, r.v2) for r in dedup.embedding_neardup_lsh_banded(embs).collect()}
+    assert banded <= base  # precision 1.0: exact cosine verify
+    assert one <= banded  # band 0 IS the single-band table; OR only adds
+    assert len(banded) > len(one)  # the second band must contribute
+    assert len(banded & base) / len(base) >= 0.45

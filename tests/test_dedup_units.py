@@ -218,3 +218,47 @@ def test_frame_sampling_fans_out_rows(spark):
     assert sorted(rows) == [0, 4]
     assert all(r.n_frames == 6 for r in out)
     assert rows[0].frame_checksum == (ord("x") * 16) % 997
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    """A stuffed document (one word claiming most tokens, repeated bigrams)
+    must be dropped; a diverse document must be kept; the metrics must
+    equal hand-computed values."""
+    diverse = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    stuffed = "spam spam spam spam spam spam spam spam spam eggs"
+    docs = spark.createDataFrame(
+        [(1, diverse, "en", "web", len(diverse)), (2, stuffed, "en", "web", len(stuffed))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert out[1].keep and not out[2].keep
+    assert out[1].top_word_fraction == 0.1  # every word unique, 1/10
+    assert out[1].dup_2gram_fraction == 0.0
+    assert out[2].top_word_fraction == 0.9  # 9×spam / 10 words
+    # bigrams: 8×"spam spam" + 1×"spam eggs" → 2 distinct of 9 → 7/9 dupes
+    assert abs(out[2].dup_2gram_fraction - 7.0 / 9.0) < 1e-12
+    assert out[2].distinct_word_ratio == 0.2
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A corpus doc sharing an 8-gram with a benchmark doc (doc_id % 10 == 0)
+    is contaminated; an unrelated doc is clean; benchmark docs themselves
+    are excluded from the output."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    bench = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    leaked = "intro text then w1 w2 w3 w4 w5 w6 w7 w8 trailing words here"
+    clean = "entirely unrelated content with no shared phrases at all in it"
+    docs = spark.createDataFrame(
+        [
+            (10, bench, "en", "web", len(bench)),  # benchmark side
+            (11, leaked, "en", "web", len(leaked)),  # shares the w1..w8 8-gram
+            (12, clean, "en", "web", len(clean)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in corpus.decontaminate(docs).collect()}
+    assert set(out) == {11, 12}  # benchmark doc 10 not scored
+    assert out[11].contaminated and out[11].n_contaminated_ngrams == 1
+    assert not out[12].contaminated and out[12].n_contaminated_ngrams == 0
+    assert out[11].contamination_ratio == 1.0 / out[11].n_shingles
