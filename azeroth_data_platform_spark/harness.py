@@ -616,6 +616,12 @@ def q_tp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(_docs(spark, sf_dir))
 
 
+def q_tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(
+        corpus.stratified_sample(corpus.clean_corpus(_docs(spark, sf_dir)))
+    )
+
+
 def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
@@ -1091,6 +1097,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_embed_lsh_banded": q_dd_embed_lsh_banded,
     "tp_decontaminate": q_tp_decontaminate,
     "ts_repetition": q_ts_repetition,
+    "tp_pack_sequences": q_tp_pack_sequences,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1124,4 +1131,5 @@ ALL_ORACLES: dict[str, str] = {
     "dd_embed_lsh_banded": dedup.EMBED_LSH_BANDED_SQL,
     "tp_decontaminate": corpus.DECONTAMINATE_SQL,
     "ts_repetition": textstats.REPETITION_SQL,
+    "tp_pack_sequences": corpus.PACK_SEQUENCES_SQL,
 }

@@ -118,27 +118,25 @@ def decontaminate(documents: DataFrame, n: int = DECON_N) -> DataFrame:
 
     At 100 TB the asymmetry is the whole design: eval benchmarks are tiny
     (thousands of docs), so their distinct-shingle set broadcasts and the
-    corpus side is one scan + a broadcast semi-join-shaped aggregation —
-    no shuffle of corpus shingles, no pairwise anything. The corpus-side
-    groupBy keys on doc_id (high cardinality, skew-free)."""
+    corpus side is ONE scan → broadcast left join (at most one bench match
+    per distinct corpus shingle, so no fan-out) → one groupBy keyed on
+    doc_id (high cardinality, skew-free) counting rows and matches
+    together. No corpus-shingle shuffle beyond the per-doc distinct, no
+    second pass for the sizes."""
     sh = dedup.shingles(documents, n)
     is_bench = F.col("doc_id") % DECON_MOD == 0
-    bench = F.broadcast(sh.where(is_bench).select("sh").distinct())
-    corpus_sh = sh.where(~is_bench)
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus_sh.join(bench, "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    bench = F.broadcast(
+        sh.where(is_bench).select("sh").distinct().withColumn("_hit", F.lit(1))
     )
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    n_hits = F.count("_hit")
     return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
+        sh.where(~is_bench)
+        .join(bench, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
             n_hits.alias("n_contaminated_ngrams"),
-            (n_hits.cast("double") / F.col("n_shingles")).alias("contamination_ratio"),
+            (n_hits.cast("double") / F.count(F.lit(1))).alias("contamination_ratio"),
             (n_hits > 0).alias("contaminated"),
         )
     )
@@ -149,17 +147,14 @@ def _decontaminate_sql() -> str:
 
     return f"""
   WITH {_shingle_sql(DECON_N)},
-  bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % {DECON_MOD} = 0),
-  corpus AS (SELECT * FROM s WHERE doc_id % {DECON_MOD} <> 0),
-  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
-  hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
-           FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY c.doc_id)
-  SELECT sizes.doc_id, sizes.n_shingles,
-         COALESCE(hits.n_hits, 0) AS n_contaminated_ngrams,
-         CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sizes.n_shingles
-           AS contamination_ratio,
-         COALESCE(hits.n_hits, 0) > 0 AS contaminated
-  FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id"""
+  bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % {DECON_MOD} = 0)
+  SELECT c.doc_id, COUNT(*) AS n_shingles,
+         COUNT(b.sh) AS n_contaminated_ngrams,
+         CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*) AS contamination_ratio,
+         COUNT(b.sh) > 0 AS contaminated
+  FROM s c LEFT JOIN bench b ON c.sh = b.sh
+  WHERE c.doc_id % {DECON_MOD} <> 0
+  GROUP BY c.doc_id"""
 
 
 DECONTAMINATE_SQL = _decontaminate_sql()
@@ -179,3 +174,56 @@ CLEAN_CORPUS_SQL = f"""
 TRAIN_SAMPLE_SQL = (
     f"WITH cleaned AS (SELECT * FROM ({CLEAN_CORPUS_SQL}) cc), {_stratified_sample_sql()}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the last hop before the trainer: concatenate the
+# sampled corpus into fixed token-budget training sequences ("packs"),
+# GPT-style concat-and-chunk (documents may span pack boundaries). Each
+# doc gets its pack id and byte/token offset from a running token total.
+
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+def pack_sequences(sampled: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Assign every sampled doc its (shard, pack_id, pack_offset) layout
+    slot via a per-shard running token total.
+
+    The window partitions by shard — the parallelism unit the sampler
+    already assigned — so no global ordering exists anywhere: at 100 TB
+    you raise N_SHARDS (corpus.py) and every shard packs independently;
+    pack_id is shard-local by construction (emit (shard, pack_id) as the
+    composite sequence key). The cumsum is integer arithmetic over
+    BIGINTs, so Spark and the SQL twin agree exactly."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sampled.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (start / budget).cast("bigint").alias("pack_id"),
+        (start % budget).alias("pack_offset"),
+        ((start % budget) + F.col("n_tokens") > budget).alias("crosses_boundary"),
+    )
+
+
+def _pack_sequences_sql() -> str:
+    return f"""
+  packed AS (SELECT doc_id, shard, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+             FROM sampled)
+  SELECT doc_id, shard, n_tokens,
+         start // {PACK_BUDGET} AS pack_id,
+         start % {PACK_BUDGET} AS pack_offset,
+         start % {PACK_BUDGET} + n_tokens > {PACK_BUDGET} AS crosses_boundary
+  FROM packed"""
+
+
+PACK_SEQUENCES_SQL = f"WITH sampled AS ({TRAIN_SAMPLE_SQL}), {_pack_sequences_sql()}"

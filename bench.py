@@ -90,6 +90,7 @@ def main() -> int:
             "ts_tfidf_top_terms",
             "tp_decontaminate",
             "ts_repetition",
+            "tp_pack_sequences",
         )
         if q in harness.ALL_QUERIES
     ]

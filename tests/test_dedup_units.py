@@ -262,3 +262,21 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[11].contaminated and out[11].n_contaminated_ngrams == 1
     assert not out[12].contaminated and out[12].n_contaminated_ngrams == 0
     assert out[11].contamination_ratio == 1.0 / out[11].n_shingles
+
+
+def test_pack_sequences_running_layout(spark):
+    """Packing must produce a contiguous running layout per shard: offsets
+    advance by n_tokens, pack_id = floor(running_start / budget), and a doc
+    straddling the budget line is flagged."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    sampled = spark.createDataFrame(
+        [(1, "hi", 60, "en", 0), (2, "hi", 50, "en", 0), (3, "lo", 10, "en", 1)],
+        "doc_id long, band string, n_tokens long, lang_pred string, shard long",
+    )
+    out = {r.doc_id: r for r in corpus.pack_sequences(sampled, budget=100).collect()}
+    assert (out[1].pack_id, out[1].pack_offset, out[1].crosses_boundary) == (0, 0, False)
+    # doc 2 starts at 60, spills past 100 → flagged, still pack 0
+    assert (out[2].pack_id, out[2].pack_offset, out[2].crosses_boundary) == (0, 60, True)
+    # shard 1 restarts its own running total
+    assert (out[3].pack_id, out[3].pack_offset) == (0, 0)

@@ -158,3 +158,23 @@ def test_gold_denorm_joins_are_broadcast(spark, sf_dir):
         plan = _plan(harness.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_decontaminate_is_single_pass_broadcast(spark, sf_dir):
+    """The benchmark shingle set must broadcast (it's the tiny side at any
+    scale) and the corpus side must be aggregated in ONE pass — no
+    SortMergeJoin anywhere, and exactly one corpus shingle-distinct
+    exchange (a second one would mean the sizes/hits two-scan shape)."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = adapters.read_table(spark, sf_dir, "documents")
+    plan = _plan(corpus.decontaminate(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    distinct_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l and "sh#" in l
+    ]
+    # one for the corpus per-doc distinct + one inside the bench-side
+    # distinct (pre-broadcast); a third means the corpus relation is
+    # being computed twice
+    assert len(distinct_exchanges) <= 2, distinct_exchanges
