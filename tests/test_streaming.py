@@ -201,3 +201,86 @@ def test_restart_from_checkpoint_resumes_without_duplicates(spark, tmp_path):
     gold = spark.read.parquet(gold_path)
     assert gold.count() >= 2
     assert gold.count() == gold.select("item_key", "snapshot_hour").distinct().count()
+
+
+def test_streaming_ingest_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once delivery: the same document content arriving again in
+    a later micro-batch (inside the watermark horizon) must be dropped;
+    distinct content must pass; the streamed annotation projection must
+    equal its batch twin on the survivors."""
+    from azeroth_data_platform_spark.operators import textstats
+    from azeroth_data_platform_spark.streaming.ingest import (
+        annotate_ingest,
+        streaming_dedup_ingest,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " ingest_ts timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    text_a = "the quick brown fox jumps over the lazy dog " * 3
+    text_b = "completely different second document body here " * 3
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, text_a, "en", "web", len(text_a), t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_dedup_ingest(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingested")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # re-delivery of doc 1's bytes (new doc_id) + one genuinely new doc
+        spark.createDataFrame(
+            [
+                (2, text_a, "en", "web", len(text_a), t0 + dt.timedelta(minutes=5)),
+                (3, text_b, "en", "web", len(text_b), t0 + dt.timedelta(minutes=6)),
+            ],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = spark.sql("select doc_id, content_hash from ingested").collect()
+    finally:
+        q.stop()
+    assert sorted(r.doc_id for r in got) == [1, 3]  # doc 2 = re-delivery, dropped
+    assert len({r.content_hash for r in got}) == 2
+
+    # stateless annotation is batch/stream-unified: stream the survivors
+    # through the SAME projection and compare with the batch result
+    survivors = spark.read.parquet(str(src / "*")).where(F.col("doc_id").isin(1, 3))
+    q2 = (
+        annotate_ingest(
+            spark.readStream.schema(schema).parquet(str(src / "*"))
+        )
+        .where(F.col("doc_id").isin(1, 3))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("annotated")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.n_tokens, r.quality_score, r.lang_pred)
+            for r in spark.sql(
+                "select doc_id, n_tokens, quality_score, lang_pred from annotated"
+            ).collect()
+        }
+    finally:
+        q2.stop()
+    batch = {
+        (r.doc_id, r.n_tokens, r.quality_score, r.lang_pred)
+        for r in textstats.corpus_annotations(survivors)
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+        .collect()
+    }
+    assert streamed == batch
