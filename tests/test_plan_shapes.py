@@ -178,3 +178,18 @@ def test_decontaminate_is_single_pass_broadcast(spark, sf_dir):
     # distinct (pre-broadcast); a third means the corpus relation is
     # being computed twice
     assert len(distinct_exchanges) <= 2, distinct_exchanges
+
+
+def test_pack_sequences_never_globally_orders(spark):
+    """Sequence packing must key its one exchange on the shard column —
+    a SinglePartition exchange here would mean a global running total
+    (the classic packing-scales-to-one-task mistake)."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    sampled = spark.createDataFrame(
+        [(1, "hi", 10, "en", 0), (2, "hi", 20, "en", 1)],
+        "doc_id long, band string, n_tokens long, lang_pred string, shard long",
+    )
+    plan = _plan(corpus.pack_sequences(sampled))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
