@@ -622,6 +622,10 @@ def q_tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tp_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_report(_docs(spark, sf_dir))
+
+
 def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
@@ -1093,6 +1097,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "a3e_rolling_zscore_dense": q_a3e,
     "x_topk_orders": q_x_topk_orders,
     "dd_ngram_jaccard": q_dd_ngram,
+    "tp_corpus_report": q_tp_corpus_report,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1124,6 +1129,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_vocab_topk": textstats.VOCAB_TOPK_SQL,
     "ts_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
     "dd_embed_lsh_banded": dedup.EMBED_LSH_BANDED_SQL,
+    "tp_corpus_report": corpus.CORPUS_REPORT_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

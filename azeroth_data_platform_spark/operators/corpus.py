@@ -227,3 +227,74 @@ def _pack_sequences_sql() -> str:
 
 
 PACK_SEQUENCES_SQL = f"WITH sampled AS ({TRAIN_SAMPLE_SQL}), {_pack_sequences_sql()}"
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report — the per-source dashboard a data-curation team
+# watches: volume, token mass, and how much each filter family would
+# remove. Counts only (BIGINT aggregation) so the cross-engine value hash
+# is exact without the decimal machinery.
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """Per-source corpus KPIs: doc/token volume, quality-pass count,
+    repetition-drop count, benchmark-contamination count, distinct
+    predicted languages.
+
+    Composition of the standalone operators (annotations, repetition,
+    decontamination) joined back on doc_id — each input is per-doc
+    (join keys unique, no fan-out), the final groupBy keys on `source`
+    (a low-cardinality rollup over per-doc rows, map-side combined).
+    The repetition and contamination sides are left joins: docs those
+    operators exclude (under-length; benchmark slice) simply don't
+    count toward their flags."""
+    from . import textstats as ts
+
+    ann = ts.corpus_annotations(documents).select(
+        "doc_id", "n_tokens", "quality_score", "lang_pred"
+    )
+    rep = ts.repetition_stats(documents).select("doc_id", "keep")
+    dec = decontaminate(documents).select("doc_id", "contaminated")
+    j = (
+        documents.select("doc_id", "source")
+        .join(ann, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.when(F.col("quality_score") >= QUALITY_THRESHOLD, 1)).alias(
+            "n_quality_ok"
+        ),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_repetitive"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+        F.countDistinct("lang_pred").alias("n_langs"),
+    )
+
+
+def _corpus_report_sql() -> str:
+    from . import textstats as ts
+
+    return f"""
+  WITH ann AS (SELECT q.doc_id, q.n_tokens, q.quality_score, l.lang_pred
+               FROM ({ts.QUALITY_SQL}) q
+               JOIN (SELECT doc_id, lang_pred FROM ({ts.LANGID_NGRAM_SQL}) ll) l
+                 ON q.doc_id = l.doc_id),
+  rep AS (SELECT doc_id, keep FROM ({ts.REPETITION_SQL}) r),
+  dec AS (SELECT doc_id, contaminated FROM ({DECONTAMINATE_SQL}) d)
+  SELECT s.source, COUNT(*) AS n_docs,
+         SUM(ann.n_tokens) AS total_tokens,
+         COUNT(CASE WHEN ann.quality_score >= {QUALITY_THRESHOLD} THEN 1 END)
+           AS n_quality_ok,
+         COUNT(CASE WHEN NOT rep.keep THEN 1 END) AS n_repetitive,
+         COUNT(CASE WHEN dec.contaminated THEN 1 END) AS n_contaminated,
+         COUNT(DISTINCT ann.lang_pred) AS n_langs
+  FROM (SELECT doc_id, source FROM documents) s
+  JOIN ann ON s.doc_id = ann.doc_id
+  LEFT JOIN rep ON s.doc_id = rep.doc_id
+  LEFT JOIN dec ON s.doc_id = dec.doc_id
+  GROUP BY s.source"""
+
+
+CORPUS_REPORT_SQL = _corpus_report_sql()

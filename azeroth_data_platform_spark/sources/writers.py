@@ -71,3 +71,22 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_training_shards(packed: DataFrame, path: str) -> None:
+    """Lay the packed corpus (operators/corpus.py::pack_sequences output)
+    on disk as the trainer reads it: one directory per shard
+    (`shard=N/...`), rows sorted by (pack_id, pack_offset) within each
+    file so a sequential reader streams packs in order.
+
+    `repartition("shard")` aligns the write tasks with the layout — one
+    task per shard writes one file set, instead of every task writing a
+    sliver of every shard (the small-files explosion at 1000 executors).
+    sortWithinPartitions is a per-partition sort, no extra exchange."""
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

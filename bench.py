@@ -91,6 +91,7 @@ def main() -> int:
             "tp_decontaminate",
             "ts_repetition",
             "tp_pack_sequences",
+            "tp_corpus_report",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -221,3 +221,31 @@ def test_silver_zero_quantity_does_not_divide_by_zero(spark, tmp_path):
     row = silver_transform(read_bronze_auctions(spark, str(p)), SNAP).collect()[0]
     assert row.quantity == 0  # explicit zero is preserved (only NULL defaults to 1)
     assert row.unit_price == 400  # divisor clamped to 1, no DIVIDE_BY_ZERO
+
+
+def test_training_shard_layout_roundtrip(spark, tmp_path):
+    """write_training_shards must produce one shard=N directory per shard,
+    preserve every row through the partitioned layout, and keep packs
+    readable in (pack_id, pack_offset) order within each shard."""
+    import os
+
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.sources.writers import write_training_shards
+
+    sampled = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo", 40 + i, "en", i % 3) for i in range(30)],
+        "doc_id long, band string, n_tokens long, lang_pred string, shard long",
+    )
+    packed = corpus.pack_sequences(sampled, budget=100)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, back.select(packed.columns).collect()))
+    assert a == b
+    # re-run is idempotent (overwrite semantics)
+    write_training_shards(packed, out)
+    assert spark.read.parquet(out).count() == 30
