@@ -14,6 +14,11 @@ CHECK = [
     "a6_market_index",
     "dd_minhash_lsh",
     "ts_fingerprint",
+    # round-2 additions: packing (window cumsum), decontamination
+    # (broadcast-join counting), repetition (HOF ratios)
+    "tp_pack_sequences",
+    "tp_decontaminate",
+    "ts_repetition",
 ]
 
 
