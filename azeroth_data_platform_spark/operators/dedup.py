@@ -568,32 +568,11 @@ def embedding_neardup_lsh(
     Real near-dup corpora sit at cosine ≥ 0.9 (θ≈25°, per-plane flip
     ≈ 0.14) where the default 6-plane/h1 table already recalls ~0.8.
     """
-    from .similarity import LSH_PLANES, lsh_bucket_sql
+    from .similarity import LSH_PLANES
 
-    b = embeddings.select(
-        "vec_id", "embedding", F.expr(lsh_bucket_sql("embedding")).alias("bucket")
-    )
-    import itertools
-
-    probe_list = ["bucket"]
-    for r in range(1, probe_hamming + 1):
-        probe_list += [
-            f"bucket ^ {sum(1 << p for p in bits)}"
-            for bits in itertools.combinations(range(LSH_PLANES), r)
-        ]
-    probes = ", ".join(probe_list)
-    a = b.select(
-        "vec_id", "embedding", F.explode(F.expr(f"array({probes})")).alias("bucket")
-    ).alias("a")
-    return (
-        a.join(b.alias("c"), "bucket")
-        .where(F.col("a.vec_id") < F.col("c.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("c.vec_id").alias("v2"),
-            F.expr(cosine_sql("a.embedding", "c.embedding")).alias("cosine"),
-        )
-        .where((F.col("cosine") + F.rand(43) * 0.0) >= threshold)
+    return _embed_band_pairs(
+        embeddings, start=0, probe_hamming=probe_hamming,
+        threshold=threshold, planes=LSH_PLANES,
     )
 
 
