@@ -640,6 +640,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.lsh_multitable_topk(
+        embs, embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.ivf_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1098,6 +1105,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_topk_orders": q_x_topk_orders,
     "dd_ngram_jaccard": q_dd_ngram,
     "tp_corpus_report": q_tp_corpus_report,
+    "ann_topk_lsh_multi": q_ann_lsh_multi,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1130,6 +1138,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_tfidf_top_terms": textstats.TFIDF_TOP_TERMS_SQL,
     "dd_embed_lsh_banded": dedup.EMBED_LSH_BANDED_SQL,
     "tp_corpus_report": corpus.CORPUS_REPORT_SQL,
+    "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -92,6 +92,7 @@ def main() -> int:
             "ts_repetition",
             "tp_pack_sequences",
             "tp_corpus_report",
+            "ann_topk_lsh_multi",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -157,3 +157,27 @@ def test_embed_lsh_banded_amplifies_recall(spark, sf_dir):
     assert one <= banded  # band 0 IS the single-band table; OR only adds
     assert len(banded) > len(one)  # the second band must contribute
     assert len(banded & base) / len(base) >= 0.45
+
+
+def test_lsh_multitable_amplifies_ann_recall(spark, sf_dir):
+    """A second independent hash table must not lower recall (candidate
+    superset ⇒ the approx top-k can only get closer to the true top-k)
+    and must measurably raise it on this corpus."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    qs = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    truth = {
+        (r.q_vec_id, r.c_vec_id)
+        for r in similarity.brute_force_topk(embs, qs).collect()
+    }
+    one = {
+        (r.q_vec_id, r.c_vec_id)
+        for r in similarity.lsh_bucketed_topk(embs, qs).collect()
+    }
+    multi = {
+        (r.q_vec_id, r.c_vec_id)
+        for r in similarity.lsh_multitable_topk(embs, qs).collect()
+    }
+    r1, r2 = len(one & truth) / len(truth), len(multi & truth) / len(truth)
+    assert r2 >= r1, (r1, r2)
+    assert r2 >= 0.30, r2  # measured 0.36 at sf0.001; floor pinned below
+    print(f"ann recall@10: 1-table={r1:.2f} 2-table={r2:.2f}")
