@@ -519,3 +519,57 @@ REPETITION_SQL = f"""
          top_word_fraction <= {REPETITION_TOP_WORD_MAX}
            AND dup_2gram_fraction <= {REPETITION_DUP_2GRAM_MAX} AS keep
   FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate — vocabulary-coverage quality signal: the fraction
+# of a document's tokens outside the corpus's top-K vocabulary. High OOV
+# flags boilerplate/garbled/foreign documents relative to the corpus core;
+# tokenizer teams watch the same number to size vocab budgets.
+
+OOV_VOCAB_K = 20  # small enough that the synthetic corpus has real OOV mass
+OOV_FLAG_THRESHOLD = 0.5
+
+
+def oov_ratio(documents: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-doc OOV stats against the corpus top-`k` vocabulary.
+
+    Two-pass by nature (the vocabulary IS a corpus aggregate): pass 1 is
+    `vocab_topk` — one token groupBy + TakeOrdered to k rows; pass 2
+    re-scans the corpus and broadcast-left-joins the k-row vocabulary into
+    the exploded token stream, then aggregates per doc_id. At 100 TB both
+    passes are one shuffle each (token-keyed, then doc-keyed, both
+    high-cardinality skew-free); the vocab side is k rows — always a
+    broadcast, never a shuffle join."""
+    vocab = F.broadcast(vocab_topk(documents, k).select("token").withColumn("_in", F.lit(1)))
+    tok = documents.select("doc_id", F.explode(_words()).alias("token"))
+    n_oov = F.count(F.when(F.col("_in").isNull(), 1))
+    return (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / F.count(F.lit(1))).alias("oov_ratio"),
+            (n_oov.cast("double") / F.count(F.lit(1)) > OOV_FLAG_THRESHOLD).alias(
+                "high_oov"
+            ),
+        )
+    )
+
+
+OOV_RATIO_SQL = f"""
+  WITH vocab AS (SELECT token FROM (
+          SELECT token, COUNT(*) AS n_occurrences
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+          GROUP BY token
+          ORDER BY n_occurrences DESC, token ASC LIMIT {OOV_VOCAB_K})),
+  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+         CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+           AS oov_ratio,
+         CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+           > {OOV_FLAG_THRESHOLD} AS high_oov
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id"""

@@ -93,6 +93,7 @@ def main() -> int:
             "tp_pack_sequences",
             "tp_corpus_report",
             "ann_topk_lsh_multi",
+            "ts_oov_ratio",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -280,3 +280,17 @@ def test_pack_sequences_running_layout(spark):
     assert (out[2].pack_id, out[2].pack_offset, out[2].crosses_boundary) == (0, 60, True)
     # shard 1 restarts its own running total
     assert (out[3].pack_id, out[3].pack_offset) == (0, 0)
+
+
+def test_oov_ratio_against_planted_vocab(spark):
+    """With k=2 the top-2 corpus tokens are in-vocab; a doc written
+    entirely in rare tokens must be flagged high-OOV with ratio 1.0."""
+    common = "aa bb aa bb aa bb aa bb"
+    rare = "zz yy xx ww vv uu tt ss"
+    docs = spark.createDataFrame(
+        [(1, common, "en", "web", len(common)), (2, rare, "en", "web", len(rare))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in textstats.oov_ratio(docs, k=2).collect()}
+    assert (out[1].n_oov, out[1].oov_ratio, out[1].high_oov) == (0, 0.0, False)
+    assert (out[2].n_oov, out[2].oov_ratio, out[2].high_oov) == (8, 1.0, True)
