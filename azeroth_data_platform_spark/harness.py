@@ -626,6 +626,10 @@ def q_tp_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_report(_docs(spark, sf_dir))
 
 
+def q_tp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(_docs(spark, sf_dir))
+
+
 def q_ts_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.oov_ratio(_docs(spark, sf_dir))
 
@@ -1111,6 +1115,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_corpus_report": q_tp_corpus_report,
     "ann_topk_lsh_multi": q_ann_lsh_multi,
     "ts_oov_ratio": q_ts_oov,
+    "tp_chunk_documents": q_tp_chunks,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1145,6 +1150,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_corpus_report": corpus.CORPUS_REPORT_SQL,
     "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "ts_oov_ratio": textstats.OOV_RATIO_SQL,
+    "tp_chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

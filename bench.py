@@ -94,6 +94,7 @@ def main() -> int:
             "tp_corpus_report",
             "ann_topk_lsh_multi",
             "ts_oov_ratio",
+            "tp_chunk_documents",
         )
         if q in harness.ALL_QUERIES
     ]

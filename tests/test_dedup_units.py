@@ -294,3 +294,25 @@ def test_oov_ratio_against_planted_vocab(spark):
     out = {r.doc_id: r for r in textstats.oov_ratio(docs, k=2).collect()}
     assert (out[1].n_oov, out[1].oov_ratio, out[1].high_oov) == (0, 0.0, False)
     assert (out[2].n_oov, out[2].oov_ratio, out[2].high_oov) == (8, 1.0, True)
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """A 10-token doc at size=4/stride=3 yields starts 0,3,6,9 with the
+    final chunks short; overlap regions must repeat verbatim."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "web", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(
+        corpus.chunk_documents(docs, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.start_token, r.n_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+    ]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[1].chunk_text == "t3 t4 t5 t6"  # one-token overlap with chunk 0
+    assert out[3].chunk_text == "t9"
