@@ -638,6 +638,14 @@ def q_ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_tp_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.select_representatives(_docs(spark, sf_dir))
+
+
+def q_dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.semantic_dedup(_embs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1116,6 +1124,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh_multi": q_ann_lsh_multi,
     "ts_oov_ratio": q_ts_oov,
     "tp_chunk_documents": q_tp_chunks,
+    "tp_keep_best": q_tp_keep_best,
+    "dd_semantic": q_dd_semantic,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1151,6 +1161,8 @@ ALL_ORACLES: dict[str, str] = {
     "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "ts_oov_ratio": textstats.OOV_RATIO_SQL,
     "tp_chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
+    "tp_keep_best": corpus.KEEP_BEST_SQL,
+    "dd_semantic": dedup.SEMANTIC_DEDUP_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -339,6 +339,77 @@ def chunk_documents(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cluster-representative selection — the "keep the BEST copy" refinement of
+# near-dup removal: instead of dropping every d2 of a dup pair (clean_corpus's
+# rule, which keeps the lowest doc_id), group near-dups into clusters and keep
+# the highest-QUALITY member of each. This is what production pipelines
+# actually ship: templated pages dedup to the canonical version, not the
+# first-crawled one.
+
+
+def select_representatives(documents: DataFrame) -> DataFrame:
+    """Per-doc verdict: cluster id (connected component of the MinHash-LSH
+    pair graph; singletons = own doc_id), quality score, cluster size, and
+    whether this doc is the cluster's representative (max quality, tie →
+    min doc_id).
+
+    Scale design: the window runs ONLY over the clustered subset — near-dup
+    clusters are a tiny fraction of any corpus, so `clustered` broadcasts
+    into both the inner join and the anti-join, and the full corpus never
+    pays a shuffle: singletons (the overwhelming majority) are a pure
+    projection union'd on. No corpus-wide Window.partitionBy anywhere.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup, textstats
+
+    clustered = dedup.neardup_clusters(documents)
+    ann = textstats.corpus_annotations(documents).select("doc_id", "quality_score")
+    in_cluster = ann.join(F.broadcast(clustered), "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id")
+    members = in_cluster.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w_rank) == 1).alias("is_representative"),
+        F.count(F.lit(1)).over(w_all).alias("cluster_size"),
+    )
+    singletons = ann.join(
+        F.broadcast(clustered.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        "quality_score",
+        F.lit(True).alias("is_representative"),
+        F.lit(1).cast("bigint").alias("cluster_size"),
+    )
+    return members.unionByName(singletons)
+
+
+def _keep_best_sql() -> str:
+    from . import dedup, textstats
+
+    return f"""
+  WITH cl AS (SELECT * FROM ({dedup.NEARDUP_CLUSTERS_SQL}) c),
+  q AS (SELECT doc_id, quality_score FROM ({textstats.QUALITY_SQL}) qq),
+  j AS (SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+               q.quality_score
+        FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id)
+  SELECT doc_id, cluster_id, quality_score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id ASC) = 1
+           AS is_representative,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM j"""
+
+
+KEEP_BEST_SQL = _keep_best_sql()
+
+
 CHUNK_DOCUMENTS_SQL = f"""
   WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
   starts AS (SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start_token

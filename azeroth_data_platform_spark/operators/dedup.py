@@ -696,3 +696,113 @@ def _embed_lsh_banded_sql(n_bands: int = 2) -> str:
 
 
 EMBED_LSH_BANDED_SQL = _embed_lsh_banded_sql()
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): partition the embedding space with a
+# coarse quantizer, then near-dup only WITHIN each cluster — the published
+# scale recipe for embedding-level corpus dedup (Abbas et al. 2023,
+# "SemDeDup": k-means partition, pairwise cosine inside clusters, keep one
+# representative per duplicate group). The cluster assignment bounds the
+# pairwise sweep to O(Σ |cluster|²) instead of O(n²): at 100 TB you raise
+# the centroid count proportionally so cluster sizes stay bounded, and the
+# per-cluster work is an equi-join on cid — never a cross product.
+
+SEMDEDUP_CENTROIDS = 8
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: `keep` = no lower-id vector in the same
+    coarse cluster with cosine ≥ `threshold` (min-id representative per
+    duplicate group survives, SemDeDup's "keep one per group" rule).
+
+    Centroids are the deterministic vec_id < `n_centroids` subset (exactly
+    the IVF coarse quantizer of similarity.ivf_topk, so the whole operator
+    stays SQL-oracle-checkable; swap in similarity.kmeans_centroids for
+    trained centroids — same plan shape, rows-only check). Assignment is
+    one broadcast argmin join; the within-cluster pair generation is an
+    equi-join on cid. The `+ rand·0` term is the optimizer barrier that
+    keeps the threshold filter OUT of the join condition (see
+    embedding_neardup — BNL/post-join predicates evaluate outside codegen
+    and would recompute the unrolled cosine per pair).
+    """
+    from ..functions.vectors import dot_sql
+
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    v = embeddings.alias("v")
+    c = cents.alias("c")
+    dist = F.expr(
+        f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    assigned = (
+        v.join(F.broadcast(c))
+        .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.expr(cosine_sql("a.embedding", "b.embedding")).alias("cosine"),
+        )
+        .where((F.col("cosine") + F.rand(44) * 0.0) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dups_lower"))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("n_dups_lower", F.lit(0).cast("bigint")).alias("n_dups_lower"),
+            (F.coalesce("n_dups_lower", F.lit(0).cast("bigint")) == 0).alias("keep"),
+        )
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from ..functions.vectors import dot_sql
+
+    dist = (
+        f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
+        f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
+    )
+    return f"""
+  WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+                 WHERE vec_id < {SEMDEDUP_CENTROIDS}),
+  assign_all AS (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM embeddings v CROSS JOIN cents c),
+  a AS (SELECT vec_id, embedding, cid FROM assign_all WHERE r = 1),
+  dups AS (
+    SELECT y.vec_id, COUNT(*) AS n_dups_lower
+    FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE {cosine_sql("x.embedding", "y.embedding", duck=True)} >= {SEMDEDUP_THRESHOLD}
+    GROUP BY y.vec_id)
+  SELECT a.vec_id, a.cid,
+         COALESCE(d.n_dups_lower, 0) AS n_dups_lower,
+         COALESCE(d.n_dups_lower, 0) = 0 AS keep
+  FROM a LEFT JOIN dups d ON a.vec_id = d.vec_id"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()

@@ -95,6 +95,8 @@ def main() -> int:
             "ann_topk_lsh_multi",
             "ts_oov_ratio",
             "tp_chunk_documents",
+            "tp_keep_best",
+            "dd_semantic",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -316,3 +316,62 @@ def test_chunk_documents_sliding_windows(spark):
     assert out[0].chunk_text == "t0 t1 t2 t3"
     assert out[1].chunk_text == "t3 t4 t5 t6"  # one-token overlap with chunk 0
     assert out[3].chunk_text == "t9"
+
+
+def test_select_representatives_keeps_best_quality(spark):
+    """Within a near-dup cluster the highest-quality member wins (not the
+    lowest doc_id); docs outside any cluster are singleton representatives."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    # Same 10-word unit repeated: the distinct 3-shingle set is identical
+    # for any repeat count >= 2, so jaccard = 1.0 and the two docs cluster.
+    # Doc 2 repeats past the 5000-char quality band -> lower quality than
+    # doc 7, so the representative must be 7 despite its higher id.
+    unit = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    low_q = unit * 90  # > 5000 chars -> quality 0.8
+    near = unit * 6  # in-band -> quality 1.0
+    other = "completely different content words " * 10
+    docs = spark.createDataFrame(
+        [
+            (2, low_q, "en", "web", len(low_q)),
+            (7, near, "en", "web", len(near)),
+            (9, other, "en", "web", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in corpus.select_representatives(docs).collect()}
+    assert set(out) == {2, 7, 9}
+    assert out[2].cluster_id == out[7].cluster_id == 2  # min-label cluster id
+    assert out[2].cluster_size == out[7].cluster_size == 2
+    assert not out[2].is_representative  # lower quality loses despite lower id
+    assert out[7].is_representative
+    assert out[9].is_representative and out[9].cluster_size == 1
+    assert out[9].cluster_id == 9
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """A vector is dropped only when a LOWER-id vector in the SAME coarse
+    cluster exceeds the cosine threshold; cross-cluster twins survive."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        # centroids (vec_id < 2 with n_centroids=2): orthogonal anchors
+        (0, vec(1, 0), 0),
+        (1, vec(0, 1), 0),
+        # near-dup of vec 0's cluster: same direction -> dropped (dup of 0)
+        (5, vec(2, 0.1), 0),
+        # assigned to cluster of centroid 1; cosine to 1 is high -> dropped
+        (6, vec(0.1, 3), 0),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(embs, threshold=0.9, n_centroids=2).collect()
+    }
+    assert out[0].keep and out[1].keep  # lowest ids of their clusters
+    assert out[0].cid == 0 and out[1].cid == 1
+    assert out[5].cid == 0 and not out[5].keep and out[5].n_dups_lower == 1
+    assert out[6].cid == 1 and not out[6].keep
