@@ -522,6 +522,75 @@ REPETITION_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction — the scrubbing stage every public-data training
+# pipeline runs before anything else: find emails, phone numbers, and IP
+# addresses, count them, and emit the redacted text. Pure regexp projection
+# (count on the raw text, chained regexp_replace for the redaction) — scan-
+# bound like the rest of the ts_* family. Patterns avoid backslash escapes
+# entirely ([.] for a literal dot, [0-9] classes) so the same literal string
+# is a valid, identical-semantics regex under both Java regex (Spark) and
+# RE2 (DuckDB oracle).
+#
+# The synthetic corpus contains no PII (verified: zero digits anywhere), so
+# the differential gate exercises the identity path end-to-end; the
+# match/redact behavior itself is unit-pinned in tests/test_dedup_units.py
+# with planted emails/phones/IPs.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (portable regex, replacement token)
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "[EMAIL]"),
+    "ipv4": ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "[IP]"),
+    "phone": ("[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+}
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Per-doc PII counts + redacted text.
+
+    Counts run against the ORIGINAL text; redaction chains the replacements
+    in PII_PATTERNS order (email → ipv4 → phone — emails and IPs first so a
+    digit run inside them is never half-eaten by the looser phone pattern).
+    """
+    counts = {
+        name: F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    scrubbed = F.col("text")
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return documents.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    scrubbed = "text"
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS.values()
+    )
+    return f"""
+  SELECT doc_id, {counts},
+         ({total}) > 0 AS has_pii,
+         {scrubbed} AS scrubbed_text
+  FROM documents"""
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+# ---------------------------------------------------------------------------
 # Out-of-vocabulary rate — vocabulary-coverage quality signal: the fraction
 # of a document's tokens outside the corpus's top-K vocabulary. High OOV
 # flags boilerplate/garbled/foreign documents relative to the corpus core;

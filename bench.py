@@ -97,6 +97,7 @@ def main() -> int:
             "tp_chunk_documents",
             "tp_keep_best",
             "dd_semantic",
+            "ts_pii_scrub",
         )
         if q in harness.ALL_QUERIES
     ]

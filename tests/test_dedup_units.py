@@ -375,3 +375,21 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out[0].cid == 0 and out[1].cid == 1
     assert out[5].cid == 0 and not out[5].keep and out[5].n_dups_lower == 1
     assert out[6].cid == 1 and not out[6].keep
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    """Planted email/IP/phone are counted and redacted; clean text passes
+    through byte-identical (the corpus-identity path the oracle checks)."""
+    dirty = "mail bob.smith+x@example.co.uk from 192.168.1.254 or call 555-867-5309 now"
+    clean = "no personal information in this perfectly ordinary sentence"
+    docs = spark.createDataFrame(
+        [(1, dirty, "en", "web", len(dirty)), (2, clean, "en", "web", len(clean))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in textstats.pii_scrub(docs).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[1].has_pii
+    assert out[1].scrubbed_text == "mail [EMAIL] from [IP] or call [PHONE] now"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert not out[2].has_pii
+    assert out[2].scrubbed_text == clean
