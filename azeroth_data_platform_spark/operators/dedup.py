@@ -196,29 +196,29 @@ def minhash_lsh_dedup(
     rows_per_band = seeds // bands
     sh = shingles(documents)
     base = _hex_int_sql("md5(sh)", duck=False)
-    pairs = ", ".join(
-        f"struct({s} AS seed, {_affine_sql(s, 'h0')} AS h)" for s in range(seeds)
-    )
-    seeded = (
+    # Signature in ONE shuffle: groupBy(doc_id) with `seeds` min-columns
+    # (map-side partial agg keeps one row per doc per map task). The
+    # explode-to-(doc, seed) form shuffles seeds× the shingle volume and
+    # needs two more shuffles (per-seed min, then per-band rollup) — at
+    # 100 TB that's the difference between one shingle-keyed exchange and
+    # three, 16× the bytes. Band keys are then a pure projection.
+    mh = (
         sh.withColumn("h0", F.expr(base))
-        .select("doc_id", F.explode(F.expr(f"array({pairs})")).alias("x"))
-        .select("doc_id", "x.seed", "x.h")
+        .groupBy("doc_id")
+        .agg(*[F.min(F.expr(_affine_sql(s, "h0"))).alias(f"mh{s}") for s in range(seeds)])
     )
-    mh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    band_key = F.md5(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda x: x["mh"].cast("string"),
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('-', {cols})) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"mh{s}" for s in range(b * rows_per_band, (b + 1) * rows_per_band)
             ),
-            "-",
         )
+        for b in range(bands)
     )
-    bands_df = (
-        mh.withColumn("band", F.expr(f"seed DIV {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(band_key.alias("band_key"))
-    )
+    bands_df = mh.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("x")
+    ).select("doc_id", "x.band", "x.band_key")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -263,18 +263,25 @@ def minhash_lsh_dedup(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+_MINHASH_ROWS_PER_BAND = MINHASH_SEEDS // LSH_BANDS
 MINHASH_LSH_SQL = f"""
   WITH {_shingle_sql()},
   {_SIZES_SQL},
   hashed AS (SELECT doc_id, {_hex_int_sql("md5(sh)", duck=True)} AS h0 FROM s),
-  seeded AS (SELECT doc_id, u.seed, u.h FROM hashed,
-             UNNEST([{", ".join(f"{{'seed': {s}, 'h': {_affine_sql(s, 'h0')}}}" for s in range(MINHASH_SEEDS))}])
-               AS t(u)),
-  mh AS (SELECT doc_id, seed, MIN(h) AS mh
-         FROM seeded GROUP BY doc_id, seed),
-  bands AS (SELECT doc_id, seed // {MINHASH_SEEDS // LSH_BANDS} AS band,
-                   md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed)) AS band_key
-            FROM mh GROUP BY doc_id, seed // {MINHASH_SEEDS // LSH_BANDS}),
+  mh AS (SELECT doc_id,
+                {", ".join(f"MIN({_affine_sql(s, 'h0')}) AS mh{s}" for s in range(MINHASH_SEEDS))}
+         FROM hashed GROUP BY doc_id),
+  bands AS (SELECT doc_id, u.band, u.band_key FROM mh,
+            UNNEST([{", ".join(
+                "{{'band': {b}, 'band_key': md5(concat_ws('-', {cols}))}}".format(
+                    b=b,
+                    cols=", ".join(
+                        f"mh{s}"
+                        for s in range(b * _MINHASH_ROWS_PER_BAND, (b + 1) * _MINHASH_ROWS_PER_BAND)
+                    ),
+                )
+                for b in range(LSH_BANDS)
+            )}]) AS t(u)),
   cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -443,9 +450,14 @@ def neardup_clusters(documents: DataFrame, max_iterations: int = 50) -> DataFram
     (GraphFrames uses the same alternating large/small-star variant).
     """
     pairs = minhash_lsh_dedup(documents).select("d1", "d2")
+    # The edge list is tiny (dup pairs only) but EXPENSIVE to produce (the
+    # full MinHash-LSH pass) — checkpoint it once so the per-round joins
+    # below reuse the materialized pairs instead of re-running the LSH
+    # lineage every iteration (measured: 12.3 s → ~6 s for the composed
+    # tp_keep_best at sf0.1).
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("d1").alias("node"))
         .distinct()
