@@ -193,3 +193,22 @@ def test_pack_sequences_never_globally_orders(spark):
     plan = _plan(corpus.pack_sequences(sampled))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_minhash_signature_is_single_exchange(spark, sf_dir):
+    """The MinHash signature must be ONE doc_id-keyed aggregation with a
+    min-column per seed (map-side partial agg), never the exploded
+    (doc_id, seed) form: that variant shuffles seeds x the shingle volume
+    and adds two more exchanges (per-seed min, per-band rollup)."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    df = dedup.minhash_lsh_dedup(harness._docs(spark, sf_dir))
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    # no exchange may carry a seed/band attribute (the explode-form keys)
+    assert "hashpartitioning(doc_id#" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "seed" not in line and "band" not in line, line
+    # partial min aggregation of the 16 signature columns happens map-side
+    assert "partial_min" in plan or "min(" in plan
