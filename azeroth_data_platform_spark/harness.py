@@ -650,6 +650,10 @@ def q_ts_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(_docs(spark, sf_dir))
 
 
+def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.quality_prune(_docs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1131,6 +1135,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_keep_best": q_tp_keep_best,
     "dd_semantic": q_dd_semantic,
     "ts_pii_scrub": q_ts_pii,
+    "tp_quality_prune": q_tp_quality_prune,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1169,6 +1174,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_keep_best": corpus.KEEP_BEST_SQL,
     "dd_semantic": dedup.SEMANTIC_DEDUP_SQL,
     "ts_pii_scrub": textstats.PII_SCRUB_SQL,
+    "tp_quality_prune": corpus.QUALITY_PRUNE_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -340,6 +340,48 @@ def chunk_documents(
 
 
 # ---------------------------------------------------------------------------
+# Quantile-threshold quality pruning — cut the corpus at a GLOBAL quality
+# percentile instead of a fixed score (the FineWeb-style "drop the bottom
+# X%" rule): the threshold adapts to the corpus distribution, so the same
+# pipeline config prunes a clean crawl lightly and a dirty one hard.
+
+PRUNE_QUANTILE = 0.1  # drop the bottom decile
+
+
+def quality_prune(documents: DataFrame, quantile: float = PRUNE_QUANTILE) -> DataFrame:
+    """Survivors of the global-quantile quality cut, annotated, with the
+    computed threshold carried on every row (pipeline provenance).
+
+    Two passes by nature — the threshold IS a corpus aggregate: pass 1
+    reduces the scan to ONE exact-percentile row (partial aggregation
+    map-side, a single final reduce task of #partitions pre-aggregated
+    sketches); pass 2 re-scans and filters against the broadcast scalar.
+    Exact `percentile` (not approx) because the oracle gate demands
+    bit-equality — it matches DuckDB's quantile_cont interpolation exactly
+    (same linear rule, proven by x_price_iqr_outliers); swap in
+    `approx_percentile` at 100 TB if a t-digest tolerance is acceptable.
+    """
+    ann = textstats.corpus_annotations(documents)
+    thresh = ann.agg(F.percentile("quality_score", quantile).alias("q_cut"))
+    return (
+        ann.crossJoin(F.broadcast(thresh))
+        .where(F.col("quality_score") >= F.col("q_cut"))
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred", "q_cut")
+    )
+
+
+QUALITY_PRUNE_SQL = f"""
+  WITH q AS (SELECT doc_id, n_tokens, quality_score FROM ({textstats.QUALITY_SQL}) qq),
+  lp AS (SELECT doc_id, lang_pred FROM ({textstats.LANGID_NGRAM_SQL}) ll),
+  ann AS (SELECT q.doc_id, q.n_tokens, q.quality_score, lp.lang_pred
+          FROM q JOIN lp ON q.doc_id = lp.doc_id),
+  t AS (SELECT quantile_cont(quality_score, {PRUNE_QUANTILE}) AS q_cut FROM ann)
+  SELECT ann.doc_id, ann.n_tokens, ann.quality_score, ann.lang_pred, t.q_cut
+  FROM ann CROSS JOIN t
+  WHERE ann.quality_score >= t.q_cut"""
+
+
+# ---------------------------------------------------------------------------
 # Cluster-representative selection — the "keep the BEST copy" refinement of
 # near-dup removal: instead of dropping every d2 of a dup pair (clean_corpus's
 # rule, which keeps the lowest doc_id), group near-dups into clusters and keep

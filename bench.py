@@ -98,6 +98,7 @@ def main() -> int:
             "tp_keep_best",
             "dd_semantic",
             "ts_pii_scrub",
+            "tp_quality_prune",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -393,3 +393,26 @@ def test_pii_scrub_redacts_planted_pii(spark):
     assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
     assert not out[2].has_pii
     assert out[2].scrubbed_text == clean
+
+
+def test_quality_prune_cuts_at_global_quantile(spark):
+    """With three distinct scores and quantile=0.5 the threshold is the
+    median score; only docs at or above it survive, and the computed cut
+    rides on every output row."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    top = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    mid = "tiny text"  # under the 50-char band -> 0.8
+    low = "the the the the"  # all stopwords + short -> 0.3
+    docs = spark.createDataFrame(
+        [
+            (1, top, "en", "web", len(top)),
+            (2, mid, "en", "web", len(mid)),
+            (3, low, "en", "web", len(low)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in corpus.quality_prune(docs, quantile=0.5).collect()}
+    assert set(out) == {1, 2}
+    assert abs(out[1].q_cut - 0.8) < 1e-12 and abs(out[2].q_cut - 0.8) < 1e-12
+    assert out[1].quality_score == 1.0
