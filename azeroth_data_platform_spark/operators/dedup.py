@@ -632,16 +632,60 @@ def embedding_neardup_lsh_banded(
     The distinct's key includes the cosine, which is safe: each band
     computes the identical expression on identical inputs, so duplicates
     are bit-equal. Exactness: output ⊆ `embedding_neardup` (precision 1.0,
-    pinned in tests/test_ann_recall.py)."""
-    bands = [
-        _embed_band_pairs(embeddings, start=b * 6, probe_hamming=probe_hamming,
-                          threshold=threshold, planes=6)
-        for b in range(n_bands)
-    ]
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.union(b)
-    return out.distinct()
+    pinned in tests/test_ann_recall.py).
+
+    Scan story: ONE pass over the corpus — every vector explodes into its
+    (band, bucket) pair per band and candidates come from a single
+    equi-join on the composite (band, bucket) key, instead of re-scanning
+    the corpus once per band (at 100 TB the scan dominates: L-band
+    fan-out-in-one-pass is 1× I/O, per-band scans are L×)."""
+    import itertools
+
+    from .similarity import lsh_bucket_sql
+
+    base = embeddings.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(lsh_bucket_sql("embedding", planes=6, start=b * 6)).alias(f"_b{b}")
+            for b in range(n_bands)
+        ],
+    )
+    plain_structs = ", ".join(
+        f"struct({b} AS band, _b{b} AS bucket)" for b in range(n_bands)
+    )
+    c = base.select(
+        "vec_id", "embedding", F.explode(F.expr(f"array({plain_structs})")).alias("x")
+    ).select("vec_id", "embedding", "x.band", "x.bucket").alias("c")
+    probe_structs = []
+    for b in range(n_bands):
+        masks = [0]
+        for r in range(1, probe_hamming + 1):
+            masks += [
+                sum(1 << p for p in bits)
+                for bits in itertools.combinations(range(6), r)
+            ]
+        probe_structs += [
+            f"struct({b} AS band, _b{b} ^ {m} AS bucket)" if m else
+            f"struct({b} AS band, _b{b} AS bucket)"
+            for m in masks
+        ]
+    a = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.expr(f"array({', '.join(probe_structs)})")).alias("x"),
+    ).select("vec_id", "embedding", "x.band", "x.bucket").alias("a")
+    return (
+        a.join(c, ["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("c.vec_id").alias("v2"),
+            F.expr(cosine_sql("a.embedding", "c.embedding")).alias("cosine"),
+        )
+        .where((F.col("cosine") + F.rand(43) * 0.0) >= threshold)
+        .distinct()
+    )
 
 
 def _embed_band_pairs(

@@ -216,16 +216,67 @@ def lsh_multitable_topk(
     the near-uniform corpus (and compounding toward 1 at the realistic
     cosine ≥ 0.9 regime, like the dedup twin).
 
-    Cost: one corpus scan + one broadcast equi-join per table (linear in
-    tables, never pairwise), then a distinct over scored candidates —
-    pairs colliding in several tables compute the identical cosine in
-    each, so the distinct dedups exactly and the two-phase rank sees each
-    candidate once."""
-    scored = _lsh_table_scored(embeddings, queries, start=0)
-    for t in range(1, n_tables):
-        scored = scored.union(
-            _lsh_table_scored(embeddings, queries, start=t * LSH_PLANES)
+    Cost: ONE corpus scan total — each vector explodes into its
+    (table, bucket) pair per table and the candidate join is a single
+    equi-join on the composite (table, bucket) key (the standard E2LSH
+    layout). The per-table-scan alternative reads the corpus L times —
+    at 100 TB the scan IS the dominant cost, so fan-out-in-one-pass is
+    the difference between 1× and L× I/O. A (q, c) pair can still
+    collide in several tables; each collision computes the identical
+    cosine, so the distinct over scored candidates dedups exactly and
+    the two-phase rank sees each candidate once."""
+    bucket_structs = ", ".join(
+        f"struct({t} AS tbl, {lsh_bucket_sql('embedding', start=t * LSH_PLANES)} AS bucket)"
+        for t in range(n_tables)
+    )
+    c = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_sql("embedding")).alias("c_nrm"),
+            F.explode(F.expr(f"array({bucket_structs})")).alias("x"),
         )
+        .select("vec_id", "embedding", "c_nrm", "x.tbl", "x.bucket")
+        .alias("c")
+    )
+    probe_structs = ", ".join(
+        f"struct({t} AS tbl, {b} AS bucket)"
+        for t in range(n_tables)
+        for b in (
+            [f"_b{t}"] + [f"_b{t} ^ {1 << p}" for p in range(LSH_PLANES)]
+        )
+    )
+    q = (
+        queries.select(
+            "vec_id",
+            "embedding",
+            F.expr(norm_sql("embedding")).alias("q_nrm"),
+            *[
+                F.expr(lsh_bucket_sql("embedding", start=t * LSH_PLANES)).alias(f"_b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_embedding"),
+            "q_nrm",
+            F.explode(F.expr(f"array({probe_structs})")).alias("x"),
+        )
+        .select("q_vec_id", "q_embedding", "q_nrm", "x.tbl", "x.bucket")
+        .alias("q")
+    )
+    cos = F.expr(
+        cosine_with_norms_sql("q.q_embedding", "c.embedding", "q.q_nrm", "c.c_nrm")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .where(F.col("c.vec_id") != F.col("q.q_vec_id"))
+        .select(
+            F.col("q.q_vec_id").alias("q_vec_id"),
+            F.col("c.vec_id").alias("c_vec_id"),
+            cos.alias("cosine"),
+        )
+    )
     return _two_phase_topk(scored.distinct(), k)
 
 
