@@ -808,8 +808,8 @@ QUERIES: dict[str, QueryFn] = {
     "dd_exact": q_dd_exact,
     "dd_minhash_lsh": q_dd_minhash,
     "dd_simhash_banded": q_dd_simhash_banded,
-    "dd_neardup_clusters": q_dd_clusters,
-    "dd_embed_neardup": q_dd_embed,
+    "tp_keep_best": q_tp_keep_best,
+    "dd_semantic": q_dd_semantic,
     "dd_embed_lsh": q_dd_embed_lsh,
     "tp_clean_corpus": q_tp_clean_corpus,
     "tp_train_sample": q_tp_train_sample,
@@ -820,7 +820,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
     "ts_token_stats": q_ts_tokens,
-    "ts_quality_score": q_ts_quality,
+    "tp_quality_prune": q_tp_quality_prune,
     "ts_language_id": q_ts_langid,
     "ts_fingerprint": q_ts_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,
@@ -1056,8 +1056,8 @@ ORACLES: dict[str, str] = {
     "tp_decontaminate": corpus.DECONTAMINATE_SQL,
     "tp_pack_sequences": corpus.PACK_SEQUENCES_SQL,
     "ts_repetition": textstats.REPETITION_SQL,
-    "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
-    "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
+    "tp_keep_best": corpus.KEEP_BEST_SQL,
+    "dd_semantic": dedup.SEMANTIC_DEDUP_SQL,
     "dd_embed_lsh": dedup.EMBED_LSH_SQL,
     "ann_topk_bruteforce": similarity.BRUTE_FORCE_TOPK_SQL,
     "ann_topk_lsh": similarity.lsh_bucketed_topk_sql(),
@@ -1076,7 +1076,7 @@ ORACLES: dict[str, str] = {
              CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
       FROM q LEFT JOIN o ON q.item_id = o.item_id""",
     "ts_token_stats": textstats.TOKEN_STATS_SQL,
-    "ts_quality_score": textstats.QUALITY_SQL,
+    "tp_quality_prune": corpus.QUALITY_PRUNE_SQL,
     "ts_language_id": textstats.LANGID_SQL,
     "ts_fingerprint": textstats.FINGERPRINT_SQL,
     "mm_binary_stats": multimodal.BINARY_STATS_SQL,
@@ -1132,10 +1132,15 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh_multi": q_ann_lsh_multi,
     "ts_oov_ratio": q_ts_oov,
     "tp_chunk_documents": q_tp_chunks,
-    "tp_keep_best": q_tp_keep_best,
-    "dd_semantic": q_dd_semantic,
     "ts_pii_scrub": q_ts_pii,
-    "tp_quality_prune": q_tp_quality_prune,
+    # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
+    # promoted into the 50-slot driver registry: cluster ids are
+    # hash-checked inside tp_keep_best (cluster_id column), the quality
+    # formula inside tp_quality_prune (quality_score column), and the
+    # pairwise-cosine expression inside dd_embed_lsh's verify stage
+    "dd_neardup_clusters": q_dd_clusters,
+    "dd_embed_neardup": q_dd_embed,
+    "ts_quality_score": q_ts_quality,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1171,10 +1176,10 @@ ALL_ORACLES: dict[str, str] = {
     "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "ts_oov_ratio": textstats.OOV_RATIO_SQL,
     "tp_chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
-    "tp_keep_best": corpus.KEEP_BEST_SQL,
-    "dd_semantic": dedup.SEMANTIC_DEDUP_SQL,
     "ts_pii_scrub": textstats.PII_SCRUB_SQL,
-    "tp_quality_prune": corpus.QUALITY_PRUNE_SQL,
+    "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
+    "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
+    "ts_quality_score": textstats.QUALITY_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -82,7 +82,7 @@ def test_embed_neardup_filter_not_pushed_into_bnl_join(spark, sf_dir):
     interpreted predicate would evaluate the unrolled dot product per pair
     and the projection would recompute it (dedup.embedding_neardup's
     rand-term barrier; Spark 4.1 eliminated the round-1 when(rand) guard)."""
-    df = harness.QUERIES["dd_embed_neardup"](spark, sf_dir)
+    df = harness.ALL_QUERIES["dd_embed_neardup"](spark, sf_dir)
     plan = _plan(df)
     assert "rand(" in plan  # the barrier survived optimization
     join_lines = [l for l in plan.splitlines() if "Join" in l or "CartesianProduct" in l]
