@@ -654,6 +654,10 @@ def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
 
+def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.incremental_dedup(_docs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1141,6 +1145,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_neardup_clusters": q_dd_clusters,
     "dd_embed_neardup": q_dd_embed,
     "ts_quality_score": q_ts_quality,
+    "dd_incremental": q_dd_incremental,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1180,6 +1185,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
+    "dd_incremental": dedup.INCREMENTAL_DEDUP_SQL,
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -193,15 +193,34 @@ def minhash_lsh_dedup(
     sharing any band bucket (equi-join — the whole point: no pairwise
     comparison until after bucketing).
     """
-    rows_per_band = seeds // bands
     sh = shingles(documents)
+    bands_df = _minhash_bands(sh, seeds, bands)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _verify_jaccard(sh, cand).where(F.col("jaccard") >= threshold)
+
+
+def _minhash_bands(sh: DataFrame, seeds: int = MINHASH_SEEDS, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) LSH bucket relation from a shingle relation.
+
+    Signature in ONE shuffle: groupBy(doc_id) with `seeds` min-columns
+    (map-side partial agg keeps one row per doc per map task). The
+    explode-to-(doc, seed) form shuffles seeds× the shingle volume and
+    needs two more shuffles (per-seed min, then per-band rollup) — at
+    100 TB that's the difference between one shingle-keyed exchange and
+    three, 16× the bytes. Band keys are then a pure projection."""
+    rows_per_band = seeds // bands
     base = _hex_int_sql("md5(sh)", duck=False)
-    # Signature in ONE shuffle: groupBy(doc_id) with `seeds` min-columns
-    # (map-side partial agg keeps one row per doc per map task). The
-    # explode-to-(doc, seed) form shuffles seeds× the shingle volume and
-    # needs two more shuffles (per-seed min, then per-band rollup) — at
-    # 100 TB that's the difference between one shingle-keyed exchange and
-    # three, 16× the bytes. Band keys are then a pure projection.
     mh = (
         sh.withColumn("h0", F.expr(base))
         .groupBy("doc_id")
@@ -216,28 +235,21 @@ def minhash_lsh_dedup(
         )
         for b in range(bands)
     )
-    bands_df = mh.select(
+    return mh.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("x")
     ).select("doc_id", "x.band", "x.band_key")
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    # Verify ONLY candidate pairs: broadcast the (tiny) candidate set and
-    # intersect the two shingle lists per pair — two broadcast equi-joins
-    # over the shingle relation. The naive alternative (full pairwise
-    # jaccard semi-joined with candidates afterwards) re-runs the shingle
-    # self-join over every co-shingled pair, which is exactly the
-    # quadratic sweep LSH exists to avoid — measured 1.6× slower at sf0.1
-    # and catastrophically worse at scale.
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact jaccard for a (d1, d2) candidate relation.
+
+    Verify ONLY candidate pairs: broadcast the (tiny) candidate set and
+    intersect the two shingle lists per pair — two broadcast equi-joins
+    over the shingle relation. The naive alternative (full pairwise
+    jaccard semi-joined with candidates afterwards) re-runs the shingle
+    self-join over every co-shingled pair, which is exactly the
+    quadratic sweep LSH exists to avoid — measured 1.6× slower at sf0.1
+    and catastrophically worse at scale."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
@@ -248,7 +260,7 @@ def minhash_lsh_dedup(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    verified = (
+    return (
         common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
         .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
         .select(
@@ -260,13 +272,14 @@ def minhash_lsh_dedup(
             ).alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= threshold)
 
 
 _MINHASH_ROWS_PER_BAND = MINHASH_SEEDS // LSH_BANDS
-MINHASH_LSH_SQL = f"""
-  WITH {_shingle_sql()},
-  {_SIZES_SQL},
+
+
+def _minhash_bands_sql() -> str:
+    """The hashed/mh/bands CTE text shared by every MinHash-banded oracle."""
+    return f"""
   hashed AS (SELECT doc_id, {_hex_int_sql("md5(sh)", duck=True)} AS h0 FROM s),
   mh AS (SELECT doc_id,
                 {", ".join(f"MIN({_affine_sql(s, 'h0')}) AS mh{s}" for s in range(MINHASH_SEEDS))}
@@ -281,7 +294,13 @@ MINHASH_LSH_SQL = f"""
                     ),
                 )
                 for b in range(LSH_BANDS)
-            )}]) AS t(u)),
+            )}]) AS t(u))"""
+
+
+MINHASH_LSH_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  {_minhash_bands_sql()},
   cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
            FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -289,6 +308,70 @@ MINHASH_LSH_SQL = f"""
             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
   SELECT p.d1, p.d2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+  FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
+       JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
+  WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup — dedup a NEW batch against an existing
+# REFERENCE corpus: the asymmetric variant every ongoing pipeline runs when
+# a fresh crawl lands (drop new docs already represented in the training
+# set). Same MinHash-banded machinery, but the candidate join is
+# new-side × reference-side instead of a self-join — and the signature
+# pass runs ONCE over the union (both sides share the bands relation).
+# Self-contained on the test data: doc_id % INCR_REF_MOD == 0 is the
+# reference slice; in production the reference bands are a materialized
+# table maintained incrementally (append new survivors' bands each run).
+
+INCR_REF_MOD = 5
+
+
+def incremental_dedup(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """(d_new, d_ref, jaccard) for every new-batch doc whose shingle set
+    matches a reference doc at `threshold` — the drop-list of the
+    incremental run. Candidates come from the banded equi-join of new
+    bands × reference bands (linear shuffles, no self-join blow-up);
+    only candidates pay the exact-jaccard verify."""
+    sh = shingles(documents)
+    bands_df = _minhash_bands(sh)
+    is_ref = F.col("doc_id") % INCR_REF_MOD == 0
+    a = bands_df.where(~is_ref).alias("a")
+    b = bands_df.where(is_ref).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return (
+        _verify_jaccard(sh, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("d1").alias("d_new"), F.col("d2").alias("d_ref"), "jaccard"
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  {_minhash_bands_sql()},
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id % {INCR_REF_MOD} <> 0 AND b.doc_id % {INCR_REF_MOD} = 0),
+  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM s a JOIN s b ON a.sh = b.sh
+             AND a.doc_id % {INCR_REF_MOD} <> 0 AND b.doc_id % {INCR_REF_MOD} = 0
+            GROUP BY a.doc_id, b.doc_id)
+  SELECT p.d1 AS d_new, p.d2 AS d_ref,
+         CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
   FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
        JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
   WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}"""

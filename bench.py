@@ -99,6 +99,7 @@ def main() -> int:
             "dd_semantic",
             "ts_pii_scrub",
             "tp_quality_prune",
+            "dd_incremental",
         )
         if q in harness.ALL_QUERIES
     ]

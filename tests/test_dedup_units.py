@@ -416,3 +416,26 @@ def test_quality_prune_cuts_at_global_quantile(spark):
     assert set(out) == {1, 2}
     assert abs(out[1].q_cut - 0.8) < 1e-12 and abs(out[2].q_cut - 0.8) < 1e-12
     assert out[1].quality_score == 1.0
+
+
+def test_incremental_dedup_flags_only_new_vs_reference(spark):
+    """A new doc near-identical to a reference doc is flagged; near-dup
+    pairs WITHIN the new batch are not (that's minhash_lsh_dedup's job);
+    reference docs never appear on the new side."""
+    unit = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    ref = unit * 6
+    new_dup = unit * 8  # same distinct shingle set as ref -> jaccard 1.0
+    new_dup2 = unit * 9  # dup of new_dup but also of ref
+    unrelated = "totally different words about spark catalyst plans here today"
+    docs = spark.createDataFrame(
+        [
+            (5, ref, "en", "web", len(ref)),  # doc_id % 5 == 0 -> reference
+            (6, new_dup, "en", "web", len(new_dup)),
+            (7, new_dup2, "en", "web", len(new_dup2)),
+            (8, unrelated, "en", "web", len(unrelated)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.d_new, r.d_ref): r.jaccard for r in dedup.incremental_dedup(docs).collect()}
+    assert set(out) == {(6, 5), (7, 5)}  # new-vs-ref only, no (6, 7) pair
+    assert out[(6, 5)] == 1.0
