@@ -658,6 +658,10 @@ def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(_docs(spark, sf_dir))
 
 
+def q_ann_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_sq8(_embs(spark, sf_dir))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1146,6 +1150,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_embed_neardup": q_dd_embed,
     "ts_quality_score": q_ts_quality,
     "dd_incremental": q_dd_incremental,
+    "ann_quantize_sq8": q_ann_quantize,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1186,6 +1191,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
     "dd_incremental": dedup.INCREMENTAL_DEDUP_SQL,
+    "ann_quantize_sq8": similarity.quantize_sq8_sql(),
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -411,6 +411,84 @@ def ivf_topk_sql() -> str:
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the storage side of vector search at scale:
+# per-dimension min/max codebook over the corpus, each vector compressed to
+# one int8 code per dimension (4× smaller than float32; what IVF-SQ8 /
+# billion-vector stores ship). Reported per vector with its max absolute
+# reconstruction error so the accuracy cost is measured, not assumed.
+
+SQ8_LEVELS = 255
+
+
+def _sq8_exprs(duck: bool) -> tuple[str, str]:
+    """(codes, max_abs_err) expression templates — identical arithmetic
+    trees in both engines (all double, floor/abs/max only: every op is
+    correctly rounded or exact, so the differential gate stays exact).
+    code_i = floor((x_i - mn_i) * 255 / (mx_i - mn_i)), clamped by
+    construction to [0, 255]; recon_i = mn_i + (code_i + 0.5) * width_i/255.
+    """
+    if duck:
+        x = "CAST(embedding[i] AS DOUBLE)"
+        mn = "CAST(mns[i] AS DOUBLE)"
+        mx = "CAST(mxs[i] AS DOUBLE)"
+        rng = "range(1, len(embedding) + 1)"
+        code = f"floor(({x} - {mn}) * {SQ8_LEVELS}.0 / nullif({mx} - {mn}, 0.0))"
+        codes = f"[CAST({code} AS INTEGER) FOR i IN {rng}]"
+        recon = f"({mn} + ({code} + 0.5) * ({mx} - {mn}) / {SQ8_LEVELS}.0)"
+        err = f"list_max([abs({recon} - {x}) FOR i IN {rng}])"
+    else:
+        x = "CAST(element_at(embedding, i) AS DOUBLE)"
+        mn = "CAST(element_at(mns, i) AS DOUBLE)"
+        mx = "CAST(element_at(mxs, i) AS DOUBLE)"
+        rng = "sequence(1, size(embedding))"
+        code = f"floor(({x} - {mn}) * {SQ8_LEVELS}.0 / nullif({mx} - {mn}, 0.0D))"
+        codes = f"transform({rng}, i -> CAST({code} AS INT))"
+        recon = f"({mn} + ({code} + 0.5) * ({mx} - {mn}) / {SQ8_LEVELS}.0)"
+        err = f"array_max(transform({rng}, i -> abs({recon} - {x})))"
+    return codes, err
+
+
+def quantize_sq8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector SQ8 codes + max reconstruction error.
+
+    Two passes by nature (the codebook IS a corpus aggregate): pass 1
+    reduces the corpus to one 2×dim codebook row — posexplode feeds a
+    groupBy(pos) min/max (map-side combined, dim-bounded output), then a
+    single-row assembly. Pass 2 re-scans and quantizes against the
+    broadcast codebook — a pure projection, scan-bound. At 100 TB pass 1
+    is one cheap reduction and pass 2 is the write path of the compressed
+    index; nothing shuffles by vector."""
+    dims = embeddings.select(F.posexplode("embedding").alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    codebook = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    codes, err = _sq8_exprs(duck=False)
+    return embeddings.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        F.expr(codes).alias("codes"),
+        F.expr(err).alias("max_abs_err"),
+    )
+
+
+def quantize_sq8_sql() -> str:
+    codes, err = _sq8_exprs(duck=True)
+    return f"""
+  WITH dims AS (SELECT t.i AS pos, embedding[t.i] AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+  stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+  codebook AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+               FROM stats)
+  SELECT vec_id, {codes} AS codes, {err} AS max_abs_err
+  FROM embeddings CROSS JOIN codebook"""
+
+
 def lsh_bucketed_topk_sql() -> str:
     bucket = lsh_bucket_sql("embedding", duck=True)
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)])

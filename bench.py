@@ -100,6 +100,7 @@ def main() -> int:
             "ts_pii_scrub",
             "tp_quality_prune",
             "dd_incremental",
+            "ann_quantize_sq8",
         )
         if q in harness.ALL_QUERIES
     ]

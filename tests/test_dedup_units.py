@@ -439,3 +439,22 @@ def test_incremental_dedup_flags_only_new_vs_reference(spark):
     out = {(r.d_new, r.d_ref): r.jaccard for r in dedup.incremental_dedup(docs).collect()}
     assert set(out) == {(6, 5), (7, 5)}  # new-vs-ref only, no (6, 7) pair
     assert out[(6, 5)] == 1.0
+
+
+def test_quantize_sq8_codes_and_error_bound(spark):
+    """With a known per-dimension range the codes are exact: min maps to 0,
+    max to 255 (the top level), and every reconstruction error is bounded
+    by half a quantization step."""
+    rows = [
+        (0, [0.0] * 64, 0),
+        (1, [1.0] * 64, 0),
+        (2, [0.5] * 64, 0),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in similarity.quantize_sq8(embs).collect()}
+    assert out[0].codes == [0] * 64
+    assert out[1].codes == [255] * 64
+    assert out[2].codes == [127] * 64  # floor(0.5 * 255) = 127
+    step = 1.0 / 255
+    for r in out.values():
+        assert r.max_abs_err <= step / 2 + 1e-12
