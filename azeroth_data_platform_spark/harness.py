@@ -662,6 +662,11 @@ def q_ann_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_sq8(_embs(spark, sf_dir))
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.sq8_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1151,6 +1156,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ts_quality_score": q_ts_quality,
     "dd_incremental": q_dd_incremental,
     "ann_quantize_sq8": q_ann_quantize,
+    "ann_topk_sq8": q_ann_sq8_topk,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1192,6 +1198,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_quality_score": textstats.QUALITY_SQL,
     "dd_incremental": dedup.INCREMENTAL_DEDUP_SQL,
     "ann_quantize_sq8": similarity.quantize_sq8_sql(),
+    "ann_topk_sq8": similarity.sq8_topk_sql(),
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "x_topk_orders": """

@@ -489,6 +489,77 @@ def quantize_sq8_sql() -> str:
   FROM embeddings CROSS JOIN codebook"""
 
 
+def _sq8_recon_expr(duck: bool) -> str:
+    """Quantize-then-dequantize reconstruction array (the values a search
+    over the stored codes actually sees) — same double template as
+    _sq8_exprs, fused so the oracle needs no intermediate codes column."""
+    if duck:
+        x = "CAST(embedding[i] AS DOUBLE)"
+        mn = "CAST(mns[i] AS DOUBLE)"
+        mx = "CAST(mxs[i] AS DOUBLE)"
+        rng = "range(1, len(embedding) + 1)"
+        code = f"floor(({x} - {mn}) * {SQ8_LEVELS}.0 / nullif({mx} - {mn}, 0.0))"
+        return f"[({mn} + ({code} + 0.5) * ({mx} - {mn}) / {SQ8_LEVELS}.0) FOR i IN {rng}]"
+    x = "CAST(element_at(embedding, i) AS DOUBLE)"
+    mn = "CAST(element_at(mns, i) AS DOUBLE)"
+    mx = "CAST(element_at(mxs, i) AS DOUBLE)"
+    rng = "sequence(1, size(embedding))"
+    code = f"floor(({x} - {mn}) * {SQ8_LEVELS}.0 / nullif({mx} - {mn}, 0.0D))"
+    return f"transform({rng}, i -> ({mn} + ({code} + 0.5) * ({mx} - {mn}) / {SQ8_LEVELS}.0))"
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """ANN top-k over the SQ8-compressed corpus: asymmetric distance — the
+    query stays full-precision, every candidate is scored on its
+    RECONSTRUCTED vector (what the stored int8 codes decode to). This is
+    how a compressed index is actually searched (ADC); ranking error is
+    bounded by the quantization step, and measured recall vs the exact
+    scan is pinned in tests/test_ann_recall.py. Same scan/broadcast/
+    two-phase-rank shape as brute_force_topk — compression changes the
+    bytes read (4× fewer at 100 TB), not the plan."""
+    dims = embeddings.select(F.posexplode("embedding").alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    codebook = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    recon = embeddings.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", F.expr(_sq8_recon_expr(duck=False)).alias("embedding")
+    )
+    return brute_force_topk(recon, queries, k)
+
+
+def sq8_topk_sql() -> str:
+    recon = _sq8_recon_expr(duck=True)
+    return f"""
+  WITH dims AS (SELECT t.i AS pos, embedding[t.i] AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+  stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+  codebook AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+               FROM stats),
+  recon AS (SELECT vec_id, {recon} AS embedding
+            FROM embeddings CROSS JOIN codebook),
+  normed AS (SELECT vec_id, embedding,
+                    {norm_sql("embedding", duck=True)} AS nrm
+             FROM recon),
+  qn AS (SELECT vec_id, embedding, {norm_sql("embedding", duck=True)} AS nrm
+         FROM embeddings WHERE vec_id < {N_QUERIES}),
+  scored AS (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM normed c JOIN qn q ON c.vec_id <> q.vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, c_vec_id ASC) AS rank
+    FROM scored)
+  SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def lsh_bucketed_topk_sql() -> str:
     bucket = lsh_bucket_sql("embedding", duck=True)
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)])

@@ -101,6 +101,7 @@ def main() -> int:
             "tp_quality_prune",
             "dd_incremental",
             "ann_quantize_sq8",
+            "ann_topk_sq8",
         )
         if q in harness.ALL_QUERIES
     ]

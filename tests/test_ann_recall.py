@@ -181,3 +181,17 @@ def test_lsh_multitable_amplifies_ann_recall(spark, sf_dir):
     assert r2 >= r1, (r1, r2)
     assert r2 >= 0.30, r2  # measured 0.36 at sf0.001; floor pinned below
     print(f"ann recall@10: 1-table={r1:.2f} 2-table={r2:.2f}")
+
+
+def test_sq8_search_recall_near_exact(spark, sf_dir):
+    """Asymmetric search over SQ8-reconstructed vectors: quantization moves
+    each coordinate by at most half a step, so the ranking should nearly
+    match the exact scan — pin the measured floor (0.9 recall@10 at
+    sf0.001; re-measure before tightening)."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    exact = _topk_sets(similarity.brute_force_topk(embs, queries))
+    sq8 = _topk_sets(similarity.sq8_topk(embs, queries))
+    hits = sum(len(sq8.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, hits / total
