@@ -883,12 +883,19 @@ def semantic_dedup(
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    # The assignment relation feeds three plan branches (both sides of the
+    # pair self-join + the final verdict select) and Spark does not CSE
+    # across branches — checkpoint it once so the broadcast-argmin pass
+    # runs 1×, not 3×. At scale this is the quantizer-assignment table a
+    # pipeline persists anyway (plan-pinned: exactly one
+    # BroadcastNestedLoopJoin in the executed plan).
     assigned = (
         v.join(F.broadcast(c))
         .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
         .select("vec_id", "embedding", "cid")
+        .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")

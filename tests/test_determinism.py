@@ -19,6 +19,14 @@ CHECK = [
     "tp_pack_sequences",
     "tp_decontaminate",
     "ts_repetition",
+    # continuation additions: representative selection (window over the
+    # clustered subset), semantic dedup (within-cluster pair counting),
+    # global-quantile pruning (exact percentile), SQ8 quantization
+    # (min/max codebook + double reconstruction arithmetic)
+    "tp_keep_best",
+    "dd_semantic",
+    "tp_quality_prune",
+    "ann_quantize_sq8",
 ]
 
 
@@ -26,11 +34,15 @@ def _run(spark, name, sf_dir, partitions):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        df = harness.QUERIES[name](spark, sf_dir).toPandas()
+        df = harness.ALL_QUERIES[name](spark, sf_dir).toPandas()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     cols = sorted(df.columns)
-    return df.reindex(cols, axis=1).sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    df = df.reindex(cols, axis=1)
+    for c in cols:  # array columns (e.g. SQ8 codes) aren't sortable raw
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 
 def test_results_identical_across_parallelism(spark, sf_dir):

@@ -212,3 +212,25 @@ def test_minhash_signature_is_single_exchange(spark, sf_dir):
             assert "seed" not in line and "band" not in line, line
     # partial min aggregation of the 16 signature columns happens map-side
     assert "partial_min" in plan or "min(" in plan
+
+
+def test_new_pipeline_ops_avoid_cross_products(spark, sf_dir):
+    """The continuation families must keep their scale shapes: incremental
+    dedup's candidate generation is a banded equi-join, semantic dedup's
+    pair generation is an equi-join on the cluster id, and the only
+    nested-loop joins anywhere are broadcast one-row scalars (SQ8
+    codebook, quantile threshold)."""
+    plan = _plan(harness.ALL_QUERIES["dd_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # banded equi-join only
+    # dd_semantic: the ONLY nested loop allowed is the broadcast argmin
+    # against the k-row centroid relation (IVF's assign); the pair join
+    # must be an equi-join on cid
+    plan = _plan(harness.ALL_QUERIES["dd_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for name in ("ann_quantize_sq8", "tp_quality_prune", "ann_topk_sq8"):
+        plan = _plan(harness.ALL_QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # the scalar/codebook side must ride a broadcast, never a shuffle
+        assert "Broadcast" in plan, name
