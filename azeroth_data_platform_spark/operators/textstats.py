@@ -57,12 +57,14 @@ def _marker_count(markers: tuple[str, ...]) -> F.Column:
     return F.expr(f"size(filter(split(text, ' '), w -> {cond}))")
 
 
-def corpus_annotations(documents: DataFrame) -> DataFrame:
+def corpus_annotations(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Quality score + trigram language prediction in ONE scan-bound
     projection — the fused annotation stage `clean_corpus` uses instead of
     joining `quality_score` ⋈ `language_id_ngram` on doc_id (two scans of
     the same table plus a doc-count shuffle, for columns that are all
-    per-row expressions)."""
+    per-row expressions). `carry` passes extra input columns through
+    unchanged (the streaming ingest path keeps its content_hash / PII
+    columns without a join)."""
     words = _words()
     n_tokens = F.size(words)
     stop_cond = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
@@ -84,6 +86,7 @@ def corpus_annotations(documents: DataFrame) -> DataFrame:
     )
     out = documents.select(
         "doc_id",
+        *carry,
         "text",
         n_tokens.alias("n_tokens"),
         score.alias("quality_score"),
@@ -99,7 +102,9 @@ def corpus_annotations(documents: DataFrame) -> DataFrame:
     tpred = F.lit("und")
     for code in sorted(TRIGRAM_PROFILES, reverse=True):
         tpred = F.when((tbest > 0) & (F.col(f"tscore_{code}") == tbest), code).otherwise(tpred)
-    return out.select("doc_id", "n_tokens", "quality_score", tpred.alias("lang_pred"))
+    return out.select(
+        "doc_id", *carry, "n_tokens", "quality_score", tpred.alias("lang_pred")
+    )
 
 
 def quality_score(documents: DataFrame) -> DataFrame:

@@ -48,3 +48,46 @@ def annotate_ingest(documents: DataFrame) -> DataFrame:
     from ..operators import textstats
 
     return textstats.corpus_annotations(documents)
+
+
+def ingest_pipeline(documents: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The complete streaming bronze path: effectively-once content dedup →
+    PII redaction AT THE BOUNDARY (raw text must never reach a persisted
+    table — the scrub runs before any sink sees the row) → quality +
+    language annotation. Output is the bronze row a downstream batch
+    pipeline consumes: doc_id, content_hash, PII counts/flag, and the
+    annotations — computed over the SCRUBBED text, since that is the text
+    the corpus will actually contain.
+
+    Shuffle story: the only stateful stage is the dedup's bounded state
+    store; scrub and annotation are stateless projections fused into the
+    same micro-batch stage — the stream twin of the batch
+    `pii_scrub` ∘ `corpus_annotations` composition."""
+    from ..operators import textstats
+    from ..operators.textstats import PII_PATTERNS
+
+    deduped = streaming_dedup_ingest(documents, watermark)
+    counts = {
+        name: F.expr(f"size(regexp_extract_all(text, '{pat}', 0))")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    scrubbed_text = F.col("text")
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed_text = F.regexp_replace(scrubbed_text, pat, repl)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    scrubbed = deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "ingest_ts",
+        "content_hash",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+        scrubbed_text.alias("text"),
+    )
+    return textstats.corpus_annotations(
+        scrubbed,
+        carry=("content_hash", "has_pii", "n_email", "n_ipv4", "n_phone", "ingest_ts"),
+    )

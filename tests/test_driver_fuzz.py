@@ -46,6 +46,11 @@ FUZZ_QUERIES = [
     "dd_simhash_banded",
     "dd_embed_neardup",
     "dd_embed_lsh",
+    "dd_semantic",
+    "dd_incremental",
+    "tp_keep_best",
+    "tp_quality_prune",
+    "ann_quantize_sq8",
     "ts_token_stats",
     "ts_quality_score",
     "ts_language_id",

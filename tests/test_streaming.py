@@ -284,3 +284,52 @@ def test_streaming_ingest_dedup_drops_redeliveries(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ingest_pipeline_scrubs_before_annotation(spark, tmp_path):
+    """The composed bronze path: a re-delivered document is dropped by the
+    stateful dedup, a PII-bearing document is redacted BEFORE annotation
+    (token counts reflect the scrubbed text), and clean documents pass
+    through annotated and unflagged."""
+    import datetime as dt
+
+    from azeroth_data_platform_spark.streaming.ingest import ingest_pipeline
+
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " ingest_ts timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clean = "the quick brown fox jumps over the lazy dog again " * 2
+    dirty = "contact me at bob@example.com for the gold " * 1
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, clean, "en", "web", len(clean), t0),
+            (2, dirty, "en", "web", len(dirty), t0),
+            (3, clean, "en", "web", len(clean), t0),  # re-delivery of 1's bytes
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    q = (
+        ingest_pipeline(
+            spark.readStream.schema(schema).parquet(str(src / "*")), watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bronze")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.doc_id: r for r in spark.sql("select * from bronze").collect()}
+    finally:
+        q.stop()
+    assert set(rows) == {1, 2}  # doc 3 dropped as a content re-delivery
+    assert not rows[1].has_pii and rows[1].n_email == 0
+    assert rows[2].has_pii and rows[2].n_email == 1
+    assert rows[2].lang_pred is not None and rows[1].quality_score is not None
+    # annotation ran over the SCRUBBED text: '[EMAIL]' is one token where
+    # the raw address was one token, so counts match the redacted body
+    assert rows[2].n_tokens == len(dirty.split())
