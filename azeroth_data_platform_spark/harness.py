@@ -151,13 +151,25 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adapters.dim_items(spark, sf_dir)
 
 
+def _ev_ts(ev: DataFrame) -> F.Column:
+    """events.ts → session-TZ microsecond timestamp, robust to the
+    testdata's physical type: TIMESTAMP(NANOS) surfaces as raw int64 under
+    the nanosAsLong conf (convert ourselves), TIMESTAMP(MICROS) surfaces as
+    timestamp_ntz natively (cast; UTC session TZ makes it the same wall
+    clock either way — the DuckDB twin's CAST(ts AS TIMESTAMP) is likewise
+    representation-neutral)."""
+    if dict(ev.dtypes).get("ts") == "bigint":
+        return F.expr("timestamp_micros(ts DIV 1000)")
+    return F.col("ts").cast("timestamp")
+
+
 def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     ev = adapters.read_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").alias("tick_id"),
         F.col("event_type").alias("item_key"),
-        F.expr("timestamp_micros(ts DIV 1000)").alias("ts"),
+        _ev_ts(ev).alias("ts"),
         F.col("value").alias("price"),
         (F.col("event_id") % 10 + 1).cast("bigint").alias("quantity"),
     )
@@ -230,7 +242,7 @@ def _silver_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 50).alias("item_id"),
         (F.col("event_id") % 10 + 1).cast("bigint").alias("quantity"),
         F.col("value").alias("unit_price"),
-        F.expr("CAST(timestamp_micros(ts DIV 1000) AS DATE)").alias("snapshot_date"),
+        _ev_ts(ev).cast("date").alias("snapshot_date"),
     )
 
 
@@ -402,7 +414,7 @@ def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts converted to a proper microsecond timestamp."""
     _prep(spark)
     ev = adapters.read_table(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev.withColumn("ts", _ev_ts(ev))
 
 
 def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +634,13 @@ def q_tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tp_pack_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return corpus.pack_contents(
+        corpus.stratified_sample(corpus.clean_corpus(docs)), docs
+    )
+
+
 def q_tp_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_report(_docs(spark, sf_dir))
 
@@ -814,7 +833,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_pivot_event_counts": q_x_pivot,
     "x_sector_rollup": q_x_rollup,
     "x_asof_join": q_x_asof,
-    "x_set_ops": q_x_setops,
     "x_range_join": q_x_range_join,
     "x_multiway_star_join": q_x_multiway,
     "x_price_iqr_outliers": q_x_iqr,
@@ -828,6 +846,10 @@ QUERIES: dict[str, QueryFn] = {
     "tp_train_sample": q_tp_train_sample,
     "tp_decontaminate": q_tp_decontaminate,
     "tp_pack_sequences": q_tp_pack_sequences,
+    # round-3 promotion: the materialized packed sequences (content
+    # assembly across pack boundaries) — x_set_ops moved to legacy to
+    # stay under the 50-slot cap (it remains parity-checked there).
+    "tp_pack_contents": q_tp_pack_contents,
     "ts_repetition": q_ts_repetition,
     "ann_topk_bruteforce": q_ann_brute,
     "ann_topk_lsh": q_ann_lsh,
@@ -1027,17 +1049,7 @@ ORACLES: dict[str, str] = {
         ON t.item_key = q.item_key
        AND q.ts <= t.ts AND q.ts >= t.ts - INTERVAL 5 MINUTE
       GROUP BY t.trade_id, t.item_key, t.ts""",
-    "x_set_ops": f"""{_W_SILVER},
-      bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
-      tagged AS (SELECT s.item_id,
-                        s.snapshot_date < (b.d1 - INTERVAL 60 DAY) AS in_first_half
-                 FROM silver s CROSS JOIN bounds b),
-      first_h AS (SELECT DISTINCT item_id FROM tagged WHERE in_first_half),
-      second_h AS (SELECT DISTINCT item_id FROM tagged WHERE NOT in_first_half),
-      u AS (SELECT item_id, 'both' AS cohort FROM (SELECT * FROM first_h INTERSECT SELECT * FROM second_h)
-            UNION ALL SELECT item_id, 'first_only' FROM (SELECT * FROM first_h EXCEPT SELECT * FROM second_h)
-            UNION ALL SELECT item_id, 'second_only' FROM (SELECT * FROM second_h EXCEPT SELECT * FROM first_h))
-      SELECT cohort, COUNT(*) AS n_items FROM u GROUP BY cohort""",
+    "tp_pack_contents": corpus.PACK_CONTENTS_SQL,
     "x_asof_join": f"""{_W_TICKS},
       trades AS (SELECT tick_id AS trade_id, item_key, ts, price AS trade_price
                  FROM ticks WHERE tick_id % 2 = 1),
@@ -1093,8 +1105,11 @@ ORACLES: dict[str, str] = {
     "ts_language_id": textstats.LANGID_SQL,
     "ts_fingerprint": textstats.FINGERPRINT_SQL,
     "mm_binary_stats": multimodal.BINARY_STATS_SQL,
-    # ann_topk_ivf_trained / mm_feature_extract: intentionally no oracle
-    # (iterative k-means / mapInPandas operators — rows-only check)
+    # The stand-in decode is deterministic byte arithmetic, so the
+    # mapInPandas feature extraction IS oracle-checkable (round-2 verdict
+    # item 4). Only ann_topk_ivf_trained stays rows-only (iterative
+    # k-means; convergence + recall pinned in tests/test_ann_recall.py).
+    "mm_feature_extract": multimodal.FEATURE_EXTRACT_SQL,
 }
 
 # Serving reads over materialized gold frames (O5/O6) — derived by
@@ -1109,7 +1124,7 @@ ORACLES["o6_latest_index"] = (
 )
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
-assert set(QUERIES) - set(ORACLES) == {"ann_topk_ivf_trained", "mm_feature_extract"}
+assert set(QUERIES) - set(ORACLES) == {"ann_topk_ivf_trained"}
 
 # ---------------------------------------------------------------------------
 # Legacy / standalone twins: queries consolidated out of the 50-slot driver
@@ -1157,6 +1172,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_incremental": q_dd_incremental,
     "ann_quantize_sq8": q_ann_quantize,
     "ann_topk_sq8": q_ann_sq8_topk,
+    # displaced from the 50-slot driver registry by tp_pack_contents (r3)
+    "x_set_ops": q_x_setops,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1201,6 +1218,18 @@ ALL_ORACLES: dict[str, str] = {
     "ann_topk_sq8": similarity.sq8_topk_sql(),
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+    "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
+    "x_set_ops": f"""{_W_SILVER},
+      bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
+      tagged AS (SELECT s.item_id,
+                        s.snapshot_date < (b.d1 - INTERVAL 60 DAY) AS in_first_half
+                 FROM silver s CROSS JOIN bounds b),
+      first_h AS (SELECT DISTINCT item_id FROM tagged WHERE in_first_half),
+      second_h AS (SELECT DISTINCT item_id FROM tagged WHERE NOT in_first_half),
+      u AS (SELECT item_id, 'both' AS cohort FROM (SELECT * FROM first_h INTERSECT SELECT * FROM second_h)
+            UNION ALL SELECT item_id, 'first_only' FROM (SELECT * FROM first_h EXCEPT SELECT * FROM second_h)
+            UNION ALL SELECT item_id, 'second_only' FROM (SELECT * FROM second_h EXCEPT SELECT * FROM first_h))
+      SELECT cohort, COUNT(*) AS n_items FROM u GROUP BY cohort""",
     "x_topk_orders": """
       SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
              CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))

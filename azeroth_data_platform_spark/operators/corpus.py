@@ -202,22 +202,28 @@ def pack_sequences(sampled: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    n_tokens = F.col("n_tokens").cast("bigint")
+    start = F.sum(n_tokens).over(w) - n_tokens
     return sampled.select(
         "doc_id",
         "shard",
-        "n_tokens",
+        n_tokens.alias("n_tokens"),
         (start / budget).cast("bigint").alias("pack_id"),
         (start % budget).alias("pack_offset"),
-        ((start % budget) + F.col("n_tokens") > budget).alias("crosses_boundary"),
+        ((start % budget) + n_tokens > budget).alias("crosses_boundary"),
     )
 
 
 def _pack_sequences_sql() -> str:
+    # DuckDB's window SUM over BIGINT yields HUGEINT; without the CAST the
+    # derived pack_id / pack_offset surface to pandas as float64 while Spark
+    # emits BIGINT — identical values, different dtype, value-hash mismatch
+    # (round-2 driver failure). Pin the accumulator back to BIGINT.
     return f"""
-  packed AS (SELECT doc_id, shard, n_tokens,
-                    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  packed AS (SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      - n_tokens AS start
              FROM sampled)
   SELECT doc_id, shard, n_tokens,
          start // {PACK_BUDGET} AS pack_id,
@@ -227,6 +233,115 @@ def _pack_sequences_sql() -> str:
 
 
 PACK_SEQUENCES_SQL = f"WITH sampled AS ({TRAIN_SAMPLE_SQL}), {_pack_sequences_sql()}"
+
+
+def pack_contents(
+    sampled: DataFrame, documents: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Materialize the actual training sequences: one row per (shard,
+    pack_id) carrying the concatenated token text, assembled from per-doc
+    segments that split documents across pack boundaries (the last mile of
+    the GPT-style concat-and-chunk story — pack_sequences assigns the
+    layout, this emits the content).
+
+    Shuffle story at 100 TB: the per-shard cumsum window is the same
+    partitioning pack_sequences already uses; the text join is a doc_id
+    equi-join (sampled side is the small filtered corpus); the boundary
+    explode fans a doc into ≤ ceil(n_tokens/budget)+1 segments inside the
+    scan stage; final groupBy keys on (shard, pack_id) — high cardinality,
+    skew-free, with every pack's segments collected and ordered by their
+    in-pack offset (offsets are unique within a pack, so the sort is a
+    total order and the assembly is deterministic at any parallelism)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.col("n_tokens").cast("bigint")
+    laid = sampled.where(n_tokens > 0).select(
+        "doc_id",
+        "shard",
+        n_tokens.alias("n_tokens"),
+        (F.sum(n_tokens).over(w) - n_tokens).alias("start"),
+    )
+    withtext = laid.join(
+        documents.select("doc_id", textstats._words().alias("_ws")), "doc_id"
+    )
+    segs = withtext.select(
+        "shard",
+        "start",
+        "n_tokens",
+        "_ws",
+        F.explode(
+            F.expr(f"sequence(start DIV {budget}, (start + n_tokens - 1) DIV {budget})")
+        ).alias("pack_id"),
+    ).select(
+        "shard",
+        "pack_id",
+        F.greatest(F.col("pack_id") * budget - F.col("start"), F.lit(0)).alias(
+            "seg_start"
+        ),
+        F.least((F.col("pack_id") + 1) * budget - F.col("start"), F.col("n_tokens")).alias(
+            "seg_end"
+        ),
+        F.greatest(F.col("start") - F.col("pack_id") * budget, F.lit(0)).alias(
+            "pack_offset"
+        ),
+        "_ws",
+    )
+    seg_text = F.expr(
+        "array_join(slice(_ws, CAST(seg_start + 1 AS INT), CAST(seg_end - seg_start AS INT)), ' ')"
+    )
+    return (
+        segs.select(
+            "shard",
+            "pack_id",
+            "pack_offset",
+            (F.col("seg_end") - F.col("seg_start")).alias("seg_len"),
+            seg_text.alias("seg_text"),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.sum("seg_len").alias("n_tokens_in_pack"),
+            F.count(F.lit(1)).alias("n_docs_in_pack"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pack_offset", "seg_text"))),
+                    lambda x: x["seg_text"],
+                ),
+                " ",
+            ).alias("pack_text"),
+        )
+    )
+
+
+PACK_CONTENTS_SQL = f"""
+  WITH sampled AS ({TRAIN_SAMPLE_SQL}),
+  laid AS (SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    - n_tokens AS start
+           FROM sampled WHERE n_tokens > 0),
+  wt AS (SELECT l.shard, l.start, l.n_tokens, {textstats.WORDS_SQL} AS ws
+         FROM laid l JOIN documents d ON l.doc_id = d.doc_id),
+  segs AS (SELECT shard, start, n_tokens, ws,
+                  unnest(range(start // {PACK_BUDGET},
+                               (start + n_tokens - 1) // {PACK_BUDGET} + 1)) AS pack_id
+           FROM wt),
+  s2 AS (SELECT shard, pack_id,
+                GREATEST(pack_id * {PACK_BUDGET} - start, 0) AS seg_start,
+                LEAST((pack_id + 1) * {PACK_BUDGET} - start, n_tokens) AS seg_end,
+                GREATEST(start - pack_id * {PACK_BUDGET}, 0) AS pack_offset,
+                ws
+         FROM segs)
+  SELECT shard, pack_id,
+         CAST(SUM(seg_end - seg_start) AS BIGINT) AS n_tokens_in_pack,
+         COUNT(*) AS n_docs_in_pack,
+         string_agg(array_to_string(ws[seg_start + 1 : seg_end], ' '), ' '
+                    ORDER BY pack_offset) AS pack_text
+  FROM s2 GROUP BY shard, pack_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +435,7 @@ def chunk_documents(
     and downstream per-chunk operators (embedding, indexing) see a flat
     relation. The word array materializes once (`_ws`, multiply
     referenced), same CollapseProject mechanics as ts_repetition."""
-    staged = documents.select("doc_id", F.split("text", " ").alias("_ws"))
+    staged = documents.select("doc_id", textstats._words().alias("_ws"))
     return (
         staged.select(
             "doc_id",
@@ -453,7 +568,7 @@ KEEP_BEST_SQL = _keep_best_sql()
 
 
 CHUNK_DOCUMENTS_SQL = f"""
-  WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  WITH w AS (SELECT doc_id, {textstats.WORDS_SQL} AS ws FROM documents),
   starts AS (SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start_token
              FROM w)
   SELECT doc_id,

@@ -74,13 +74,16 @@ EXACT_SQL = """
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
+    """Distinct word n-gram shingles per document (empty-token-free
+    tokenization — textstats._words semantics, mirrored in _shingle_sql)."""
+    from .textstats import _words
+
     terms = ", ' ', ".join(f"element_at(ws, i + {k + 1})" for k in range(n))
     sh = F.expr(
         f"transform(sequence(0, size(ws) - {n}), i -> concat({terms}))"
     )
     return (
-        documents.select("doc_id", F.split("text", " ").alias("ws"))
+        documents.select("doc_id", _words().alias("ws"))
         .where(F.size("ws") >= n)
         .select("doc_id", F.explode(sh).alias("sh"))
         .distinct()
@@ -88,10 +91,12 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def _shingle_sql(n: int = SHINGLE_N) -> str:
+    from .textstats import WORDS_SQL
+
     terms = " || ' ' || ".join(f"ws[i + {k}]" for k in range(n))
     return f"""
-  w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        WHERE len(string_split(text, ' ')) >= {n}),
+  w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+        WHERE len({WORDS_SQL}) >= {n}),
   s AS (SELECT DISTINCT doc_id, sh FROM
           (SELECT doc_id, unnest([{terms} FOR i IN range(1, len(ws) - {n - 2})]) AS sh
            FROM w))"""

@@ -94,6 +94,29 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+# DuckDB twin of extract_features: the stand-in "decode" is deterministic
+# byte arithmetic over the utf-8 payload, so it IS SQL-expressible — hex()
+# the blob and parse byte values from hex pairs (strpos arithmetic, same
+# trick as corpus._doc_hash_sql). Spark keeps the Arrow/mapInPandas path;
+# this twin makes the driver row hash-checkable instead of rows-only.
+_HEX = "0123456789ABCDEF"
+_BYTE_AT = (
+    f"(strpos('{_HEX}', substring(h, 2*i+1, 1)) - 1) * 16"
+    f" + (strpos('{_HEX}', substring(h, 2*i+2, 1)) - 1)"
+)
+
+FEATURE_EXTRACT_SQL = f"""
+  WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS nb
+             FROM documents)
+  SELECT doc_id,
+         CAST(nb AS INTEGER) AS n_bytes,
+         lower(substring(h, 1, 8)) AS head_hex,
+         CAST(COALESCE(list_sum([{_BYTE_AT} FOR i IN range(0, nb)]), 0) % 997
+              AS BIGINT) AS byte_checksum
+  FROM b"""
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -105,6 +128,26 @@ FRAME_SCHEMA = T.StructType(
 
 FRAME_SIZE_BYTES = 16
 FRAME_SAMPLE_EVERY = 4
+
+# DuckDB twin of sample_frame_features (same hex-pair byte arithmetic as
+# FEATURE_EXTRACT_SQL; the 1→N frame fan-out is an unnest over the sampled
+# frame indexes). Keeps the legacy parity harness hash-checking the
+# mapInPandas fan-out instead of trusting row counts.
+FRAME_SAMPLE_SQL = f"""
+  WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS nb
+             FROM documents),
+  f AS (SELECT doc_id, h, CAST(nb // {FRAME_SIZE_BYTES} AS INTEGER) AS n_frames,
+               unnest(range(0, nb // {FRAME_SIZE_BYTES}, {FRAME_SAMPLE_EVERY})) AS fi
+        FROM b)
+  SELECT doc_id,
+         CAST(fi AS INTEGER) AS frame_index,
+         n_frames,
+         CAST(COALESCE(list_sum([{_BYTE_AT}
+                                 FOR i IN range(fi * {FRAME_SIZE_BYTES},
+                                                (fi + 1) * {FRAME_SIZE_BYTES})]), 0)
+              % 997 AS BIGINT) AS frame_checksum
+  FROM f"""
 
 
 def sample_frame_features(

@@ -31,8 +31,17 @@ ROLLING_MOD = 2_147_483_647  # 2^31 − 1, Mersenne prime
 ROLLING_BASE = 31
 
 
+# DuckDB twin of _words(): identical empty-token filtering so Spark and
+# oracle token counts move together on any input.
+WORDS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
 def _words(col: str = "text") -> F.Column:
-    return F.split(F.col(col), " ")
+    """Whitespace tokens with Python ``str.split()`` semantics: consecutive /
+    leading / trailing spaces yield NO empty tokens (a bare ``split`` counts
+    the empty string after a trailing space as a token — round-2 verdict
+    item 2). Row-local HOF, still scan-bound."""
+    return F.filter(F.split(F.col(col), " "), lambda w: w != F.lit(""))
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
@@ -303,9 +312,9 @@ def fingerprint(documents: DataFrame) -> DataFrame:
 
 TOKEN_STATS_SQL = f"""
   SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tokens,
+         len({WORDS_SQL}) AS n_tokens,
          length(text) AS n_chars_measured,
-         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({WORDS_SQL})
            AS avg_token_len,
          len(regexp_extract_all(text, '{BPE_SPLIT_REGEX}')) AS n_bpe_tokens
   FROM documents"""
@@ -313,14 +322,14 @@ TOKEN_STATS_SQL = f"""
 _STOP_COND = " OR ".join(f"w = '{m}'" for m in STOPWORDS)
 QUALITY_SQL = f"""
   SELECT doc_id,
-         len(string_split(text, ' ')) AS n_tokens,
+         len({WORDS_SQL}) AS n_tokens,
          CAST(len(list_filter(string_split(text, ' '), w -> {_STOP_COND})) AS DOUBLE)
-           / len(string_split(text, ' ')) AS stopword_ratio,
+           / len({WORDS_SQL}) AS stopword_ratio,
          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
            AS digit_ratio,
          1.0
            - LEAST(CAST(len(list_filter(string_split(text, ' '), w -> {_STOP_COND})) AS DOUBLE)
-                     / len(string_split(text, ' ')) * 2.0, 0.5)
+                     / len({WORDS_SQL}) * 2.0, 0.5)
            - LEAST(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
                      / length(text) * 5.0, 0.3)
            - CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 0.0 ELSE 0.2 END
@@ -403,7 +412,7 @@ def vocab_topk(documents: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
 
 VOCAB_TOPK_SQL = f"""
   SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents)
   GROUP BY token
   ORDER BY n_occurrences DESC, token ASC LIMIT {VOCAB_TOP_K}"""
 
@@ -434,7 +443,7 @@ def tfidf_top_terms(
 
 
 TFIDF_TOP_TERMS_SQL = f"""
-  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  WITH tok AS (SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents),
   tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
   df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
   scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
@@ -510,8 +519,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 
 
 REPETITION_SQL = f"""
-  WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-             WHERE len(string_split(text, ' ')) >= 2),
+  WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+             WHERE len({WORDS_SQL}) >= 2),
   m AS (SELECT doc_id, len(ws) AS n_words,
                CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_word_ratio,
                CAST(list_max([len(list_filter(ws, x -> x = w)) FOR w IN list_distinct(ws)])
@@ -635,10 +644,10 @@ def oov_ratio(documents: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
 OOV_RATIO_SQL = f"""
   WITH vocab AS (SELECT token FROM (
           SELECT token, COUNT(*) AS n_occurrences
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+          FROM (SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents)
           GROUP BY token
           ORDER BY n_occurrences DESC, token ASC LIMIT {OOV_VOCAB_K})),
-  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  tok AS (SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents)
   SELECT t.doc_id, COUNT(*) AS n_tokens,
          COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
          CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)

@@ -107,6 +107,28 @@ def overwrite_partitions(
     batch.write.mode("overwrite").partitionBy(partition_col).parquet(target)
 
 
+RETENTION_DAYS = 30
+
+
+def retention_delete_older_than(
+    spark: SparkSession,
+    target: str,
+    days: int = RETENTION_DAYS,
+    ts_col: str = "created_at",
+    now: str | None = None,
+) -> int:
+    """S9, the PRIMARY retention rule — the reference's exact predicate
+    (postgres_client.py:52-66): ``created_at < NOW() - INTERVAL '30 days'``,
+    i.e. ingest-time relative to the wall clock. Pass ``now`` (ISO
+    timestamp) to pin the anchor for reproducible runs / tests; the
+    snapshot-date analog over a static corpus is
+    operators/serving.py::retention_candidates."""
+    anchor = f"TIMESTAMP '{now}'" if now is not None else "current_timestamp()"
+    return retention_delete(
+        spark, target, f"{ts_col} < {anchor} - INTERVAL {days} DAYS"
+    )
+
+
 def retention_delete(
     spark: SparkSession, target: str, predicate: str
 ) -> int:

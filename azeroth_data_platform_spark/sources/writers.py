@@ -90,3 +90,18 @@ def write_training_shards(packed: DataFrame, path: str) -> None:
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_packed_corpus(packs: DataFrame, path: str) -> None:
+    """Lay the MATERIALIZED packs (operators/corpus.py::pack_contents
+    output — one row per (shard, pack_id) with the assembled sequence text)
+    on disk the same way: one directory per shard, rows sorted by pack_id
+    so the trainer streams ready-to-tokenize sequences in order. Same
+    task-per-shard alignment rationale as write_training_shards."""
+    (
+        packs.repartition("shard")
+        .sortWithinPartitions("shard", "pack_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -282,6 +282,42 @@ def test_pack_sequences_running_layout(spark):
     assert (out[3].pack_id, out[3].pack_offset) == (0, 0)
 
 
+def test_pack_contents_assembles_across_boundaries(spark):
+    """The materialized packs must concatenate doc tokens in layout order,
+    splitting a boundary-crossing doc between consecutive packs, with token
+    mass conserved exactly."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    documents = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3", "en", "web", 8),
+            (2, "b1 b2 b3 b4", "en", "web", 11),
+            (3, " ".join(f"c{i}" for i in range(1, 13)), "en", "web", 40),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sampled = spark.createDataFrame(
+        [(1, "hi", 3, "en", 0), (2, "hi", 4, "en", 0), (3, "lo", 12, "en", 1)],
+        "doc_id long, band string, n_tokens long, lang_pred string, shard long",
+    )
+    out = {
+        (r.shard, r.pack_id): r
+        for r in corpus.pack_contents(sampled, documents, budget=5).collect()
+    }
+    assert out[(0, 0)].pack_text == "a1 a2 a3 b1 b2"  # doc 2 split at the line
+    assert out[(0, 1)].pack_text == "b3 b4"
+    assert out[(0, 0)].n_docs_in_pack == 2 and out[(0, 1)].n_docs_in_pack == 1
+    assert out[(1, 0)].pack_text == "c1 c2 c3 c4 c5"  # 12-token doc → 3 packs
+    assert out[(1, 1)].pack_text == "c6 c7 c8 c9 c10"
+    assert out[(1, 2)].pack_text == "c11 c12"
+    # conservation: every input token lands in exactly one pack
+    assert sum(r.n_tokens_in_pack for r in out.values()) == 3 + 4 + 12
+    # every non-final pack per shard is exactly full
+    for (shard, pack_id), r in out.items():
+        last = max(p for s, p in out if s == shard)
+        assert r.n_tokens_in_pack == (5 if pack_id < last else r.n_tokens_in_pack)
+
+
 def test_oov_ratio_against_planted_vocab(spark):
     """With k=2 the top-2 corpus tokens are in-vocab; a doc written
     entirely in rare tokens must be flagged high-OOV with ratio 1.0."""

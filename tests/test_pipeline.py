@@ -102,6 +102,31 @@ def test_retention_delete(spark, tmp_path):
     assert [r.id for r in spark.read.parquet(target).collect()] == [2]
 
 
+def test_retention_delete_older_than_created_at(spark, tmp_path):
+    """The primary (reference-faithful) rule: created_at < now - 30 days,
+    with the anchor pinned for reproducibility."""
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 12, 0)),   # 45 days before anchor
+            (2, dt.datetime(2026, 2, 10, 12, 0)),  # 5 days before anchor
+        ],
+        "id long, created_at timestamp",
+    ).write.parquet(target)
+    n = merge.retention_delete_older_than(
+        spark, target, days=30, now="2026-02-15 12:00:00"
+    )
+    assert n == 1
+    assert [r.id for r in spark.read.parquet(target).collect()] == [2]
+    # idempotent: a second run with the same anchor deletes nothing
+    assert (
+        merge.retention_delete_older_than(
+            spark, target, days=30, now="2026-02-15 12:00:00"
+        )
+        == 0
+    )
+
+
 def _fake_item_fetch(url: str):
     item_id = int(url.rsplit("/", 1)[1])
     if item_id == 777:
@@ -249,3 +274,35 @@ def test_training_shard_layout_roundtrip(spark, tmp_path):
     # re-run is idempotent (overwrite semantics)
     write_training_shards(packed, out)
     assert spark.read.parquet(out).count() == 30
+
+
+def test_packed_corpus_roundtrip_conserves_tokens(spark, tmp_path):
+    """End-to-end packing over the real corpus: materialize pack contents,
+    write the shard layout, read it back — total token mass equals the
+    sampled corpus exactly, every non-final pack per shard is full, and
+    each pack's text really contains its claimed token count."""
+    import os
+
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.sources import readers
+    from azeroth_data_platform_spark.sources.writers import write_packed_corpus
+
+    docs = readers.read_table(spark, "/root/testdata/sf0.001", "documents")
+    sampled = corpus.stratified_sample(corpus.clean_corpus(docs))
+    budget = 256
+    packs = corpus.pack_contents(sampled, docs, budget=budget)
+    out = str(tmp_path / "packs")
+    write_packed_corpus(packs, out)
+    back = spark.read.parquet(out).collect()
+    total = sampled.groupBy().sum("n_tokens").collect()[0][0]
+    assert sum(r.n_tokens_in_pack for r in back) == total
+    last_per_shard = {}
+    for r in back:
+        last_per_shard[r.shard] = max(last_per_shard.get(r.shard, -1), r.pack_id)
+    for r in back:
+        if r.pack_id < last_per_shard[r.shard]:
+            assert r.n_tokens_in_pack == budget, (r.shard, r.pack_id)
+        assert len(r.pack_text.split()) == r.n_tokens_in_pack
+    assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
+        f"shard={i}" for i in sorted({r.shard for r in back})
+    ]

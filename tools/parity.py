@@ -70,6 +70,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return problems
     s, d = _norm(spark_df.copy()), _norm(duck_df.copy())
     for c in s.columns:
+        # dtype-KIND parity (int vs float vs bool vs object): the driver's
+        # value hash is width-insensitive (int32 == int64) but kind-sensitive
+        # (3.0 != 3) — the round-2 tp_pack_sequences HUGEINT→float64 bug
+        # passed here because values were compared stringified. Never again.
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        sk = "i" if sk == "u" else sk
+        dk = "i" if dk == "u" else dk
+        if sk != dk:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={s[c].dtype} duck={d[c].dtype}"
+            )
+            continue
         sv, dv = s[c].tolist(), d[c].tolist()
         bad = [i for i, (x, y) in enumerate(zip(sv, dv)) if not _values_equal(x, y)]
         if bad:
