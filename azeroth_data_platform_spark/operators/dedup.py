@@ -694,10 +694,13 @@ def _embed_lsh_sql() -> str:
 EMBED_LSH_SQL = _embed_lsh_sql()
 
 
+EMBED_LSH_N_BANDS = 5  # default operating point: recall 0.894 at sf0.001
+
+
 def embedding_neardup_lsh_banded(
     embeddings: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
-    n_bands: int = 2,
+    n_bands: int = EMBED_LSH_N_BANDS,
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Banded AND-OR amplification of `embedding_neardup_lsh`: `n_bands`
@@ -707,9 +710,11 @@ def embedding_neardup_lsh_banded(
     (`minhash_lsh_dedup`), applied to the cosine space.
 
     Per-band recall r compounds to 1-(1-r)^bands for independent bands:
-    measured 0.32 (1 band) → 0.52 (2 bands) on the near-uniform sf0.001
-    corpus at the hard 0.4-cosine threshold, and ~0.8 → ~0.96 at the
-    realistic ≥0.9 near-dup regime. Cost is linear in bands (each band is
+    measured 0.32 (1 band) → 0.52 (2) → 0.65 (3) → 0.74 (4) → 0.89 (5,
+    the default operating point, floor-pinned at 0.8 in
+    tests/test_ann_recall.py) on the near-uniform sf0.001 corpus at the
+    hard 0.4-cosine threshold, and ~0.8 → ~1 at the realistic ≥0.9
+    near-dup regime. Cost is linear in bands (each band is
     its own equi-join; no cross product), plus one distinct over the
     SURVIVOR pairs — pairs that collide in several bands verify cosine in
     each, so only the tiny post-threshold set pays the dedup shuffle, not
@@ -818,7 +823,7 @@ def _embed_band_pairs(
     )
 
 
-def _embed_lsh_banded_sql(n_bands: int = 2) -> str:
+def _embed_lsh_banded_sql(n_bands: int = EMBED_LSH_N_BANDS) -> str:
     from .similarity import lsh_bucket_sql
 
     parts = []

@@ -204,17 +204,21 @@ def _lsh_table_scored(
     )
 
 
+LSH_N_TABLES = 6  # default operating point: recall@10 0.80 at sf0.001
+
+
 def lsh_multitable_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, n_tables: int = 2
+    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, n_tables: int = LSH_N_TABLES
 ) -> DataFrame:
     """Multi-table LSH ANN — the OR-amplification of `lsh_bucketed_topk`:
     `n_tables` independent hash tables (disjoint 6-plane ranges of the
     same deterministic family), a candidate qualifies by colliding with
     the query in ANY table. The standard LSH recall lever (E2LSH-style L
     tables), same machinery `embedding_neardup_lsh_banded` applies to the
-    dedup side; measured recall@10 0.24 (1 table) → 0.36 (2 tables) on
-    the near-uniform corpus (and compounding toward 1 at the realistic
-    cosine ≥ 0.9 regime, like the dedup twin).
+    dedup side; measured recall@10 0.24 (1 table) → 0.36 (2) → 0.48 (4)
+    → 0.80 (6, the default operating point, floor-pinned at 0.6 in
+    tests/test_ann_recall.py) on the near-uniform corpus (and compounding
+    toward 1 at the realistic cosine ≥ 0.9 regime, like the dedup twin).
 
     Cost: ONE corpus scan total — each vector explodes into its
     (table, bucket) pair per table and the candidate join is a single
@@ -582,7 +586,7 @@ def lsh_bucketed_topk_sql() -> str:
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
-def lsh_multitable_topk_sql(n_tables: int = 2) -> str:
+def lsh_multitable_topk_sql(n_tables: int = LSH_N_TABLES) -> str:
     parts = []
     selects = []
     for t in range(n_tables):

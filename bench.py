@@ -102,6 +102,7 @@ def main() -> int:
             "dd_incremental",
             "ann_quantize_sq8",
             "ann_topk_sq8",
+            "tp_pack_contents",
         )
         if q in harness.ALL_QUERIES
     ]

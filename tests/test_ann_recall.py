@@ -146,7 +146,8 @@ def test_embed_lsh_probe_radius_trades_recall_for_candidates(spark, sf_dir):
 def test_embed_lsh_banded_amplifies_recall(spark, sf_dir):
     """Banded AND-OR amplification must strictly widen recall over the
     single-band table while staying an exact subset of the quadratic
-    baseline (measured 0.32 → 0.52 at 2 bands, 0.65 at 3, sf0.001)."""
+    baseline (measured at sf0.001: 0.32 → 0.52 at 2 bands, 0.65 at 3,
+    0.74 at 4, 0.89 at the 5-band default — floor pinned at 0.8)."""
     from azeroth_data_platform_spark.operators import dedup
 
     embs = read_table(spark, sf_dir, "embeddings")
@@ -155,8 +156,8 @@ def test_embed_lsh_banded_amplifies_recall(spark, sf_dir):
     banded = {(r.v1, r.v2) for r in dedup.embedding_neardup_lsh_banded(embs).collect()}
     assert banded <= base  # precision 1.0: exact cosine verify
     assert one <= banded  # band 0 IS the single-band table; OR only adds
-    assert len(banded) > len(one)  # the second band must contribute
-    assert len(banded & base) / len(base) >= 0.45
+    assert len(banded) > len(one)  # the added bands must contribute
+    assert len(banded & base) / len(base) >= 0.8
 
 
 def test_lsh_multitable_amplifies_ann_recall(spark, sf_dir):
@@ -179,8 +180,9 @@ def test_lsh_multitable_amplifies_ann_recall(spark, sf_dir):
     }
     r1, r2 = len(one & truth) / len(truth), len(multi & truth) / len(truth)
     assert r2 >= r1, (r1, r2)
-    assert r2 >= 0.30, r2  # measured 0.36 at sf0.001; floor pinned below
-    print(f"ann recall@10: 1-table={r1:.2f} 2-table={r2:.2f}")
+    # measured 0.80 at sf0.001 with the 6-table default; floor pinned below
+    assert r2 >= 0.60, r2
+    print(f"ann recall@10: 1-table={r1:.2f} {similarity.LSH_N_TABLES}-table={r2:.2f}")
 
 
 def test_sq8_search_recall_near_exact(spark, sf_dir):

@@ -195,6 +195,21 @@ def test_pack_sequences_never_globally_orders(spark):
     assert "hashpartitioning(shard" in plan
 
 
+def test_pack_contents_never_globally_orders(spark, sf_dir):
+    """Materialized packing inherits pack_sequences' scale contract: the
+    running total and the segment assembly both key on shard /
+    (shard, pack_id) — no SinglePartition exchange, no cartesian join
+    (the text join is a doc_id equi-join)."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = adapters.read_table(spark, sf_dir, "documents")
+    sampled = corpus.stratified_sample(corpus.clean_corpus(docs))
+    plan = _plan(corpus.pack_contents(sampled, docs))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
 def test_minhash_signature_is_single_exchange(spark, sf_dir):
     """The MinHash signature must be ONE doc_id-keyed aggregation with a
     min-column per seed (map-side partial agg), never the exploded
