@@ -463,7 +463,9 @@ def chunk_documents(
 PRUNE_QUANTILE = 0.1  # drop the bottom decile
 
 
-def quality_prune(documents: DataFrame, quantile: float = PRUNE_QUANTILE) -> DataFrame:
+def quality_prune(
+    documents: DataFrame, quantile: float = PRUNE_QUANTILE, approx: bool = False
+) -> DataFrame:
     """Survivors of the global-quantile quality cut, annotated, with the
     computed threshold carried on every row (pipeline provenance).
 
@@ -473,11 +475,20 @@ def quality_prune(documents: DataFrame, quantile: float = PRUNE_QUANTILE) -> Dat
     sketches); pass 2 re-scans and filters against the broadcast scalar.
     Exact `percentile` (not approx) because the oracle gate demands
     bit-equality — it matches DuckDB's quantile_cont interpolation exactly
-    (same linear rule, proven by x_price_iqr_outliers); swap in
-    `approx_percentile` at 100 TB if a t-digest tolerance is acceptable.
-    """
+    (same linear rule, proven by x_price_iqr_outliers).
+
+    `approx=True` is the 100 TB swap: `approx_percentile` replaces the
+    exact sort-based sketch with a bounded-memory Greenwald-Khanna summary
+    (mergeable per partition, constant driver-side state at any corpus
+    size). The threshold drift vs exact is tolerance-tested in
+    tests/test_dedup_units.py rather than hash-gated."""
     ann = textstats.corpus_annotations(documents)
-    thresh = ann.agg(F.percentile("quality_score", quantile).alias("q_cut"))
+    pct = (
+        F.expr(f"approx_percentile(quality_score, {quantile})")
+        if approx
+        else F.percentile("quality_score", quantile)
+    )
+    thresh = ann.agg(pct.alias("q_cut"))
     return (
         ann.crossJoin(F.broadcast(thresh))
         .where(F.col("quality_score") >= F.col("q_cut"))

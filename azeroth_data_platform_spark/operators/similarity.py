@@ -127,14 +127,25 @@ def _plane_sign(plane: int, i: int) -> float:
 def _hyperplane_sign_sql(plane: int, col: str, duck: bool) -> str:
     """Sign of <v, h_plane> where h_plane has ±1 components derived from
     md5(plane:dim) parity — a deterministic, engine-portable pseudo-random
-    hyperplane (literal coefficients; see _plane_sign)."""
+    hyperplane (literal coefficients; see _plane_sign).
+
+    Emitted as an add/subtract chain, NOT `(±1.0) * x` products: ±1.0
+    multiplies are FP-exact no-ops, so the values are bit-identical while
+    the expression tree halves — which is what keeps a 6-table bucket
+    projection (36 planes × 64 dims) inside janino's method-size limit
+    instead of dropping the whole stage out of codegen. Left-to-right
+    association is preserved (a + b - c ≡ (a + b) - c in both engines)."""
     el = (lambda c, i: f"CAST({c}[{i}] AS DOUBLE)") if duck else (
         lambda c, i: f"CAST(element_at({c}, {i}) AS DOUBLE)"
     )
-    terms = [
-        f"({_plane_sign(plane, i):.1f}) * {el(col, i)}" for i in range(1, EMBED_DIM + 1)
-    ]
-    return f"CASE WHEN {' + '.join(terms)} >= 0 THEN 1 ELSE 0 END"
+    parts: list[str] = []
+    for i in range(1, EMBED_DIM + 1):
+        pos = _plane_sign(plane, i) > 0
+        if not parts:
+            parts.append(el(col, i) if pos else f"(- {el(col, i)})")
+        else:
+            parts.append(f"{'+' if pos else '-'} {el(col, i)}")
+    return f"CASE WHEN {' '.join(parts)} >= 0 THEN 1 ELSE 0 END"
 
 
 def lsh_bucket_sql(

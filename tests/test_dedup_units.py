@@ -318,6 +318,30 @@ def test_pack_contents_assembles_across_boundaries(spark):
         assert r.n_tokens_in_pack == (5 if pack_id < last else r.n_tokens_in_pack)
 
 
+def test_quality_prune_approx_tracks_exact(spark, sf_dir):
+    """The approx_percentile scale path must land within sketch tolerance
+    of the exact cut: thresholds close, and the survivor sets may differ
+    only by docs whose score lies between the two thresholds."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.operators.adapters import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = corpus.quality_prune(docs).select("doc_id", "quality_score", "q_cut")
+    approx = corpus.quality_prune(docs, approx=True).select(
+        "doc_id", "quality_score", "q_cut"
+    )
+    e = {r.doc_id: r for r in exact.collect()}
+    a = {r.doc_id: r for r in approx.collect()}
+    cut_e = next(iter(e.values())).q_cut
+    cut_a = next(iter(a.values())).q_cut
+    assert abs(cut_e - cut_a) < 0.05, (cut_e, cut_a)
+    lo, hi = min(cut_e, cut_a), max(cut_e, cut_a)
+    sym = set(e) ^ set(a)
+    scores = {**{k: r.quality_score for k, r in e.items()},
+              **{k: r.quality_score for k, r in a.items()}}
+    assert all(lo <= scores[d] < hi for d in sym), "divergence outside the cut band"
+
+
 def test_oov_ratio_against_planted_vocab(spark):
     """With k=2 the top-2 corpus tokens are in-vocab; a doc written
     entirely in rare tokens must be flagged high-OOV with ratio 1.0."""
