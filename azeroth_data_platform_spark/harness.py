@@ -634,6 +634,10 @@ def q_tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tp_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.decontaminate_bloom(_docs(spark, sf_dir))
+
+
 def q_tp_pack_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_contents(
@@ -1174,6 +1178,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_topk_sq8": q_ann_sq8_topk,
     # displaced from the 50-slot driver registry by tp_pack_contents (r3)
     "x_set_ops": q_x_setops,
+    # constant-broadcast Bloom decontamination (scale twin of
+    # tp_decontaminate; no false negatives, test-pinned)
+    "tp_decontaminate_bloom": q_tp_decontaminate_bloom,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1219,6 +1226,7 @@ ALL_ORACLES: dict[str, str] = {
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
+    "tp_decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
     "x_set_ops": f"""{_W_SILVER},
       bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
       tagged AS (SELECT s.item_id,

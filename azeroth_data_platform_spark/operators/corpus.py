@@ -160,6 +160,123 @@ def _decontaminate_sql() -> str:
 DECONTAMINATE_SQL = _decontaminate_sql()
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-memory scale twin of
+# `decontaminate`. The exact version broadcasts the benchmark's distinct
+# shingle STRINGS; at production eval-suite sizes that broadcast grows with
+# the benchmark. A Bloom filter caps it at M_BLOOM_BITS regardless: build a
+# bitmap from the bench shingles (k md5-derived probes each), then screen
+# corpus shingles against the broadcast bitmap. Spark 4.1 does not expose
+# bloom_filter_agg/might_contain to SQL (probed round 3), so the filter is
+# built RELATIONALLY — word-indexed bigint rows bit_or-aggregated — which
+# also makes it bit-for-bit reproducible in DuckDB: the driver hash-checks
+# an approximate data structure exactly. Bloom semantics: no false
+# negatives (exact contaminated ⊆ bloom contaminated — test-pinned), false
+# positives bounded by m/k/n.
+
+M_BLOOM_BITS = 4096  # 64 bigint words; fixed broadcast size at ANY bench size
+K_BLOOM = 2  # probes per shingle
+
+
+def _sh_hash_sql(seed: int, duck: bool) -> str:
+    """Engine-portable md5 hash of a shingle → [0, M_BLOOM_BITS): parse the
+    first 8 hex nibbles of md5('<seed>:' || sh) exactly like _doc_hash_sql."""
+    instr = "strpos" if duck else "instr"
+    concat = f"'{seed}:' || sh" if duck else f"concat('{seed}:', sh)"
+    h = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr(md5({concat}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({h}) % {M_BLOOM_BITS})"
+
+
+def decontaminate_bloom(documents: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Per corpus doc: how many of its distinct shingles the bench Bloom
+    filter flags, and the (no-false-negative) contaminated verdict.
+
+    Shuffle story at 100 TB: the filter build reduces the (tiny) bench
+    side to ≤ M/64 = 64 bigint rows — a broadcast whose size is CONSTANT
+    in benchmark volume; the corpus side is one scan, k broadcast word
+    lookups per distinct shingle, one doc_id groupBy. Same join/agg shape
+    as `decontaminate` with the shingle-set broadcast swapped for the
+    fixed bitmap."""
+    sh = dedup.shingles(documents, n)
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    hashes = [_sh_hash_sql(s, duck=False) for s in range(K_BLOOM)]
+    word = [F.expr(f"({h}) DIV 64") for h in hashes]
+    mask = [
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 63 AS INT))")
+        for h in hashes
+    ]
+    probe_structs = F.array(
+        *[F.struct(word[s].alias("word"), mask[s].alias("mask")) for s in range(K_BLOOM)]
+    )
+    bits = (
+        sh.where(is_bench)
+        .select(F.explode(probe_structs).alias("x"))
+        .select("x.word", "x.mask")
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    corpus_sh = sh.where(~is_bench)
+    hit_all = None
+    for s in range(K_BLOOM):
+        corpus_sh = corpus_sh.withColumn(f"_w{s}", word[s]).withColumn(
+            f"_m{s}", mask[s]
+        ).join(
+            F.broadcast(
+                bits.select(F.col("word").alias(f"_w{s}"), F.col("bits").alias(f"_b{s}"))
+            ),
+            f"_w{s}",
+            "left",
+        )
+        hit = F.coalesce(F.col(f"_b{s}"), F.lit(0)).bitwiseAND(F.col(f"_m{s}")) != 0
+        hit_all = hit if hit_all is None else (hit_all & hit)
+    return (
+        corpus_sh.withColumn("_hit", hit_all)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("_hit"), 1)).alias("n_flagged_ngrams"),
+            (F.count(F.when(F.col("_hit"), 1)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _decontaminate_bloom_sql() -> str:
+    from .dedup import _shingle_sql
+
+    h = [_sh_hash_sql(s, duck=True) for s in range(K_BLOOM)]
+    probe_rows = " UNION ALL ".join(
+        f"SELECT ({p}) // 64 AS word, (CAST(1 AS BIGINT) << CAST(({p}) % 63 AS INTEGER)) AS mask"
+        f" FROM bench_sh"
+        for p in h
+    )
+    hit = " AND ".join(
+        f"(COALESCE(b{s}.bits, 0) & (CAST(1 AS BIGINT) << CAST(({h[s]}) % 63 AS INTEGER))) <> 0"
+        for s in range(K_BLOOM)
+    )
+    joins = " ".join(
+        f"LEFT JOIN bits b{s} ON b{s}.word = ({h[s]}) // 64" for s in range(K_BLOOM)
+    )
+    return f"""
+  WITH {_shingle_sql(DECON_N)},
+  bench_sh AS (SELECT DISTINCT sh FROM s WHERE doc_id % {DECON_MOD} = 0),
+  bits AS (SELECT word, bit_or(mask) AS bits FROM ({probe_rows}) p GROUP BY word),
+  flagged AS (
+    SELECT c.doc_id, ({hit}) AS hit
+    FROM (SELECT doc_id, sh FROM s WHERE doc_id % {DECON_MOD} <> 0) c
+    {joins})
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         COUNT(CASE WHEN hit THEN 1 END) AS n_flagged_ngrams,
+         COUNT(CASE WHEN hit THEN 1 END) > 0 AS contaminated
+  FROM flagged GROUP BY doc_id"""
+
+
+DECONTAMINATE_BLOOM_SQL = _decontaminate_bloom_sql()
+
+
 CLEAN_CORPUS_SQL = f"""
   WITH q AS (SELECT doc_id, n_tokens, quality_score
              FROM ({textstats.QUALITY_SQL}) qq

@@ -103,6 +103,7 @@ def main() -> int:
             "ann_quantize_sq8",
             "ann_topk_sq8",
             "tp_pack_contents",
+            "tp_decontaminate_bloom",
         )
         if q in harness.ALL_QUERIES
     ]

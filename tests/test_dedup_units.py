@@ -282,6 +282,26 @@ def test_pack_sequences_running_layout(spark):
     assert (out[3].pack_id, out[3].pack_offset) == (0, 0)
 
 
+def test_decontaminate_bloom_has_no_false_negatives(spark, sf_dir):
+    """Bloom screening may over-flag (false positives bounded by the m/k/n
+    trade) but must NEVER miss: every doc the exact shingle-set check marks
+    contaminated must also be marked by the Bloom twin, and every exact hit
+    count is a lower bound for the flagged count."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.operators.adapters import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r for r in corpus.decontaminate(docs).collect()}
+    bloom = {r.doc_id: r for r in corpus.decontaminate_bloom(docs).collect()}
+    assert set(exact) == set(bloom)  # same corpus side, same shingle counts
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b.n_shingles == e.n_shingles
+        assert b.n_flagged_ngrams >= e.n_contaminated_ngrams, d
+        if e.contaminated:
+            assert b.contaminated, d  # no false negatives, ever
+
+
 def test_pack_contents_assembles_across_boundaries(spark):
     """The materialized packs must concatenate doc tokens in layout order,
     splitting a boundary-crossing doc between consecutive packs, with token
