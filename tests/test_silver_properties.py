@@ -78,3 +78,58 @@ def test_silver_matches_reference_model(spark, auctions):
         assert g.quantity == w["quantity"]
         assert g.unit_price == w["unit_price"]
         assert g.snapshot_date == SNAP
+
+
+# --- tokenizer parity: Spark _words() vs DuckDB WORDS_SQL vs Python ---------
+#
+# The round-2 verdict found empty tokens counted on trailing/double spaces;
+# the fix pinned str.split-on-space semantics (split on ' ', drop empties)
+# in BOTH engines. This property drives adversarial spacing through all
+# three implementations and demands exact agreement.
+
+word_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=6,
+)
+spacey_text = st.lists(
+    st.one_of(word_chars, st.sampled_from([" ", "  ", "   "])),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(spacey_text, min_size=1, max_size=4))
+def test_tokenizer_matches_python_split_semantics(spark, texts):
+    import duckdb
+
+    from azeroth_data_platform_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.n, list(r.ws))
+        for r in docs.select(
+            "doc_id",
+            textstats._words().alias("ws"),
+            F.size(textstats._words()).alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    duck = {
+        int(r[0]): (int(r[1]), list(r[2]))
+        for r in con.execute(
+            f"SELECT doc_id, len({textstats.WORDS_SQL}) AS n, {textstats.WORDS_SQL} AS ws FROM d"
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        expect = [w for w in t.split(" ") if w != ""]
+        assert got[i] == (len(expect), expect), (t, got[i])
+        assert duck[i] == (len(expect), expect), (t, duck[i])
