@@ -27,6 +27,12 @@ CHECK = [
     "dd_semantic",
     "tp_quality_prune",
     "ann_quantize_sq8",
+    # round-3 additions: materialized packing (collect_list reassembly must
+    # be order-insensitive via the offset sort), Bloom screening (bit_or
+    # commutes), multi-table ANN (distinct over bit-equal cosines)
+    "tp_pack_contents",
+    "tp_decontaminate_bloom",
+    "ann_topk_lsh_multi",
 ]
 
 
