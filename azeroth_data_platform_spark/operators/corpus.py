@@ -516,7 +516,7 @@ def _corpus_report_sql() -> str:
   rep AS (SELECT doc_id, keep FROM ({ts.REPETITION_SQL}) r),
   dec AS (SELECT doc_id, contaminated FROM ({DECONTAMINATE_SQL}) d)
   SELECT s.source, COUNT(*) AS n_docs,
-         SUM(ann.n_tokens) AS total_tokens,
+         CAST(SUM(ann.n_tokens) AS BIGINT) AS total_tokens,
          COUNT(CASE WHEN ann.quality_score >= {QUALITY_THRESHOLD} THEN 1 END)
            AS n_quality_ok,
          COUNT(CASE WHEN NOT rep.keep THEN 1 END) AS n_repetitive,

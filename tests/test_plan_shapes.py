@@ -91,13 +91,17 @@ def test_embed_neardup_filter_not_pushed_into_bnl_join(spark, sf_dir):
         assert "element_at" not in l, "dot product leaked into the join condition"
 
 
-def test_langid_trigram_array_materialized_once(spark, sf_dir):
-    """_grams must be one projection feeding every per-language score; if an
-    optimizer change inlines it per score the scan does 4x the work."""
+def test_langid_trigram_scores_stay_in_codegen(spark, sf_dir):
+    """Trigram scores are replace-count string expressions — the plan must
+    contain NO per-row trigram-array materialization (the interpreted-HOF
+    form this replaced: transform(sequence(...)) + filter lambdas) and the
+    scoring projection must sit inside a whole-stage-codegen span."""
     for name in ("ts_language_id", "ts_language_id_ngram"):
         df = harness.ALL_QUERIES[name](spark, sf_dir)
         plan = _plan(df)
-        assert plan.count("transform(sequence") == 1, name
+        assert plan.count("transform(sequence") == 0, name
+        assert "replace(text" in plan, name
+        assert "*(" in plan, name  # the scoring projection is codegen'd
 
 
 def test_ann_final_rank_is_two_phase(spark, sf_dir):
