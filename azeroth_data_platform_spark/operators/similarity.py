@@ -219,7 +219,11 @@ LSH_N_TABLES = 6  # default operating point: recall@10 0.80 at sf0.001
 
 
 def lsh_multitable_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, n_tables: int = LSH_N_TABLES
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_tables: int = LSH_N_TABLES,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Multi-table LSH ANN — the OR-amplification of `lsh_bucketed_topk`:
     `n_tables` independent hash tables (disjoint 6-plane ranges of the
@@ -230,6 +234,11 @@ def lsh_multitable_topk(
     → 0.80 (6, the default operating point, floor-pinned at 0.6 in
     tests/test_ann_recall.py) on the near-uniform corpus (and compounding
     toward 1 at the realistic cosine ≥ 0.9 regime, like the dedup twin).
+    `probe_hamming` controls per-table multi-probe (h1 default); pure
+    E2LSH (h0) was swept and rejected here — 6/8/10/12 probe-free tables
+    recall only 0.22/0.28/0.30/0.32 at HIGHER cost (the per-table sign
+    projections dominate, not the candidate volume), so on this corpus
+    the hamming-1 probes are the recall workhorse.
 
     Cost: ONE corpus scan total — each vector explodes into its
     (table, bucket) pair per table and the candidate join is a single
@@ -254,12 +263,13 @@ def lsh_multitable_topk(
         .select("vec_id", "embedding", "c_nrm", "x.tbl", "x.bucket")
         .alias("c")
     )
+    probe_list = [""]  # hamming-0: the bucket itself
+    if probe_hamming >= 1:
+        probe_list += [f" ^ {1 << p}" for p in range(LSH_PLANES)]
     probe_structs = ", ".join(
-        f"struct({t} AS tbl, {b} AS bucket)"
+        f"struct({t} AS tbl, _b{t}{suffix} AS bucket)"
         for t in range(n_tables)
-        for b in (
-            [f"_b{t}"] + [f"_b{t} ^ {1 << p}" for p in range(LSH_PLANES)]
-        )
+        for suffix in probe_list
     )
     q = (
         queries.select(
