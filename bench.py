@@ -104,6 +104,8 @@ def main() -> int:
             "ann_topk_sq8",
             "tp_pack_contents",
             "tp_decontaminate_bloom",
+            "ann_pq_codes",
+            "ann_topk_pq",
         )
         if q in harness.ALL_QUERIES
     ]

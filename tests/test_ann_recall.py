@@ -185,6 +185,63 @@ def test_lsh_multitable_amplifies_ann_recall(spark, sf_dir):
     print(f"ann recall@10: 1-table={r1:.2f} {similarity.LSH_N_TABLES}-table={r2:.2f}")
 
 
+def test_pq_codes_well_formed_and_training_reduces_distortion(spark, sf_dir):
+    """PQ codebooks must be (sub, cid)-complete, codes in range with one
+    code per subspace, and Lloyd's iterations must not worsen the total
+    quantization distortion (sum over subvectors of min squared distance
+    to their codebook)."""
+    from azeroth_data_platform_spark.operators import similarity as S
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+
+    def distortion(cb) -> float:
+        subs = S._pq_subvectors(embs, S.PQ_M)
+        sub_dim = 64 // S.PQ_M
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id", "sub").orderBy(
+            F.col("dist").asc(), F.col("cid").asc()
+        )
+        best = (
+            subs.join(F.broadcast(cb), "sub")
+            .select("vec_id", "sub", "cid", S._sub_dist(sub_dim).alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .where("r = 1")
+        )
+        return best.agg(F.sum("dist")).collect()[0][0]
+
+    cb0 = S.pq_train(embs, iters=0)  # raw init (first k vectors' subvectors)
+    cb1 = S.pq_train(embs, iters=1)
+    cb3 = S.pq_train(embs)
+    assert cb3.count() <= S.PQ_M * S.PQ_K
+    d0, d1, d3 = distortion(cb0), distortion(cb1), distortion(cb3)
+    assert d1 < d0, (d0, d1)
+    assert d3 <= d1 + 1e-9, (d1, d3)
+    codes = S.pq_encode(embs, cb3).collect()
+    assert len(codes) == n
+    assert all(
+        len(r.codes) == S.PQ_M and all(0 <= c < S.PQ_K for c in r.codes)
+        for r in codes
+    )
+
+
+def test_pq_search_recall_floor(spark, sf_dir):
+    """ADC search over the 8-byte PQ codes (32× compression) must clear the
+    measured floor — 0.54 recall@10 at sf0.001 with m=16/k=16; pinned at
+    0.4 (see the sweep table in operators/similarity.py)."""
+    from azeroth_data_platform_spark.operators import similarity as S
+
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < S.N_QUERIES)
+    exact = _topk_sets(S.brute_force_topk(embs, queries))
+    pq = _topk_sets(S.pq_topk(embs, queries))
+    hits = sum(len(pq.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, hits / total
+    assert all(len(v) <= S.TOP_K for v in pq.values())
+
+
 def test_sq8_search_recall_near_exact(spark, sf_dir):
     """Asymmetric search over SQ8-reconstructed vectors: quantization moves
     each coordinate by at most half a step, so the ranking should nearly
