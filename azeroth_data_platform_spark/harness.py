@@ -703,6 +703,14 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed IVF-PQ index layout — rows-only (recall + prune pinned)
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        embs, embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    )
+
+
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.brute_force_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
@@ -1198,6 +1206,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # rows-only (iterative training), recall/distortion pytest-pinned
     "ann_pq_codes": q_ann_pq_codes,
     "ann_topk_pq": q_ann_pq_topk,
+    "ann_topk_ivf_pq": q_ann_ivf_pq_topk,
 }
 
 ALL_ORACLES: dict[str, str] = {

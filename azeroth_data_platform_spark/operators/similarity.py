@@ -742,6 +742,80 @@ def pq_topk(
     return brute_force_topk(recon, queries, k)
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, m: int = PQ_M
+) -> DataFrame:
+    """IVF-PQ — the standard billion-vector index layout, composed from
+    the engine's own pieces: the IVF coarse quantizer partitions the
+    corpus into centroid buckets (candidates come from the query's
+    N_PROBE nearest buckets only — the scan shrinks by ~k_coarse/N_PROBE)
+    and every candidate is scored on its PQ RECONSTRUCTION, not its raw
+    vector (the index stores 8-byte codes; the float corpus is never read
+    at query time). At 100 TB both levers multiply: IVF cuts the rows
+    visited, PQ cuts the bytes per row 32×.
+
+    Shuffle story: coarse assignment is the broadcast argmin join
+    (ivf_topk's shape), reconstruction is a broadcast codebook join keyed
+    (sub, cid), candidate scoring a broadcast probe join on the coarse
+    cid — no corpus-wide shuffle anywhere except the per-vector groupBy
+    that assembles reconstructions (keyed vec_id, skew-free). Iterative
+    training → rows-only; recall vs the uncompressed IVF and the exact
+    scan is pytest-pinned."""
+    cb = pq_train(embeddings, m=m)
+    codes = pq_encode(embeddings, cb, m=m)
+    segs = codes.select("vec_id", F.posexplode("codes").alias("sub", "cid"))
+    recon = (
+        segs.join(F.broadcast(cb), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cemb"))),
+                    lambda st: st["cemb"],
+                )
+            ).alias("embedding")
+        )
+    )
+    coarse = embeddings.where(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cemb")
+    )
+
+    def assign(df: DataFrame, out_rank: int) -> DataFrame:
+        a = df.alias("v")
+        c = coarse.alias("c")
+        dist = F.expr(
+            f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("ccid").asc())
+        return (
+            a.join(F.broadcast(c))
+            .select("v.vec_id", "v.embedding", "c.ccid", dist.alias("dist"))
+            .withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= out_rank)
+        )
+
+    # bucket membership from the RAW vectors (index build time), candidate
+    # scoring from the reconstructions (query time reads only the codes)
+    members = assign(embeddings, 1).select(
+        F.col("vec_id").alias("c_vec_id"), "ccid"
+    )
+    cand = members.join(
+        recon.select(F.col("vec_id").alias("c_vec_id"), F.col("embedding").alias("c_embedding")),
+        "c_vec_id",
+    )
+    probes = assign(queries, N_PROBE).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding"), "ccid"
+    )
+    cos = F.expr(cosine_sql("q_embedding", "c_embedding"))
+    scored = (
+        cand.join(F.broadcast(probes), "ccid")
+        .where(F.col("c_vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "c_vec_id", cos.alias("cosine"))
+        .distinct()
+    )
+    return _two_phase_topk(scored, k)
+
+
 def lsh_bucketed_topk_sql() -> str:
     bucket = lsh_bucket_sql("embedding", duck=True)
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)])

@@ -106,6 +106,7 @@ def main() -> int:
             "tp_decontaminate_bloom",
             "ann_pq_codes",
             "ann_topk_pq",
+            "ann_topk_ivf_pq",
         )
         if q in harness.ALL_QUERIES
     ]
