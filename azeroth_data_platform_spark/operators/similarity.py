@@ -713,32 +713,50 @@ def pq_encode(
     )
 
 
+def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
+    """The (sub, cid, cemb) relation folded into ONE row — `cball[s][c]` =
+    subspace s's centroid c — so reconstruction can be a broadcast
+    crossJoin + row-local lookup instead of an explode + corpus-wide
+    groupBy. The full codebook is m·k·sub_dim doubles (8 KB at the
+    defaults) — always broadcastable."""
+    per_sub = codebooks.groupBy("sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("cid", "cemb"))), lambda st: st["cemb"]
+        ).alias("percid")
+    )
+    return per_sub.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "percid"))),
+            lambda st: st["percid"],
+        ).alias("cball")
+    )
+
+
+def pq_reconstruct(codes: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, embedding): decode PQ codes back to their codebook
+    reconstruction — the values an ADC search actually ranks. Pure
+    row-local projection against the broadcast one-row codebook (no
+    explode, no shuffle): at 100 TB the decompression path is
+    scan-bound over the 8-byte codes."""
+    return codes.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
+        "vec_id",
+        F.expr(
+            "flatten(transform(codes,"
+            " (c, s) -> element_at(element_at(cball, s + 1), CAST(c + 1 AS INT))))"
+        ).alias("embedding"),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOP_K, m: int = PQ_M
 ) -> DataFrame:
     """ANN top-k over the PQ-compressed corpus (ADC): candidates score on
     their codebook reconstruction (centroids concatenated in subspace
     order), queries stay full-precision. Same scan/broadcast/two-phase
-    shape as sq8_topk — at 100 TB the index read shrinks 64× vs float32
+    shape as sq8_topk — at 100 TB the index read shrinks 32× vs float32
     while the plan is unchanged."""
     cb = pq_train(embeddings, m=m)
-    codes = pq_encode(embeddings, cb, m=m)
-    segs = codes.select(
-        "vec_id",
-        F.posexplode("codes").alias("sub", "cid"),
-    )
-    recon = (
-        segs.join(F.broadcast(cb), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "cemb"))),
-                    lambda st: st["cemb"],
-                )
-            ).alias("embedding")
-        )
-    )
+    recon = pq_reconstruct(pq_encode(embeddings, cb, m=m), cb)
     return brute_force_topk(recon, queries, k)
 
 
@@ -762,20 +780,7 @@ def ivf_pq_topk(
     training → rows-only; recall vs the uncompressed IVF and the exact
     scan is pytest-pinned."""
     cb = pq_train(embeddings, m=m)
-    codes = pq_encode(embeddings, cb, m=m)
-    segs = codes.select("vec_id", F.posexplode("codes").alias("sub", "cid"))
-    recon = (
-        segs.join(F.broadcast(cb), ["sub", "cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("sub", "cemb"))),
-                    lambda st: st["cemb"],
-                )
-            ).alias("embedding")
-        )
-    )
+    recon = pq_reconstruct(pq_encode(embeddings, cb, m=m), cb)
     coarse = embeddings.where(F.col("vec_id") < N_IVF_CENTROIDS).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("cemb")
     )
