@@ -92,6 +92,40 @@ def write_training_shards(packed: DataFrame, path: str) -> None:
     )
 
 
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # ≈ one HDFS/parquet block per file
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files via the staged atomic swap
+    (merge._staged_rewrite — old data recoverable at every step).
+    Returns the new file count.
+
+    The 100 TB rationale: every incremental append (insert_if_absent,
+    streaming sinks) adds a file per task; after N batches a reader pays
+    N×tasks open/footer costs and the NameNode/listing pays the metadata.
+    Periodic compaction is the standard fix (Delta OPTIMIZE's file-level
+    half, minus the transaction log). Coalesce, not repartition: packing
+    existing partitions needs no shuffle."""
+    import math
+
+    from .merge import _staged_rewrite
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path).coalesce(n_files)
+    # localCheckpoint: the rewrite reads the path it replaces
+    _staged_rewrite(df.localCheckpoint(), path)
+    return n_files
+
+
 def write_packed_corpus(packs: DataFrame, path: str) -> None:
     """Lay the MATERIALIZED packs (operators/corpus.py::pack_contents
     output — one row per (shard, pack_id) with the assembled sequence text)

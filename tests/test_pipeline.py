@@ -276,6 +276,29 @@ def test_training_shard_layout_roundtrip(spark, tmp_path):
     assert spark.read.parquet(out).count() == 30
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Many small appended files must compact to the computed count with
+    zero row loss, and a re-run must be a no-op-shaped rewrite."""
+    import os
+
+    from azeroth_data_platform_spark.sources.writers import compact_parquet
+
+    target = str(tmp_path / "t")
+    for batch in range(5):  # 5 appends × 4 partitions = 20 small files
+        spark.range(batch * 100, (batch + 1) * 100).repartition(4).write.mode(
+            "append"
+        ).parquet(target)
+    before = sum(f.endswith(".parquet") for f in os.listdir(target))
+    assert before >= 20
+    n = compact_parquet(spark, target, target_bytes=10**9)
+    after = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    assert len(after) == n == 1
+    assert spark.read.parquet(target).count() == 500
+    assert set(r.id for r in spark.read.parquet(target).collect()) == set(range(500))
+    compact_parquet(spark, target, target_bytes=10**9)  # idempotent re-run
+    assert spark.read.parquet(target).count() == 500
+
+
 def test_packed_corpus_roundtrip_conserves_tokens(spark, tmp_path):
     """End-to-end packing over the real corpus: materialize pack contents,
     write the shard layout, read it back — total token mass equals the
