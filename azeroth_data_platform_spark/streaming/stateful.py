@@ -164,6 +164,76 @@ def _sessionize_state(
         yield pd.DataFrame(out)
 
 
+# ---------------------------------------------------------------------------
+# Streaming sequence packing — the incremental twin of
+# operators/corpus.py::pack_sequences: documents arriving on a stream get
+# their (pack_id, pack_offset) layout slot as they land, from ONE running
+# token total per shard carried across micro-batches. This is the shape a
+# continuously-ingesting training pipeline needs: the nightly batch packer
+# re-lays the whole corpus; the streaming packer extends the layout
+# append-only without touching earlier packs. State per shard is a single
+# bigint — bounded by N_SHARDS, not volume.
+#
+# Ordering contract: within a micro-batch docs pack in doc_id order (same
+# tie-break as the batch operator); ACROSS batches arrival order is the
+# layout order — the batch twin over the same arrival sequence produces
+# the identical layout (test-pinned).
+
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+        T.StructField("pack_offset", T.LongType()),
+        T.StructField("crosses_boundary", T.BooleanType()),
+    ]
+)
+
+PACK_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+
+
+def streaming_pack(sampled: DataFrame, budget: int | None = None) -> DataFrame:
+    """sampled (streaming): (doc_id, shard, n_tokens, ...) → per-doc pack
+    layout slots assigned incrementally, running totals persisted in the
+    state store across micro-batches. `budget` defaults to the batch
+    operator's PACK_BUDGET so the two layouts agree token-for-token."""
+    from ..operators.corpus import PACK_BUDGET
+
+    b = PACK_BUDGET if budget is None else budget
+
+    def _pack_state(
+        key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0,)
+        rows: list[dict[str, Any]] = []
+        for pdf in batches:
+            for row in pdf.sort_values("doc_id").itertuples():
+                start, n = total, int(row.n_tokens)
+                rows.append(
+                    {
+                        "shard": key[0],
+                        "doc_id": row.doc_id,
+                        "n_tokens": n,
+                        "pack_id": start // b,
+                        "pack_offset": start % b,
+                        "crosses_boundary": start % b + n > b,
+                    }
+                )
+                total += n
+        state.update((total,))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return sampled.groupBy("shard").applyInPandasWithState(
+        _pack_state,
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """events (streaming): (user_id, ts, ...) → closed sessions. A session
     closes either when a later event for the SAME key arrives beyond the

@@ -102,3 +102,63 @@ def test_session_timeout_evicts_idle_keys(spark, tmp_path):
         assert timeout.session_end == T0 + dt.timedelta(minutes=2)
     finally:
         q.stop()
+
+
+def test_streaming_pack_continues_layout_across_batches(spark, tmp_path):
+    """The streaming packer must (a) match the batch pack_sequences layout
+    when a batch arrives in doc_id order, and (b) CONTINUE the per-shard
+    running totals into later micro-batches instead of restarting."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.streaming.stateful import streaming_pack
+
+    schema = "doc_id long, band string, n_tokens long, lang_pred string, shard long"
+    b1 = [(1, "hi", 60, "en", 0), (2, "hi", 50, "en", 0), (3, "lo", 10, "en", 1)]
+    b2 = [(4, "hi", 30, "en", 0), (5, "lo", 95, "en", 1)]
+    src = tmp_path / "sampled"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_pack(stream, budget=100)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("packed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r.doc_id: r for r in spark.sql("SELECT * FROM packed").collect()
+        }
+        # (a) batch equivalence on the first batch
+        batch = {
+            r.doc_id: r
+            for r in corpus.pack_sequences(
+                spark.createDataFrame(b1, schema), budget=100
+            ).collect()
+        }
+        for d, r in batch.items():
+            s = got1[d]
+            assert (s.pack_id, s.pack_offset, s.crosses_boundary) == (
+                r.pack_id,
+                r.pack_offset,
+                r.crosses_boundary,
+            ), d
+
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got2 = {r.doc_id: r for r in spark.sql("SELECT * FROM packed").collect()}
+    finally:
+        q.stop()
+
+    # (b) shard 0 had 110 tokens → doc 4 starts at 110: pack 1, offset 10
+    assert (got2[4].pack_id, got2[4].pack_offset) == (1, 10)
+    # shard 1 had 10 tokens → doc 5 starts at 10 and spills past 100
+    assert (got2[5].pack_id, got2[5].pack_offset, got2[5].crosses_boundary) == (
+        0,
+        10,
+        True,
+    )
