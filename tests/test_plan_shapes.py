@@ -214,6 +214,19 @@ def test_pack_contents_never_globally_orders(spark, sf_dir):
     assert "hashpartitioning(shard" in plan
 
 
+def test_bloom_decontaminate_broadcasts_fixed_bitmap(spark, sf_dir):
+    """The Bloom screen must join corpus shingles against the BROADCAST
+    word bitmap (constant-size side) — a SortMergeJoin or cartesian here
+    would mean the filter build lost its fixed-size contract."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = adapters.read_table(spark, sf_dir, "documents")
+    plan = _plan(corpus.decontaminate_bloom(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_signature_is_single_exchange(spark, sf_dir):
     """The MinHash signature must be ONE doc_id-keyed aggregation with a
     min-column per seed (map-side partial agg), never the exploded
