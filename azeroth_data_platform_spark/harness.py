@@ -638,6 +638,10 @@ def q_tp_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate_bloom(_docs(spark, sf_dir))
 
 
+def q_dd_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substring_spans(_docs(spark, sf_dir))
+
+
 def q_tp_pack_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_contents(
@@ -1207,6 +1211,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_pq_codes": q_ann_pq_codes,
     "ann_topk_pq": q_ann_pq_topk,
     "ann_topk_ivf_pq": q_ann_ivf_pq_topk,
+    # exact-substring span dedup (repeated ≥W-token spans, cut-list form)
+    "dd_exact_substring": q_dd_exact_substring,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1253,6 +1259,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
     "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
     "tp_decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
+    "dd_exact_substring": dedup.EXACT_SUBSTRING_SQL,
     "x_set_ops": f"""{_W_SILVER},
       bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
       tagged AS (SELECT s.item_id,

@@ -962,3 +962,100 @@ def _semantic_dedup_sql() -> str:
 
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup — the Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better") operation: find token SPANS repeated
+# anywhere in the corpus (within or across documents) and emit, per doc,
+# the maximal spans to cut. The paper builds a suffix array; the
+# distributed equivalent is fixed-width token windows (stride 1) hashed and
+# grouped — any repeated substring of length ≥ W contains a repeated
+# W-window, so W-window recall is exact for spans ≥ W (shorter repeats are
+# invisible by design; W is the paper's 50-token knob).
+#
+# Shuffle story at 100 TB: windows explode row-locally inside the scan
+# (n_tokens rows per doc), the repeat test is ONE groupBy on the window
+# hash (uniform md5 → skew-free), flagged positions come back via an
+# equi-join on the same hash, and span assembly is a per-doc
+# gaps-and-islands window (partition key doc_id — high-cardinality).
+# No pairwise anything: cost is linear in corpus token count.
+
+SUBSTR_W = 10  # window width in tokens (the paper uses 50; test corpus is small)
+
+
+def exact_substring_spans(documents: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Per doc: maximal token spans [span_start, span_end] (1-based,
+    inclusive) covered by some W-token window that occurs ≥2 times in the
+    corpus, plus the span token count — the cut-list for substring-level
+    dedup."""
+    from pyspark.sql import Window
+
+    from .textstats import _words
+
+    wins = (
+        documents.select("doc_id", _words().alias("_ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_ws) - {w} + 1, 0)),"
+                    f" i -> struct(i AS pos, md5(array_join(slice(_ws, i, {w}), ' ')) AS h))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.pos", "x.h")
+    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
+    flagged = wins.join(dup.select("h"), "h").select("doc_id", "pos")
+    w1 = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        flagged.withColumn("prev", F.lag("pos").over(w1))
+        .withColumn(
+            "new_island",
+            F.col("prev").isNull() | (F.col("pos") > F.col("prev") + w),
+        )
+        .withColumn("island", F.sum(F.col("new_island").cast("int")).over(w1))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def _exact_substring_sql(w: int = SUBSTR_W) -> str:
+    from .textstats import WORDS_SQL
+
+    return f"""
+  WITH toks AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+  wins AS (SELECT doc_id, i AS pos,
+                  md5(array_to_string(ws[i : i + {w} - 1], ' ')) AS h
+           FROM toks, unnest(range(1, greatest(len(ws) - {w} + 1, 0) + 1)) AS t(i)),
+  dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+  flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+  isl AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {w}
+                      THEN 1 ELSE 0 END AS new_island
+          FROM flagged),
+  grp AS (SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl)
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {w} - 1 AS BIGINT) AS span_end,
+         CAST(MAX(pos) + {w} - MIN(pos) AS BIGINT) AS span_tokens
+  FROM grp GROUP BY doc_id, island"""
+
+
+EXACT_SUBSTRING_SQL = _exact_substring_sql()

@@ -107,6 +107,7 @@ def main() -> int:
             "ann_pq_codes",
             "ann_topk_pq",
             "ann_topk_ivf_pq",
+            "dd_exact_substring",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -282,6 +282,32 @@ def test_pack_sequences_running_layout(spark):
     assert (out[3].pack_id, out[3].pack_offset) == (0, 0)
 
 
+def test_exact_substring_spans_finds_planted_repeats(spark):
+    """A 12-token phrase shared by two docs must surface as one maximal
+    span in each (positions correct); unique text yields no spans; two
+    repeats separated by unique text stay separate islands."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    phrase = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    d1 = f"u1 u2 u3 {phrase} u4 u5"
+    d2 = f"v1 {phrase} v2 v3 v4 v5 v6 v7 v8 v9 {phrase}"
+    d3 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # all unique
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "web", len(d1)), (2, d2, "en", "web", len(d2)),
+         (3, d3, "en", "web", len(d3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {}
+    for r in dedup.exact_substring_spans(docs, w=10).collect():
+        out.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.span_tokens))
+    # d1: phrase occupies tokens 4..15 → windows 4..6 → span [4, 15]
+    assert out[1] == [(4, 15, 12)]
+    # d2: first at 2..13, then v2..v9 (tokens 14..21), second at 22..33 —
+    # separated by >W-window gap in flagged positions → two islands
+    assert sorted(out[2]) == [(2, 13, 12), (22, 33, 12)]
+    assert 3 not in out  # unique doc untouched
+
+
 def test_decontaminate_bloom_has_no_false_negatives(spark, sf_dir):
     """Bloom screening may over-flag (false positives bounded by the m/k/n
     trade) but must NEVER miss: every doc the exact shingle-set check marks
