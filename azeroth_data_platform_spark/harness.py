@@ -642,6 +642,10 @@ def q_dd_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substring_spans(_docs(spark, sf_dir))
 
 
+def q_dd_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.remove_repeated_spans(_docs(spark, sf_dir))
+
+
 def q_tp_pack_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_contents(
@@ -1213,6 +1217,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_topk_ivf_pq": q_ann_ivf_pq_topk,
     # exact-substring span dedup (repeated ≥W-token spans, cut-list form)
     "dd_exact_substring": q_dd_exact_substring,
+    "dd_remove_spans": q_dd_remove_spans,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1260,6 +1265,7 @@ ALL_ORACLES: dict[str, str] = {
     "mm_frame_sample": multimodal.FRAME_SAMPLE_SQL,
     "tp_decontaminate_bloom": corpus.DECONTAMINATE_BLOOM_SQL,
     "dd_exact_substring": dedup.EXACT_SUBSTRING_SQL,
+    "dd_remove_spans": dedup.REMOVE_SPANS_SQL,
     "x_set_ops": f"""{_W_SILVER},
       bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
       tagged AS (SELECT s.item_id,

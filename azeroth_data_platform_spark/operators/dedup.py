@@ -995,11 +995,14 @@ def exact_substring_spans(documents: DataFrame, w: int = SUBSTR_W) -> DataFrame:
 
     wins = (
         documents.select("doc_id", _words().alias("_ws"))
+        # docs shorter than W carry no window (and Spark's sequence(1, 0)
+        # would run DESCENDING — the guard is correctness, not just cost)
+        .where(F.size("_ws") >= w)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(_ws) - {w} + 1, 0)),"
+                    f"transform(sequence(1, size(_ws) - {w} + 1),"
                     f" i -> struct(i AS pos, md5(array_join(slice(_ws, i, {w}), ' ')) AS h))"
                 )
             ).alias("x"),
@@ -1059,3 +1062,65 @@ def _exact_substring_sql(w: int = SUBSTR_W) -> str:
 
 
 EXACT_SUBSTRING_SQL = _exact_substring_sql()
+
+
+def remove_repeated_spans(documents: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """Apply the exact-substring cut list: per doc, the text with every
+    repeated span removed (tokens re-joined with single spaces) and the
+    removed-token count — the actual dedup action over
+    `exact_substring_spans`' findings.
+
+    The span list per doc is tiny (collected into one array column), so
+    the removal is a row-local HOF filter over the token array — no
+    explode, no per-token shuffle; docs without spans pass through via the
+    left join. Membership testing is order-insensitive, so collect_list's
+    nondeterministic order cannot change the output."""
+    from .textstats import _words
+
+    spans = (
+        exact_substring_spans(documents, w)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_spans"))
+    )
+    toks = documents.select("doc_id", _words().alias("_ws"))
+    kept = F.expr(
+        "filter(transform(_ws, (t, i) -> struct(t AS t, i + 1 AS p)),"
+        " x -> _spans IS NULL OR NOT exists(_spans,"
+        " s -> x.p >= s.span_start AND x.p <= s.span_end))"
+    )
+    return (
+        toks.join(spans, "doc_id", "left")
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            F.expr("array_join(transform(_kept, x -> x.t), ' ')").alias("clean_text"),
+            (F.size("_ws") - F.size("_kept")).alias("n_tokens_removed"),
+        )
+    )
+
+
+def _remove_spans_sql(w: int = SUBSTR_W) -> str:
+    from .textstats import WORDS_SQL
+
+    return f"""
+  WITH spans AS ({_exact_substring_sql(w)}),
+  toks AS (SELECT doc_id, i AS pos, ws[i] AS t
+           FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+                unnest(range(1, len(ws) + 1)) AS u(i)),
+  keep AS (SELECT tk.doc_id, tk.pos, tk.t
+           FROM toks tk LEFT JOIN spans s
+             ON tk.doc_id = s.doc_id
+            AND tk.pos BETWEEN s.span_start AND s.span_end
+           WHERE s.doc_id IS NULL)
+  SELECT d.doc_id,
+         COALESCE(k.clean_text, '') AS clean_text,
+         CAST(len({WORDS_SQL}) - COALESCE(k.n_kept, 0) AS INTEGER)
+           AS n_tokens_removed
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+                    COUNT(*) AS n_kept
+             FROM keep GROUP BY doc_id) k
+    ON d.doc_id = k.doc_id"""
+
+
+REMOVE_SPANS_SQL = _remove_spans_sql()

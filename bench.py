@@ -108,6 +108,7 @@ def main() -> int:
             "ann_topk_pq",
             "ann_topk_ivf_pq",
             "dd_exact_substring",
+            "dd_remove_spans",
         )
         if q in harness.ALL_QUERIES
     ]

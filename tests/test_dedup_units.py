@@ -308,6 +308,26 @@ def test_exact_substring_spans_finds_planted_repeats(spark):
     assert 3 not in out  # unique doc untouched
 
 
+def test_remove_repeated_spans_cuts_only_flagged_tokens(spark):
+    """Applying the cut list must drop exactly the flagged span tokens,
+    keep everything else in order, and pass unique docs through intact."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    phrase = " ".join(f"p{i}" for i in range(12))
+    d1 = f"u1 u2 u3 {phrase} u4 u5"
+    d2 = f"v1 {phrase} v2"
+    d3 = "w1 w2 w3"
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "web", len(d1)), (2, d2, "en", "web", len(d2)),
+         (3, d3, "en", "web", len(d3))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(docs, w=10).collect()}
+    assert out[1].clean_text == "u1 u2 u3 u4 u5" and out[1].n_tokens_removed == 12
+    assert out[2].clean_text == "v1 v2" and out[2].n_tokens_removed == 12
+    assert out[3].clean_text == "w1 w2 w3" and out[3].n_tokens_removed == 0
+
+
 def test_decontaminate_bloom_has_no_false_negatives(spark, sf_dir):
     """Bloom screening may over-flag (false positives bounded by the m/k/n
     trade) but must NEVER miss: every doc the exact shingle-set check marks

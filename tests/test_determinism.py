@@ -33,6 +33,8 @@ CHECK = [
     "tp_pack_contents",
     "tp_decontaminate_bloom",
     "ann_topk_lsh_multi",
+    "dd_exact_substring",
+    "dd_remove_spans",
 ]
 
 
