@@ -706,3 +706,57 @@ CHUNK_DOCUMENTS_SQL = f"""
          array_to_string(ws[start_token + 1 : start_token + {CHUNK_SIZE}], ' ')
            AS chunk_text
   FROM starts"""
+
+
+# ---------------------------------------------------------------------------
+# Training-mix rebalancing — the data-mixing stage between curation and
+# packing: decide how hard to sample each source so the training mix hits a
+# target token share (The-Pile-style mix tables; here the target is the
+# uniform share, the common "rebalance a crawl-dominated corpus" default —
+# a weights column swaps in trivially). Outputs the per-source sampling
+# plan: observed token mass, target, the keep-rate to apply, and the
+# expected post-sampling tokens.
+
+
+def mix_rebalance(documents: DataFrame) -> DataFrame:
+    """Per-source sampling plan toward a uniform token share.
+
+    Shuffle story: ONE groupBy on `source` (low-cardinality rollup over
+    per-row token counts, map-side combined) + a broadcast one-row grand
+    total — the plan is two tiny aggregations over a single scan; the
+    expensive part (applying the plan) is `stratified_sample`-shaped.
+    All derived columns are single IEEE divisions of exact integers, so
+    the DuckDB twin matches bit-for-bit."""
+    per_src = (
+        documents.select("source", F.size(textstats._words()).alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("tokens"),
+        )
+    )
+    grand = per_src.agg(
+        F.sum("tokens").alias("_total"), F.count(F.lit(1)).alias("_n_sources")
+    )
+    target = F.col("_total").cast("double") / F.col("_n_sources")
+    return per_src.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        target.alias("target_tokens"),
+        F.least(F.lit(1.0), target / F.col("tokens")).alias("sample_rate"),
+        F.least(F.col("tokens").cast("double"), target).alias("expected_tokens"),
+    )
+
+
+MIX_REBALANCE_SQL = f"""
+  WITH t AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(len({textstats.WORDS_SQL})) AS BIGINT) AS tokens
+             FROM documents GROUP BY source),
+  g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM t)
+  SELECT source, n_docs, tokens,
+         CAST(total AS DOUBLE) / n_sources AS target_tokens,
+         LEAST(1.0, (CAST(total AS DOUBLE) / n_sources) / tokens) AS sample_rate,
+         LEAST(CAST(tokens AS DOUBLE), CAST(total AS DOUBLE) / n_sources)
+           AS expected_tokens
+  FROM t CROSS JOIN g"""

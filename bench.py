@@ -109,6 +109,7 @@ def main() -> int:
             "ann_topk_ivf_pq",
             "dd_exact_substring",
             "dd_remove_spans",
+            "tp_mix_rebalance",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -384,6 +384,27 @@ def test_pack_contents_assembles_across_boundaries(spark):
         assert r.n_tokens_in_pack == (5 if pack_id < last else r.n_tokens_in_pack)
 
 
+def test_mix_rebalance_plan_is_conservative(spark, sf_dir):
+    """The sampling plan must target the uniform share exactly: rates ≤ 1,
+    under-target sources keep everything (rate 1), over-target sources are
+    cut to the target, and total expected tokens never exceed the corpus."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.operators.adapters import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = corpus.mix_rebalance(docs).collect()
+    total = sum(r.tokens for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert abs(r.target_tokens - target) < 1e-6
+        if r.tokens <= target:
+            assert r.sample_rate == 1.0 and r.expected_tokens == r.tokens
+        else:
+            assert abs(r.expected_tokens - target) < 1e-6
+    assert sum(r.expected_tokens for r in rows) <= total + 1e-6
+
+
 def test_quality_prune_approx_tracks_exact(spark, sf_dir):
     """The approx_percentile scale path must land within sketch tolerance
     of the exact cut: thresholds close, and the survivor sets may differ
