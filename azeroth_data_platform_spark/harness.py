@@ -650,6 +650,10 @@ def q_tp_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_rebalance(_docs(spark, sf_dir))
 
 
+def q_tp_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.apply_mix(_docs(spark, sf_dir))
+
+
 def q_tp_pack_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return corpus.pack_contents(
@@ -1222,8 +1226,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # exact-substring span dedup (repeated ≥W-token spans, cut-list form)
     "dd_exact_substring": q_dd_exact_substring,
     "dd_remove_spans": q_dd_remove_spans,
-    # per-source sampling plan toward a uniform token mix
+    # per-source sampling plan toward a uniform token mix + its application
     "tp_mix_rebalance": q_tp_mix_rebalance,
+    "tp_mix_apply": q_tp_mix_apply,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1273,6 +1278,7 @@ ALL_ORACLES: dict[str, str] = {
     "dd_exact_substring": dedup.EXACT_SUBSTRING_SQL,
     "dd_remove_spans": dedup.REMOVE_SPANS_SQL,
     "tp_mix_rebalance": corpus.MIX_REBALANCE_SQL,
+    "tp_mix_apply": corpus.APPLY_MIX_SQL,
     "x_set_ops": f"""{_W_SILVER},
       bounds AS (SELECT MIN(snapshot_date) AS d0, MAX(snapshot_date) AS d1 FROM silver),
       tagged AS (SELECT s.item_id,

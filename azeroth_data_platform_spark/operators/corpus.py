@@ -48,8 +48,8 @@ SAMPLE_RATES = {"hi": 100, "lo": 40}
 QUALITY_BAND_SPLIT = 0.75
 
 
-def _doc_hash_sql(duck: bool) -> str:
-    """Engine-portable uniform hash of doc_id ∈ [0, 100) — md5-derived, so
+def _doc_hash_sql(duck: bool, mod: int = 100) -> str:
+    """Engine-portable uniform hash of doc_id ∈ [0, mod) — md5-derived, so
     sampling decisions are identical in Spark, DuckDB, or anything else
     that can md5 a string. Deterministic sampling means a re-run of the
     pipeline selects the same corpus — reproducible training data."""
@@ -61,7 +61,7 @@ def _doc_hash_sql(duck: bool) -> str:
     )
     if duck:
         h = h.replace("AS STRING", "AS VARCHAR")
-    return f"(({h}) % 100)"
+    return f"(({h}) % {mod})"
 
 
 def stratified_sample(cleaned: DataFrame) -> DataFrame:
@@ -760,3 +760,46 @@ MIX_REBALANCE_SQL = f"""
          LEAST(CAST(tokens AS DOUBLE), CAST(total AS DOUBLE) / n_sources)
            AS expected_tokens
   FROM t CROSS JOIN g"""
+
+
+MIX_HASH_MOD = 10_000  # rate resolution for the deterministic keep decision
+
+
+def apply_mix(documents: DataFrame) -> DataFrame:
+    """Apply the mix_rebalance plan: per-source deterministic downsampling
+    at the computed keep-rate (md5-hash thresholding, the same
+    reproducible-sampling device as stratified_sample, at 1/10000
+    resolution). Output: the surviving (doc_id, source, n_tokens).
+
+    The 20-row plan broadcasts into the corpus scan; keep = doc_hash <
+    floor(rate · 10000) — floor() explicitly, because a double→int CAST
+    truncates in Spark but ROUNDS in DuckDB, and the two must agree."""
+    plan = mix_rebalance(documents).select("source", "sample_rate")
+    h = F.expr(_doc_hash_sql(duck=False, mod=MIX_HASH_MOD))
+    return (
+        documents.select(
+            "doc_id", "source", F.size(textstats._words()).alias("n_tokens")
+        )
+        .withColumn("_h", h)
+        .join(F.broadcast(plan), "source")
+        .where(
+            F.col("_h")
+            < F.floor(F.col("sample_rate") * MIX_HASH_MOD).cast("bigint")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+APPLY_MIX_SQL = f"""
+  WITH t AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(len({textstats.WORDS_SQL})) AS BIGINT) AS tokens
+             FROM documents GROUP BY source),
+  g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM t),
+  plan AS (SELECT source,
+                  LEAST(1.0, (CAST(total AS DOUBLE) / n_sources) / tokens)
+                    AS sample_rate
+           FROM t CROSS JOIN g)
+  SELECT d.doc_id, d.source, CAST(len({textstats.WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE {_doc_hash_sql(duck=True, mod=MIX_HASH_MOD)}
+        < CAST(floor(p.sample_rate * {MIX_HASH_MOD}) AS BIGINT)"""

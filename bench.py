@@ -110,6 +110,7 @@ def main() -> int:
             "dd_exact_substring",
             "dd_remove_spans",
             "tp_mix_rebalance",
+            "tp_mix_apply",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -405,6 +405,30 @@ def test_mix_rebalance_plan_is_conservative(spark, sf_dir):
     assert sum(r.expected_tokens for r in rows) <= total + 1e-6
 
 
+def test_apply_mix_tracks_plan_rates(spark, sf_dir):
+    """Applying the mix must keep everything from rate-1.0 sources and
+    approximate the plan rate elsewhere (md5 thresholding is uniform but
+    finite-sample); re-running selects the identical doc set."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.operators.adapters import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = {r.source: r for r in corpus.mix_rebalance(docs).collect()}
+    kept = corpus.apply_mix(docs).collect()
+    by_src: dict[str, int] = {}
+    for r in kept:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    for src, p in plan.items():
+        k = by_src.get(src, 0)
+        if p.sample_rate == 1.0:
+            assert k == p.n_docs, src  # keep-all sources stay whole
+        else:
+            assert k <= p.n_docs, src
+    # deterministic: a second run selects the same documents
+    again = {r.doc_id for r in corpus.apply_mix(docs).collect()}
+    assert again == {r.doc_id for r in kept}
+
+
 def test_quality_prune_approx_tracks_exact(spark, sf_dir):
     """The approx_percentile scale path must land within sketch tolerance
     of the exact cut: thresholds close, and the survivor sets may differ
