@@ -1,0 +1,129 @@
+"""End-to-end training-corpus pipeline — the LLM-data operators composed
+into ONE run, the way a data-curation team would actually ship a corpus:
+
+  PII scrub → exact-substring span removal → quality + near-dup clean →
+  benchmark decontamination (drop) → stratified sample + shard →
+  sequence packing (layout + materialized content) → shard layout on disk
+  (+ per-source health report).
+
+Same orchestration contract as plans/pipeline.py (X1-X5): lineage is the
+DataFrame plan, run metadata is the returned dict, structured logging per
+stage, idempotent re-runs via overwrite semantics of the writers. Every
+stage is one of the engine's standalone oracle-checked operators; the
+composition adds NO new semantics — which is what makes the end-to-end
+output trustworthy without an end-to-end oracle.
+
+Scale notes: the only driver-side values are the metadata counts; each is
+one aggregate over an already-needed relation. The scrubbed/span-cleaned
+document set is cached once — every downstream family (clean, decon,
+report) re-reads it instead of re-running the scrub lineage.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus, dedup, textstats
+from ..sources import writers
+
+log = logging.getLogger(__name__)
+
+
+def _rebuilt_docs(documents: DataFrame, new_text: DataFrame) -> DataFrame:
+    """Swap the text column (scrubbed / span-cleaned) while keeping the
+    documents schema so every downstream operator runs unchanged."""
+    return (
+        documents.drop("text", "n_chars")
+        .join(new_text, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    documents_path: str,
+    out_dir: str,
+    budget: int = corpus.PACK_BUDGET,
+) -> dict[str, Any]:
+    """Materialize a training corpus end-to-end; returns run metadata."""
+    meta: dict[str, Any] = {}
+    docs = spark.read.parquet(documents_path)
+    meta["docs_in"] = docs.count()
+
+    # --- 1. PII scrub: annotation happens on the REDACTED text ---
+    scrubbed = textstats.pii_scrub(docs)
+    meta["docs_with_pii"] = scrubbed.where("has_pii").count()
+    docs = _rebuilt_docs(
+        docs, scrubbed.select("doc_id", F.col("scrubbed_text").alias("text"))
+    )
+
+    # --- 2. exact-substring dedup: cut repeated spans, keep the docs ---
+    cleaned_text = dedup.remove_repeated_spans(docs)
+    meta["span_tokens_removed"] = (
+        cleaned_text.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+    )
+    # docs that were ENTIRELY repeated text reduce to '' — drop them here
+    # (nothing left to train on; downstream ratio math assumes ≥1 token)
+    docs = (
+        _rebuilt_docs(
+            docs, cleaned_text.select("doc_id", F.col("clean_text").alias("text"))
+        )
+        .where(F.length("text") > 0)
+        .cache()
+    )
+    meta["docs_emptied_by_dedup"] = meta["docs_in"] - docs.count()
+
+    # --- 3. quality filter + near-dup removal + annotation ---
+    cleaned = corpus.clean_corpus(docs)
+
+    # --- 4. benchmark decontamination: drop flagged docs (the bench
+    # slice itself never trains — decontaminate() excludes it) ---
+    contaminated = (
+        corpus.decontaminate(docs).where("contaminated").select("doc_id")
+    )
+    is_bench = F.col("doc_id") % corpus.DECON_MOD == 0
+    train_pool = cleaned.where(~is_bench).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    meta["train_pool_docs"] = train_pool.count()
+
+    # --- 5. stratified sample + shard assignment ---
+    sampled = corpus.stratified_sample(train_pool)
+    meta["sampled_docs"] = sampled.count()
+    meta["sampled_tokens"] = sampled.agg(F.sum("n_tokens")).collect()[0][0] or 0
+
+    # --- 6. pack: layout + materialized sequences, laid out per shard ---
+    layout = corpus.pack_sequences(sampled, budget=budget)
+    writers.write_training_shards(layout, os.path.join(out_dir, "pack_layout"))
+    packs = corpus.pack_contents(sampled, docs, budget=budget)
+    writers.write_packed_corpus(packs, os.path.join(out_dir, "packs"))
+    meta["packs"] = spark.read.parquet(os.path.join(out_dir, "packs")).count()
+    meta["packed_tokens"] = (
+        spark.read.parquet(os.path.join(out_dir, "packs"))
+        .agg(F.sum("n_tokens_in_pack"))
+        .collect()[0][0]
+        or 0
+    )
+
+    # --- 7. per-source health report for the curation dashboard ---
+    corpus.corpus_report(docs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "report")
+    )
+    meta["report_sources"] = spark.read.parquet(
+        os.path.join(out_dir, "report")
+    ).count()
+
+    docs.unpersist()
+    log.info("corpus pipeline run: %s", meta)
+    return meta

@@ -299,6 +299,34 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert spark.read.parquet(target).count() == 500
 
 
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The composed corpus run must be internally consistent: counts
+    monotone through the filters, packed token mass exactly equal to the
+    sampled mass, shard layout + report on disk, and a re-run idempotent."""
+    from azeroth_data_platform_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    out = str(tmp_path / "corpus")
+    meta = run_corpus_pipeline(
+        spark, "/root/testdata/sf0.001/documents.parquet", out, budget=256
+    )
+    assert meta["docs_in"] == 500
+    assert 0 < meta["train_pool_docs"] <= meta["docs_in"]
+    assert 0 < meta["sampled_docs"] <= meta["train_pool_docs"]
+    assert meta["packed_tokens"] == meta["sampled_tokens"]  # conservation
+    assert meta["packs"] > 0 and meta["report_sources"] == 20
+    import os
+
+    assert os.path.isdir(os.path.join(out, "packs"))
+    assert os.path.isdir(os.path.join(out, "pack_layout"))
+    # idempotent re-run (overwrite semantics end to end)
+    meta2 = run_corpus_pipeline(
+        spark, "/root/testdata/sf0.001/documents.parquet", out, budget=256
+    )
+    assert meta2 == meta
+
+
 def test_packed_corpus_roundtrip_conserves_tokens(spark, tmp_path):
     """End-to-end packing over the real corpus: materialize pack contents,
     write the shard layout, read it back — total token mass equals the
