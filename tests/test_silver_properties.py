@@ -133,3 +133,42 @@ def test_tokenizer_matches_python_split_semantics(spark, texts):
         expect = [w for w in t.split(" ") if w != ""]
         assert got[i] == (len(expect), expect), (t, got[i])
         assert duck[i] == (len(expect), expect), (t, duck[i])
+
+
+# --- packing conservation property ------------------------------------------
+
+pack_docs = st.lists(
+    st.integers(min_value=1, max_value=40),  # n_tokens per doc
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pack_docs, st.integers(min_value=4, max_value=16))
+def test_pack_contents_conserves_tokens_for_any_layout(spark, sizes, budget):
+    """For ARBITRARY doc sizes and budgets: every token lands in exactly
+    one pack, non-final packs are exactly full, and reassembled text
+    matches the sampled token mass."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)), "en", "web", 0)
+        for i, n in enumerate(sizes)
+    ]
+    documents = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sampled = spark.createDataFrame(
+        [(i, "hi", n, "en", i % 2) for i, n in enumerate(sizes)],
+        "doc_id long, band string, n_tokens long, lang_pred string, shard long",
+    )
+    packs = corpus.pack_contents(sampled, documents, budget=budget).collect()
+    assert sum(r.n_tokens_in_pack for r in packs) == sum(sizes)
+    last = {}
+    for r in packs:
+        last[r.shard] = max(last.get(r.shard, -1), r.pack_id)
+    for r in packs:
+        assert len(r.pack_text.split()) == r.n_tokens_in_pack
+        if r.pack_id < last[r.shard]:
+            assert r.n_tokens_in_pack == budget
