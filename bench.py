@@ -136,8 +136,10 @@ def main() -> int:
     def run_canary() -> float:
         from pyspark.sql import functions as F
 
+        # 4 runs, first discarded (its own plan compiles on run 1 — measured
+        # ~2.5× inflation pre-sweep), median of the remaining 3
         times = []
-        for _ in range(3):
+        for i in range(4):
             t0 = time.perf_counter()
             (
                 spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -150,7 +152,8 @@ def main() -> int:
                 .mode("overwrite")
                 .save()
             )
-            times.append(time.perf_counter() - t0)
+            if i:
+                times.append(time.perf_counter() - t0)
         return round(sorted(times)[1], 3)
 
     canary_sec = run_canary()
