@@ -206,7 +206,7 @@ def decontaminate_bloom(documents: DataFrame, n: int = DECON_N) -> DataFrame:
     hashes = [_sh_hash_sql(s, duck=False) for s in range(K_BLOOM)]
     word = [F.expr(f"({h}) DIV 64") for h in hashes]
     mask = [
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 63 AS INT))")
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({h}) % 64 AS INT))")
         for h in hashes
     ]
     probe_structs = F.array(
@@ -249,12 +249,12 @@ def _decontaminate_bloom_sql() -> str:
 
     h = [_sh_hash_sql(s, duck=True) for s in range(K_BLOOM)]
     probe_rows = " UNION ALL ".join(
-        f"SELECT ({p}) // 64 AS word, (CAST(1 AS BIGINT) << CAST(({p}) % 63 AS INTEGER)) AS mask"
+        f"SELECT ({p}) // 64 AS word, (CAST(1 AS BIGINT) << CAST(({p}) % 64 AS INTEGER)) AS mask"
         f" FROM bench_sh"
         for p in h
     )
     hit = " AND ".join(
-        f"(COALESCE(b{s}.bits, 0) & (CAST(1 AS BIGINT) << CAST(({h[s]}) % 63 AS INTEGER))) <> 0"
+        f"(COALESCE(b{s}.bits, 0) & (CAST(1 AS BIGINT) << CAST(({h[s]}) % 64 AS INTEGER))) <> 0"
         for s in range(K_BLOOM)
     )
     joins = " ".join(

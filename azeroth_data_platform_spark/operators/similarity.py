@@ -713,36 +713,43 @@ def pq_encode(
     )
 
 
-def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
-    """The (sub, cid, cemb) relation folded into ONE row — `cball[s][c]` =
-    subspace s's centroid c — so reconstruction can be a broadcast
-    crossJoin + row-local lookup instead of an explode + corpus-wide
-    groupBy. The full codebook is m·k·sub_dim doubles (8 KB at the
-    defaults) — always broadcastable."""
-    per_sub = codebooks.groupBy("sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("cid", "cemb"))), lambda st: st["cemb"]
-        ).alias("percid")
-    )
-    return per_sub.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "percid"))),
-            lambda st: st["percid"],
-        ).alias("cball")
+def _pq_codebook_row(codebooks: DataFrame, k: int = PQ_K) -> DataFrame:
+    """The (sub, cid, cemb) relation folded into ONE row — a map keyed by
+    the scalar `sub*k + cid` — so reconstruction can be a broadcast
+    crossJoin + row-local map lookup instead of an explode + corpus-wide
+    groupBy. Keying by cid (not array position) stays correct when
+    Lloyd's empties a cluster and the surviving cids are non-contiguous:
+    codes only ever contain cids that exist in the codebook, so the
+    lookup is exact. The full codebook is m·k·sub_dim doubles (8 KB at
+    the defaults) — always broadcastable."""
+    return codebooks.groupBy().agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub").cast("bigint") * k + F.col("cid").cast("bigint")).alias("key"),
+                        F.col("cemb").alias("val"),
+                    )
+                )
+            )
+        ).alias("cmap")
     )
 
 
-def pq_reconstruct(codes: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_reconstruct(codes: DataFrame, codebooks: DataFrame, k: int = PQ_K) -> DataFrame:
     """(vec_id, embedding): decode PQ codes back to their codebook
     reconstruction — the values an ADC search actually ranks. Pure
     row-local projection against the broadcast one-row codebook (no
     explode, no shuffle): at 100 TB the decompression path is
-    scan-bound over the 8-byte codes."""
-    return codes.crossJoin(F.broadcast(_pq_codebook_row(codebooks))).select(
+    scan-bound over the 8-byte codes. The map lookup is keyed by
+    sub*k + cid (cid values, not positions — robust to emptied
+    clusters); a missing key would surface as a NULL embedding, never a
+    silently-wrong centroid."""
+    return codes.crossJoin(F.broadcast(_pq_codebook_row(codebooks, k=k))).select(
         "vec_id",
         F.expr(
             "flatten(transform(codes,"
-            " (c, s) -> element_at(element_at(cball, s + 1), CAST(c + 1 AS INT))))"
+            f" (c, s) -> element_at(cmap, CAST(s AS BIGINT) * {k} + CAST(c AS BIGINT))))"
         ).alias("embedding"),
     )
 

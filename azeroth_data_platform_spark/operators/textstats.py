@@ -228,12 +228,15 @@ TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 # The replace-count scoring below is exact ONLY for trigrams that cannot
-# overlap themselves (t[1:] == t[:2] would let occurrences share chars and
-# non-overlapping replace would undercount). Guard the invariant at import
-# so a future profile edit can't silently break score semantics.
+# overlap themselves: a period-1 border (t[1:] == t[:2], i.e. "aaa") or a
+# period-2 border (t[0] == t[2], e.g. "ere", "ana") lets occurrences share
+# chars, and non-overlapping replace would undercount vs the positional
+# semantics. Guard both invariants at import so a future profile edit
+# can't silently break score semantics.
 for _profile in TRIGRAM_PROFILES.values():
     for _t in _profile:
         assert _t[1:] != _t[:2], f"self-overlapping trigram {_t!r} breaks replace-count scoring"
+        assert _t[0] != _t[2], f"period-2 trigram {_t!r} breaks replace-count scoring"
 
 
 def _trigram_score_sql(grams: tuple[str, ...], duck: bool) -> str:

@@ -207,8 +207,13 @@ def streaming_pack(sampled: DataFrame, budget: int | None = None) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0,)
         rows: list[dict[str, Any]] = []
-        for pdf in batches:
-            for row in pdf.sort_values("doc_id").itertuples():
+        # Concatenate ALL Arrow chunks before sorting: a micro-batch can be
+        # delivered as several chunks, and per-chunk sorts would pack docs
+        # in chunk order — diverging from the batch pack_sequences layout.
+        chunks = [pdf for pdf in batches]
+        if chunks:
+            merged = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for row in merged.sort_values("doc_id").itertuples():
                 start, n = total, int(row.n_tokens)
                 rows.append(
                     {
