@@ -707,20 +707,20 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # iterative Lloyd's per subspace — rows-only (invariants + distortion
-    # monotonicity pinned in tests/test_ann_recall.py)
+    # fixed-iteration Lloyd's per subspace — hash-checked vs the unrolled
+    # CTE oracle; invariants + distortion pinned in tests/test_ann_recall.py
     embs = _embs(spark, sf_dir)
     return similarity.pq_encode(embs, similarity.pq_train(embs))
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ADC search over the 8-byte PQ codes — rows-only (recall floor pinned)
+    # ADC search over the 8-byte PQ codes — oracle-checked; recall floor pinned
     embs = _embs(spark, sf_dir)
     return similarity.pq_topk(embs, embs.where(F.col("vec_id") < similarity.N_QUERIES))
 
 
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the composed IVF-PQ index layout — rows-only (recall + prune pinned)
+    # the composed IVF-PQ index layout — oracle-checked; recall + prune pinned
     embs = _embs(spark, sf_dir)
     return similarity.ivf_pq_topk(
         embs, embs.where(F.col("vec_id") < similarity.N_QUERIES)
@@ -750,7 +750,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Iterative k-means training → not SQL-expressible → rows-only check.
+    # Fixed-iteration deterministic Lloyd's → hash-checkable against the
+    # unrolled-CTE oracle (similarity.ivf_trained_topk_sql).
     embs = _embs(spark, sf_dir)
     cents = similarity.kmeans_centroids(embs)
     return similarity.ivf_topk(
@@ -1148,9 +1149,12 @@ ORACLES: dict[str, str] = {
     "mm_binary_stats": multimodal.BINARY_STATS_SQL,
     # The stand-in decode is deterministic byte arithmetic, so the
     # mapInPandas feature extraction IS oracle-checkable (round-2 verdict
-    # item 4). Only ann_topk_ivf_trained stays rows-only (iterative
-    # k-means; convergence + recall pinned in tests/test_ann_recall.py).
+    # item 4).
     "mm_feature_extract": multimodal.FEATURE_EXTRACT_SQL,
+    # Trained k-means IS oracle-checkable despite being iterative: the
+    # iteration count is fixed and deterministic, so the 3 Lloyd's rounds
+    # unroll as chained CTEs (round-3 verdict item 1).
+    "ann_topk_ivf_trained": similarity.ivf_trained_topk_sql(),
 }
 
 # Serving reads over materialized gold frames (O5/O6) — derived by
@@ -1165,7 +1169,7 @@ ORACLES["o6_latest_index"] = (
 )
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
-assert set(QUERIES) - set(ORACLES) == {"ann_topk_ivf_trained"}
+assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"
 
 # ---------------------------------------------------------------------------
 # Legacy / standalone twins: queries consolidated out of the 50-slot driver
@@ -1219,7 +1223,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # tp_decontaminate; no false negatives, test-pinned)
     "tp_decontaminate_bloom": q_tp_decontaminate_bloom,
     # product quantization: 8-byte codes (32× compression) + ADC search —
-    # rows-only (iterative training), recall/distortion pytest-pinned
+    # hash-checked against unrolled fixed-iteration Lloyd's oracles;
+    # recall/distortion additionally pytest-pinned
     "ann_pq_codes": q_ann_pq_codes,
     "ann_topk_pq": q_ann_pq_topk,
     "ann_topk_ivf_pq": q_ann_ivf_pq_topk,
@@ -1301,4 +1306,9 @@ ALL_ORACLES: dict[str, str] = {
       WHERE c.c_mktsegment = 'BUILDING'
       GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
       ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 20""",
+    # trained-quantizer family: fixed deterministic Lloyd's unrolled as
+    # chained CTEs (round-3 verdict item 1)
+    "ann_pq_codes": similarity.pq_codes_sql(),
+    "ann_topk_pq": similarity.pq_topk_sql(),
+    "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
 }

@@ -408,14 +408,15 @@ def ivf_topk(
     return _two_phase_topk(scored, k)
 
 
-def ivf_topk_sql() -> str:
+def _ivf_search_sql(cents_ctes: str) -> str:
+    """The IVF probe/rank body (DuckDB) over any `cents(cid, cemb)` CTE
+    chain — shared by the subset-centroid and trained-centroid oracles."""
     dist = (
         f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
         f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
     )
     return f"""
-  WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-                 WHERE vec_id < {N_IVF_CENTROIDS}),
+  WITH {cents_ctes},
   assign_all AS (
     SELECT v.vec_id, v.embedding, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
@@ -434,6 +435,57 @@ def ivf_topk_sql() -> str:
                                  ORDER BY cosine DESC, c_vec_id ASC) AS rank
     FROM scored)
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def ivf_topk_sql() -> str:
+    return _ivf_search_sql(
+        f"cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings"
+        f" WHERE vec_id < {N_IVF_CENTROIDS})"
+    )
+
+
+def _kmeans_cents_sql(k: int = N_IVF_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+    """CTE chain (DuckDB) unrolling :func:`kmeans_centroids`' fixed
+    deterministic Lloyd's iterations exactly: cents_0 = first-k init, each
+    iteration = argmin assignment (same unrolled double distance, same
+    (dist, cid) tiebreak) + exact-decimal per-dimension means + float32
+    re-cast. Ends with `cents_{iters}(cid, cemb)`. The decimal(28,8)
+    accumulation and the REAL cast are the bit-agreement contract with the
+    Spark side (rounding verified half-away-from-zero in both engines; the
+    corpus contains no representable half-ulp ties)."""
+    dist = (
+        f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
+        f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
+    )
+    parts = [
+        f"cents_0 AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings"
+        f" WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+  a_{it} AS (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM embeddings v CROSS JOIN cents_{it - 1} c),
+  m_{it} AS (
+    SELECT cid, t.i AS pos,
+           CAST(SUM(CAST(embedding[t.i] AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cid, embedding FROM a_{it} WHERE r = 1) x,
+         unnest(range(1, {EMBED_DIM} + 1)) AS t(i)
+    GROUP BY cid, t.i),
+  cents_{it} AS (
+    SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS cemb FROM m_{it} GROUP BY cid)""")
+    return ",".join(parts)
+
+
+def ivf_trained_topk_sql() -> str:
+    """Oracle for the trained-centroid IVF: the 3 fixed Lloyd's iterations
+    unrolled as chained CTEs feeding the shared IVF search body."""
+    return _ivf_search_sql(
+        f"{_kmeans_cents_sql()},\n"
+        f"  cents AS (SELECT cid, cemb FROM cents_{KMEANS_ITERS})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -826,6 +878,132 @@ def ivf_pq_topk(
         .distinct()
     )
     return _two_phase_topk(scored, k)
+
+
+def _pq_cents_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """CTE chain (DuckDB) unrolling :func:`pq_train` exactly: the exploded
+    `subs(vec_id, sub, sv)` relation, first-k init per subspace, then per
+    iteration an argmin assignment over the joint (sub)-keyed join and an
+    exact-decimal per-(sub, cid, pos) mean. Ends with
+    `pc_{iters}(sub, cid, cemb)` — double centroids, no float re-cast,
+    matching the Spark side."""
+    sub_dim = EMBED_DIM // m
+    sv = ", ".join(
+        f"CAST(embedding[t.s * {sub_dim} + {j}] AS DOUBLE)" for j in range(1, sub_dim + 1)
+    )
+    dist = " + ".join(
+        f"(s.sv[{i}] - c.cemb[{i}]) * (s.sv[{i}] - c.cemb[{i}])"
+        for i in range(1, sub_dim + 1)
+    )
+    parts = [
+        f"subs AS (SELECT vec_id, t.s AS sub, [{sv}] AS sv"
+        f" FROM embeddings, unnest(range(0, {m})) AS t(s))",
+        f"pc_0 AS (SELECT sub, vec_id AS cid, sv AS cemb FROM subs WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+  pa_{it} AS (
+    SELECT s.vec_id, s.sub, s.sv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM subs s JOIN pc_{it - 1} c ON s.sub = c.sub),
+  pm_{it} AS (
+    SELECT sub, cid, t.j AS pos,
+           CAST(SUM(CAST(sv[t.j] AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS mval
+    FROM (SELECT sub, cid, sv FROM pa_{it} WHERE r = 1) x,
+         unnest(range(1, {sub_dim} + 1)) AS t(j)
+    GROUP BY sub, cid, t.j),
+  pc_{it} AS (SELECT sub, cid, list(mval ORDER BY pos) AS cemb
+              FROM pm_{it} GROUP BY sub, cid)""")
+    return ",".join(parts)
+
+
+def _pq_codes_ctes_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """`_pq_cents_sql` extended with the :func:`pq_encode` stage; ends with
+    `codes(vec_id, codes)` (cids ordered by subspace)."""
+    sub_dim = EMBED_DIM // m
+    dist = " + ".join(
+        f"(s.sv[{i}] - c.cemb[{i}]) * (s.sv[{i}] - c.cemb[{i}])"
+        for i in range(1, sub_dim + 1)
+    )
+    return f"""{_pq_cents_sql(m, k, iters)},
+  enc AS (
+    SELECT s.vec_id, s.sub, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM subs s JOIN pc_{iters} c ON s.sub = c.sub),
+  codes AS (SELECT vec_id, list(cid ORDER BY sub) AS codes
+            FROM enc WHERE r = 1 GROUP BY vec_id)"""
+
+
+def pq_codes_sql() -> str:
+    """Oracle for :func:`pq_encode` over :func:`pq_train` codebooks."""
+    return f"WITH {_pq_codes_ctes_sql()} SELECT vec_id, codes FROM codes"
+
+
+def _pq_recon_ctes_sql(m: int = PQ_M, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """`_pq_codes_ctes_sql` extended with the :func:`pq_reconstruct` stage;
+    ends with `recon(vec_id, embedding)` — the codebook reconstruction an
+    ADC search ranks (cid-keyed lookup, robust to emptied clusters)."""
+    return f"""{_pq_codes_ctes_sql(m, k, iters)},
+  recon_x AS (SELECT e.vec_id, t.s AS sub, e.codes[t.s + 1] AS cid
+              FROM codes e, unnest(range(0, {m})) AS t(s)),
+  recon AS (SELECT x.vec_id, flatten(list(c.cemb ORDER BY x.sub)) AS embedding
+            FROM recon_x x JOIN pc_{iters} c ON c.sub = x.sub AND c.cid = x.cid
+            GROUP BY x.vec_id)"""
+
+
+def pq_topk_sql() -> str:
+    """Oracle for :func:`pq_topk`: exact brute-force ranking where
+    candidates score on their PQ reconstruction and queries stay raw."""
+    return f"""
+  WITH {_pq_recon_ctes_sql()},
+  cnormed AS (SELECT vec_id, embedding, {norm_sql("embedding", duck=True)} AS nrm
+              FROM recon),
+  qnormed AS (SELECT vec_id, embedding, {norm_sql("embedding", duck=True)} AS nrm
+              FROM embeddings WHERE vec_id < {N_QUERIES}),
+  scored AS (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM cnormed c JOIN qnormed q ON c.vec_id <> q.vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, c_vec_id ASC) AS rank
+    FROM scored)
+  SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def ivf_pq_topk_sql() -> str:
+    """Oracle for :func:`ivf_pq_topk`: IVF coarse pruning over the raw
+    vectors, candidate scoring over the PQ reconstructions."""
+    dist = (
+        f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
+        f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
+    )
+    return f"""
+  WITH {_pq_recon_ctes_sql()},
+  coarse AS (SELECT vec_id AS ccid, embedding AS cemb FROM embeddings
+             WHERE vec_id < {N_IVF_CENTROIDS}),
+  assign_all AS (
+    SELECT v.vec_id, v.embedding, c.ccid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.ccid ASC) AS crank
+    FROM embeddings v CROSS JOIN coarse c),
+  cand AS (SELECT a.vec_id AS c_vec_id, a.ccid, r.embedding AS c_embedding
+           FROM assign_all a JOIN recon r ON r.vec_id = a.vec_id
+           WHERE a.crank = 1),
+  probes AS (SELECT vec_id AS q_vec_id, embedding AS q_embedding, ccid
+             FROM assign_all WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}),
+  scored AS (
+    SELECT DISTINCT p.q_vec_id, cand.c_vec_id,
+           {cosine_sql("p.q_embedding", "cand.c_embedding", duck=True)} AS cosine
+    FROM cand JOIN probes p ON cand.ccid = p.ccid AND cand.c_vec_id <> p.q_vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, c_vec_id ASC) AS rank
+    FROM scored)
+  SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def lsh_bucketed_topk_sql() -> str:
