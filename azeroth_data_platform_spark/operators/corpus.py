@@ -244,17 +244,29 @@ def decontaminate_bloom(documents: DataFrame, n: int = DECON_N) -> DataFrame:
     )
 
 
+def _duck_bit_mask(p: str) -> str:
+    """Single-bit bigint mask for bit index (p) % 64 in DuckDB. DuckDB's
+    `<<` raises on 1 << 63 (the result is negative); Spark's shiftleft
+    wraps to min-bigint. Emit the min-bigint literal for bit 63 so both
+    engines produce the identical signed mask for every bit 0..63."""
+    bit = f"CAST(({p}) % 64 AS INTEGER)"
+    return (
+        f"(CASE WHEN {bit} = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
+        f" ELSE CAST(1 AS BIGINT) << {bit} END)"
+    )
+
+
 def _decontaminate_bloom_sql() -> str:
     from .dedup import _shingle_sql
 
     h = [_sh_hash_sql(s, duck=True) for s in range(K_BLOOM)]
     probe_rows = " UNION ALL ".join(
-        f"SELECT ({p}) // 64 AS word, (CAST(1 AS BIGINT) << CAST(({p}) % 64 AS INTEGER)) AS mask"
+        f"SELECT ({p}) // 64 AS word, {_duck_bit_mask(p)} AS mask"
         f" FROM bench_sh"
         for p in h
     )
     hit = " AND ".join(
-        f"(COALESCE(b{s}.bits, 0) & (CAST(1 AS BIGINT) << CAST(({h[s]}) % 64 AS INTEGER))) <> 0"
+        f"(COALESCE(b{s}.bits, 0) & {_duck_bit_mask(h[s])}) <> 0"
         for s in range(K_BLOOM)
     )
     joins = " ".join(
