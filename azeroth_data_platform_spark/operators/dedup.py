@@ -731,25 +731,48 @@ def embedding_neardup_lsh_banded(
     (band, bucket) pair per band and candidates come from a single
     equi-join on the composite (band, bucket) key, instead of re-scanning
     the corpus once per band (at 100 TB the scan dominates: L-band
-    fan-out-in-one-pass is 1× I/O, per-band scans are L×)."""
+    fan-out-in-one-pass is 1× I/O, per-band scans are L×).
+
+    Named-dims layout (functions/vectors.py): sign projections, norms and
+    the verify cosine reference per-dimension columns so every stage stays
+    in whole-stage codegen (the element_at form ran interpreted — PERF.md;
+    compilation pinned by tests/test_codegen_compiles.py). Each side
+    carries its 64 dims + norm through the candidate shuffle instead of the
+    float array — ~1.8× wider rows, bought back many times over by the
+    per-pair cosine being codegen'd attribute arithmetic instead of an
+    interpreted 192-term tree. Bit-identical results to the previous
+    layout (same left-associated double ops; norms hoisted pre-join are
+    the same SQRT over the same sums)."""
     import itertools
 
-    from .similarity import lsh_bucket_sql
+    from .similarity import lsh_bucket_dims_sql
+    from ..functions.vectors import dim_exprs, dim_names, dims_cosine_sql, dims_norm_sql
 
-    base = embeddings.select(
+    ad, cd = dim_names("_ad"), dim_names("_cd")
+    base_a = embeddings.select("vec_id", *dim_exprs("embedding", "_ad")).select(
         "vec_id",
-        "embedding",
+        F.expr(dims_norm_sql("_ad")).alias("a_nrm"),
         *[
-            F.expr(lsh_bucket_sql("embedding", planes=6, start=b * 6)).alias(f"_b{b}")
+            F.expr(lsh_bucket_dims_sql("_ad", planes=6, start=b * 6)).alias(f"_b{b}")
             for b in range(n_bands)
         ],
+        *ad,
+    )
+    base_c = embeddings.select("vec_id", *dim_exprs("embedding", "_cd")).select(
+        "vec_id",
+        F.expr(dims_norm_sql("_cd")).alias("c_nrm"),
+        *[
+            F.expr(lsh_bucket_dims_sql("_cd", planes=6, start=b * 6)).alias(f"_b{b}")
+            for b in range(n_bands)
+        ],
+        *cd,
     )
     plain_structs = ", ".join(
         f"struct({b} AS band, _b{b} AS bucket)" for b in range(n_bands)
     )
-    c = base.select(
-        "vec_id", "embedding", F.explode(F.expr(f"array({plain_structs})")).alias("x")
-    ).select("vec_id", "embedding", "x.band", "x.bucket").alias("c")
+    c = base_c.select(
+        "vec_id", "c_nrm", F.explode(F.expr(f"array({plain_structs})")).alias("x"), *cd
+    ).select("vec_id", "c_nrm", "x.band", "x.bucket", *cd).alias("c")
     probe_structs = []
     for b in range(n_bands):
         masks = [0]
@@ -763,18 +786,19 @@ def embedding_neardup_lsh_banded(
             f"struct({b} AS band, _b{b} AS bucket)"
             for m in masks
         ]
-    a = base.select(
+    a = base_a.select(
         "vec_id",
-        "embedding",
+        "a_nrm",
         F.explode(F.expr(f"array({', '.join(probe_structs)})")).alias("x"),
-    ).select("vec_id", "embedding", "x.band", "x.bucket").alias("a")
+        *ad,
+    ).select("vec_id", "a_nrm", "x.band", "x.bucket", *ad).alias("a")
     return (
         a.join(c, ["band", "bucket"])
         .where(F.col("a.vec_id") < F.col("c.vec_id"))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("c.vec_id").alias("v2"),
-            F.expr(cosine_sql("a.embedding", "c.embedding")).alias("cosine"),
+            F.expr(dims_cosine_sql("_ad", "_cd", "a_nrm", "c_nrm")).alias("cosine"),
         )
         .where((F.col("cosine") + F.rand(43) * 0.0) >= threshold)
         .distinct()
@@ -791,15 +815,25 @@ def _embed_band_pairs(
     """One band's (v1, v2, cosine) survivors: bucket equi-join on the
     band's plane range + hamming-`probe_hamming` probes + exact cosine
     verify. Identical shape to `embedding_neardup_lsh` (which is the
-    1-band special case kept separate for its plan pin and docstring)."""
+    1-band special case kept separate for its plan pin and docstring).
+    Named-dims layout — see `embedding_neardup_lsh_banded`."""
     import itertools
 
-    from .similarity import lsh_bucket_sql
+    from .similarity import lsh_bucket_dims_sql
+    from ..functions.vectors import dim_exprs, dim_names, dims_cosine_sql, dims_norm_sql
 
-    b = embeddings.select(
+    ad, cd = dim_names("_ad"), dim_names("_cd")
+    b_a = embeddings.select("vec_id", *dim_exprs("embedding", "_ad")).select(
         "vec_id",
-        "embedding",
-        F.expr(lsh_bucket_sql("embedding", planes=planes, start=start)).alias("bucket"),
+        F.expr(dims_norm_sql("_ad")).alias("a_nrm"),
+        F.expr(lsh_bucket_dims_sql("_ad", planes=planes, start=start)).alias("bucket"),
+        *ad,
+    )
+    b_c = embeddings.select("vec_id", *dim_exprs("embedding", "_cd")).select(
+        "vec_id",
+        F.expr(dims_norm_sql("_cd")).alias("c_nrm"),
+        F.expr(lsh_bucket_dims_sql("_cd", planes=planes, start=start)).alias("bucket"),
+        *cd,
     )
     probe_list = ["bucket"]
     for r in range(1, probe_hamming + 1):
@@ -808,16 +842,16 @@ def _embed_band_pairs(
             for bits in itertools.combinations(range(planes), r)
         ]
     probes = ", ".join(probe_list)
-    a = b.select(
-        "vec_id", "embedding", F.explode(F.expr(f"array({probes})")).alias("bucket")
+    a = b_a.select(
+        "vec_id", "a_nrm", F.explode(F.expr(f"array({probes})")).alias("bucket"), *ad
     ).alias("a")
     return (
-        a.join(b.alias("c"), "bucket")
+        a.join(b_c.alias("c"), "bucket")
         .where(F.col("a.vec_id") < F.col("c.vec_id"))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("c.vec_id").alias("v2"),
-            F.expr(cosine_sql("a.embedding", "c.embedding")).alias("cosine"),
+            F.expr(dims_cosine_sql("_ad", "_cd", "a_nrm", "c_nrm")).alias("cosine"),
         )
         .where((F.col("cosine") + F.rand(43) * 0.0) >= threshold)
     )

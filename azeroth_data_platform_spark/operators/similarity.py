@@ -21,6 +21,10 @@ from ..functions.vectors import (
     EMBED_DIM,
     cosine_sql,
     cosine_with_norms_sql,
+    dim_exprs,
+    dim_names,
+    dims_cosine_sql,
+    dims_norm_sql,
     dot_sql,
     norm_sql,
 )
@@ -163,6 +167,34 @@ def lsh_bucket_sql(
     return f"CAST({bits} AS BIGINT)"
 
 
+def _hyperplane_sign_dims(plane: int, prefix: str) -> str:
+    """`_hyperplane_sign_sql` over a named-dims projection (see
+    functions/vectors.py): the identical left-associated ± chain, but each
+    term is an attribute reference — in whole-stage codegen a local
+    variable, so a 36-plane bucket projection compiles instead of blowing
+    janino's 64 KB method limit and dropping to interpreted eval.
+    Bit-identical values to the element_at form."""
+    parts: list[str] = []
+    for i in range(1, EMBED_DIM + 1):
+        pos = _plane_sign(plane, i) > 0
+        d = f"{prefix}{i}"
+        if not parts:
+            parts.append(d if pos else f"(- {d})")
+        else:
+            parts.append(f"{'+' if pos else '-'} {d}")
+    return f"CASE WHEN {' '.join(parts)} >= 0 THEN 1 ELSE 0 END"
+
+
+def lsh_bucket_dims_sql(prefix: str, planes: int = LSH_PLANES, start: int = 0) -> str:
+    """`lsh_bucket_sql` over a named-dims projection — same bucket ids,
+    codegen-sized (see `_hyperplane_sign_dims`)."""
+    bits = " + ".join(
+        f"({_hyperplane_sign_dims(start + p, prefix)}) * {2 ** p}"
+        for p in range(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
@@ -185,25 +217,42 @@ def _lsh_table_scored(
 ) -> DataFrame:
     """One hash table's scored candidates (q_vec_id, c_vec_id, cosine):
     bucket on the 6-plane range beginning at `start`, probe hamming-1,
-    broadcast the (tiny) exploded query side into the corpus scan."""
-    bucket = F.expr(lsh_bucket_sql("embedding", start=start))
-    nrm = F.expr(norm_sql("embedding"))
-    c = embeddings.withColumn("bucket", bucket).withColumn("c_nrm", nrm).alias("c")
+    broadcast the (tiny) exploded query side into the corpus scan.
+
+    Named-dims layout throughout (functions/vectors.py): the bucket chains,
+    norms and the per-candidate cosine all reference per-dimension columns,
+    so every stage of the fused scan→bucket→join→score pipeline stays in
+    whole-stage codegen (pinned by tests/test_codegen_compiles.py).
+    Bit-identical results to the element_at form."""
+    cd, qd = dim_names("_d"), dim_names("_qd")
+    c = (
+        embeddings.select("vec_id", *dim_exprs("embedding", "_d"))
+        .select(
+            "vec_id",
+            F.expr(dims_norm_sql("_d")).alias("c_nrm"),
+            F.expr(lsh_bucket_dims_sql("_d", start=start)).alias("bucket"),
+            *cd,
+        )
+        .alias("c")
+    )
     probes = ", ".join(["bucket"] + [f"bucket ^ {1 << p}" for p in range(LSH_PLANES)])
     q = (
-        queries.withColumn("bucket", bucket)
-        .withColumn("q_nrm", nrm)
+        queries.select("vec_id", *dim_exprs("embedding", "_qd"))
+        .select(
+            "vec_id",
+            F.expr(dims_norm_sql("_qd")).alias("q_nrm"),
+            F.expr(lsh_bucket_dims_sql("_qd", start=start)).alias("bucket"),
+            *qd,
+        )
         .select(
             F.col("vec_id").alias("q_vec_id"),
-            F.col("embedding").alias("q_embedding"),
-            F.explode(F.expr(f"array({probes})")).alias("bucket"),
             "q_nrm",
+            F.explode(F.expr(f"array({probes})")).alias("bucket"),
+            *qd,
         )
         .alias("q")
     )
-    cos = F.expr(
-        cosine_with_norms_sql("q.q_embedding", "c.embedding", "q.q_nrm", "c.c_nrm")
-    )
+    cos = F.expr(dims_cosine_sql("_qd", "_d", "q_nrm", "c_nrm"))
     return (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("c.vec_id") != F.col("q.q_vec_id"))
@@ -248,19 +297,37 @@ def lsh_multitable_topk(
     the difference between 1× and L× I/O. A (q, c) pair can still
     collide in several tables; each collision computes the identical
     cosine, so the distinct over scored candidates dedups exactly and
-    the two-phase rank sees each candidate once."""
-    bucket_structs = ", ".join(
-        f"struct({t} AS tbl, {lsh_bucket_sql('embedding', start=t * LSH_PLANES)} AS bucket)"
-        for t in range(n_tables)
+    the two-phase rank sees each candidate once.
+
+    The whole pipeline is laid out over named-dims columns
+    (functions/vectors.py): the n_tables×64-dim sign projections, the
+    norms, and the per-candidate cosine reference per-dimension
+    attributes, keeping the fused scan→bucket→explode→join→score stage
+    inside whole-stage codegen (the element_at form blew janino's 64 KB
+    method limit and ran interpreted — PERF.md). Bit-identical results;
+    compilation pinned by tests/test_codegen_compiles.py."""
+    cd, qd = dim_names("_d"), dim_names("_qd")
+    tbl_structs = ", ".join(
+        f"struct({t} AS tbl, _b{t} AS bucket)" for t in range(n_tables)
     )
     c = (
-        embeddings.select(
+        embeddings.select("vec_id", *dim_exprs("embedding", "_d"))
+        .select(
             "vec_id",
-            "embedding",
-            F.expr(norm_sql("embedding")).alias("c_nrm"),
-            F.explode(F.expr(f"array({bucket_structs})")).alias("x"),
+            F.expr(dims_norm_sql("_d")).alias("c_nrm"),
+            *[
+                F.expr(lsh_bucket_dims_sql("_d", start=t * LSH_PLANES)).alias(f"_b{t}")
+                for t in range(n_tables)
+            ],
+            *cd,
         )
-        .select("vec_id", "embedding", "c_nrm", "x.tbl", "x.bucket")
+        .select(
+            "vec_id",
+            "c_nrm",
+            F.explode(F.expr(f"array({tbl_structs})")).alias("x"),
+            *cd,
+        )
+        .select("vec_id", "c_nrm", "x.tbl", "x.bucket", *cd)
         .alias("c")
     )
     probe_list = [""]  # hamming-0: the bucket itself
@@ -272,27 +339,26 @@ def lsh_multitable_topk(
         for suffix in probe_list
     )
     q = (
-        queries.select(
+        queries.select("vec_id", *dim_exprs("embedding", "_qd"))
+        .select(
             "vec_id",
-            "embedding",
-            F.expr(norm_sql("embedding")).alias("q_nrm"),
+            F.expr(dims_norm_sql("_qd")).alias("q_nrm"),
             *[
-                F.expr(lsh_bucket_sql("embedding", start=t * LSH_PLANES)).alias(f"_b{t}")
+                F.expr(lsh_bucket_dims_sql("_qd", start=t * LSH_PLANES)).alias(f"_b{t}")
                 for t in range(n_tables)
             ],
+            *qd,
         )
         .select(
             F.col("vec_id").alias("q_vec_id"),
-            F.col("embedding").alias("q_embedding"),
             "q_nrm",
             F.explode(F.expr(f"array({probe_structs})")).alias("x"),
+            *qd,
         )
-        .select("q_vec_id", "q_embedding", "q_nrm", "x.tbl", "x.bucket")
+        .select("q_vec_id", "q_nrm", "x.tbl", "x.bucket", *qd)
         .alias("q")
     )
-    cos = F.expr(
-        cosine_with_norms_sql("q.q_embedding", "c.embedding", "q.q_nrm", "c.c_nrm")
-    )
+    cos = F.expr(dims_cosine_sql("_qd", "_d", "q_nrm", "c_nrm"))
     scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("c.vec_id") != F.col("q.q_vec_id"))

@@ -1,0 +1,56 @@
+"""Pin: the LSH bucket pipelines COMPILE under whole-stage codegen.
+
+The 36-plane multi-table bucket projection used to exceed janino's 64 KB
+method limit and silently fall back to interpreted evaluation (~5-10×
+slower — PERF.md "Multi-table bucket stage"). The named-dims layout
+(functions/vectors.py) fixed that. `spark.sql.codegen.fallback=false`
+turns any whole-stage compile failure into a hard error, so running the
+operators under it IS the assertion: a future edit that regrows an
+expression past the method limit fails here instead of shipping an
+interpreted hot path.
+
+(Reference parity: ppedro-vasco/azeroth-data-platform has no vector ops;
+this pins the engine's own scale-path machinery.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark.operators import dedup, similarity
+
+
+@pytest.fixture()
+def no_codegen_fallback(spark):
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield spark
+    spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_multitable_lsh_compiles(no_codegen_fallback, emb):
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+    rows = similarity.lsh_multitable_topk(emb, queries).collect()
+    assert len(rows) > 0
+
+
+def test_single_table_lsh_compiles(no_codegen_fallback, emb):
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+    rows = similarity.lsh_bucketed_topk(emb, queries).collect()
+    assert len(rows) > 0
+
+
+def test_embed_lsh_banded_compiles(no_codegen_fallback, emb):
+    rows = dedup.embedding_neardup_lsh_banded(emb).collect()
+    assert len(rows) > 0
+
+
+def test_embed_lsh_compiles(no_codegen_fallback, emb):
+    rows = dedup.embedding_neardup_lsh(emb).collect()
+    assert len(rows) > 0
