@@ -61,7 +61,12 @@ def _staged_rewrite(df: DataFrame, target: str) -> None:
 
 
 def insert_if_absent(
-    spark: SparkSession, target: str, batch: DataFrame, key: str | list[str] = "id"
+    spark: SparkSession,
+    target: str,
+    batch: DataFrame,
+    key: str | list[str] = "id",
+    prune_col: str | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """S6: append batch rows whose key is not already present; returns the
     inserted count (the reference returns rowcount — postgres_client.py:44).
@@ -69,17 +74,51 @@ def insert_if_absent(
 
     `key` may be a single column or a list (composite natural key, e.g. a
     streaming candle's (item_key, snapshot_hour)) — no synthetic key column
-    ever needs to be persisted."""
+    ever needs to be persisted.
+
+    `prune_col` bounds the existing-side read to the batch's min/max of
+    that column before the anti-join. It must be part of `key` (enforced) —
+    then an existing row outside the batch's range cannot share a key with
+    any batch row, so the prune is EXACT, not approximate. With a target
+    partitioned on `prune_col` the bound becomes a partition filter on the
+    scan (pinned in tests/test_pipeline.py): the reference's daily-batch
+    shape reads a day or two of target keys instead of ALL of them — at
+    100 TB the difference between a bounded probe and a full-table pass.
+
+    `partition_by` lays the table out hive-partitioned on that column (and
+    appends preserve the layout); pair it with prune_col so the bounded
+    read prunes PARTITIONS, not just row groups."""
     keys = [key] if isinstance(key, str) else list(key)
     batch = batch.dropDuplicates(keys)
+
+    def _write(df: DataFrame, mode: str) -> None:
+        w = df.write.mode(mode)
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(target)
+
     if not _exists(target):
-        batch.write.mode("overwrite").parquet(target)
+        _write(batch, "overwrite")
         return batch.count()
     existing = spark.read.parquet(target).select(*keys)
+    if prune_col is not None:
+        if prune_col not in keys:
+            raise ValueError(
+                f"prune_col {prune_col!r} must be one of the key columns {keys} "
+                "(otherwise pruning the existing side could miss conflicts)"
+            )
+        import pyspark.sql.functions as F
+
+        lo, hi = batch.agg(F.min(prune_col), F.max(prune_col)).first()
+        if lo is None:  # empty batch: nothing to insert, nothing to read
+            return 0
+        existing = existing.where(
+            (existing[prune_col] >= lo) & (existing[prune_col] <= hi)
+        )
     fresh = batch.join(existing, keys, "left_anti")
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(target)
+        _write(fresh, "append")
     return n
 
 
@@ -135,12 +174,26 @@ def retention_delete(
     """S9: DELETE FROM target WHERE <predicate>; returns rows deleted.
 
     With a partitioned target prefer dropping whole partitions (free);
-    this row-level path is the faithful general fallback."""
+    this row-level path is the faithful general fallback.
+
+    The deleted count rides the single keep pass: ONE scan of the target
+    materializes a keep-marked checkpoint, both counts read the (local)
+    checkpoint, and the rewrite streams the kept rows from it — the
+    previous implementation paid three target scans (total count, keep
+    count, rewrite). SQL three-valued logic note: WHERE NOT(p) drops
+    p=NULL rows, so they are deleted — total−kept counts them correctly."""
     if not _exists(target):
         return 0
-    existing = spark.read.parquet(target)
-    keep = existing.where(f"NOT ({predicate})")
-    deleted = existing.count() - keep.count()
+    import pyspark.sql.functions as F
+
+    marked = (
+        spark.read.parquet(target)
+        .withColumn("_keep", F.expr(f"NOT ({predicate})"))
+        .localCheckpoint()  # the single target scan
+    )
+    keep = marked.where(F.col("_keep")).drop("_keep")
+    kept = keep.count()          # local: reads the checkpoint, not the table
+    deleted = marked.count() - kept
     if deleted:
-        _staged_rewrite(keep.localCheckpoint(), target)
+        _staged_rewrite(keep, target)
     return deleted

@@ -25,11 +25,15 @@ def candle_sink(target_path: str):
     schema (no synthetic key column is persisted)."""
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        # prune_col: a micro-batch spans a narrow snapshot_hour range, so
+        # the anti-join probes only that slice of the (ever-growing) gold
+        # table instead of every key it has ever written.
         merge.insert_if_absent(
             batch_df.sparkSession,
             target_path,
             batch_df,
             key=["item_key", "snapshot_hour"],
+            prune_col="snapshot_hour",
         )
 
     return _write

@@ -237,6 +237,61 @@ def test_insert_if_absent_composite_key(spark, tmp_path):
     assert out.columns == ["item_key", "snapshot_hour", "close_price"]
 
 
+def test_insert_if_absent_prune_col(spark, tmp_path):
+    """prune_col bounds the existing-side read to the batch's key range;
+    idempotency and conflict detection are unchanged within that range."""
+    target = str(tmp_path / "candles")
+    schema = "item_key string, snapshot_hour timestamp, close_price double"
+    t0 = dt.datetime(2026, 2, 1, 12)
+    b1 = spark.createDataFrame(
+        [("ore", t0, 1.0), ("ore", t0 + dt.timedelta(hours=1), 2.0)], schema
+    )
+    key = ["item_key", "snapshot_hour"]
+    assert merge.insert_if_absent(spark, target, b1, key=key, prune_col="snapshot_hour") == 2
+    # replay: no inserts (the pruned read still sees the conflicting keys)
+    assert merge.insert_if_absent(spark, target, b1, key=key, prune_col="snapshot_hour") == 0
+    # a later-hour batch with one overlap inserts only the new key
+    b2 = spark.createDataFrame(
+        [("ore", t0 + dt.timedelta(hours=1), 9.0), ("herb", t0 + dt.timedelta(hours=2), 3.0)],
+        schema,
+    )
+    assert merge.insert_if_absent(spark, target, b2, key=key, prune_col="snapshot_hour") == 1
+    assert spark.read.parquet(target).count() == 3
+    # prune_col outside the key is rejected: pruning there could miss conflicts
+    with pytest.raises(ValueError, match="must be one of the key columns"):
+        merge.insert_if_absent(spark, target, b2, key=["item_key"], prune_col="close_price")
+
+
+def test_insert_if_absent_prune_hits_partition_filter(spark, tmp_path):
+    """With a target partitioned on prune_col, the bounded existing-side
+    read shows a non-empty PartitionFilters on the scan — the anti-join
+    probes a partition slice, not the whole table (the 100 TB point)."""
+    target = str(tmp_path / "gold_daily")
+    schema = "id long, snapshot_date date, v double"
+    d = dt.date(2026, 2, 1)
+    hist = spark.createDataFrame(
+        [(i, d - dt.timedelta(days=i % 5), float(i)) for i in range(20)], schema
+    )
+    hist.write.partitionBy("snapshot_date").parquet(target)
+    batch = spark.createDataFrame([(100, d, 1.0), (101, d, 2.0)], schema)
+    keys = ["id", "snapshot_date"]
+    lo, hi = d, d
+    existing = spark.read.parquet(target).select(*keys)
+    pruned = existing.where(
+        (existing["snapshot_date"] >= lo) & (existing["snapshot_date"] <= hi)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filter is ON the partition column, not just pushed data filters
+    assert "snapshot_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the public API inserts correctly through the pruned path,
+    # preserving the hive layout on append
+    kw = dict(key=keys, prune_col="snapshot_date", partition_by="snapshot_date")
+    assert merge.insert_if_absent(spark, target, batch, **kw) == 2
+    assert merge.insert_if_absent(spark, target, batch, **kw) == 0
+    assert spark.read.parquet(target).count() == 22
+
+
 def test_silver_zero_quantity_does_not_divide_by_zero(spark, tmp_path):
     doc = {"auctions": [{"id": 9, "item": {"id": 5}, "buyout": 400, "quantity": 0,
                         "time_left": "SHORT"}]}
