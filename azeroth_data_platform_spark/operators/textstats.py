@@ -619,6 +619,43 @@ def _pii_scrub_sql() -> str:
 PII_SCRUB_SQL = _pii_scrub_sql()
 
 
+def _pii_synth_text_sql(duck: bool) -> str:
+    """Deterministic PII injection derived from corpus fields: docs get an
+    email (doc_id % 3 = 0), a phone (doc_id % 5 = 0) and/or an IPv4
+    (doc_id % 7 = 0) appended — so the differential gate exercises the
+    actual match+redact path (the raw corpus contains no PII and would
+    only check the identity path; VERDICT r3 §missing-4). Identical
+    strings in both engines: integer-derived digits, same concatenation."""
+    s = (lambda e: f"CAST({e} AS VARCHAR)") if duck else (
+        lambda e: f"CAST({e} AS STRING)"
+    )
+    email = f"' contact user' || {s('doc_id')} || '@example.com'"
+    phone = f"' call 555-867-' || lpad({s('doc_id % 10000')}, 4, '0')"
+    ip = f"' from 10.0.' || {s('doc_id % 256')} || '.' || {s('doc_id % 100')}"
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 3 = 0 THEN {email} ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN {phone} ELSE '' END"
+        f" || CASE WHEN doc_id % 7 = 0 THEN {ip} ELSE '' END"
+    )
+
+
+def pii_scrub_synth(documents: DataFrame) -> DataFrame:
+    """`pii_scrub` over the deterministically PII-injected corpus — the
+    differential variant whose scrub actually fires (docs not divisible by
+    3, 5 or 7 keep exercising the identity path in the same run)."""
+    return pii_scrub(
+        documents.withColumn("text", F.expr(_pii_synth_text_sql(duck=False)))
+    )
+
+
+PII_SCRUB_SYNTH_SQL = f"""
+  SELECT * FROM ({_pii_scrub_sql()
+    .replace("FROM documents",
+             f"FROM (SELECT doc_id, {_pii_synth_text_sql(duck=True)} AS text"
+             " FROM documents) d")}) q"""
+
+
 # ---------------------------------------------------------------------------
 # Out-of-vocabulary rate — vocabulary-coverage quality signal: the fraction
 # of a document's tokens outside the corpus's top-K vocabulary. High OOV
