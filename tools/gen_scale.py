@@ -1,0 +1,169 @@
+"""Deterministic 10× scale-up of an sf dir — the input for the scaling
+probe (bench.py --scaling): sfN × 10 with the SAME schema and join graph,
+written under .scaledata/ (gitignored).
+
+Scaling strategy per table (copy k = 0..9, copy 0 is the original):
+  * fact/dim keys are offset by k × (max_key + 1), consistently across
+    tables (orderkey in orders+lineitem, partkey in part+lineitem,
+    suppkey in supplier+lineitem, custkey in customer+orders, user_id and
+    event_id in events) — so join fan-outs and group counts grow ~10×
+    like real data growth, instead of 10 rows piling onto every key.
+  * documents: doc_id offset; a copy-specific token is interleaved every
+    3 words, so EVERY 3-gram shingle of a copy contains a copy token and
+    cross-copy Jaccard ≈ 0 — replication must not fabricate near-dup
+    clusters that would distort dedup scaling (a 10-member duplicate
+    cluster per doc is not what +10× organic data looks like).
+  * embeddings: vec_id offset; each copy's vector is rotated k dims
+    (norm-preserving, decorrelates LSH buckets across copies).
+
+Run: python tools/gen_scale.py [src_sf_dir] [out_dir] [factor]
+Defaults: /root/testdata/sf0.1 .scaledata/sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _read(src: str, t: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(src, f"{t}.parquet")).to_pandas()
+
+
+def _write(df: pd.DataFrame, out: str, t: str, schema: pa.Schema | None = None) -> None:
+    tbl = pa.Table.from_pandas(df, preserve_index=False, schema=schema)
+    pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+
+
+def _offset(series: pd.Series, k: int) -> pd.Series:
+    return series + k * (int(series.max()) + 1)
+
+
+def scale_tpch(src: str, out: str, factor: int) -> None:
+    orders = _read(src, "orders")
+    lineitem = _read(src, "lineitem")
+    customer = _read(src, "customer")
+    part = _read(src, "part")
+    supplier = _read(src, "supplier")
+
+    max_ok = int(orders["o_orderkey"].max()) + 1
+    max_pk = int(part["p_partkey"].max()) + 1
+    max_sk = int(supplier["s_suppkey"].max()) + 1
+    max_ck = int(customer["c_custkey"].max()) + 1
+
+    def copy_orders(k):
+        d = orders.copy()
+        d["o_orderkey"] += k * max_ok
+        d["o_custkey"] += k * max_ck
+        return d
+
+    def copy_lineitem(k):
+        d = lineitem.copy()
+        d["l_orderkey"] += k * max_ok
+        d["l_partkey"] += k * max_pk
+        d["l_suppkey"] += k * max_sk
+        return d
+
+    def copy_customer(k):
+        d = customer.copy()
+        d["c_custkey"] += k * max_ck
+        return d
+
+    def copy_part(k):
+        d = part.copy()
+        d["p_partkey"] += k * max_pk
+        return d
+
+    def copy_supplier(k):
+        d = supplier.copy()
+        d["s_suppkey"] += k * max_sk
+        return d
+
+    for name, fn in [
+        ("orders", copy_orders),
+        ("lineitem", copy_lineitem),
+        ("customer", copy_customer),
+        ("part", copy_part),
+        ("supplier", copy_supplier),
+    ]:
+        sch = pq.read_schema(os.path.join(src, f"{name}.parquet"))
+        _write(pd.concat([fn(k) for k in range(factor)], ignore_index=True), out, name, sch)
+
+    for name in ("nation", "region"):
+        sch = pq.read_schema(os.path.join(src, f"{name}.parquet"))
+        _write(_read(src, name), out, name, sch)
+
+
+def scale_events(src: str, out: str, factor: int) -> None:
+    ev = _read(src, "events")
+    max_eid = int(ev["event_id"].max()) + 1
+    max_uid = int(ev["user_id"].max()) + 1
+    parts = []
+    for k in range(factor):
+        d = ev.copy()
+        d["event_id"] += k * max_eid
+        d["user_id"] += k * max_uid
+        parts.append(d)
+    sch = pq.read_schema(os.path.join(src, "events.parquet"))
+    _write(pd.concat(parts, ignore_index=True), out, "events", sch)
+
+
+def scale_documents(src: str, out: str, factor: int) -> None:
+    docs = _read(src, "documents")
+    max_did = int(docs["doc_id"].max()) + 1
+    parts = [docs]
+    for k in range(1, factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * max_did
+        tok = f"zq{k}x"  # copy token: letters+digit, no PII/lang collision
+
+        def interleave(text: str, tok: str = tok) -> str:
+            ws = text.split()
+            outw = []
+            for i, w in enumerate(ws):
+                outw.append(w)
+                if i % 3 == 2:
+                    outw.append(f"{tok}{i}")
+            return " ".join(outw)
+
+        d["text"] = d["text"].map(interleave)
+        d["n_chars"] = d["text"].str.len()
+        parts.append(d)
+    sch = pq.read_schema(os.path.join(src, "documents.parquet"))
+    _write(pd.concat(parts, ignore_index=True), out, "documents", sch)
+
+
+def scale_embeddings(src: str, out: str, factor: int) -> None:
+    emb = _read(src, "embeddings")
+    max_vid = int(emb["vec_id"].max()) + 1
+    parts = [emb]
+    for k in range(1, factor):
+        d = emb.copy()
+        d["vec_id"] = d["vec_id"] + k * max_vid
+        d["embedding"] = d["embedding"].map(lambda v, k=k: np.roll(np.asarray(v), k))
+        parts.append(d)
+    sch = pq.read_schema(os.path.join(src, "embeddings.parquet"))
+    _write(pd.concat(parts, ignore_index=True), out, "embeddings", sch)
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    scale_tpch(src, out, factor)
+    scale_events(src, out, factor)
+    scale_documents(src, out, factor)
+    scale_embeddings(src, out, factor)
+    for t in sorted(os.listdir(out)):
+        print(t, pq.ParquetFile(os.path.join(out, t)).metadata.num_rows)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
