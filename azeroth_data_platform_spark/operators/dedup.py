@@ -913,16 +913,30 @@ def semantic_dedup(
     keeps the threshold filter OUT of the join condition (see
     embedding_neardup — BNL/post-join predicates evaluate outside codegen
     and would recompute the unrolled cosine per pair).
-    """
-    from ..functions.vectors import dot_sql
 
-    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    Named-dims layout (functions/vectors.py) on both the vector and the
+    broadcast centroid side: the argmin distance and the within-cluster
+    cosine are attribute arithmetic, keeping every stage in whole-stage
+    codegen (pinned in tests/test_codegen_compiles.py). Bit-identical
+    results — the checkpointed assignment carries dims + norm instead of
+    the float array.
+    """
+    from ..functions.vectors import (
+        dim_exprs,
+        dim_names,
+        dims_cosine_sql,
+        dims_dot_sql,
+        dims_norm_sql,
     )
-    v = embeddings.alias("v")
+
+    vd = dim_names("_d")
+    cents = embeddings.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), *dim_exprs("embedding", "_cd")
+    )
+    v = embeddings.select("vec_id", *dim_exprs("embedding", "_d")).alias("v")
     c = cents.alias("c")
     dist = F.expr(
-        f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+        f"({dims_dot_sql('_cd', '_cd')}) - 2.0 * ({dims_dot_sql('_d', '_cd')})"
     )
     from pyspark.sql import Window
 
@@ -935,14 +949,15 @@ def semantic_dedup(
     # BroadcastNestedLoopJoin in the executed plan).
     assigned = (
         v.join(F.broadcast(c))
-        .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
+        .select("v.vec_id", "c.cid", dist.alias("dist"), *vd)
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "cid", F.expr(dims_norm_sql("_d")).alias("_nrm"), *vd)
         .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
+    pair_cos = F.expr(dims_cosine_sql("a._d", "b._d", "a._nrm", "b._nrm"))
     dup_counts = (
         a.join(
             b,
@@ -950,7 +965,7 @@ def semantic_dedup(
         )
         .select(
             F.col("b.vec_id").alias("vec_id"),
-            F.expr(cosine_sql("a.embedding", "b.embedding")).alias("cosine"),
+            pair_cos.alias("cosine"),
         )
         .where((F.col("cosine") + F.rand(44) * 0.0) >= threshold)
         .groupBy("vec_id")

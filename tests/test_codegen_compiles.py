@@ -54,3 +54,8 @@ def test_embed_lsh_banded_compiles(no_codegen_fallback, emb):
 def test_embed_lsh_compiles(no_codegen_fallback, emb):
     rows = dedup.embedding_neardup_lsh(emb).collect()
     assert len(rows) > 0
+
+
+def test_semantic_dedup_compiles(no_codegen_fallback, emb):
+    rows = dedup.semantic_dedup(emb).collect()
+    assert len(rows) > 0
