@@ -112,3 +112,44 @@ def dsum_sql(x: str, scale: int = MONEY_SCALE) -> str:
 def davg_sql(x: str, scale: int = MONEY_SCALE) -> str:
     """ANSI-SQL rendering of :func:`davg`."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(28,{scale}))) AS DOUBLE) / COUNT({x})"
+
+
+# --- portable log2 ----------------------------------------------------------
+#
+# Spark (JVM StrictMath-adjacent) and DuckDB (C libm) disagree in the last
+# ulp on every transcendental (log2/ln/pow — verified empirically over 1e6
+# integer inputs), so any hash-exact score involving logarithms must compute
+# them from IEEE add/mul only, identically in both engines: integer msb via
+# the binary-string length, then a FIXED degree-6 polynomial on the mantissa
+# t = x/2^msb − 1 ∈ [0,1). Max abs error 5.1e-6 bits — noise for quality
+# filtering, and deterministically the SAME noise everywhere.
+
+# np.polyfit(t, log2(1+t), 6) over [0,1); highest degree first. FROZEN:
+# changing these changes every score built on plog2.
+PLOG2_COEFFS = (
+    -0.024825826873615914,
+    0.11790579312137135,
+    -0.27235379330706044,
+    0.4538565492818334,
+    -0.7169869440427554,
+    1.4423954888313009,
+    5.065204756932284e-06,
+)
+
+
+def plog2_sql(x: str, duck: bool = False) -> str:
+    """Portable log2 of an integer-valued SQL expression ≥ 1 (exact up to
+    2^53). Emits the identical arithmetic in Spark SQL and DuckDB SQL —
+    bit-identical results by construction."""
+    msb = f"(length(bin({x})) - 1)"
+    pow2 = (
+        f"(CAST(1 AS BIGINT) << CAST({msb} AS INTEGER))"
+        if duck
+        else f"shiftleft(CAST(1 AS BIGINT), CAST({msb} AS INT))"
+    )
+    t = f"(CAST({x} AS DOUBLE) / CAST({pow2} AS DOUBLE) - 1.0)"
+    poly = repr(PLOG2_COEFFS[0])
+    for c in PLOG2_COEFFS[1:]:
+        sign = "+" if c >= 0 else "-"
+        poly = f"({poly}) * {t} {sign} {repr(abs(c))}"
+    return f"(CAST({msb} AS DOUBLE) + ({poly}))"

@@ -693,6 +693,10 @@ def q_ts_pii_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub_synth(_docs(spark, sf_dir))
 
 
+def q_ts_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.perplexity(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1211,6 +1215,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunks,
     "ts_pii_scrub": q_ts_pii,
     "ts_pii_scrub_synth": q_ts_pii_synth,
+    "ts_perplexity": q_ts_perplexity,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1276,6 +1281,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
     "ts_pii_scrub": textstats.PII_SCRUB_SQL,
     "ts_pii_scrub_synth": textstats.PII_SCRUB_SYNTH_SQL,
+    "ts_perplexity": textstats.PERPLEXITY_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

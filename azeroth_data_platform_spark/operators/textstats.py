@@ -708,3 +708,84 @@ OOV_RATIO_SQL = f"""
            > {OOV_FLAG_THRESHOLD} AS high_oov
   FROM tok t LEFT JOIN vocab v ON t.token = v.token
   GROUP BY t.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring — the CCNet-style quality signal (Wenzek et
+# al. 2020: score documents by LM perplexity, keep the low/middle band): a
+# smoothed unigram model estimated from the corpus itself, each doc scored
+# by its mean per-token negative log-likelihood in bits. Real pipelines use
+# a pretrained KenLM; the relational shape is identical — a broadcast
+# (token → cost) table joined into the exploded token stream — and the
+# unigram estimate keeps the operator self-contained and oracle-checkable.
+#
+# Hash-exactness: log2 is NOT bit-portable across engines (numerics.py
+# plog2 comment), so every log here is the portable polynomial log2 over
+# integer counts, and the per-doc sum accumulates in DECIMAL(28,12) —
+# bit-identical at any parallelism, in both engines.
+#
+# Shuffle story at 100 TB: one token-keyed groupBy for counts (map-side
+# combine, high-cardinality skew-free), TakeOrdered to the K-row vocab
+# (always a broadcast), one-row total, then one doc-keyed aggregation over
+# the re-scanned token stream. No pairwise anything; cost is linear in
+# corpus token count.
+
+PPLX_VOCAB_K = 256
+
+
+def perplexity(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
+    """Per-doc mean negative log-likelihood (bits/token) under an add-one
+    smoothed corpus unigram LM with a top-`k` vocabulary.
+
+    p(w) = (c_w + 1) / (N + k + 1) for vocab words, 1 / (N + k + 1) for
+    OOV (c_w = 0), where N = corpus token count. Per-token cost in bits is
+    plog2(N + k + 1) − plog2(c_w + 1); vocab costs are precomputed on the
+    k-row relation before the broadcast, so the token stream pays one
+    subtraction + decimal cast per token."""
+    from ..functions.numerics import plog2_sql
+
+    tok = documents.select("doc_id", F.explode(_words()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.expr(plog2_sql("c + 1")).alias("_bits_w"))
+    )
+    total = counts.agg(
+        F.expr(plog2_sql(f"SUM(c) + {k} + 1")).alias("_log2d")
+    )
+    bits = F.col("_log2d") - F.coalesce(F.col("_bits_w"), F.lit(0.0))
+    dbits = bits.cast("decimal(28,12)")
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(dbits).cast("double").alias("sum_nll_bits"),
+            (F.sum(dbits).cast("double") / F.count(F.lit(1))).alias("mean_nll_bits"),
+        )
+    )
+
+
+def _perplexity_sql(k: int = PPLX_VOCAB_K) -> str:
+    from ..functions.numerics import plog2_sql
+
+    bits_w = plog2_sql("c + 1", duck=True)
+    log2d = plog2_sql(f"SUM(c) + {k} + 1", duck=True)
+    return f"""
+  WITH tok AS (SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents),
+  counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+  vocab AS (SELECT token, {bits_w} AS bits_w FROM counts
+            ORDER BY c DESC, token ASC LIMIT {k}),
+  total AS (SELECT {log2d} AS log2d FROM counts)
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(total.log2d - COALESCE(v.bits_w, 0.0)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS sum_nll_bits,
+         CAST(SUM(CAST(total.log2d - COALESCE(v.bits_w, 0.0)
+                       AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_nll_bits
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token CROSS JOIN total
+  GROUP BY t.doc_id"""
+
+
+PERPLEXITY_SQL = _perplexity_sql()

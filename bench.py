@@ -112,6 +112,7 @@ def main() -> int:
             "tp_mix_rebalance",
             "tp_mix_apply",
             "ts_pii_scrub_synth",
+            "ts_perplexity",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -629,3 +629,31 @@ def test_quantize_sq8_codes_and_error_bound(spark):
     step = 1.0 / 255
     for r in out.values():
         assert r.max_abs_err <= step / 2 + 1e-12
+
+
+def test_perplexity_orders_docs_by_token_rarity(spark):
+    """Unigram-LM NLL semantics: a doc of corpus-common tokens scores
+    fewer bits/token than a doc of singletons/OOV; exact token accounting;
+    and the portable plog2 tracks true log2 to ~1e-5 bits."""
+    import math
+
+    rows = (
+        # 'common common common' repeated widely -> 'common' is cheap
+        [(i, "common common common common", "en", "s") for i in range(30)]
+        # one doc of unique-everywhere tokens -> max cost per token
+        + [(100, "zzq1 zzq2 zzq3 zzq4", "en", "s")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in textstats.perplexity(docs, k=8).collect()}
+    assert out[0].n_tokens == 4
+    assert out[100].n_tokens == 4
+    assert out[100].mean_nll_bits > out[0].mean_nll_bits + 3  # rare ≫ common
+    # exact expected cost for the common doc: c('common') = 124, N = 124
+    # tokens total... all docs: 30*4 + 4 = 124, c(common) = 120.
+    n_total, k = 124, 8
+    expected = math.log2(n_total + k + 1) - math.log2(120 + 1)
+    assert abs(out[0].mean_nll_bits - expected) < 1e-4  # plog2 ≈ log2
+    # OOV doc: every token unseen in vocab top-8? 'zzq*' are singletons —
+    # the k=8 vocab is 'common' + 7 singletons (tie-broken by token asc),
+    # so at least the non-vocab singleton tokens price at c=0
+    assert out[100].mean_nll_bits <= math.log2(n_total + k + 1) + 1e-4
