@@ -697,6 +697,10 @@ def q_ts_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity(_docs(spark, sf_dir))
 
 
+def q_ts_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.gopher_quality(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1216,6 +1220,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ts_pii_scrub": q_ts_pii,
     "ts_pii_scrub_synth": q_ts_pii_synth,
     "ts_perplexity": q_ts_perplexity,
+    "ts_gopher_quality": q_ts_gopher,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1282,6 +1287,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_pii_scrub": textstats.PII_SCRUB_SQL,
     "ts_pii_scrub_synth": textstats.PII_SCRUB_SYNTH_SQL,
     "ts_perplexity": textstats.PERPLEXITY_SQL,
+    "ts_gopher_quality": textstats.GOPHER_QUALITY_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

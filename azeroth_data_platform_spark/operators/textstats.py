@@ -789,3 +789,111 @@ def _perplexity_sql(k: int = PPLX_VOCAB_K) -> str:
 
 
 PERPLEXITY_SQL = _perplexity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ..."
+# table A1) — the widely-reused heuristic document filter: hard bounds on
+# word count, mean word length, symbol-to-word ratio, alphabetic-word
+# fraction, and minimum stopword evidence. Pure scan-bound projection; each
+# rule is its own boolean column so downstream can audit WHY a doc was
+# dropped (the same reporting shape real pipelines keep).
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule verdicts + overall keep.
+
+    Rules (A1 subset expressible over a whitespace corpus): word count in
+    [50, 100k]; mean word length in [3, 10]; '#'/'…'-style symbol-to-word
+    ratio ≤ 0.1; ≥80% of words contain an alphabetic char; ≥2 distinct
+    stopwords present. All double arithmetic is single divisions of exact
+    integers — deterministic in both engines."""
+    words = _words()
+    n_words = F.size(words)
+    sum_len = F.expr(
+        "aggregate(filter(split(text, ' '), w -> w <> ''),"
+        " 0L, (acc, w) -> acc + length(w))"
+    )
+    mean_len = sum_len.cast("double") / n_words
+    n_symbols = F.expr("length(regexp_replace(text, '[^#]', ''))") + F.expr(
+        "size(regexp_extract_all(text, '[.]{3}', 0))"
+    )
+    symbol_ratio = n_symbols.cast("double") / n_words
+    n_alpha = F.expr(
+        "size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))"
+    )
+    alpha_frac = n_alpha.cast("double") / n_words
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop_distinct = F.expr(
+        f"size(array_intersect(split(text, ' '), array({stop_list})))"
+    )
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    ok_stop = n_stop_distinct >= GOPHER_MIN_STOPWORDS
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop_distinct.cast("bigint").alias("n_stopwords_distinct"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def _gopher_quality_sql() -> str:
+    words = WORDS_SQL
+    n_words = f"len({words})"
+    sum_len = f"list_sum(list_transform({words}, w -> length(w)))"
+    mean_len = f"CAST({sum_len} AS DOUBLE) / {n_words}"
+    n_symbols = (
+        "length(regexp_replace(text, '[^#]', '', 'g'))"
+        " + len(regexp_extract_all(text, '[.]{3}'))"
+    )
+    symbol_ratio = f"CAST({n_symbols} AS DOUBLE) / {n_words}"
+    n_alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    alpha_frac = f"CAST({n_alpha} AS DOUBLE) / {n_words}"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = f"len(list_intersect(string_split(text, ' '), [{stop_list}]))"
+    ok_words = f"({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS})"
+    ok_mean = (
+        f"({mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN}"
+        f" AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN})"
+    )
+    ok_sym = f"({symbol_ratio} <= {GOPHER_MAX_SYMBOL_RATIO})"
+    ok_alpha = f"({alpha_frac} >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
+    ok_stop = f"({n_stop} >= {GOPHER_MIN_STOPWORDS})"
+    return f"""
+  SELECT doc_id,
+         {n_words} AS n_words,
+         {mean_len} AS mean_word_len,
+         {symbol_ratio} AS symbol_ratio,
+         {alpha_frac} AS alpha_word_frac,
+         CAST({n_stop} AS BIGINT) AS n_stopwords_distinct,
+         {ok_words} AS ok_word_count,
+         {ok_mean} AS ok_mean_word_len,
+         {ok_sym} AS ok_symbol_ratio,
+         {ok_alpha} AS ok_alpha_words,
+         {ok_stop} AS ok_stopwords,
+         ({ok_words} AND {ok_mean} AND {ok_sym} AND {ok_alpha} AND {ok_stop}) AS keep
+  FROM documents"""
+
+
+GOPHER_QUALITY_SQL = _gopher_quality_sql()

@@ -113,6 +113,7 @@ def main() -> int:
             "tp_mix_apply",
             "ts_pii_scrub_synth",
             "ts_perplexity",
+            "ts_gopher_quality",
         )
         if q in harness.ALL_QUERIES
     ]

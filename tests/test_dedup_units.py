@@ -657,3 +657,24 @@ def test_perplexity_orders_docs_by_token_rarity(spark):
     # the k=8 vocab is 'common' + 7 singletons (tie-broken by token asc),
     # so at least the non-vocab singleton tokens price at c=0
     assert out[100].mean_nll_bits <= math.log2(n_total + k + 1) + 1e-4
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each Gopher rule trips on its planted violator and only there."""
+    good = " ".join(["the quick brown fox jumps of and to a"] * 8)  # 64 words
+    rows = [
+        (1, good, "en", "s"),                                   # passes all
+        (2, "the of " + " ".join(f"w{i}" for i in range(10)), "en", "s"),  # too short
+        (3, " ".join(["a"] * 60), "en", "s"),                   # mean len < 3
+        (4, good + " " + " ".join(["###"] * 20), "en", "s"),    # symbol ratio
+        (5, " ".join(["the", "of"] + ["123"] * 60), "en", "s"), # alpha frac
+        (6, " ".join(f"word{i}" for i in range(60)), "en", "s"),# no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in textstats.gopher_quality(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_mean_word_len and not out[3].keep
+    assert not out[4].ok_symbol_ratio and not out[4].keep
+    assert not out[5].ok_alpha_words and not out[5].keep
+    assert not out[6].ok_stopwords and not out[6].keep
