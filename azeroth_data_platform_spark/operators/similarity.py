@@ -306,11 +306,24 @@ def lsh_multitable_topk(
     inside whole-stage codegen (the element_at form blew janino's 64 KB
     method limit and ran interpreted — PERF.md). Bit-identical results;
     compilation pinned by tests/test_codegen_compiles.py."""
-    cd, qd = dim_names("_d"), dim_names("_qd")
+    return _lsh_candidates_topk(
+        _lsh_corpus_relation(embeddings, n_tables),
+        queries,
+        k=k,
+        n_tables=n_tables,
+        probe_hamming=probe_hamming,
+    )
+
+
+def _lsh_corpus_relation(embeddings: DataFrame, n_tables: int) -> DataFrame:
+    """The E2LSH one-scan corpus fan-out: (vec_id, c_nrm, tbl, bucket,
+    _d1.._d64), one row per (vector, table). Named-dims layout — see
+    `lsh_multitable_topk`."""
+    cd = dim_names("_d")
     tbl_structs = ", ".join(
         f"struct({t} AS tbl, _b{t} AS bucket)" for t in range(n_tables)
     )
-    c = (
+    return (
         embeddings.select("vec_id", *dim_exprs("embedding", "_d"))
         .select(
             "vec_id",
@@ -328,8 +341,20 @@ def lsh_multitable_topk(
             *cd,
         )
         .select("vec_id", "c_nrm", "x.tbl", "x.bucket", *cd)
-        .alias("c")
     )
+
+
+def _lsh_candidates_topk(
+    corpus_rel: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_tables: int,
+    probe_hamming: int,
+) -> DataFrame:
+    """Score + rank queries against a (possibly prebuilt) corpus bucket
+    relation (`_lsh_corpus_relation` / `build_lsh_index` layout)."""
+    qd = dim_names("_qd")
+    c = corpus_rel.alias("c")
     probe_list = [""]  # hamming-0: the bucket itself
     if probe_hamming >= 1:
         probe_list += [f" ^ {1 << p}" for p in range(LSH_PLANES)]
@@ -369,6 +394,38 @@ def lsh_multitable_topk(
         )
     )
     return _two_phase_topk(scored.distinct(), k)
+
+
+def build_lsh_index(
+    embeddings: DataFrame, n_tables: int = LSH_N_TABLES
+) -> DataFrame:
+    """Materialize the multi-table bucket relation ONCE for repeated
+    querying — the build/query split every production ANN system makes
+    (build the index against the corpus; amortize it over all queries).
+
+    Returns the checkpointed (vec_id, c_nrm, tbl, bucket, dims) relation;
+    pass it to `lsh_index_topk`. In this single-JVM environment the
+    materialization is a localCheckpoint; on a cluster you persist the
+    same relation as a table bucketed by (tbl, bucket) so the query-side
+    equi-join co-locates with zero exchanges (sources/writers.py bucketed
+    writes)."""
+    return _lsh_corpus_relation(embeddings, n_tables).localCheckpoint()
+
+
+def lsh_index_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_tables: int = LSH_N_TABLES,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k against a prebuilt `build_lsh_index` relation —
+    bit-identical results to `lsh_multitable_topk` (same plane family,
+    same rank/tie rules; pinned by test) without re-deriving the corpus
+    buckets per query batch. `n_tables` must match the build."""
+    return _lsh_candidates_topk(
+        index, queries, k=k, n_tables=n_tables, probe_hamming=probe_hamming
+    )
 
 
 N_IVF_CENTROIDS = 8

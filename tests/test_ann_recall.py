@@ -278,3 +278,29 @@ def test_sq8_search_recall_near_exact(spark, sf_dir):
     hits = sum(len(sq8.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, hits / total
+
+
+def test_lsh_index_topk_matches_multitable(spark, sf_dir):
+    """The build/query split returns bit-identical results to the fused
+    operator, and the index amortizes: a second query batch against the
+    same index reuses the materialized buckets."""
+    from pyspark.sql import functions as F
+
+    from azeroth_data_platform_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+    fused = similarity.lsh_multitable_topk(emb, queries).collect()
+    index = similarity.build_lsh_index(emb)
+    via_index = similarity.lsh_index_topk(index, queries).collect()
+    key = lambda r: (r.q_vec_id, r.rank)
+    assert sorted((key(r), r.c_vec_id, r.cosine) for r in fused) == sorted(
+        (key(r), r.c_vec_id, r.cosine) for r in via_index
+    )
+    # different query batch, same index — still consistent with the fused op
+    q2 = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+    fused2 = similarity.lsh_multitable_topk(emb, q2).collect()
+    via2 = similarity.lsh_index_topk(index, q2).collect()
+    assert sorted((key(r), r.c_vec_id, r.cosine) for r in fused2) == sorted(
+        (key(r), r.c_vec_id, r.cosine) for r in via2
+    )
