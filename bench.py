@@ -199,6 +199,12 @@ def main() -> int:
         ]
         base = {**timings, **extra_timings}
 
+        # Budget guard: the probe must never endanger the driver's bench
+        # timeout — stop launching scaled queries after this many seconds
+        # and report what completed (truncated=True marks a partial probe).
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "240"))
+        probe_t0 = time.perf_counter()
+
         def run_scaled(name: str) -> float:
             t0 = time.perf_counter()
             harness.ALL_QUERIES[name](spark, scale_dir).write.format("noop").mode(
@@ -206,9 +212,18 @@ def main() -> int:
             ).save()
             return round(time.perf_counter() - t0, 3)
 
-        scaled = {q: run_scaled(q) for q in subset if q in harness.ALL_QUERIES}
+        scaled = {}
+        truncated = False
+        for q in subset:
+            if q not in harness.ALL_QUERIES:
+                continue
+            if time.perf_counter() - probe_t0 > budget:
+                truncated = True
+                break
+            scaled[q] = run_scaled(q)
         scaling = {
             "factor": 10,
+            "truncated": truncated,
             "scaled_sec": scaled,
             "growth": {
                 q: round(scaled[q] / base[q], 2) for q in scaled if base.get(q)
