@@ -701,6 +701,10 @@ def q_ts_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality(_docs(spark, sf_dir))
 
 
+def q_tp_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dsir_weights(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1221,6 +1225,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ts_pii_scrub_synth": q_ts_pii_synth,
     "ts_perplexity": q_ts_perplexity,
     "ts_gopher_quality": q_ts_gopher,
+    "tp_dsir_weights": q_tp_dsir,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1288,6 +1293,7 @@ ALL_ORACLES: dict[str, str] = {
     "ts_pii_scrub_synth": textstats.PII_SCRUB_SYNTH_SQL,
     "ts_perplexity": textstats.PERPLEXITY_SQL,
     "ts_gopher_quality": textstats.GOPHER_QUALITY_SQL,
+    "tp_dsir_weights": corpus.DSIR_WEIGHTS_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

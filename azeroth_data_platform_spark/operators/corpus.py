@@ -815,3 +815,128 @@ APPLY_MIX_SQL = f"""
   FROM documents d JOIN plan p ON d.source = p.source
   WHERE {_doc_hash_sql(duck=True, mod=MIX_HASH_MOD)}
         < CAST(floor(p.sample_rate * {MIX_HASH_MOD}) AS BIGINT)"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by how much
+# more likely its hashed-bigram features are under a TARGET domain than
+# under the raw corpus — log p_target(doc)/p_raw(doc) with smoothed
+# bag-of-hashed-ngrams models. The published data-selection recipe: train
+# two feature distributions, weight docs by the log-ratio, then resample
+# proportionally (tp_mix_apply / tp_train_sample are the resampling side).
+#
+# Hash-exactness: both distributions count INTEGER bucket hits, and every
+# log is the portable plog2 over integers (functions/numerics.py) with the
+# per-doc sum in DECIMAL(28,12) — bit-identical in both engines.
+#
+# Shuffle story at 100 TB: bigram explode is row-local inside the scan;
+# two bucket-keyed counts (B=1024 buckets — the hash bounds the model state
+# regardless of corpus size, which is DSIR's trick); the scored bucket
+# table is ≤ B rows — always a broadcast; one doc-keyed aggregation. The
+# target slice rides the same scan (a CASE inside the counts), so the
+# whole operator is TWO passes over the token stream.
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_feature_sql(duck: bool, b: int = DSIR_BUCKETS) -> str:
+    """Hashed-bigram feature id: first 8 md5 nibbles of 'dsir:'||bigram,
+    mod `b` — portable (dedup._hex_int_sql machinery)."""
+    from .dedup import _hex_int_sql
+
+    md5_expr = "md5('dsir:' || bg)"
+    return f"({_hex_int_sql(md5_expr, duck)} % {b})"
+
+
+def dsir_weights(
+    documents: DataFrame,
+    b: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """Per-doc DSIR importance weight in bits:
+    log2_weight = Σ_features [plog2(c_t[f]+1) − plog2(c_r[f]+1)]
+                  + n_features · [plog2(N_r+B) − plog2(N_t+B)]
+    where c_t / c_r are hashed-bigram counts over the target slice
+    (lang = `target_lang`) and the whole corpus, with add-one smoothing
+    over the B buckets. Positive = more target-like than the corpus
+    average; feed the weight into the mix/resampling operators."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    from ..functions.numerics import plog2_sql
+    from .textstats import _words
+
+    bg = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+    )
+    feats = (
+        documents.select("doc_id", "lang", _words().alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select("doc_id", "lang", F.explode(bg).alias("bg"))
+        .select("doc_id", "lang", F.expr(_dsir_feature_sql(duck=False, b=b)).alias("f"))
+    )
+    counts = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
+    )
+    bucket_scores = counts.select(
+        "f",
+        (
+            F.expr(plog2_sql("c_t + 1")) - F.expr(plog2_sql("c_r + 1"))
+        ).alias("score"),
+    )
+    const = counts.agg(
+        (
+            F.expr(plog2_sql(f"SUM(c_r) + {b}"))
+            - F.expr(plog2_sql(f"SUM(c_t) + {b}"))
+        ).alias("_const")
+    )
+    term = (F.col("score") + F.col("_const")).cast("decimal(28,12)")
+    return (
+        feats.join(F.broadcast(bucket_scores), "f")
+        .crossJoin(F.broadcast(const))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(term).cast("double").alias("log2_weight"),
+            (F.sum(term).cast("double") / F.count(F.lit(1))).alias(
+                "mean_log2_weight"
+            ),
+        )
+    )
+
+
+def _dsir_weights_sql(b: int = DSIR_BUCKETS, target_lang: str = DSIR_TARGET_LANG) -> str:
+    from ..functions.numerics import plog2_sql
+    from .textstats import WORDS_SQL
+
+    feat = _dsir_feature_sql(duck=True, b=b)
+    return f"""
+  WITH w AS (SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents
+             WHERE len({WORDS_SQL}) >= 2),
+  feats AS (SELECT doc_id, lang, {feat} AS f FROM
+              (SELECT doc_id, lang,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM w)),
+  counts AS (SELECT f, COUNT(*) AS c_r,
+                    COUNT(CASE WHEN lang = '{target_lang}' THEN 1 END) AS c_t
+             FROM feats GROUP BY f),
+  scores AS (SELECT f, ({plog2_sql("c_t + 1", duck=True)})
+                       - ({plog2_sql("c_r + 1", duck=True)}) AS score
+             FROM counts),
+  c0 AS (SELECT ({plog2_sql(f"SUM(c_r) + {b}", duck=True)})
+                - ({plog2_sql(f"SUM(c_t) + {b}", duck=True)}) AS cconst
+         FROM counts)
+  SELECT t.doc_id, COUNT(*) AS n_features,
+         CAST(SUM(CAST(s.score + c0.cconst AS DECIMAL(28,12))) AS DOUBLE)
+           AS log2_weight,
+         CAST(SUM(CAST(s.score + c0.cconst AS DECIMAL(28,12))) AS DOUBLE)
+           / COUNT(*) AS mean_log2_weight
+  FROM feats t JOIN scores s ON t.f = s.f CROSS JOIN c0
+  GROUP BY t.doc_id"""
+
+
+DSIR_WEIGHTS_SQL = _dsir_weights_sql()

@@ -114,6 +114,7 @@ def main() -> int:
             "ts_pii_scrub_synth",
             "ts_perplexity",
             "ts_gopher_quality",
+            "tp_dsir_weights",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from azeroth_data_platform_spark.operators import dedup, multimodal, similarity, textstats
+from azeroth_data_platform_spark.operators import corpus, dedup, multimodal, similarity, textstats
 
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
@@ -678,3 +678,24 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert not out[4].ok_symbol_ratio and not out[4].keep
     assert not out[5].ok_alpha_words and not out[5].keep
     assert not out[6].ok_stopwords and not out[6].keep
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR log-ratio semantics: a doc built from target-domain bigrams
+    outweighs a doc of off-domain bigrams; weights are finite and the
+    feature accounting is exact (n_features = n_words - 1)."""
+    target_text = "the model trains on clean data " * 10   # en-style
+    off_text = "xyzzy plugh quux grault corge waldo " * 10  # off-domain
+    rows = (
+        [(i, target_text.strip(), "en", "s") for i in range(20)]
+        + [(100 + i, off_text.strip(), "zh", "s") for i in range(5)]
+        + [(200, target_text.strip(), "zh", "s")]   # target-LIKE, raw-labeled
+        + [(201, off_text.strip(), "en", "s")]      # off-domain in target slice
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.doc_id: r for r in corpus.dsir_weights(docs).collect()}
+    assert out[0].n_features == 60 - 1
+    # the target-like raw doc scores far above the off-domain docs…
+    assert out[200].mean_log2_weight > out[100].mean_log2_weight + 0.5
+    # …because scoring follows CONTENT, not the lang label
+    assert abs(out[200].mean_log2_weight - out[0].mean_log2_weight) < 1e-9
