@@ -201,3 +201,182 @@ def sample_frames(payload: bytes, every_n: int = 30) -> "object":
     raise NotImplementedError(
         "video frame sampling requires an av library not present in this environment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection over binary payloads — the multimodal
+# dedup stage (image near-dup removal in training pipelines): reduce each
+# payload to a compact block-average fingerprint, then find pairs within a
+# small hamming distance WITHOUT a pairwise sweep, using the same 4-band
+# pigeonhole blocking as the text simhash (dedup.simhash_banded_dedup):
+# any pair with hamming ≤ 3 agrees exactly on at least one 15-bit band, so
+# banded equi-join candidate generation is EXACT for the ≤3 regime.
+#
+# The fingerprint here is a block-parity hash over 60 byte blocks (bit b =
+# parity of block b's byte sum): block-LOCAL edits flip only the touched
+# blocks' bits (small hamming), unrelated payloads differ in ~30 of 60
+# bits — the locality property a real image pHash has for crops/noise,
+# expressed in deterministic integer arithmetic. (A block-average hash was
+# tried first and is degenerate on homogeneous ASCII payloads: every block
+# mean hovers at the overall mean, so any edit avalanches.) A real decoder
+# plugs in at decode_image and swaps this for a DCT pHash. Pure integer
+# arithmetic, so the whole operator is hash-exact against the DuckDB
+# hex-pair twin, while Spark computes fingerprints on the Arrow/
+# mapInPandas decode path a real image pipeline would use.
+
+N_PHASH_BLOCKS = 60
+PHASH_BAND_BITS = 15
+PHASH_MAX_HAMMING = 3
+
+
+def phash_fingerprints(multimodal: DataFrame) -> DataFrame:
+    """(doc_id, phash): 60-bit block-parity fingerprint of each payload,
+    computed in the Arrow decode path (mapInPandas — the real pipeline
+    swaps the byte arithmetic for an image DCT after decode_image)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                sums = [0] * N_PHASH_BLOCKS
+                lens = [0] * N_PHASH_BLOCKS
+                for p, byte in enumerate(b):
+                    blk = p * N_PHASH_BLOCKS // n
+                    sums[blk] += byte
+                    lens[blk] += 1
+                ph = 0
+                for blk in range(N_PHASH_BLOCKS):
+                    # parity of the block byte sum: block-local edits flip
+                    # only their own block's bit
+                    if lens[blk] and sums[blk] % 2 == 1:
+                        ph |= 1 << blk
+                out.append({"doc_id": doc_id, "phash": ph})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return multimodal.mapInPandas(_batches, schema)
+
+
+def phash_dedup(
+    documents: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """(d1, d2, hamming) payload near-dup pairs with hamming ≤ `max_hamming`
+    over the 60-bit perceptual hash — exact for max_hamming ≤ 3 by the
+    4-band pigeonhole (a pair that disagrees in ≤3 bits cannot disagree in
+    all 4 bands). Candidate generation is a (band, band_val) equi-join;
+    only candidates pay the popcount verify."""
+    fp = phash_fingerprints(attach_binary(documents))
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(
+                            f"shiftright(phash, {k * PHASH_BAND_BITS})"
+                            f" & {(1 << PHASH_BAND_BITS) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "phash", "x.band", "x.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.expr("bit_count(a.phash ^ b.phash)")
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _phash_sql() -> str:
+    """DuckDB twin: identical integer arithmetic from hex pairs."""
+    byte_at = _BYTE_AT
+    nb = N_PHASH_BLOCKS
+    return f"""
+  WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS n
+             FROM documents WHERE octet_length(encode(text)) > 0),
+  bytes AS (SELECT doc_id, n, i, {byte_at} AS v,
+                   (i * {nb}) // n AS blk
+            FROM (SELECT doc_id, h, n, unnest(range(0, n)) AS i FROM b)),
+  blocks AS (SELECT doc_id, blk, SUM(v) AS s
+             FROM bytes GROUP BY doc_id, blk),
+  ph AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN s % 2 = 1
+                              THEN CAST(1 AS BIGINT) << CAST(blk AS INTEGER)
+                              ELSE 0 END) AS BIGINT) AS phash
+         FROM blocks
+         GROUP BY doc_id)
+  SELECT doc_id, phash FROM ph"""
+
+
+def _phash_dedup_sql(max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = ", ".join(
+        f"struct_pack(band := {k},"
+        f" band_val := (phash >> {k * PHASH_BAND_BITS}) & {mask})"
+        for k in range(4)
+    )
+    return f"""
+  WITH ph AS ({_phash_sql()}),
+  bands AS (SELECT doc_id, phash, x.band AS band, x.band_val AS band_val
+            FROM (SELECT doc_id, phash, unnest([{bands}]) AS x FROM ph)),
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  bit_count(xor(a.phash, b.phash)) AS hamming
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id)
+  SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming
+  FROM cand WHERE hamming <= {max_hamming}"""
+
+
+PHASH_DEDUP_SQL = _phash_dedup_sql()
+
+
+def phash_dedup_synth(documents: DataFrame) -> DataFrame:
+    """`phash_dedup` over the corpus plus deterministic perturbed clones
+    (doc_id % 17 = 0 docs re-appear at doc_id + 1,000,000 with the last 3
+    bytes overwritten): the natural corpus has no payload near-dups, so this is the
+    differential variant whose candidate-join and popcount-verify actually
+    fire (the clone pairs land at hamming ≤ 3), while unrelated docs keep
+    exercising the no-match path in the same run."""
+    clones = documents.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # same length (block boundaries unchanged): overwrite the last 3
+        # bytes, so only the final blocks' parities can flip
+        F.expr("concat(substring(text, 1, length(text) - 3), 'qqq')").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return phash_dedup(documents.unionByName(clones))
+
+
+PHASH_DEDUP_SYNTH_SQL = _phash_dedup_sql().replace(
+    "FROM documents WHERE octet_length(encode(text)) > 0",
+    """FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substring(text, 1, length(text) - 3) || 'qqq' AS text
+        FROM documents WHERE doc_id % 17 = 0) d
+   WHERE octet_length(encode(text)) > 0""",
+)

@@ -115,6 +115,7 @@ def main() -> int:
             "ts_perplexity",
             "ts_gopher_quality",
             "tp_dsir_weights",
+            "mm_phash_dedup",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -699,3 +699,19 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert out[200].mean_log2_weight > out[100].mean_log2_weight + 0.5
     # …because scoring follows CONTENT, not the lang label
     assert abs(out[200].mean_log2_weight - out[0].mean_log2_weight) < 1e-9
+
+
+def test_phash_dedup_finds_block_local_edits_only(spark):
+    """Block-parity payload fingerprint: same-length block-local edits land
+    within hamming ≤ 3 and pair up; unrelated payloads (~30/60 bits apart)
+    never do."""
+    base = "x" * 300 + "tail"
+    rows = [
+        (1, base, "en", "s"),
+        (2, base[:-4] + "tbil", "en", "s"),        # one byte changed
+        (3, "".join(chr(97 + i % 23) for i in range(304)), "en", "s"),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {(r.d1, r.d2): r.hamming for r in multimodal.phash_dedup(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert not any(3 in k for k in got)
