@@ -940,3 +940,132 @@ def _dsir_weights_sql(b: int = DSIR_BUCKETS, target_lang: str = DSIR_TARGET_LANG
 
 
 DSIR_WEIGHTS_SQL = _dsir_weights_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+# operator: start from characters, repeatedly (a) count adjacent symbol
+# pairs across the word-frequency table, (b) take the most frequent pair,
+# (c) merge its occurrences left-to-right non-overlapping. The engine's
+# iterative-algorithm pattern (fixed deterministic iterations, like
+# similarity.kmeans_centroids), so the DuckDB oracle unrolls the rounds as
+# chained CTEs and the driver hash-checks tokenizer training end-to-end.
+#
+# Two representation tricks make the whole thing relational:
+#   * a word's symbol sequence is ONE delimited string ␟a␟b␟c␟ (U+001F
+#     never occurs in corpus text), so "merge pair (a,b) left-to-right
+#     non-overlapping" is EXACTLY SQL replace(s, '␟a␟b', '␟ab') —
+#     verified identical semantics in Spark and DuckDB;
+#   * pair counting works on the word-FREQUENCY table (vocab-sized, not
+#     corpus-sized): at 100 TB the corpus scan happens once to build word
+#     counts; every merge round then touches only the vocabulary.
+#
+# Pair counts follow the reference algorithm (all adjacent pairs, overlaps
+# included); ties break (count desc, left asc, right asc). No </w> marker
+# (whitespace pre-tokenization already bounds words).
+
+BPE_N_MERGES = 6
+BPE_SEP = "\x1f"
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(merge_rank, left, right, pair_count): the first `n_merges` BPE
+    merges learned from the corpus word-frequency table. Each round is one
+    vocab-keyed aggregation + a one-row broadcast; the word relation is
+    localCheckpointed per round (k-means-style) to keep lineage flat."""
+    from .textstats import _words
+
+    sep = BPE_SEP
+    words = (
+        documents.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(sep),
+                F.expr(f"regexp_replace(word, '(.)', concat('$1', '{sep}'))"),
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for r in range(1, n_merges + 1):
+        syms = F.expr(f"filter(split(s, '{sep}'), x -> x <> '')")
+        pairs = (
+            words.select("freq", syms.alias("syms"))
+            .where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "freq",
+                F.expr(
+                    f"replace(s, concat('{sep}', left, '{sep}', right),"
+                    f" concat('{sep}', left, right))"
+                ).alias("s"),
+            )
+            .localCheckpoint()
+        )
+    return merges
+
+
+def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+    from .textstats import WORDS_SQL
+
+    sep = "chr(31)"
+    parts = [
+        f"""
+  w0 AS (SELECT COUNT(*) AS freq,
+                {sep} || regexp_replace(word, '(.)', '\\1' || {sep}, 'g') AS s
+         FROM (SELECT unnest({WORDS_SQL}) AS word FROM documents)
+         GROUP BY word)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+  sy{r} AS (SELECT freq, list_filter(string_split(s, {sep}), x -> x <> '') AS syms
+            FROM w{r - 1}),
+  p{r} AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+           FROM sy{r} WHERE len(syms) >= 2),
+  b{r} AS (SELECT {r} AS merge_rank, a, b AS "right", pair_count FROM
+             (SELECT syms[i] AS a, syms[i + 1] AS b,
+                     CAST(SUM(freq) AS BIGINT) AS pair_count
+              FROM p{r} GROUP BY 1, 2)
+           ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1),
+  w{r} AS (SELECT freq,
+                  replace(s, {sep} || a || {sep} || "right",
+                          {sep} || a || "right") AS s
+           FROM w{r - 1} CROSS JOIN b{r})""")
+    selects = "\n  UNION ALL\n  ".join(
+        f'SELECT merge_rank, a AS "left", "right", pair_count FROM b{r}'
+        for r in range(1, n_merges + 1)
+    )
+    return "  WITH " + ",".join(parts) + "\n  " + selects
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()

@@ -116,6 +116,7 @@ def main() -> int:
             "ts_gopher_quality",
             "tp_dsir_weights",
             "mm_phash_dedup",
+            "tp_bpe_merges",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -715,3 +715,21 @@ def test_phash_dedup_finds_block_local_edits_only(spark):
     got = {(r.d1, r.d2): r.hamming for r in multimodal.phash_dedup(docs).collect()}
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert not any(3 in k for k in got)
+
+
+def test_bpe_merges_learn_the_planted_pair_sequence(spark):
+    """Classic BPE on a controlled vocab: the most frequent adjacent pair
+    merges first, and later rounds see the MERGED symbol (the learned
+    'es' must pair with 't' only after round 1 creates it)."""
+    rows = [(i, "est est est nest", "en", "s") for i in range(5)] + [
+        (100, "sun sun", "en", "s")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = corpus.bpe_merges(docs, n_merges=3).orderBy("merge_rank").collect()
+    # word freqs: est×15, nest×5, sun×2 → pairs: (e,s)=20, (s,t)=20,
+    # (n,e)=5, (s,u)=2, (u,n)=2 → tie (e,s)/(s,t) breaks to (e,s)
+    assert (out[0].left, out[0].right, out[0].pair_count) == ("e", "s", 20)
+    # after merging 'es': (es,t)=20 wins — round 2 sees the MERGED symbol
+    assert (out[1].left, out[1].right, out[1].pair_count) == ("es", "t", 20)
+    # after 'est': nest is n+est → (n,est)=5 beats the sun pairs
+    assert (out[2].left, out[2].right, out[2].pair_count) == ("n", "est", 5)
