@@ -897,3 +897,55 @@ def _gopher_quality_sql() -> str:
 
 
 GOPHER_QUALITY_SQL = _gopher_quality_sql()
+
+
+def perplexity_scorer(reference_docs: DataFrame, k: int = PPLX_VOCAB_K):
+    """Build a REUSABLE, STATELESS per-doc perplexity scorer from a static
+    reference corpus — the batch/stream-unified form of :func:`perplexity`.
+
+    The unigram model (top-`k` vocab costs + the OOV cost) is computed
+    once from `reference_docs` and folded into a map literal (≤ k entries
+    — the same tiny-collect class as the REST enrichment); the returned
+    function is a pure row-local projection (per-token costs summed with
+    an exact-decimal HOF over the word array), so it applies unchanged to
+    a batch DataFrame or a streaming micro-batch with ZERO streaming
+    state. Scores are bit-identical to :func:`perplexity` run on the same
+    model corpus: the per-token decimal terms are equal and decimal
+    addition is exact and associative (pinned in tests)."""
+    from ..functions.numerics import plog2_sql
+
+    tok = reference_docs.select("doc_id", F.explode(_words()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab_rows = (
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.expr(plog2_sql("c + 1")).alias("bits_w"))
+        .collect()
+    )
+    log2d = counts.agg(
+        F.expr(plog2_sql(f"SUM(c) + {k} + 1")).alias("l")
+    ).first().l
+    cost_map = F.create_map(
+        *[x for r in vocab_rows for x in (F.lit(r.token), F.lit(log2d - r.bits_w))]
+    )
+
+    def score(documents: DataFrame) -> DataFrame:
+        # the accumulator must keep its declared type: Add widens
+        # DECIMAL(28,12)+DECIMAL(28,12) to (29,12), so cast back each step
+        # (exact — per-doc sums are nowhere near 16 integer digits)
+        sum_bits = (
+            "CAST(aggregate(_ws, CAST(0 AS DECIMAL(28,12)),"
+            f" (acc, w) -> CAST(acc + CAST(COALESCE(element_at(_m, w), {log2d!r})"
+            " AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)"
+        )
+        return (
+            documents.withColumn("_ws", _words())
+            .where(F.size("_ws") >= 1)
+            .withColumn("_m", cost_map)
+            .withColumn("n_tokens", F.size("_ws").cast("bigint"))
+            .withColumn("sum_nll_bits", F.expr(sum_bits))
+            .withColumn("mean_nll_bits", F.col("sum_nll_bits") / F.col("n_tokens"))
+            .drop("_ws", "_m")
+        )
+
+    return score

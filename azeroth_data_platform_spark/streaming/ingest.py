@@ -91,3 +91,19 @@ def ingest_pipeline(documents: DataFrame, watermark: str = "1 hour") -> DataFram
         scrubbed,
         carry=("content_hash", "has_pii", "n_email", "n_ipv4", "n_phone", "ingest_ts"),
     )
+
+
+def score_ingest(
+    documents: DataFrame, reference_docs: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Perplexity-score a document STREAM against a unigram LM trained on a
+    STATIC reference corpus — the stream side of the CCNet-style quality
+    gate. The model folds into the plan as a ≤k-entry map literal
+    (textstats.perplexity_scorer), so scoring is a stateless row-local
+    projection: no stream-static join state, no watermark, and scores are
+    bit-identical to the batch operator on the same model corpus
+    (pinned in tests/test_streaming.py)."""
+    from ..operators import textstats
+
+    kw = {} if k is None else {"k": k}
+    return textstats.perplexity_scorer(reference_docs, **kw)(documents)

@@ -333,3 +333,41 @@ def test_streaming_ingest_pipeline_scrubs_before_annotation(spark, tmp_path):
     # annotation ran over the SCRUBBED text: '[EMAIL]' is one token where
     # the raw address was one token, so counts match the redacted body
     assert rows[2].n_tokens == len(dirty.split())
+
+
+def test_streaming_perplexity_scores_match_batch(spark, tmp_path):
+    """score_ingest over a stream produces bit-identical scores to the
+    batch scorer (the model is static; scoring is stateless)."""
+    from azeroth_data_platform_spark.operators import textstats
+    from azeroth_data_platform_spark.streaming import ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs"
+    docs.limit(60).repartition(3).write.parquet(str(src))
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    q = (
+        ingest.score_ingest(stream, docs)
+        .select("doc_id", "n_tokens", "sum_nll_bits", "mean_nll_bits")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pplx_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: r for r in spark.sql("SELECT * FROM pplx_stream").collect()
+    }
+    want = {
+        r.doc_id: r
+        for r in textstats.perplexity_scorer(docs)(docs.limit(60)).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d].sum_nll_bits == want[d].sum_nll_bits
+        assert got[d].mean_nll_bits == want[d].mean_nll_bits
