@@ -973,6 +973,16 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     merges learned from the corpus word-frequency table. Each round is one
     vocab-keyed aggregation + a one-row broadcast; the word relation is
     localCheckpointed per round (k-means-style) to keep lineage flat."""
+    merges, _ = _bpe_train(documents, n_merges)
+    return merges
+
+
+def _bpe_train(
+    documents: DataFrame, n_merges: int = BPE_N_MERGES
+) -> tuple[DataFrame, list[DataFrame]]:
+    """BPE training loop shared by `bpe_merges` (returns the union) and
+    `bpe_encode` (chains the per-round one-row relations as broadcast
+    replace stages). Returns (union-of-merges, [round-1 best, ...])."""
     from .textstats import _words
 
     sep = BPE_SEP
@@ -990,6 +1000,7 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
         .localCheckpoint()
     )
     merges = None
+    bests: list[DataFrame] = []
     for r in range(1, n_merges + 1):
         syms = F.expr(f"filter(split(s, '{sep}'), x -> x <> '')")
         pairs = (
@@ -1021,6 +1032,7 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
             .localCheckpoint()
         )
         merges = best if merges is None else merges.unionByName(best)
+        bests.append(best)
         words = (
             words.crossJoin(F.broadcast(best))
             .select(
@@ -1032,10 +1044,13 @@ def bpe_merges(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return merges
+    return merges, bests
 
 
-def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
+def _bpe_train_ctes(n_merges: int = BPE_N_MERGES) -> str:
+    """DuckDB CTE chain `w0, sy1, p1, b1, w1, ... w{n}` unrolling the fixed
+    training rounds; `b{r}` is round r's winning (a, right) pair. Shared by
+    the merges oracle and the encode oracle."""
     from .textstats import WORDS_SQL
 
     sep = "chr(31)"
@@ -1061,11 +1076,127 @@ def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
                   replace(s, {sep} || a || {sep} || "right",
                           {sep} || a || "right") AS s
            FROM w{r - 1} CROSS JOIN b{r})""")
+    return ",".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = BPE_N_MERGES) -> str:
     selects = "\n  UNION ALL\n  ".join(
         f'SELECT merge_rank, a AS "left", "right", pair_count FROM b{r}'
         for r in range(1, n_merges + 1)
     )
-    return "  WITH " + ",".join(parts) + "\n  " + selects
+    return "  WITH " + _bpe_train_ctes(n_merges) + "\n  " + selects
 
 
 BPE_MERGES_SQL = _bpe_merges_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding — tokenizer APPLICATION, the other half of the tokenizer
+# story: train merges on the corpus (bpe_merges), then segment every
+# document with them. This is the op a training-data pipeline runs over
+# 100 TB (training runs once over the vocab; encoding runs over
+# everything), so its shape matters most: after training, encoding is a
+# pure per-row projection — each merge round is a broadcast one-row join +
+# a row-local array transform(replace(...)), no shuffle anywhere. The same
+# ␟-delimited-string trick as training makes "apply merge left-to-right
+# non-overlapping" exactly replace(), identical in both engines.
+#
+# Output is per-doc stats + a bounded token preview rather than the full
+# exploded (doc, pos, token) stream: the full stream is one extra explode
+# away for consumers, but materializing it in the gate would make the
+# checked relation |tokens|-sized for no extra coverage.
+
+BPE_PREVIEW_TOKENS = 12
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens, avg_token_len, bpe_preview):
+    segment each document's words with the `n_merges` trained BPE merges.
+
+    Encoding chains one broadcast crossJoin per merge round (the merge
+    table is model state, like similarity.py's one-row PQ codebook), each
+    applying a row-local `transform(ws, s -> replace(s, ...))` — the
+    document side never shuffles."""
+    from .textstats import _words
+
+    sep = BPE_SEP
+    _, bests = _bpe_train(documents, n_merges)
+    enc = documents.select(
+        "doc_id",
+        F.transform(
+            _words(),
+            lambda w: F.concat(F.lit(sep), F.regexp_replace(w, "(.)", "$1" + sep)),
+        ).alias("ws"),
+    )
+    for r, best in enumerate(bests, start=1):
+        b = best.select(
+            F.col("left").alias(f"_l{r}"), F.col("right").alias(f"_r{r}")
+        )
+        enc = enc.crossJoin(F.broadcast(b)).select(
+            "doc_id",
+            F.expr(
+                f"transform(ws, s -> replace(s,"
+                f" concat('{sep}', _l{r}, '{sep}', _r{r}),"
+                f" concat('{sep}', _l{r}, _r{r})))"
+            ).alias("ws"),
+        )
+    toks = enc.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr(
+            f"flatten(transform(ws, s -> filter(split(s, '{sep}'), x -> x <> '')))"
+        ).alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        "n_words",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            F.length(F.concat_ws("", F.col("toks"))).cast("double")
+            / F.size("toks"),
+        ).alias("avg_token_len"),
+        F.concat_ws(" ", F.slice("toks", 1, BPE_PREVIEW_TOKENS)).alias(
+            "bpe_preview"
+        ),
+    )
+
+
+def _bpe_encode_sql(n_merges: int = BPE_N_MERGES) -> str:
+    from .textstats import WORDS_SQL
+
+    sep = "chr(31)"
+    parts = [
+        f"""
+  e0 AS (SELECT doc_id, {WORDS_SQL} AS words,
+                list_transform({WORDS_SQL},
+                  w -> {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g')) AS ws
+         FROM documents)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+  e{r} AS (SELECT doc_id, words,
+                  list_transform(ws, s -> replace(s,
+                    {sep} || a || {sep} || "right",
+                    {sep} || a || "right")) AS ws
+           FROM e{r - 1} CROSS JOIN b{r})""")
+    return (
+        "  WITH "
+        + _bpe_train_ctes(n_merges)
+        + ","
+        + ",".join(parts)
+        + f""",
+  ef AS (SELECT doc_id, words,
+                flatten(list_transform(ws,
+                  s -> list_filter(string_split(s, {sep}), x -> x <> ''))) AS toks
+         FROM e{n_merges})
+  SELECT doc_id, len(words) AS n_words, len(toks) AS n_bpe_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+         END AS avg_token_len,
+         array_to_string(toks[1:{BPE_PREVIEW_TOKENS}], ' ') AS bpe_preview
+  FROM ef"""
+    )
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()

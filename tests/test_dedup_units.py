@@ -733,3 +733,28 @@ def test_bpe_merges_learn_the_planted_pair_sequence(spark):
     assert (out[1].left, out[1].right, out[1].pair_count) == ("es", "t", 20)
     # after 'est': nest is n+est → (n,est)=5 beats the sun pairs
     assert (out[2].left, out[2].right, out[2].pair_count) == ("n", "est", 5)
+
+
+def test_bpe_encode_segments_with_trained_merges(spark):
+    """Encoding applies the trained merges in rank order: with the corpus
+    above (merges e+s, es+t, n+est), 'est' becomes ONE token, 'nest'
+    becomes one token after round 3, and unmerged words stay characters.
+    Token-mass conservation: total token chars == total word chars."""
+    rows = [(i, "est est est nest", "en", "s") for i in range(5)] + [
+        (100, "sun sun", "en", "s")
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in corpus.bpe_encode(docs, n_merges=3).collect()}
+    r0 = out[0]
+    # 'est est est nest' → [est, est, est, nest]: both merged to single tokens
+    assert r0.n_words == 4
+    assert r0.n_bpe_tokens == 4
+    assert r0.bpe_preview == "est est est nest"
+    assert abs(r0.avg_token_len - (3 + 3 + 3 + 4) / 4) < 1e-12
+    # 'sun sun': no merge touches it → pure characters
+    r100 = out[100]
+    assert r100.n_words == 2
+    assert r100.n_bpe_tokens == 6
+    assert r100.bpe_preview == "s u n s u n"
