@@ -949,3 +949,90 @@ def perplexity_scorer(reference_docs: DataFrame, k: int = PPLX_VOCAB_K):
         )
 
     return score
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy — the low-level "is this natural text"
+# signal (low entropy → boilerplate/repeated filler, near-uniform → random
+# or encoded bytes; both ends get pruned in real corpus pipelines alongside
+# the Gopher rules). Shannon entropy in bits over the a-z letter
+# distribution, plus the modal-letter fraction as the companion
+# repetition signal.
+#
+# Same engineering as the trigram scorer: each letter count is a
+# replace-count string expression — (length − length(replace)) — so the
+# whole operator is one codegen'd scan-bound projection, no per-row array
+# materialization, no shuffle, linear in input bytes at any scale. Every
+# log is the portable plog2 over integer counts, and the Σ c·log2(c) chain
+# is generated left-associated IDENTICALLY in both engines, so the double
+# arithmetic is bit-identical by construction (fixed expression tree — no
+# aggregation order involved).
+
+ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _char_entropy_parts(duck: bool) -> tuple[str, str, str, str]:
+    """(count_cols, n, sum_c_log2c, max_count) SQL fragments over named
+    per-letter count columns c_a..c_z — identical text in both engines
+    except for the plog2 engine variant."""
+    from ..functions.numerics import plog2_sql
+
+    count_cols = ", ".join(
+        f"(length(text) - length(replace(text, '{ch}', ''))) AS c_{ch}"
+        for ch in ENTROPY_CHARS
+    )
+    n = "(" + " + ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    sumterm = " + ".join(
+        f"(CASE WHEN c_{ch} > 0 THEN CAST(c_{ch} AS DOUBLE)"
+        f" * ({plog2_sql(f'c_{ch}', duck)}) ELSE 0.0 END)"
+        for ch in ENTROPY_CHARS
+    )
+    maxc = "GREATEST(" + ", ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    return count_cols, n, sumterm, maxc
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_alpha, char_entropy_bits, max_char_frac): Shannon entropy
+    of each document's a-z letter distribution,
+    H = log2(n) − (Σ c·log2(c)) / n, NULL when the doc has no letters."""
+    from ..functions.numerics import plog2_sql
+
+    _, n, sumterm, maxc = _char_entropy_parts(duck=False)
+    counts = documents.select(
+        "doc_id",
+        *[
+            F.expr(f"(length(text) - length(replace(text, '{ch}', '')))").alias(
+                f"c_{ch}"
+            )
+            for ch in ENTROPY_CHARS
+        ],
+    )
+    return counts.select(
+        "doc_id",
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_alpha"),
+        F.expr(
+            f"CASE WHEN {n} > 0 THEN ({plog2_sql(n, duck=False)})"
+            f" - ({sumterm}) / CAST({n} AS DOUBLE) END"
+        ).alias("char_entropy_bits"),
+        F.expr(
+            f"CASE WHEN {n} > 0 THEN CAST({maxc} AS DOUBLE)"
+            f" / CAST({n} AS DOUBLE) END"
+        ).alias("max_char_frac"),
+    )
+
+
+def _char_entropy_sql() -> str:
+    from ..functions.numerics import plog2_sql
+
+    count_cols, n, sumterm, maxc = _char_entropy_parts(duck=True)
+    return f"""
+  WITH ccounts AS (SELECT doc_id, {count_cols} FROM documents)
+  SELECT doc_id, CAST({n} AS BIGINT) AS n_alpha,
+         CASE WHEN {n} > 0 THEN ({plog2_sql(n, duck=True)})
+              - ({sumterm}) / CAST({n} AS DOUBLE) END AS char_entropy_bits,
+         CASE WHEN {n} > 0 THEN CAST({maxc} AS DOUBLE) / CAST({n} AS DOUBLE) END
+           AS max_char_frac
+  FROM ccounts"""
+
+
+CHAR_ENTROPY_SQL = _char_entropy_sql()

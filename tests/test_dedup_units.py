@@ -758,3 +758,28 @@ def test_bpe_encode_segments_with_trained_merges(spark):
     assert r100.n_words == 2
     assert r100.n_bpe_tokens == 6
     assert r100.bpe_preview == "s u n s u n"
+
+
+def test_char_entropy_known_values(spark):
+    """Closed-form checks: two equiprobable letters → exactly 1 bit; a
+    single repeated letter → 0 bits with modal fraction 1; no letters →
+    NULL entropy; uniform over k letters → log2(k)."""
+    import math
+
+    from azeroth_data_platform_spark.operators import textstats as ts
+
+    rows = [
+        (1, "ab", "en", "s"),
+        (2, "aaaa", "en", "s"),
+        (3, "0123 456", "en", "s"),
+        (4, "abcdefgh", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in ts.char_entropy(docs).collect()}
+    assert out[1].n_alpha == 2 and abs(out[1].char_entropy_bits - 1.0) < 1e-9
+    assert abs(out[1].max_char_frac - 0.5) < 1e-12
+    assert out[2].char_entropy_bits == 0.0 and out[2].max_char_frac == 1.0
+    assert out[3].n_alpha == 0 and out[3].char_entropy_bits is None
+    assert abs(out[4].char_entropy_bits - math.log2(8)) < 1e-5
