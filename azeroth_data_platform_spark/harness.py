@@ -721,6 +721,10 @@ def q_ts_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_entropy(_docs(spark, sf_dir))
 
 
+def q_ts_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.hash_classifier(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1246,6 +1250,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_bpe_merges": q_tp_bpe,
     "tp_bpe_encode": q_tp_bpe_encode,
     "ts_char_entropy": q_ts_char_entropy,
+    "ts_hash_classifier": q_ts_hash_classifier,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1318,6 +1323,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_bpe_merges": corpus.BPE_MERGES_SQL,
     "tp_bpe_encode": corpus.BPE_ENCODE_SQL,
     "ts_char_entropy": textstats.CHAR_ENTROPY_SQL,
+    "ts_hash_classifier": corpus.HASH_CLASSIFIER_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

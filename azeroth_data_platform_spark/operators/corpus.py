@@ -1200,3 +1200,94 @@ def _bpe_encode_sql(n_merges: int = BPE_N_MERGES) -> str:
 
 
 BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier inference — the "quality classifier" stage of
+# CCNet/LLaMA-style corpus pipelines: a fastText-shaped linear model over
+# hashed bag-of-bigram features scores every document, and a threshold
+# keeps the high-quality slice. Real pipelines load trained weights; here
+# the weight vector is a frozen deterministic function of the bucket id
+# (the hashing-trick kernel, inlined), which keeps the operator
+# self-contained and hash-checkable while preserving the EXACT relational
+# shape of inference: feature hashing is row-local inside the scan, the
+# model is O(B) state independent of corpus size, and scoring is one
+# doc-keyed aggregation — no joins, no shuffle beyond the final groupBy.
+# (With externally-trained weights the inline kernel becomes a broadcast
+# B-row bucket→weight table — the DSIR operator in operators/corpus.py
+# already exercises that variant of the shape.)
+#
+# Bit-exactness without transcendentals: weights are (m − 1000)/1024 with
+# m ∈ [0, 2000] — a 10-decimal-digit value exactly representable in BOTH
+# double and DECIMAL(28,12), so accumulation is exact and engine-identical
+# by construction. The raw mean-logit is emitted instead of a sigmoid
+# (monotone — thresholding is equivalent) so no libm call ever runs.
+
+FT_BUCKETS = 4096
+FT_BIAS = -0.015625  # −1/64: exact in binary and decimal
+FT_THRESHOLD = 0.0
+
+
+def _ft_feature_sql(duck: bool) -> str:
+    """Hashed-bigram bucket id: first 8 md5 nibbles of 'ftq:'||bg mod B."""
+    from .dedup import _hex_int_sql
+
+    md5_expr = "md5('ftq:' || bg)"
+    return f"({_hex_int_sql(md5_expr, duck)} % {FT_BUCKETS})"
+
+
+def _ft_weight_sql(duck: bool) -> str:
+    """Frozen weight for bucket column `f`: ((H('ftw:'||f) mod 2001) − 1000)
+    / 1024 ∈ [−0.9766, 0.9766], exactly representable."""
+    from .dedup import _hex_int_sql
+
+    s = "VARCHAR" if duck else "STRING"
+    m = _hex_int_sql(f"md5('ftw:' || CAST(f AS {s}))", duck)
+    return f"(CAST(({m} % 2001) - 1000 AS DOUBLE) / 1024.0)"
+
+
+def hash_classifier(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_features, logit, keep): mean hashed-bigram weight + bias
+    per document; `keep` = logit > threshold. Docs with < 2 words carry no
+    bigram evidence and are excluded (same contract as corpus.dsir_weights)."""
+    bg = F.expr(
+        "transform(sequence(0, size(ws) - 2),"
+        " i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+    )
+    feats = (
+        documents.select("doc_id", textstats._words().alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bg).alias("bg"))
+        .select("doc_id", F.expr(_ft_feature_sql(duck=False)).alias("f"))
+    )
+    w = F.expr(_ft_weight_sql(duck=False)).cast("decimal(28,12)")
+    logit = (F.sum(w).cast("double") / F.count(F.lit(1))) + F.lit(FT_BIAS)
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        logit.alias("logit"),
+        (logit > F.lit(FT_THRESHOLD)).alias("keep"),
+    )
+
+
+def _hash_classifier_sql() -> str:
+    from .textstats import WORDS_SQL
+
+    feat = _ft_feature_sql(duck=True)
+    w = _ft_weight_sql(duck=True)
+    return f"""
+  WITH wd AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+              WHERE len({WORDS_SQL}) >= 2),
+  feats AS (SELECT doc_id, {feat} AS f FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM wd)),
+  scored AS (SELECT doc_id, COUNT(*) AS n_features,
+                    CAST(SUM(CAST({w} AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*) + ({FT_BIAS!r}) AS logit
+             FROM feats GROUP BY doc_id)
+  SELECT doc_id, n_features, logit, logit > {FT_THRESHOLD!r} AS keep
+  FROM scored"""
+
+
+HASH_CLASSIFIER_SQL = _hash_classifier_sql()

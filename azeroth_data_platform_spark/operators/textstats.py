@@ -1036,3 +1036,4 @@ def _char_entropy_sql() -> str:
 
 
 CHAR_ENTROPY_SQL = _char_entropy_sql()
+

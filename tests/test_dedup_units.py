@@ -783,3 +783,28 @@ def test_char_entropy_known_values(spark):
     assert out[2].char_entropy_bits == 0.0 and out[2].max_char_frac == 1.0
     assert out[3].n_alpha == 0 and out[3].char_entropy_bits is None
     assert abs(out[4].char_entropy_bits - math.log2(8)) < 1e-5
+
+
+def test_hash_classifier_deterministic_and_mean_scaled(spark):
+    """The frozen hash-kernel weights are deterministic: the same text
+    always gets the same logit; repeating a doc's bigrams (doubling the
+    doc) leaves the MEAN logit unchanged (bag-of-features averaging); a
+    one-word doc has no bigrams and is excluded."""
+    t = "spark shuffles partition data across executors"
+    rows = [
+        (1, t, "en", "s"),
+        (2, t, "en", "s"),
+        (3, t + " " + t, "en", "s"),
+        (4, "single", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in corpus.hash_classifier(docs).collect()}
+    assert out[1].logit == out[2].logit
+    assert out[1].n_features == 5
+    assert 4 not in out
+    # doc 3 = doc 1's bigrams twice + one bridging bigram; mean stays in
+    # the convex hull of per-bigram weights → bounded by ±1 + bias
+    assert abs(out[3].logit) <= 1.0 + abs(corpus.FT_BIAS)
+    assert out[1].keep == (out[1].logit > corpus.FT_THRESHOLD)
