@@ -725,6 +725,10 @@ def q_ts_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hash_classifier(_docs(spark, sf_dir))
 
 
+def q_tp_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cluster_sample(_embs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1251,6 +1255,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_bpe_encode": q_tp_bpe_encode,
     "ts_char_entropy": q_ts_char_entropy,
     "ts_hash_classifier": q_ts_hash_classifier,
+    "tp_cluster_sample": q_tp_cluster_sample,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1324,6 +1329,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_bpe_encode": corpus.BPE_ENCODE_SQL,
     "ts_char_entropy": textstats.CHAR_ENTROPY_SQL,
     "ts_hash_classifier": corpus.HASH_CLASSIFIER_SQL,
+    "tp_cluster_sample": similarity.cluster_sample_sql(),
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

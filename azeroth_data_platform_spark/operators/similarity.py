@@ -1182,3 +1182,92 @@ def lsh_multitable_topk_sql(n_tables: int = LSH_N_TABLES) -> str:
                                  ORDER BY cosine DESC, c_vec_id ASC) AS rank
     FROM scored)
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling — the curation op that picks a
+# representative subset spread across the embedding space instead of
+# uniformly at random (the cluster-then-sample shape used by D4-style data
+# selection and SemDeDup-adjacent curation): train k-means, assign every
+# vector, keep a deterministic per-cluster quota. Uniform sampling
+# over-represents dense regions; a per-cluster quota caps every mode's
+# contribution.
+#
+# Scale shape: assignment is the usual broadcast-argmin join (centroids are
+# k×dim — always a broadcast); the quota is the SAME two-phase salted
+# rank as _two_phase_topk, because a plain per-cluster window would funnel
+# the whole corpus into k partitions. Ranking key is a portable md5 hash of
+# vec_id, so the "random" sample is reproducible in both engines and
+# independent of partitioning.
+
+CLUSTER_SAMPLE_M = 16
+
+
+def cluster_sample(
+    embeddings: DataFrame,
+    k: int = N_IVF_CENTROIDS,
+    m: int = CLUSTER_SAMPLE_M,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(cluster_id, vec_id, sample_rank): a deterministic `m`-per-cluster
+    sample over trained k-means clusters; rank = md5-hash order within the
+    cluster (ties → vec_id)."""
+    from .dedup import _hex_int_sql
+
+    cents = kmeans_centroids(embeddings, k, iters)
+    c = cents.alias("c")
+    v = embeddings.alias("v")
+    dist = F.expr(
+        f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    md5_expr = "md5('cs:' || CAST(vec_id AS STRING))"
+    assigned = (
+        v.join(F.broadcast(c))
+        .select("v.vec_id", "c.cid", dist.alias("dist"))
+        .withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") == 1)
+        .select("cid", "vec_id", F.expr(_hex_int_sql(md5_expr, duck=False)).alias("h"))
+    )
+    order = [F.col("h").asc(), F.col("vec_id").asc()]
+    w1 = Window.partitionBy("cid", "_salt").orderBy(*order)
+    survivors = (
+        assigned.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(TOPK_SALTS)))
+        .withColumn("_prank", F.row_number().over(w1))
+        .where(F.col("_prank") <= m)
+        .drop("_salt", "_prank")
+    )
+    w2 = Window.partitionBy("cid").orderBy(*order)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= m)
+        .select(F.col("cid").alias("cluster_id"), "vec_id", "sample_rank")
+    )
+
+
+def cluster_sample_sql(
+    k: int = N_IVF_CENTROIDS, m: int = CLUSTER_SAMPLE_M, iters: int = KMEANS_ITERS
+) -> str:
+    from .dedup import _hex_int_sql
+
+    dist = (
+        f"({dot_sql('c.cemb', 'c.cemb', duck=True)})"
+        f" - 2.0 * ({dot_sql('v.embedding', 'c.cemb', duck=True)})"
+    )
+    md5_expr = "md5('cs:' || CAST(vec_id AS VARCHAR))"
+    return f"""
+  WITH {_kmeans_cents_sql(k, iters)},
+  asg AS (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM embeddings v CROSS JOIN cents_{iters} c),
+  hashed AS (SELECT cid, vec_id, {_hex_int_sql(md5_expr, duck=True)} AS h
+             FROM asg WHERE r = 1),
+  ranked AS (
+    SELECT cid, vec_id,
+           row_number() OVER (PARTITION BY cid ORDER BY h ASC, vec_id ASC)
+             AS sample_rank
+    FROM hashed)
+  SELECT cid AS cluster_id, vec_id, sample_rank FROM ranked
+  WHERE sample_rank <= {m}"""

@@ -808,3 +808,21 @@ def test_hash_classifier_deterministic_and_mean_scaled(spark):
     # the convex hull of per-bigram weights → bounded by ±1 + bias
     assert abs(out[3].logit) <= 1.0 + abs(corpus.FT_BIAS)
     assert out[1].keep == (out[1].logit > corpus.FT_THRESHOLD)
+
+
+def test_cluster_sample_quota_and_balance(spark):
+    """Per-cluster quota: no cluster exceeds m; every non-empty cluster is
+    represented; ranks are 1..quota dense; and the sample is deterministic
+    across partition counts (two-phase rank = one-phase rank)."""
+    rows = [(i, [float(i % 4), float((i // 4) % 4)] * 32, 0) for i in range(64)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.cluster_sample(embs, k=4, m=5).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r.sample_rank)
+    assert by_cluster, "no clusters sampled"
+    for ranks in by_cluster.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    out2 = similarity.cluster_sample(embs.repartition(13), k=4, m=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
