@@ -729,6 +729,10 @@ def q_tp_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_sample(_embs(spark, sf_dir))
 
 
+def q_tp_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.line_dedup(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1267,6 +1271,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_dsir_weights": q_tp_dsir,
     "mm_phash_dedup": q_mm_phash,
     "tp_bpe_merges": q_tp_bpe,
+    "tp_line_dedup": q_tp_line_dedup,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1337,6 +1342,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_dsir_weights": corpus.DSIR_WEIGHTS_SQL,
     "mm_phash_dedup": multimodal.PHASH_DEDUP_SYNTH_SQL,
     "tp_bpe_merges": corpus.BPE_MERGES_SQL,
+    "tp_line_dedup": corpus.LINE_DEDUP_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

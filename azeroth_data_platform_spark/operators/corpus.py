@@ -1291,3 +1291,89 @@ def _hash_classifier_sql() -> str:
 
 
 HASH_CLASSIFIER_SQL = _hash_classifier_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup — the CCNet/C4 paragraph-dedup stage: exact
+# duplicate LINES (boilerplate headers, nav bars, license blurbs) are
+# removed across the whole corpus, keeping only the first occurrence, and
+# each document is reassembled from its surviving lines. The corpus here is
+# single-line, so "lines" are fixed W-word segments (the same pseudo-line
+# convention as chunk_documents); with real multi-line text the splitter
+# swaps for split(text, '\n') and nothing else changes.
+#
+# Scale shape: line fan-out is row-local inside the scan; ONE line-hash
+# groupBy finds each line's first occurrence (map-side combine; hot
+# boilerplate lines reduce to one row per partition before the exchange);
+# the winner check rides a line-hash equi-join (AQE splits genuinely hot
+# keys); reassembly is ONE doc-keyed aggregation whose array_sort makes
+# the rebuilt text independent of collection order. First-occurrence is
+# decided on a packed (doc_id, line_idx) bigint — portable total order,
+# no struct-min semantics to align across engines.
+
+LINE_W = 16  # words per pseudo-line
+LINE_PACK = 1_000_000  # line_idx < 1e6 (docs are <= ~1e2 lines); doc_id * PACK + idx fits bigint
+
+
+def line_dedup(documents: DataFrame, w: int = LINE_W) -> DataFrame:
+    """(doc_id, n_lines, n_kept, text_dedup): per-doc line counts before /
+    after corpus-wide exact line dedup, plus the reassembled text."""
+    staged = documents.select("doc_id", textstats._words().alias("_ws"))
+    lines = staged.select(
+        "doc_id",
+        "_ws",
+        F.explode(F.expr(f"sequence(0, size(_ws) - 1, {w})")).alias("st"),
+    ).select(
+        "doc_id",
+        (F.col("st") / w).cast("bigint").alias("line_idx"),
+        F.expr(f"array_join(slice(_ws, st + 1, {w}), ' ')").alias("line"),
+    )
+    hashed = lines.select(
+        "doc_id",
+        "line_idx",
+        "line",
+        F.md5("line").alias("h"),
+        (F.col("doc_id") * LINE_PACK + F.col("line_idx")).alias("k"),
+    )
+    winners = hashed.groupBy("h").agg(F.min("k").alias("w_k"))
+    keep = F.col("k") == F.col("w_k")
+    kept_struct = F.when(
+        keep, F.struct(F.col("line_idx").alias("i"), F.col("line").alias("l"))
+    )
+    return (
+        hashed.join(winners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["l"]
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def _line_dedup_sql(w: int = LINE_W) -> str:
+    return f"""
+  WITH wd AS (SELECT doc_id, {textstats.WORDS_SQL} AS ws FROM documents),
+  starts AS (SELECT doc_id, ws, unnest(range(0, len(ws), {w})) AS st FROM wd),
+  lines AS (SELECT doc_id, st // {w} AS line_idx,
+                   array_to_string(ws[st + 1 : st + {w}], ' ') AS line
+            FROM starts),
+  hashed AS (SELECT doc_id, line_idx, line, md5(line) AS h,
+                    doc_id * {LINE_PACK} + line_idx AS k
+             FROM lines),
+  winners AS (SELECT h, MIN(k) AS w_k FROM hashed GROUP BY h)
+  SELECT doc_id, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN k = w_k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(array_to_string(
+           list(line ORDER BY line_idx) FILTER (WHERE k = w_k), ' '), '')
+           AS text_dedup
+  FROM hashed JOIN winners USING (h)
+  GROUP BY doc_id"""
+
+
+LINE_DEDUP_SQL = _line_dedup_sql()

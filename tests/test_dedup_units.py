@@ -826,3 +826,27 @@ def test_cluster_sample_quota_and_balance(spark):
         assert len(ranks) <= 5
     out2 = similarity.cluster_sample(embs.repartition(13), k=4, m=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """A 16-word boilerplate line shared by three docs survives only in the
+    lowest (doc_id, line_idx); unique lines all survive; reassembly
+    preserves within-doc line order."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    u1 = " ".join(f"u{i}" for i in range(16))
+    u2 = " ".join(f"v{i}" for i in range(16))
+    rows = [
+        (1, boiler + " " + u1, "en", "s"),
+        (2, boiler + " " + u2, "en", "s"),
+        (3, u2 + " " + boiler, "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in corpus.line_dedup(docs).collect()}
+    assert out[1].n_lines == 2 and out[1].n_kept == 2
+    assert out[1].text_dedup == boiler + " " + u1
+    # doc 2: boilerplate removed (doc 1 line 0 wins), u2 kept (first occ)
+    assert out[2].n_kept == 1 and out[2].text_dedup == u2
+    # doc 3: both lines are dupes now — doc loses everything
+    assert out[3].n_kept == 0 and out[3].text_dedup == ""
