@@ -117,6 +117,11 @@ def main() -> int:
             "tp_dsir_weights",
             "mm_phash_dedup",
             "tp_bpe_merges",
+            "tp_bpe_encode",
+            "ts_hash_classifier",
+            "ts_char_entropy",
+            "tp_cluster_sample",
+            "tp_line_dedup",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -199,6 +204,8 @@ def main() -> int:
             "ts_language_id_ngram",
             "tp_clean_corpus",
             "tp_pack_contents",
+            "tp_bpe_encode",
+            "tp_line_dedup",
         ]
         base = {**timings, **extra_timings}
 
