@@ -1236,36 +1236,52 @@ def _ft_feature_sql(duck: bool) -> str:
     return f"({_hex_int_sql(md5_expr, duck)} % {FT_BUCKETS})"
 
 
-def _ft_weight_sql(duck: bool) -> str:
-    """Frozen weight for bucket column `f`: ((H('ftw:'||f) mod 2001) − 1000)
-    / 1024 ∈ [−0.9766, 0.9766], exactly representable."""
+def _ft_weight_sql(duck: bool, f_expr: str = "f") -> str:
+    """Frozen weight for bucket expression `f_expr`: ((H('ftw:'||f) mod
+    2001) − 1000) / 1024 ∈ [−0.9766, 0.9766], exactly representable."""
     from .dedup import _hex_int_sql
 
     s = "VARCHAR" if duck else "STRING"
-    m = _hex_int_sql(f"md5('ftw:' || CAST(f AS {s}))", duck)
+    m = _hex_int_sql(f"md5('ftw:' || CAST({f_expr} AS {s}))", duck)
     return f"(CAST(({m} % 2001) - 1000 AS DOUBLE) / 1024.0)"
 
 
 def hash_classifier(documents: DataFrame) -> DataFrame:
     """(doc_id, n_features, logit, keep): mean hashed-bigram weight + bias
     per document; `keep` = logit > threshold. Docs with < 2 words carry no
-    bigram evidence and are excluded (same contract as corpus.dsir_weights)."""
-    bg = F.expr(
-        "transform(sequence(0, size(ws) - 2),"
-        " i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+    bigram evidence and are excluded (same contract as corpus.dsir_weights).
+
+    A document's bigrams all live in its own row, so inference is a
+    ROW-LOCAL projection: the weighted sum runs as an `aggregate` HOF over
+    the bigram array with exact decimal accumulation (the
+    textstats.perplexity_scorer accumulator pattern) — ZERO shuffle at any
+    scale, and the same projection applies unchanged to a readStream
+    (streaming.classify_ingest; batch/stream bit-equality pinned). The
+    first cut exploded bigrams into a doc-keyed groupBy — a corpus-wide
+    exchange for an aggregation whose inputs never leave the row."""
+    w_expr = _ft_weight_sql(duck=False, f_expr=_ft_feature_sql(duck=False))
+    sum_bits = (
+        "CAST(aggregate(_bgs, CAST(0 AS DECIMAL(28,12)),"
+        f" (acc, bg) -> CAST(acc + CAST({w_expr} AS DECIMAL(28,12))"
+        " AS DECIMAL(28,12))) AS DOUBLE)"
     )
-    feats = (
-        documents.select("doc_id", textstats._words().alias("ws"))
-        .where(F.size("ws") >= 2)
-        .select("doc_id", F.explode(bg).alias("bg"))
-        .select("doc_id", F.expr(_ft_feature_sql(duck=False)).alias("f"))
+    bgs = F.expr(
+        "transform(sequence(0, size(_ws) - 2),"
+        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
     )
-    w = F.expr(_ft_weight_sql(duck=False)).cast("decimal(28,12)")
-    logit = (F.sum(w).cast("double") / F.count(F.lit(1))) + F.lit(FT_BIAS)
-    return feats.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_features"),
-        logit.alias("logit"),
-        (logit > F.lit(FT_THRESHOLD)).alias("keep"),
+    logit = (F.col("_sum") / F.col("n_features")) + F.lit(FT_BIAS)
+    return (
+        documents.withColumn("_ws", textstats._words())
+        .where(F.size("_ws") >= 2)
+        .withColumn("_bgs", bgs)
+        .withColumn("n_features", F.size("_bgs").cast("bigint"))
+        .withColumn("_sum", F.expr(sum_bits))
+        .select(
+            "doc_id",
+            "n_features",
+            logit.alias("logit"),
+            (logit > F.lit(FT_THRESHOLD)).alias("keep"),
+        )
     )
 
 

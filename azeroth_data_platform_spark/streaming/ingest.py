@@ -107,3 +107,15 @@ def score_ingest(
 
     kw = {} if k is None else {"k": k}
     return textstats.perplexity_scorer(reference_docs, **kw)(documents)
+
+
+def classify_ingest(documents: DataFrame) -> DataFrame:
+    """Quality-classifier scoring on a document STREAM — the hashed linear
+    classifier (operators/corpus.py hash_classifier) is a stateless
+    row-local projection (weighted bigram sum via an aggregate HOF, model
+    folded into the expression), so the batch operator applies to a
+    readStream unchanged: no state, no watermark, bit-identical scores
+    (pinned in tests/test_streaming.py)."""
+    from ..operators import corpus
+
+    return corpus.hash_classifier(documents)

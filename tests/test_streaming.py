@@ -371,3 +371,34 @@ def test_streaming_perplexity_scores_match_batch(spark, tmp_path):
     for d in want:
         assert got[d].sum_nll_bits == want[d].sum_nll_bits
         assert got[d].mean_nll_bits == want[d].mean_nll_bits
+
+
+def test_streaming_classifier_scores_match_batch(spark, tmp_path):
+    """classify_ingest over a stream is bit-identical to the batch
+    hash_classifier (stateless projection — no state, no watermark)."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.streaming import ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs_cls"
+    docs.limit(60).repartition(3).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        ingest.classify_ingest(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cls_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.sql("SELECT * FROM cls_stream").collect()}
+    want = {r.doc_id: r for r in corpus.hash_classifier(docs.limit(60)).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d].logit == want[d].logit
+        assert got[d].keep == want[d].keep
