@@ -266,3 +266,45 @@ def test_new_pipeline_ops_avoid_cross_products(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         # the scalar/codebook side must ride a broadcast, never a shuffle
         assert "Broadcast" in plan, name
+
+
+def test_round4_ops_keep_their_scale_shapes(spark, sf_dir):
+    """Round-4 operator plan pins: (1) classifier inference and char
+    entropy are shuffle-free projections (zero Exchange — the whole
+    operator is scan-bound); (2) BPE encoding's document side never
+    shuffles (its only exchanges belong to the vocab-sized training
+    aggregations, never to a documents scan); (3) line dedup's winner
+    check is an equi-join (no nested-loop/cartesian) with map-side
+    partial aggregation; (4) cluster sampling never degrades to a
+    cartesian product and keeps the two-phase salted rank."""
+    from azeroth_data_platform_spark import harness
+
+    cls = _plan(harness.QUERIES["ts_hash_classifier"](spark, sf_dir))
+    assert "Exchange" not in cls and "Join" not in cls
+
+    ent = _plan(harness.QUERIES["ts_char_entropy"](spark, sf_dir))
+    assert "Exchange" not in ent and "Join" not in ent
+
+    enc = _plan(harness.QUERIES["tp_bpe_encode"](spark, sf_dir))
+    assert "CartesianProduct" not in enc
+    # every exchange in the encode plan sits above the checkpointed
+    # vocab-sized merge relations (scanned as ExistingRDD), never above
+    # the documents parquet scan: the document side is exchange-free
+    for frag in enc.split("Exchange")[1:]:
+        # fragment up to the next scan line shows what feeds the exchange
+        scan = next(
+            (
+                l
+                for l in frag.splitlines()
+                if "Scan" in l and ("parquet" in l or "ExistingRDD" in l)
+            ),
+            "",
+        )
+        assert "documents" not in scan, "documents scan feeds an exchange"
+
+    ld = _plan(harness.ALL_QUERIES["tp_line_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in ld and "BroadcastNestedLoopJoin" not in ld
+    assert "partial_" in ld  # line-hash groupBy keeps map-side combine
+
+    cs = _plan(harness.QUERIES["tp_cluster_sample"](spark, sf_dir))
+    assert "CartesianProduct" not in cs
