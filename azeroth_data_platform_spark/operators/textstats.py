@@ -961,34 +961,30 @@ def perplexity_scorer(reference_docs: DataFrame, k: int = PPLX_VOCAB_K):
 #
 # Same engineering as the trigram scorer: each letter count is a
 # replace-count string expression — (length − length(replace)) — so the
-# whole operator is one codegen'd scan-bound projection, no per-row array
+# whole operator is a codegen'd scan-bound projection, no per-row array
 # materialization, no shuffle, linear in input bytes at any scale. Every
 # log is the portable plog2 over integer counts, and the Σ c·log2(c) chain
 # is generated left-associated IDENTICALLY in both engines, so the double
 # arithmetic is bit-identical by construction (fixed expression tree — no
 # aggregation order involved).
+#
+# Codegen layout (the PERF.md named-dims lesson applies to scalars too):
+# a naive two-stage form inlines every count into every use — the plog2
+# polynomial references its argument ~14×, so 26 CASE terms re-emit the
+# replace-count trees hundreds of times and the generated processNext()
+# blows janino's 64 KB limit (caught by test_codegen_compiles — the op
+# would have shipped silently interpreted). Instead each intermediate
+# (counts, n, per-letter bits) binds ONCE to a named NON-NULLABLE column
+# in its own projection; CollapseProject keeps multi-referenced non-cheap
+# producers separate, every downstream use is a 2-byte local, and the
+# whole chain fuses into one compiled stage.
 
 ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz"
 
 
-def _char_entropy_parts(duck: bool) -> tuple[str, str, str, str]:
-    """(count_cols, n, sum_c_log2c, max_count) SQL fragments over named
-    per-letter count columns c_a..c_z — identical text in both engines
-    except for the plog2 engine variant."""
-    from ..functions.numerics import plog2_sql
-
-    count_cols = ", ".join(
-        f"(length(text) - length(replace(text, '{ch}', ''))) AS c_{ch}"
-        for ch in ENTROPY_CHARS
-    )
-    n = "(" + " + ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
-    sumterm = " + ".join(
-        f"(CASE WHEN c_{ch} > 0 THEN CAST(c_{ch} AS DOUBLE)"
-        f" * ({plog2_sql(f'c_{ch}', duck)}) ELSE 0.0 END)"
-        for ch in ENTROPY_CHARS
-    )
-    maxc = "GREATEST(" + ", ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
-    return count_cols, n, sumterm, maxc
+def _entropy_count_sql(ch: str) -> str:
+    """Non-nullable per-letter count (0 on NULL text — both engines)."""
+    return f"COALESCE(length(text) - length(replace(text, '{ch}', '')), 0)"
 
 
 def char_entropy(documents: DataFrame) -> DataFrame:
@@ -997,42 +993,73 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     H = log2(n) − (Σ c·log2(c)) / n, NULL when the doc has no letters."""
     from ..functions.numerics import plog2_sql
 
-    _, n, sumterm, maxc = _char_entropy_parts(duck=False)
     counts = documents.select(
         "doc_id",
+        *[F.expr(_entropy_count_sql(ch)).alias(f"c_{ch}") for ch in ENTROPY_CHARS],
+    )
+    n = "(" + " + ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    maxc = "GREATEST(" + ", ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    staged = counts.select(
+        "doc_id",
+        *[F.col(f"c_{ch}") for ch in ENTROPY_CHARS],
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_alpha"),
+        F.expr(f"CAST({maxc} AS BIGINT)").alias("_maxc"),
+    )
+    bits = staged.select(
+        "doc_id",
+        "n_alpha",
+        "_maxc",
         *[
-            F.expr(f"(length(text) - length(replace(text, '{ch}', '')))").alias(
-                f"c_{ch}"
-            )
+            F.expr(
+                f"CASE WHEN c_{ch} > 0 THEN CAST(c_{ch} AS DOUBLE)"
+                f" * ({plog2_sql(f'c_{ch}', duck=False)}) ELSE 0.0 END"
+            ).alias(f"b_{ch}")
             for ch in ENTROPY_CHARS
         ],
     )
-    return counts.select(
+    sumterm = " + ".join(f"b_{ch}" for ch in ENTROPY_CHARS)
+    return bits.select(
         "doc_id",
-        F.expr(f"CAST({n} AS BIGINT)").alias("n_alpha"),
+        "n_alpha",
         F.expr(
-            f"CASE WHEN {n} > 0 THEN ({plog2_sql(n, duck=False)})"
-            f" - ({sumterm}) / CAST({n} AS DOUBLE) END"
+            f"CASE WHEN n_alpha > 0 THEN ({plog2_sql('n_alpha', duck=False)})"
+            f" - ({sumterm}) / CAST(n_alpha AS DOUBLE) END"
         ).alias("char_entropy_bits"),
         F.expr(
-            f"CASE WHEN {n} > 0 THEN CAST({maxc} AS DOUBLE)"
-            f" / CAST({n} AS DOUBLE) END"
+            "CASE WHEN n_alpha > 0 THEN CAST(_maxc AS DOUBLE)"
+            " / CAST(n_alpha AS DOUBLE) END"
         ).alias("max_char_frac"),
     )
 
 
 def _char_entropy_sql() -> str:
+    """DuckDB twin: the same staged fragments (DuckDB has no method-size
+    limit, so the stages are plain chained CTEs; values are identical
+    because every fragment's arithmetic tree is identical)."""
     from ..functions.numerics import plog2_sql
 
-    count_cols, n, sumterm, maxc = _char_entropy_parts(duck=True)
+    count_cols = ", ".join(f"{_entropy_count_sql(ch)} AS c_{ch}" for ch in ENTROPY_CHARS)
+    n = "(" + " + ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    maxc = "GREATEST(" + ", ".join(f"c_{ch}" for ch in ENTROPY_CHARS) + ")"
+    bit_cols = ", ".join(
+        f"(CASE WHEN c_{ch} > 0 THEN CAST(c_{ch} AS DOUBLE)"
+        f" * ({plog2_sql(f'c_{ch}', duck=True)}) ELSE 0.0 END) AS b_{ch}"
+        for ch in ENTROPY_CHARS
+    )
+    sumterm = " + ".join(f"b_{ch}" for ch in ENTROPY_CHARS)
     return f"""
-  WITH ccounts AS (SELECT doc_id, {count_cols} FROM documents)
-  SELECT doc_id, CAST({n} AS BIGINT) AS n_alpha,
-         CASE WHEN {n} > 0 THEN ({plog2_sql(n, duck=True)})
-              - ({sumterm}) / CAST({n} AS DOUBLE) END AS char_entropy_bits,
-         CASE WHEN {n} > 0 THEN CAST({maxc} AS DOUBLE) / CAST({n} AS DOUBLE) END
+  WITH ccounts AS (SELECT doc_id, {count_cols} FROM documents),
+  staged AS (SELECT doc_id, * EXCLUDE (doc_id),
+                    CAST({n} AS BIGINT) AS n_alpha,
+                    CAST({maxc} AS BIGINT) AS maxc
+             FROM ccounts),
+  bits AS (SELECT doc_id, n_alpha, maxc, {bit_cols} FROM staged)
+  SELECT doc_id, n_alpha,
+         CASE WHEN n_alpha > 0 THEN ({plog2_sql("n_alpha", duck=True)})
+              - ({sumterm}) / CAST(n_alpha AS DOUBLE) END AS char_entropy_bits,
+         CASE WHEN n_alpha > 0 THEN CAST(maxc AS DOUBLE) / CAST(n_alpha AS DOUBLE) END
            AS max_char_frac
-  FROM ccounts"""
+  FROM bits"""
 
 
 CHAR_ENTROPY_SQL = _char_entropy_sql()

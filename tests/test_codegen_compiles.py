@@ -59,3 +59,14 @@ def test_embed_lsh_compiles(no_codegen_fallback, emb):
 def test_semantic_dedup_compiles(no_codegen_fallback, emb):
     rows = dedup.semantic_dedup(emb).collect()
     assert len(rows) > 0
+
+
+def test_char_entropy_compiles(no_codegen_fallback, spark, sf_dir):
+    """The 26-letter replace-count + plog2 polynomial tree is large but
+    must stay inside whole-stage codegen (it is a pure string/arith
+    projection — no HOFs)."""
+    from azeroth_data_platform_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = textstats.char_entropy(docs).collect()
+    assert len(rows) > 0
