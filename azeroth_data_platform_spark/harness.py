@@ -733,6 +733,10 @@ def q_tp_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.line_dedup(_docs(spark, sf_dir))
 
 
+def q_ts_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.gopher_repetition(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1272,6 +1276,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "mm_phash_dedup": q_mm_phash,
     "tp_bpe_merges": q_tp_bpe,
     "tp_line_dedup": q_tp_line_dedup,
+    "ts_gopher_repetition": q_ts_gopher_repetition,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1343,6 +1348,7 @@ ALL_ORACLES: dict[str, str] = {
     "mm_phash_dedup": multimodal.PHASH_DEDUP_SYNTH_SQL,
     "tp_bpe_merges": corpus.BPE_MERGES_SQL,
     "tp_line_dedup": corpus.LINE_DEDUP_SQL,
+    "ts_gopher_repetition": textstats.GOPHER_REPETITION_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

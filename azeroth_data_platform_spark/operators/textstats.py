@@ -12,7 +12,7 @@ swap TOKEN_SPLIT for a BPE-ish regex for real corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "to", "and")
@@ -1064,3 +1064,123 @@ def _char_entropy_sql() -> str:
 
 CHAR_ENTROPY_SQL = _char_entropy_sql()
 
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 table A1, lower half) — the
+# n-gram-repetition side of the Gopher filter, complementing
+# ts_gopher_quality's scalar rules: documents dominated by a repeated
+# phrase (SEO spam, keyword stuffing, templated boilerplate) are flagged by
+# (a) the character fraction covered by the MOST COMMON word 2-gram and
+# (b) the character fraction covered by DUPLICATED word 5-grams. The full
+# Gopher table sweeps n=2..4 for (a) and n=5..10 for (b); one
+# representative n per family keeps the checked relation small while
+# exercising both shapes — the other n values are the same plan with a
+# different literal.
+#
+# Counting convention (documented variant): char mass of a gram = its
+# string length × occurrence count (overlapping occurrences each count;
+# Gopher's own counting is token-positional). Denominator = length of the
+# space-joined token stream. Deterministic tie-break: lexicographically
+# smallest gram among the most common.
+#
+# Shape at 100 TB: gram fan-out is row-local; two (doc, gram)-keyed counts
+# (high-cardinality, skew-free, map-side combine) and per-doc
+# windows/aggregations partitioned on doc_id (high-cardinality). No
+# corpus-wide state, no broadcast, linear in token count.
+
+GOPHER_TOP2_MAX_FRAC = 0.20  # Rae et al. A1: most common 2-gram
+GOPHER_DUP5_MAX_FRAC = 0.15  # Rae et al. A1: duplicate 5-grams
+
+
+def _word_ngrams(n: int) -> F.Column:
+    return F.expr(
+        f"transform(sequence(1, size(_ws) - {n - 1}),"
+        f" i -> array_join(slice(_ws, i, {n}), ' '))"
+    )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_joined, top_bigram_char_frac, dup_5gram_char_frac,
+    pass_repetition): Gopher repetition-rule fractions + verdict. Docs too
+    short for a 5-gram report 0.0 for the dup fraction (nothing to
+    repeat); docs with < 2 words are excluded (no bigram evidence)."""
+    base = documents.select(
+        "doc_id", _words().alias("_ws")
+    ).where(F.size("_ws") >= 2)
+    chars = base.select(
+        "doc_id", F.length(F.array_join("_ws", " ")).cast("bigint").alias("n_chars_joined")
+    )
+
+    g2 = base.select("doc_id", F.explode(_word_ngrams(2)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+    top2 = (
+        c2.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") == 1)
+        .select("doc_id", (F.col("c") * F.length("g")).cast("bigint").alias("top2_mass"))
+    )
+
+    g5 = base.where(F.size("_ws") >= 5).select(
+        "doc_id", F.explode(_word_ngrams(5)).alias("g")
+    )
+    c5 = g5.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup5 = c5.where(F.col("c") >= 2).groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.length("g")).cast("bigint").alias("dup5_mass")
+    )
+
+    top_frac = F.col("top2_mass").cast("double") / F.col("n_chars_joined")
+    dup_frac = F.coalesce(F.col("dup5_mass"), F.lit(0)).cast("double") / F.col(
+        "n_chars_joined"
+    )
+    return (
+        chars.join(top2, "doc_id")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_joined",
+            top_frac.alias("top_bigram_char_frac"),
+            dup_frac.alias("dup_5gram_char_frac"),
+            (
+                (top_frac <= F.lit(GOPHER_TOP2_MAX_FRAC))
+                & (dup_frac <= F.lit(GOPHER_DUP5_MAX_FRAC))
+            ).alias("pass_repetition"),
+        )
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    return f"""
+  WITH base AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+                WHERE len({WORDS_SQL}) >= 2),
+  chars AS (SELECT doc_id, CAST(length(array_to_string(ws, ' ')) AS BIGINT)
+                     AS n_chars_joined FROM base),
+  g2 AS (SELECT doc_id,
+                unnest([array_to_string(ws[i : i + 1], ' ')
+                        FOR i IN range(1, len(ws))]) AS g
+         FROM base),
+  c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+  top2 AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS top2_mass FROM
+             (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g ASC) AS r
+              FROM c2)
+           WHERE r = 1),
+  g5 AS (SELECT doc_id,
+                unnest([array_to_string(ws[i : i + 4], ' ')
+                        FOR i IN range(1, len(ws) - 3)]) AS g
+         FROM base WHERE len(ws) >= 5),
+  c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g),
+  dup5 AS (SELECT doc_id, CAST(SUM(c * length(g)) AS BIGINT) AS dup5_mass
+           FROM c5 WHERE c >= 2 GROUP BY doc_id)
+  SELECT ch.doc_id, ch.n_chars_joined,
+         CAST(t.top2_mass AS DOUBLE) / ch.n_chars_joined AS top_bigram_char_frac,
+         CAST(COALESCE(d.dup5_mass, 0) AS DOUBLE) / ch.n_chars_joined
+           AS dup_5gram_char_frac,
+         CAST(t.top2_mass AS DOUBLE) / ch.n_chars_joined <= {GOPHER_TOP2_MAX_FRAC}
+           AND CAST(COALESCE(d.dup5_mass, 0) AS DOUBLE) / ch.n_chars_joined
+             <= {GOPHER_DUP5_MAX_FRAC} AS pass_repetition
+  FROM chars ch JOIN top2 t USING (doc_id) LEFT JOIN dup5 d USING (doc_id)"""
+
+
+GOPHER_REPETITION_SQL = _gopher_repetition_sql()

@@ -122,6 +122,7 @@ def main() -> int:
             "ts_char_entropy",
             "tp_cluster_sample",
             "tp_line_dedup",
+            "ts_gopher_repetition",
         )
         if q in harness.ALL_QUERIES
     ]

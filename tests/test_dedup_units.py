@@ -850,3 +850,21 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert out[2].n_kept == 1 and out[2].text_dedup == u2
     # doc 3: both lines are dupes now — doc loses everything
     assert out[3].n_kept == 0 and out[3].text_dedup == ""
+
+
+def test_gopher_repetition_flags_stuffed_docs(spark):
+    """A keyword-stuffed doc (one bigram repeated) fails the top-2-gram
+    rule; a doc with a repeated 5-gram accrues dup_5gram mass; a diverse
+    doc passes both."""
+    stuffed = "buy now " * 20  # bigram 'buy now' dominates
+    phrase = "alpha beta gamma delta epsilon"
+    rep5 = phrase + " filler one two three " + phrase + " other words here now"
+    diverse = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, stuffed.strip(), "en", "s"), (2, rep5, "en", "s"), (3, diverse, "en", "s")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.doc_id: r for r in textstats.gopher_repetition(docs).collect()}
+    assert out[1].top_bigram_char_frac > 0.5 and not out[1].pass_repetition
+    assert out[2].dup_5gram_char_frac > 0.15 and not out[2].pass_repetition
+    assert out[3].dup_5gram_char_frac == 0.0 and out[3].pass_repetition
