@@ -1333,8 +1333,11 @@ LINE_PACK = 1_000_000  # line_idx < 1e6 (docs are <= ~1e2 lines); doc_id * PACK 
 
 def line_dedup(documents: DataFrame, w: int = LINE_W) -> DataFrame:
     """(doc_id, n_lines, n_kept, text_dedup): per-doc line counts before /
-    after corpus-wide exact line dedup, plus the reassembled text."""
-    staged = documents.select("doc_id", textstats._words().alias("_ws"))
+    after corpus-wide exact line dedup, plus the reassembled text. Docs
+    with zero words carry no lines and are excluded (both engines)."""
+    staged = documents.select("doc_id", textstats._words().alias("_ws")).where(
+        F.size("_ws") >= 1  # zero-word docs have no lines (oracle: empty range)
+    )
     lines = staged.select(
         "doc_id",
         "_ws",

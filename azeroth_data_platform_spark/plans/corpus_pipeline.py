@@ -1,10 +1,10 @@
 """End-to-end training-corpus pipeline — the LLM-data operators composed
 into ONE run, the way a data-curation team would actually ship a corpus:
 
-  PII scrub → exact-substring span removal → quality + near-dup clean →
-  benchmark decontamination (drop) → stratified sample + shard →
-  sequence packing (layout + materialized content) → shard layout on disk
-  (+ per-source health report).
+  PII scrub → exact-substring span removal → corpus-wide line dedup →
+  quality + near-dup clean → benchmark decontamination (drop) →
+  stratified sample + shard → sequence packing (layout + materialized
+  content) → shard layout on disk (+ per-source health report).
 
 Same orchestration contract as plans/pipeline.py (X1-X5): lineage is the
 DataFrame plan, run metadata is the returned dict, structured logging per
@@ -73,11 +73,22 @@ def run_corpus_pipeline(
     meta["span_tokens_removed"] = (
         cleaned_text.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
     )
+    docs = _rebuilt_docs(
+        docs, cleaned_text.select("doc_id", F.col("clean_text").alias("text"))
+    )
+
+    # --- 2b. corpus-wide line dedup (the CCNet/C4 paragraph rule): drop
+    # every repeated pseudo-line beyond its first occurrence, rebuild the
+    # documents from the survivors ---
+    deduped = corpus.line_dedup(docs)
+    meta["dup_lines_removed"] = (
+        deduped.agg(F.sum(F.col("n_lines") - F.col("n_kept"))).collect()[0][0] or 0
+    )
     # docs that were ENTIRELY repeated text reduce to '' — drop them here
     # (nothing left to train on; downstream ratio math assumes ≥1 token)
     docs = (
         _rebuilt_docs(
-            docs, cleaned_text.select("doc_id", F.col("clean_text").alias("text"))
+            docs, deduped.select("doc_id", F.col("text_dedup").alias("text"))
         )
         .where(F.length("text") > 0)
         .cache()
