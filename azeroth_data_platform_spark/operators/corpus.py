@@ -1031,6 +1031,13 @@ def _bpe_train(
             )
             .localCheckpoint()
         )
+        if best.count() == 0:
+            # degenerate corpus (e.g. all single-symbol words): no pair
+            # left to merge — stop early; encode chains only real rounds.
+            # (The fixed-round DuckDB oracle assumes the corpus supports
+            # n_merges rounds — true for any non-degenerate corpus; the
+            # one-row count here is checkpointed model state, not data.)
+            break
         merges = best if merges is None else merges.unionByName(best)
         bests.append(best)
         words = (
@@ -1043,6 +1050,10 @@ def _bpe_train(
                 ).alias("s"),
             )
             .localCheckpoint()
+        )
+    if merges is None:  # zero learnable merges: empty relation, right schema
+        merges = documents.sparkSession.createDataFrame(
+            [], "merge_rank int, left string, right string, pair_count bigint"
         )
     return merges, bests
 

@@ -172,3 +172,76 @@ def test_pack_contents_conserves_tokens_for_any_layout(spark, sizes, budget):
         assert len(r.pack_text.split()) == r.n_tokens_in_pack
         if r.pack_id < last[r.shard]:
             assert r.n_tokens_in_pack == budget
+
+
+# --- Round-4 conservation properties ---------------------------------------
+# BPE encoding must be a pure SEGMENTATION: concatenating each doc's tokens
+# reproduces its words' characters exactly (no char created or lost by any
+# merge sequence), for arbitrary texts. Line dedup must conserve the
+# corpus's distinct line set: every kept line is a first occurrence, and
+# the number of kept lines equals the number of distinct lines.
+
+simple_text = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=5), min_size=1, max_size=10
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(simple_text, min_size=1, max_size=6))
+def test_bpe_encode_conserves_characters(spark, texts):
+    from pyspark.sql import functions as F
+
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in corpus.bpe_encode(docs, n_merges=3).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        assert out[i].n_words == len(words)
+        total_chars = sum(len(w) for w in words)
+        # avg_token_len * n_tokens == total chars (exact: both are derived
+        # from integer counts)
+        if out[i].n_bpe_tokens:
+            assert (
+                abs(out[i].avg_token_len * out[i].n_bpe_tokens - total_chars)
+                < 1e-9
+            )
+        # tokens never exceed chars, never fewer than words
+        assert len(words) <= out[i].n_bpe_tokens <= total_chars
+    _ = F  # (imported for parity with sibling tests)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(simple_text, min_size=1, max_size=8))
+def test_line_dedup_keeps_exactly_the_distinct_lines(spark, texts):
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    w = 3
+    out = corpus.line_dedup(docs, w=w).collect()
+    # reference model in python
+    lines_by_doc = {}
+    for i, t in enumerate(texts):
+        ws = [x for x in t.split(" ") if x]
+        lines_by_doc[i] = [
+            " ".join(ws[j : j + w]) for j in range(0, len(ws), w)
+        ]
+    distinct = {ln for lines in lines_by_doc.values() for ln in lines}
+    total_kept = sum(r.n_kept for r in out)
+    assert total_kept == len(distinct)
+    seen = set()
+    for i in sorted(lines_by_doc):
+        expect_kept = []
+        for ln in lines_by_doc[i]:
+            if ln not in seen:
+                seen.add(ln)
+                expect_kept.append(ln)
+        row = next(r for r in out if r.doc_id == i)
+        assert row.text_dedup == " ".join(expect_kept)
+        assert row.n_lines == len(lines_by_doc[i])
