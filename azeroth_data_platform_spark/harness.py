@@ -737,6 +737,11 @@ def q_ts_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_repetition(_docs(spark, sf_dir))
 
 
+def q_x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.group_percentiles(ev)
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -959,9 +964,11 @@ QUERIES: dict[str, QueryFn] = {
     "ts_hash_classifier": q_ts_hash_classifier,
     "ts_char_entropy": q_ts_char_entropy,
     "tp_cluster_sample": q_tp_cluster_sample,
+    "tp_line_dedup": q_tp_line_dedup,
+    "ts_gopher_repetition": q_ts_gopher_repetition,
 }
 
-assert len(QUERIES) == 54, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 56, f"driver registry drifted: got {len(QUERIES)}"
 
 
 ORACLES: dict[str, str] = {
@@ -1218,6 +1225,8 @@ ORACLES: dict[str, str] = {
     "ts_hash_classifier": corpus.HASH_CLASSIFIER_SQL,
     "ts_char_entropy": textstats.CHAR_ENTROPY_SQL,
     "tp_cluster_sample": similarity.cluster_sample_sql(),
+    "tp_line_dedup": corpus.LINE_DEDUP_SQL,
+    "ts_gopher_repetition": textstats.GOPHER_REPETITION_SQL,
 }
 
 # Serving reads over materialized gold frames (O5/O6) — derived by
@@ -1275,8 +1284,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_dsir_weights": q_tp_dsir,
     "mm_phash_dedup": q_mm_phash,
     "tp_bpe_merges": q_tp_bpe,
-    "tp_line_dedup": q_tp_line_dedup,
-    "ts_gopher_repetition": q_ts_gopher_repetition,
+    "x_group_percentiles": q_x_group_percentiles,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1347,8 +1355,7 @@ ALL_ORACLES: dict[str, str] = {
     "tp_dsir_weights": corpus.DSIR_WEIGHTS_SQL,
     "mm_phash_dedup": multimodal.PHASH_DEDUP_SYNTH_SQL,
     "tp_bpe_merges": corpus.BPE_MERGES_SQL,
-    "tp_line_dedup": corpus.LINE_DEDUP_SQL,
-    "ts_gopher_repetition": textstats.GOPHER_REPETITION_SQL,
+    "x_group_percentiles": windows.GROUP_PERCENTILES_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

@@ -137,3 +137,66 @@ SECTOR_ROLLUP_SQL = """
          COUNT(*) AS auction_count
   FROM silver LEFT JOIN dim ON silver.item_id = dim.item_id
   GROUP BY ROLLUP(dim.item_class)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles — the latency-dashboard staple (p50/p90/p99
+# of a metric per category), served EXACTLY rather than from a t-digest
+# sketch: discrete percentile = the value at rank ceil(q·n) in the group's
+# sort order, which makes the result well-defined, engine-portable
+# (selection, not interpolation arithmetic), and reproducible at any
+# partitioning. The gold median machinery generalized: ranks come from ONE
+# window pass, every percentile then rides the SAME groupBy as a
+# conditional max — one shuffle keyed on the (low-cardinality but
+# few-group) key. At a 100 TB-scale fact table the group count (event
+# types, tenants, endpoints) is small; the window partition per group is
+# the concession this exactness costs, and the approx twin for wide keys
+# is quality_prune's approx_percentile pattern.
+
+PCTL_QS = (0.5, 0.9, 0.99)
+
+
+def group_percentiles(events: DataFrame, qs: tuple[float, ...] = PCTL_QS) -> DataFrame:
+    """(event_type, n_events, p50, p90, p99): exact discrete percentiles of
+    `value` per event type; ties broken by event_id so ranks are total."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for q in qs:
+        rank = f"CAST(ceil({q!r} * n) AS BIGINT)"
+        aggs.append(
+            F.max(F.expr(f"CASE WHEN rn = {rank} THEN value END")).alias(
+                f"p{int(q * 100)}"
+            )
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def _group_percentiles_sql(qs: tuple[float, ...] = PCTL_QS) -> str:
+    cols = ", ".join(
+        f"MAX(CASE WHEN rn = CAST(ceil({q!r} * n) AS BIGINT) THEN value END)"
+        f" AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+  WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value ASC, event_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events)
+  SELECT event_type, COUNT(*) AS n_events, {cols}
+  FROM ranked GROUP BY event_type"""
+
+
+GROUP_PERCENTILES_SQL = _group_percentiles_sql()

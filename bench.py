@@ -123,6 +123,7 @@ def main() -> int:
             "tp_cluster_sample",
             "tp_line_dedup",
             "ts_gopher_repetition",
+            "x_group_percentiles",
         )
         if q in harness.ALL_QUERIES
     ]

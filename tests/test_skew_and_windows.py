@@ -63,3 +63,28 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL default rsd 5%
     assert abs(row.p50a - row.p50) / row.p50 < 0.02
+
+
+def test_group_percentiles_match_python_reference(spark):
+    """Exact discrete percentiles: value at rank ceil(q*n), checked against
+    a python model including the n=1 and all-equal edge cases."""
+    import math
+
+    from azeroth_data_platform_spark.operators import windows
+
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 101)]  # 1..100
+        + [(200, "b", 7.0)]  # singleton group
+        + [(300 + i, "c", 5.0) for i in range(4)]  # all equal
+    )
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_type: r for r in windows.group_percentiles(ev).collect()}
+    for g, vals in {
+        "a": [float(i) for i in range(1, 101)],
+        "b": [7.0],
+        "c": [5.0] * 4,
+    }.items():
+        n = len(vals)
+        assert out[g].n_events == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert getattr(out[g], col) == sorted(vals)[math.ceil(q * n) - 1], (g, col)
