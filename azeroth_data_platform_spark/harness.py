@@ -742,6 +742,10 @@ def q_x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.group_percentiles(ev)
 
 
+def q_tp_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.ccnet_buckets(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1285,6 +1289,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "mm_phash_dedup": q_mm_phash,
     "tp_bpe_merges": q_tp_bpe,
     "x_group_percentiles": q_x_group_percentiles,
+    "tp_ccnet_buckets": q_tp_ccnet_buckets,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1356,6 +1361,7 @@ ALL_ORACLES: dict[str, str] = {
     "mm_phash_dedup": multimodal.PHASH_DEDUP_SYNTH_SQL,
     "tp_bpe_merges": corpus.BPE_MERGES_SQL,
     "x_group_percentiles": windows.GROUP_PERCENTILES_SQL,
+    "tp_ccnet_buckets": textstats.CCNET_BUCKETS_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

@@ -1184,3 +1184,54 @@ def _gopher_repetition_sql() -> str:
 
 
 GOPHER_REPETITION_SQL = _gopher_repetition_sql()
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity-band bucketing — the operator CCNet actually SHIPS
+# (Wenzek et al. 2020 §4.3): split the corpus into head / middle / tail
+# terciles by LM perplexity; training recipes then sample the bands at
+# different rates (head-heavy for quality, tail for diversity ablations).
+# Thresholds are the corpus's exact perplexity terciles — the
+# quality_prune two-pass shape: one exact-percentile reduce (map-side
+# partial; DuckDB quantile_cont interpolation matches Spark `percentile`
+# bit-exactly — proven by x_price_iqr_outliers / tp_quality_prune), one
+# broadcast-threshold re-scan. Band edges use <= with the scored value, so
+# threshold ties land deterministically in the lower band in both engines.
+
+CCNET_Q1 = 1 / 3
+CCNET_Q2 = 2 / 3
+
+
+def ccnet_buckets(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll_bits, t_head, t_middle, ppl_bucket):
+    head/middle/tail perplexity banding over the corpus unigram LM."""
+    pplx = perplexity(documents, k)
+    t = pplx.agg(
+        F.percentile("mean_nll_bits", CCNET_Q1).alias("t_head"),
+        F.percentile("mean_nll_bits", CCNET_Q2).alias("t_middle"),
+    )
+    bucket = (
+        F.when(F.col("mean_nll_bits") <= F.col("t_head"), "head")
+        .when(F.col("mean_nll_bits") <= F.col("t_middle"), "middle")
+        .otherwise("tail")
+    )
+    return pplx.crossJoin(F.broadcast(t)).select(
+        "doc_id",
+        "n_tokens",
+        "mean_nll_bits",
+        "t_head",
+        "t_middle",
+        bucket.alias("ppl_bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+  WITH pplx AS ({PERPLEXITY_SQL}),
+  t AS (SELECT quantile_cont(mean_nll_bits, {CCNET_Q1!r}) AS t_head,
+               quantile_cont(mean_nll_bits, {CCNET_Q2!r}) AS t_middle
+        FROM pplx)
+  SELECT doc_id, n_tokens, mean_nll_bits, t_head, t_middle,
+         CASE WHEN mean_nll_bits <= t_head THEN 'head'
+              WHEN mean_nll_bits <= t_middle THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM pplx CROSS JOIN t"""

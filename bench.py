@@ -124,6 +124,7 @@ def main() -> int:
             "tp_line_dedup",
             "ts_gopher_repetition",
             "x_group_percentiles",
+            "tp_ccnet_buckets",
         )
         if q in harness.ALL_QUERIES
     ]

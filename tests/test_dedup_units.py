@@ -868,3 +868,19 @@ def test_gopher_repetition_flags_stuffed_docs(spark):
     assert out[1].top_bigram_char_frac > 0.5 and not out[1].pass_repetition
     assert out[2].dup_5gram_char_frac > 0.15 and not out[2].pass_repetition
     assert out[3].dup_5gram_char_frac == 0.0 and out[3].pass_repetition
+
+
+def test_ccnet_buckets_tercile_sizes_and_order(spark):
+    """Banding is by perplexity order: each band is ~n/3 docs (exact split
+    depends only on threshold ties), head docs have lower NLL than tail
+    docs, and the partition covers every scored doc exactly once."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.ccnet_buckets(docs).collect()
+    n = len(out)
+    by = {"head": [], "middle": [], "tail": []}
+    for r in out:
+        by[r.ppl_bucket].append(r.mean_nll_bits)
+    assert sum(len(v) for v in by.values()) == n
+    assert all(len(v) >= n // 4 for v in by.values())  # roughly balanced
+    assert max(by["head"]) <= min(by["tail"])
+    assert max(by["head"]) <= min(by["middle"]) or not by["middle"]
