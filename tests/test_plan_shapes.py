@@ -308,3 +308,25 @@ def test_round4_ops_keep_their_scale_shapes(spark, sf_dir):
 
     cs = _plan(harness.QUERIES["tp_cluster_sample"](spark, sf_dir))
     assert "CartesianProduct" not in cs
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """Blanket sweep: NO query in the full local registry may plan a
+    CartesianProduct. The only nested-loop joins allowed anywhere are
+    broadcast ones (one-row/k-row scalars, codebooks, thresholds — and
+    the two documented quadratic exactness baselines, which are
+    broadcast-NL, never cartesian). Queries whose CONSTRUCTION runs jobs
+    (fixed-iteration training loops with localCheckpoint) are planned
+    too — they only cost their small training time at this SF."""
+    from azeroth_data_platform_spark import harness
+
+    failures = []
+    for name, fn in sorted(harness.ALL_QUERIES.items()):
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — surface as a sweep failure
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+    assert not failures, failures
