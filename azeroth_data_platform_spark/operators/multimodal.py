@@ -380,3 +380,85 @@ PHASH_DEDUP_SYNTH_SQL = _phash_dedup_sql().replace(
         FROM documents WHERE doc_id % 17 = 0) d
    WHERE octet_length(encode(text)) > 0""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Audio-style fixed-window segmentation — the audio twin of frame_sample:
+# treat the payload as a PCM8 sample stream and emit one row per S-sample
+# window with the per-window features a real audio pipeline computes before
+# the model (peak, amplitude mass, zero-crossing count — the VAD/energy
+# trio). The real decoder (ffmpeg/soundfile) is environment-blocked like
+# decode_image; the stand-in interprets payload BYTES as samples, which
+# keeps the whole operator deterministic byte arithmetic — so the Arrow
+# mapInPandas 1→N path is hash-checked against a pure-SQL DuckDB twin, not
+# just rows-only. Zero-crossing = adjacent samples straddling the unsigned
+# midpoint (128).
+#
+# Scale shape: same as extract_features — embarrassingly parallel over
+# payload rows, output fan-out S-bounded per input row, no shuffle.
+
+AUDIO_SEG_SAMPLES = 64
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("n_zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_segments(multimodal: DataFrame, s: int = AUDIO_SEG_SAMPLES) -> DataFrame:
+    """One row per `s`-sample window of each payload: (doc_id, seg_id,
+    n_samples, peak, sum_amp, n_zero_crossings)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_SEG_SCHEMA.fields}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bb = bytes(payload)
+                for st in range(0, len(bb), s):
+                    w = bb[st : st + s]
+                    zc = sum(
+                        1
+                        for j in range(1, len(w))
+                        if (w[j - 1] < 128) != (w[j] < 128)
+                    )
+                    rows["doc_id"].append(doc)
+                    rows["seg_id"].append(st // s)
+                    rows["n_samples"].append(len(w))
+                    rows["peak"].append(max(w))
+                    rows["sum_amp"].append(sum(w))
+                    rows["n_zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return multimodal.mapInPandas(_batches, AUDIO_SEG_SCHEMA)
+
+
+def _audio_segments_sql(s: int = AUDIO_SEG_SAMPLES) -> str:
+    byte_at = (
+        f"(strpos('{_HEX}', substring(h, 2*j+1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substring(h, 2*j+2, 1)) - 1)"
+    )
+    return f"""
+  WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS nb
+             FROM documents),
+  segs AS (SELECT doc_id, h, nb, unnest(range(0, nb, {s})) AS st FROM b),
+  vals AS (SELECT doc_id, CAST(st // {s} AS INTEGER) AS seg_id,
+                  [{byte_at} FOR j IN range(st, least(st + {s}, nb))] AS w
+           FROM segs)
+  SELECT doc_id, seg_id,
+         CAST(len(w) AS INTEGER) AS n_samples,
+         CAST(list_max(w) AS INTEGER) AS peak,
+         CAST(list_sum(w) AS BIGINT) AS sum_amp,
+         CAST(len([1 FOR j IN range(2, len(w) + 1)
+                   IF (w[j - 1] < 128) <> (w[j] < 128)]) AS INTEGER)
+           AS n_zero_crossings
+  FROM vals"""
+
+
+AUDIO_SEGMENTS_SQL = _audio_segments_sql()

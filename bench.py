@@ -125,6 +125,7 @@ def main() -> int:
             "ts_gopher_repetition",
             "x_group_percentiles",
             "tp_ccnet_buckets",
+            "mm_audio_segments",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -884,3 +884,23 @@ def test_ccnet_buckets_tercile_sizes_and_order(spark):
     assert all(len(v) >= n // 4 for v in by.values())  # roughly balanced
     assert max(by["head"]) <= min(by["tail"])
     assert max(by["head"]) <= min(by["middle"]) or not by["middle"]
+
+
+def test_audio_segments_windows_and_zero_crossings(spark):
+    """Known payload: 130 bytes → 3 windows (64/64/2); peak/sum/ZCR match
+    a python model, including the alternating high/low crossing case."""
+    t = ("az" * 64) + "zz"  # 'a'=97 (<128)... all bytes < 128 → 0 crossings
+    rows = [(1, t, "en", "s", len(t))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    mm = multimodal.attach_binary(docs)
+    out = sorted(multimodal.audio_segments(mm).collect(), key=lambda r: r.seg_id)
+    assert [r.n_samples for r in out] == [64, 64, 2]
+    bb = t.encode()
+    for r in out:
+        w = bb[r.seg_id * 64 : r.seg_id * 64 + 64]
+        assert r.peak == max(w) and r.sum_amp == sum(w)
+        assert r.n_zero_crossings == sum(
+            1 for j in range(1, len(w)) if (w[j - 1] < 128) != (w[j] < 128)
+        )
