@@ -750,6 +750,10 @@ def q_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_segments(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_tp_ccnet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.ccnet_sample(_docs(spark, sf_dir))
+
+
 def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_prune(_docs(spark, sf_dir))
 
@@ -1295,6 +1299,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_group_percentiles": q_x_group_percentiles,
     "tp_ccnet_buckets": q_tp_ccnet_buckets,
     "mm_audio_segments": q_mm_audio_segments,
+    "tp_ccnet_sample": q_tp_ccnet_sample,
     # displaced when tp_keep_best / dd_semantic / tp_quality_prune were
     # promoted into the 50-slot driver registry: cluster ids are
     # hash-checked inside tp_keep_best (cluster_id column), the quality
@@ -1368,6 +1373,7 @@ ALL_ORACLES: dict[str, str] = {
     "x_group_percentiles": windows.GROUP_PERCENTILES_SQL,
     "tp_ccnet_buckets": textstats.CCNET_BUCKETS_SQL,
     "mm_audio_segments": multimodal.AUDIO_SEGMENTS_SQL,
+    "tp_ccnet_sample": corpus.CCNET_SAMPLE_SQL,
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,

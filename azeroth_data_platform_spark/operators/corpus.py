@@ -1407,3 +1407,48 @@ def _line_dedup_sql(w: int = LINE_W) -> str:
 
 
 LINE_DEDUP_SQL = _line_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# CCNet band sampling — the buckets' downstream use: sample the head band
+# fully, the middle partially, the tail lightly (head-heavy quality
+# weighting; the rates are the recipe knob). Deterministic md5-hash
+# thresholding (corpus._doc_hash_sql — the engine's reproducible-sampling
+# device), so re-runs select the identical corpus in both engines.
+
+CCNET_RATES = {"head": 100, "middle": 60, "tail": 20}  # percent
+
+
+def ccnet_sample(documents: DataFrame, k: int = textstats.PPLX_VOCAB_K) -> DataFrame:
+    """(doc_id, n_tokens, ppl_bucket, keep_rate_pct): survivors of
+    per-band downsampling over the perplexity terciles."""
+    rate = (
+        F.when(F.col("ppl_bucket") == "head", CCNET_RATES["head"])
+        .when(F.col("ppl_bucket") == "middle", CCNET_RATES["middle"])
+        .otherwise(CCNET_RATES["tail"])
+    )
+    h = F.expr(_doc_hash_sql(duck=False, mod=100))
+    return (
+        textstats.ccnet_buckets(documents, k)
+        .withColumn("keep_rate_pct", rate)
+        .withColumn("_h", h)
+        .where(F.col("_h") < F.col("keep_rate_pct"))
+        .select("doc_id", "n_tokens", "ppl_bucket", "keep_rate_pct")
+    )
+
+
+def _ccnet_sample_sql() -> str:
+    return f"""
+  WITH b AS ({textstats.CCNET_BUCKETS_SQL})
+  SELECT doc_id, n_tokens, ppl_bucket,
+         CASE ppl_bucket WHEN 'head' THEN {CCNET_RATES["head"]}
+                         WHEN 'middle' THEN {CCNET_RATES["middle"]}
+                         ELSE {CCNET_RATES["tail"]} END AS keep_rate_pct
+  FROM b
+  WHERE {_doc_hash_sql(duck=True, mod=100)} <
+        CASE ppl_bucket WHEN 'head' THEN {CCNET_RATES["head"]}
+                        WHEN 'middle' THEN {CCNET_RATES["middle"]}
+                        ELSE {CCNET_RATES["tail"]} END"""
+
+
+CCNET_SAMPLE_SQL = _ccnet_sample_sql()

@@ -1235,3 +1235,4 @@ CCNET_BUCKETS_SQL = f"""
               WHEN mean_nll_bits <= t_middle THEN 'middle'
               ELSE 'tail' END AS ppl_bucket
   FROM pplx CROSS JOIN t"""
+

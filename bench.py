@@ -126,6 +126,7 @@ def main() -> int:
             "x_group_percentiles",
             "tp_ccnet_buckets",
             "mm_audio_segments",
+            "tp_ccnet_sample",
         )
         if q in harness.ALL_QUERIES
     ]

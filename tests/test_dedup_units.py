@@ -904,3 +904,20 @@ def test_audio_segments_windows_and_zero_crossings(spark):
         assert r.n_zero_crossings == sum(
             1 for j in range(1, len(w)) if (w[j - 1] < 128) != (w[j] < 128)
         )
+
+
+def test_ccnet_sample_rates_follow_bands(spark):
+    """Band sampling keeps ~100% of head, less of middle, least of tail —
+    and is deterministic (same survivors on re-run / repartition)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buckets = {r.doc_id: r.ppl_bucket for r in textstats.ccnet_buckets(docs).collect()}
+    kept = {r.doc_id: r for r in corpus.ccnet_sample(docs).collect()}
+    n_band = {b: sum(1 for v in buckets.values() if v == b) for b in ("head", "middle", "tail")}
+    k_band = {b: sum(1 for d in kept if buckets[d] == b) for b in ("head", "middle", "tail")}
+    assert k_band["head"] == n_band["head"]  # rate 100%
+    assert k_band["middle"] < n_band["middle"]
+    assert k_band["tail"] < k_band["middle"] or n_band["tail"] < n_band["middle"]
+    for d, r in kept.items():
+        assert r.ppl_bucket == buckets[d]
+    kept2 = {r.doc_id for r in corpus.ccnet_sample(docs.repartition(7)).collect()}
+    assert kept2 == set(kept)
