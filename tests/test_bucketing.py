@@ -38,3 +38,68 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
         silver.join(dim, "item_id").groupBy("item_class").agg(F.sum("quantity").alias("q"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, unbucketed.collect()))
+
+
+def test_zorder_layout_prunes_on_both_keys(spark, tmp_path):
+    """Factual pruning check from parquet footer stats, against the honest
+    baseline: a single-key-sorted layout prunes its sort key but covers
+    ~every file for the second key; the Z-order layout must (a) beat the
+    naive layout on the second key and (b) still skip files on the first.
+    Bands sit at the 20-30% quantiles — off the curve's top-bit boundary,
+    where Morton locality is representative rather than worst-case."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from azeroth_data_platform_spark.sources.writers import write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    zout = str(tmp_path / "z")
+    nout = str(tmp_path / "naive")
+    n_files = 16
+    write_zordered(ev, zout, "user_id", "value", n_files=n_files)
+    (
+        ev.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(nout)
+    )
+
+    def overlap_fraction(path, col, lo, hi):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        hit = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.get_field_index(col)
+            md = pf.metadata
+            fmin = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit / len(files)
+
+    s = ev.agg(
+        F.expr("percentile(user_id, 0.20)"),
+        F.expr("percentile(user_id, 0.30)"),
+        F.expr("percentile(value, 0.20)"),
+        F.expr("percentile(value, 0.30)"),
+    ).collect()[0]
+    z_k1 = overlap_fraction(zout, "user_id", s[0], s[1])
+    z_k2 = overlap_fraction(zout, "value", s[2], s[3])
+    naive_k2 = overlap_fraction(nout, "value", s[2], s[3])
+    # the naive layout cannot skip on the second key; z-order must
+    assert naive_k2 >= 0.9
+    assert z_k2 < naive_k2
+    assert z_k2 <= 0.75 and z_k1 <= 0.75
+    # and the layout is lossless
+    assert spark.read.parquet(zout).count() == ev.count()
