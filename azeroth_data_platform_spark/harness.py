@@ -25,6 +25,7 @@ from .operators import (
     corpus,
     dedup,
     gold,
+    incremental,
     joins,
     multimodal,
     serving,
@@ -742,6 +743,17 @@ def q_x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.group_percentiles(ev)
 
 
+def q_x_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold maintenance: the history state merged with the
+    newest year's batch, finalized — hash-equal to a from-scratch recompute
+    (the oracle recomputes over base ∪ delta in one pass)."""
+    s = _silver(spark, sf_dir)
+    split = F.lit("1998-01-01").cast("date")
+    base = s.where(F.col("snapshot_date") < split)
+    delta = s.where(F.col("snapshot_date") >= split)
+    return incremental.incremental_summary(base, delta)
+
+
 def q_tp_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ccnet_buckets(_docs(spark, sf_dir))
 
@@ -1328,6 +1340,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # per-source sampling plan toward a uniform token mix + its application
     "tp_mix_rebalance": q_tp_mix_rebalance,
     "tp_mix_apply": q_tp_mix_apply,
+    # incremental gold maintenance: state(base) ⊕ state(delta) finalized,
+    # hash-checked against a from-scratch recompute oracle
+    "x_incremental_gold": q_x_incremental_gold,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1415,4 +1430,5 @@ ALL_ORACLES: dict[str, str] = {
     "ann_pq_codes": similarity.pq_codes_sql(),
     "ann_topk_pq": similarity.pq_topk_sql(),
     "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
+    "x_incremental_gold": incremental.incremental_gold_sql(SILVER_SQL),
 }

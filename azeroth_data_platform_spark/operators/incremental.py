@@ -1,0 +1,160 @@
+"""Incremental gold maintenance: delta-merge aggregation state.
+
+At 100 TB you never recompute gold from scratch — a day's batch arrives and
+the store merges it into yesterday's materialized state. The reference runs
+the same daily cadence (its Dagster assets recompute per schedule,
+/root/reference/data_pipeline/assets/gold/gold_daily_market_summary.py:1);
+this module is that cadence made *incremental*: gold summaries maintained
+as a mergeable partial-aggregate state table, so each batch costs
+O(batch + touched-partitions), not O(history).
+
+Design (classic incremental view maintenance, algebraic aggregates only):
+
+  summary_state(batch)   -> per-(item_id, snapshot_date) partial state
+  merge_summary_state(*) -> union + one groupBy: states are a commutative
+                            monoid, so merging is associative and any
+                            arrival order / batching yields the same state
+  finalize_summary(state)-> the gold columns (A1's algebraic subset)
+
+Bit-exactness is the load-bearing property: every partial is an exact
+decimal/integer sum (functions/numerics.py), so merge order, partition
+count, and batch boundaries cannot perturb the result — the incremental
+output is HASH-IDENTICAL to a from-scratch recompute, which is exactly what
+the oracle checks (the Spark side computes state(base) ⊕ state(delta); the
+DuckDB side recomputes the summary over base ∪ delta in one pass).
+
+Holistic aggregates (exact median) are deliberately out of scope: they
+need unbounded per-group state. A1's serving shape keeps its exact median
+via full recompute of touched partitions; this operator maintains the
+algebraic columns (min/max/avg/sum/stddev/count), which is the
+industry-standard split (e.g. Materialize/Flink maintain algebraic
+aggregates incrementally and re-window holistic ones).
+
+Scale notes: state is keyed (item_id, snapshot_date) — the natural
+partition key; a daily batch touches one date partition, so the merge
+rewrite prunes to that partition under the hive layout
+(sources/merge.py::overwrite_partitions). The merge groupBy shuffles only
+|batch-state| + |touched-state| rows, both bounded by key cardinality, not
+row volume.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dec, dstddev_samp_sql, int_units
+
+STATE_KEYS = ("item_id", "snapshot_date")
+
+# Partial-state columns, all exact (decimal / integer / min / max):
+#   n        BIGINT        COUNT(*)
+#   s_price  DECIMAL sum   Σ price at scale 2           (avg_price)
+#   min_p/max_p DOUBLE     MIN/MAX price                (min/max_buyout)
+#   s_qty    BIGINT        Σ quantity                   (quantity_available)
+#   s_cap    DECIMAL sum   Σ price×quantity             (market_cap)
+#   s_x0     DECIMAL sum   Σ price·10² (integer units)  (volatility)
+#   s_x0sq   DECIMAL sum   Σ (price·10²)²               (volatility)
+
+
+def summary_state(silver: DataFrame) -> DataFrame:
+    """Partial-aggregate state for one batch: one shuffle on the state key,
+    map-side partial aggregation, every column an exact sum/min/max."""
+    x0 = int_units("unit_price", 2)
+    return silver.groupBy(*STATE_KEYS).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("unit_price", 2)).alias("s_price"),
+        F.min("unit_price").alias("min_p"),
+        F.max("unit_price").alias("max_p"),
+        F.sum("quantity").alias("s_qty"),
+        F.sum(
+            F.col("unit_price").cast("decimal(18,2)") * F.col("quantity").cast("decimal(10,0)")
+        ).alias("s_cap"),
+        F.sum(x0).alias("s_x0"),
+        F.sum(x0 * x0).alias("s_x0sq"),
+    )
+
+
+def merge_summary_state(*states: DataFrame) -> DataFrame:
+    """Merge any number of state frames: union + one groupBy of exact sums.
+
+    The state is a commutative monoid — merge(a, merge(b, c)) ≡
+    merge(a, b, c) bit-for-bit (decimal sums are associative), pinned by
+    tests/test_incremental.py. Column types are normalized first so the
+    union never widens partials differently per branch.
+    """
+    normed = [
+        s.select(
+            *STATE_KEYS,
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s_price").cast("decimal(38,2)").alias("s_price"),
+            F.col("min_p").cast("double").alias("min_p"),
+            F.col("max_p").cast("double").alias("max_p"),
+            F.col("s_qty").cast("bigint").alias("s_qty"),
+            F.col("s_cap").cast("decimal(38,2)").alias("s_cap"),
+            F.col("s_x0").cast("decimal(38,0)").alias("s_x0"),
+            F.col("s_x0sq").cast("decimal(38,0)").alias("s_x0sq"),
+        )
+        for s in states
+    ]
+    unioned = reduce(DataFrame.unionByName, normed)
+    return unioned.groupBy(*STATE_KEYS).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s_price").cast("decimal(38,2)").alias("s_price"),
+        F.min("min_p").alias("min_p"),
+        F.max("max_p").alias("max_p"),
+        F.sum("s_qty").cast("bigint").alias("s_qty"),
+        F.sum("s_cap").cast("decimal(38,2)").alias("s_cap"),
+        F.sum("s_x0").cast("decimal(38,0)").alias("s_x0"),
+        F.sum("s_x0sq").cast("decimal(38,0)").alias("s_x0sq"),
+    )
+
+
+def finalize_summary(state: DataFrame) -> DataFrame:
+    """State → gold columns. The arithmetic mirrors operators/gold.py's
+    daily_market_summary (davg / market_cap / dstddev_samp) term for term,
+    so finalize(merge(states)) is bit-identical to the one-pass gold."""
+    n = F.col("n").cast("double")
+    sx = F.col("s_x0").cast("double")
+    sxx = F.col("s_x0sq").cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return state.select(
+        "item_id",
+        "snapshot_date",
+        F.col("min_p").alias("min_buyout"),
+        F.col("max_p").alias("max_buyout"),
+        (F.col("s_price").cast("double") / n).alias("avg_price"),
+        F.col("s_qty").alias("quantity_available"),
+        F.col("s_cap").cast("double").alias("market_cap"),
+        F.when(F.col("n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(100.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("price_volatility"),
+        F.col("n").alias("auction_count"),
+    )
+
+
+def incremental_summary(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """The end-to-end maintenance step: merge a new batch's state into the
+    standing state and finalize. Equivalent to a full recompute over
+    base ∪ delta (oracle-checked)."""
+    return finalize_summary(merge_summary_state(summary_state(base), summary_state(delta)))
+
+
+def incremental_gold_sql(silver_sql: str) -> str:
+    """Oracle: FULL RECOMPUTE over the whole silver relation — deliberately
+    not incremental, so hash-equality proves incremental ≡ from-scratch."""
+    return f"""WITH silver AS ({silver_sql})
+      SELECT item_id, snapshot_date,
+             MIN(unit_price) AS min_buyout,
+             MAX(unit_price) AS max_buyout,
+             CAST(SUM(CAST(unit_price AS DECIMAL(28,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_price,
+             CAST(SUM(quantity) AS BIGINT) AS quantity_available,
+             CAST(SUM(CAST(unit_price AS DECIMAL(18,2)) * CAST(quantity AS DECIMAL(10,0)))
+                  AS DOUBLE) AS market_cap,
+             {dstddev_samp_sql("unit_price")} AS price_volatility,
+             COUNT(*) AS auction_count
+      FROM silver
+      GROUP BY item_id, snapshot_date"""
