@@ -754,6 +754,14 @@ def q_x_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.incremental_summary(base, delta)
 
 
+def q_w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.funnel(_events_ts(spark, sf_dir))
+
+
+def q_x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.retention_cohorts(_events_ts(spark, sf_dir))
+
+
 def q_tp_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ccnet_buckets(_docs(spark, sf_dir))
 
@@ -1343,6 +1351,9 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # incremental gold maintenance: state(base) ⊕ state(delta) finalized,
     # hash-checked against a from-scratch recompute oracle
     "x_incremental_gold": q_x_incremental_gold,
+    # ordered funnel + weekly cohort retention (product-analytics OLAP)
+    "w_funnel": q_w_funnel,
+    "x_retention_cohorts": q_x_retention_cohorts,
 }
 
 ALL_ORACLES: dict[str, str] = {
@@ -1431,4 +1442,6 @@ ALL_ORACLES: dict[str, str] = {
     "ann_topk_pq": similarity.pq_topk_sql(),
     "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
     "x_incremental_gold": incremental.incremental_gold_sql(SILVER_SQL),
+    "w_funnel": windows.FUNNEL_SQL,
+    "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
 }

@@ -200,3 +200,153 @@ def _group_percentiles_sql(qs: tuple[float, ...] = PCTL_QS) -> str:
 
 
 GROUP_PERCENTILES_SQL = _group_percentiles_sql()
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered multi-step conversion (product-analytics staple,
+# e.g. Snowplow/Amplitude funnels). Semantics: a user completes step k at
+# the EARLIEST event of step k's type that is STRICTLY LATER than their
+# step-(k-1) completion time (first-completion, strictly ordered — the
+# standard "ordered funnel").
+#
+# Scale design: ONE shuffle. Per-user step timestamps are gathered as three
+# conditional sorted arrays in a single groupBy (state per user = that
+# user's step-relevant timestamps only, not all events), then the
+# chain-scan is row-local array arithmetic. The DuckDB oracle is an
+# INDEPENDENT implementation (chained per-step join CTEs), so agreement
+# checks the semantics, not the plan.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(step_idx, step, users, conversion_pct): users reaching each funnel
+    step under first-completion strict ordering; conversion_pct is relative
+    to step 1. `events` must carry (user_id, event_type, ts)."""
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+        ).alias(f"_ts{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy("user_id").agg(*aggs)
+    per_user = per_user.withColumn("_t0", F.try_element_at("_ts0", F.lit(1)))
+    for i in range(1, len(steps)):
+        prev = F.col(f"_t{i - 1}")
+        per_user = per_user.withColumn(
+            f"_t{i}", F.array_min(F.filter(F.col(f"_ts{i}"), lambda x: x > prev))
+        )
+    counts = per_user.agg(
+        *[F.count(F.col(f"_t{i}")).alias(f"_c{i}") for i in range(len(steps))]
+    )
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS BIGINT), '{s}', _c{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (step_idx, step, users)"),
+        F.col("_c0"),
+    ).select(
+        "step_idx",
+        "step",
+        "users",
+        F.when(
+            F.col("_c0") > 0, F.col("users").cast("double") / F.col("_c0").cast("double")
+        ).alias("conversion_pct"),
+    )
+
+
+def _funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = [
+        "ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)",
+        f"s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = '{steps[0]}'"
+        " GROUP BY user_id)",
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e"
+            f" JOIN s{i - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    counts = ", ".join(
+        f"(SELECT COUNT(*) FROM s{i}) AS c{i}" for i in range(len(steps))
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step_idx, '{s}' AS step,"
+        f" CAST(c{i} AS BIGINT) AS users,"
+        f" CASE WHEN c0 > 0 THEN CAST(c{i} AS DOUBLE) / CAST(c0 AS DOUBLE) END"
+        " AS conversion_pct FROM counts"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)}, counts AS (SELECT {counts}) {rows}"
+
+
+FUNNEL_SQL = _funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the weekly-cohort activity matrix. Cohort and offset
+# are INTEGER week arithmetic from a fixed epoch (no engine week-start /
+# ISO-week semantics in the hash path), so both engines agree exactly.
+#
+# Scale design: two shuffles — one user_id window pass for the first-seen
+# timestamp (no self-join back to events), then the distinct+rollup on
+# (cohort_week, week_offset). Both keys are high-cardinality-safe; the
+# retention divisor rides a window over the tiny rollup result.
+
+RETENTION_EPOCH = "1970-01-05"  # a Monday: cohort weeks align Mon-Sun
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, active_users, cohort_size, retention_pct):
+    users first seen in cohort week w who were active k weeks later."""
+    wu = Window.partitionBy("user_id")
+    epoch = F.lit(RETENTION_EPOCH).cast("date")
+    tagged = events.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7).alias("_wk"),
+        F.floor(
+            F.datediff(F.min(F.col("ts").cast("date")).over(wu), epoch) / 7
+        ).alias("cohort_week"),
+    )
+    active = (
+        tagged.select(
+            "cohort_week", (F.col("_wk") - F.col("cohort_week")).alias("week_offset"), "user_id"
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    return active.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        F.max(F.when(F.col("week_offset") == 0, F.col("active_users")))
+        .over(wc)
+        .alias("cohort_size"),
+    ).withColumn(
+        "retention_pct",
+        F.col("active_users").cast("double") / F.col("cohort_size").cast("double"),
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+  WITH ev AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+  tagged AS (
+    SELECT user_id,
+           CAST(floor(date_diff('day', DATE '{RETENTION_EPOCH}', d) / 7.0) AS BIGINT) AS wk,
+           CAST(floor(date_diff('day', DATE '{RETENTION_EPOCH}',
+                                MIN(d) OVER (PARTITION BY user_id)) / 7.0) AS BIGINT)
+             AS cohort_week
+    FROM ev),
+  active AS (
+    SELECT cohort_week, wk - cohort_week AS week_offset, COUNT(DISTINCT user_id) AS active_users
+    FROM tagged GROUP BY cohort_week, wk - cohort_week)
+  SELECT cohort_week, week_offset, active_users,
+         MAX(CASE WHEN week_offset = 0 THEN active_users END)
+           OVER (PARTITION BY cohort_week) AS cohort_size,
+         CAST(active_users AS DOUBLE)
+           / CAST(MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                  OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
+  FROM active"""

@@ -88,3 +88,34 @@ def test_group_percentiles_match_python_reference(spark):
         assert out[g].n_events == n
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert getattr(out[g], col) == sorted(vals)[math.ceil(q * n) - 1], (g, col)
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """Ordered-funnel contract: a step counts only when it happens STRICTLY
+    after the previous step's first completion; out-of-order events don't."""
+    from azeroth_data_platform_spark.operators.windows import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, etype, minutes):
+        return (uid, etype, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1 completes the whole funnel in order
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+        # u2: click BEFORE the first view → click must not count
+        ev(2, "click", 0), ev(2, "view", 5),
+        # u3: purchase before click → only view+click count
+        ev(3, "view", 0), ev(3, "purchase", 1), ev(3, "click", 2),
+        # u4: click at the SAME instant as view → strict ordering rejects it
+        ev(4, "view", 0), ev(4, "click", 0),
+        # u5: no view at all → enters no step
+        ev(5, "purchase", 0),
+        # u6: later click still chains after an early view
+        ev(6, "click", 0), ev(6, "view", 1), ev(6, "click", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: (r["users"], r["conversion_pct"]) for r in funnel(df).collect()}
+    assert got["view"] == (5, 1.0)        # u1,u2,u3,u4,u6
+    assert got["click"] == (3, 3 / 5)     # u1,u3,u6
+    assert got["purchase"] == (1, 1 / 5)  # u1 only
