@@ -754,6 +754,18 @@ def q_x_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.incremental_summary(base, delta)
 
 
+def q_x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    return sketches.hll_distinct(_silver(spark, sf_dir), "time_left", "item_id")
+
+
+def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    return sketches.cms_top_terms(_docs(spark, sf_dir))
+
+
 def q_w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.funnel(_events_ts(spark, sf_dir))
 
@@ -1354,7 +1366,22 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # ordered funnel + weekly cohort retention (product-analytics OLAP)
     "w_funnel": q_w_funnel,
     "x_retention_cohorts": q_x_retention_cohorts,
+    # mergeable sketches, relationally (hash-exact approximate structures)
+    "x_hll_distinct": q_x_hll_distinct,
+    "x_cms_top_terms": q_x_cms_top_terms,
 }
+
+def _sketches_hll_sql() -> str:
+    from .operators import sketches
+
+    return sketches.hll_distinct_sql(SILVER_SQL, "time_left", "item_id")
+
+
+def _sketches_cms_sql() -> str:
+    from .operators import sketches
+
+    return sketches.cms_top_terms_sql()
+
 
 ALL_ORACLES: dict[str, str] = {
     **ORACLES,
@@ -1444,4 +1471,6 @@ ALL_ORACLES: dict[str, str] = {
     "x_incremental_gold": incremental.incremental_gold_sql(SILVER_SQL),
     "w_funnel": windows.FUNNEL_SQL,
     "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
+    "x_hll_distinct": _sketches_hll_sql(),
+    "x_cms_top_terms": _sketches_cms_sql(),
 }

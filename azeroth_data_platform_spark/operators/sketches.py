@@ -1,0 +1,244 @@
+"""Mergeable sketches, relationally: HyperLogLog distinct + count-min counts.
+
+At 100 TB, distinct counts and frequency tables are served from sketches:
+bounded state, one pass, mergeable across partitions/days (the partial
+states union + re-aggregate exactly like operators/incremental.py's gold
+state). Spark's built-ins (`approx_count_distinct` = HLL++,
+`count_min_sketch`) are JVM-internal and NOT reproducible against another
+engine, so this module implements both sketches as plain relational
+algebra over engine-portable md5 hashing (operators/dedup.py's hex-parse
+idiom): every register/bucket value is exact integer arithmetic, identical
+in Spark and DuckDB — the APPROXIMATE structures are therefore
+HASH-EXACTLY oracle-checked, the same trick as corpus.py's Bloom
+decontamination.
+
+HyperLogLog (Flajolet et al. 2007, the standard practical variant):
+  * h = first 12 md5 nibbles → 48-bit integer (exact in BIGINT/double)
+  * register j = h mod m (m = 2^p, p = 8); w = h div m (40 bits)
+  * rho(w) = leading-zero count within 40 bits + 1 = 41 − bitlength(w)
+    (bitlength via length(bin(w)) — the plog2 idiom, identical engines)
+  * state: per (group, register) max rho — a commutative monoid (max), so
+    sketch union IS relational groupBy-max: states from any partitioning
+    merge to the identical sketch (pinned in tests)
+  * estimate: alpha·m²/Σ2^−M_j with the small-range linear-counting
+    correction; 2^−M_j sums are computed as Σ2^(48−M_j) in exact BIGINT
+    (≤ 2^56), and the one log the correction needs is the portable plog2
+    — no engine transcendentals anywhere.
+
+Count-min (Cormode & Muthukrishnan 2005):
+  * d = 4 rows × w = 512 buckets; row hashes are the MinHash affine
+    family over the word's md5 (dedup.py:162-185)
+  * counts are increments of the EXACT per-word totals (CMS over
+    aggregated increments ≡ CMS over the stream, and the build is then
+    vocab-sized, not corpus-sized)
+  * point estimate = min over rows of the bucket totals; CMS guarantees
+    estimate ≥ truth — pinned in tests and visible as the `overcount`
+    column.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numerics import plog2_sql
+from .dedup import _affine_sql, _hex_int_sql
+from .textstats import WORDS_SQL, _words
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_H_NIBBLES = 12  # 48 hash bits: 8 register bits + 40 rho bits
+_RHO_BITS = 48 - HLL_P
+_RHO_MAX = _RHO_BITS + 1
+# alpha_m · m² · 2^48 folded to ONE double literal so both engines multiply
+# the identical constant (alpha_256 = 0.7213/(1 + 1.079/256)).
+_ALPHA_M2_POW = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << _RHO_BITS))
+_LN2 = repr(math.log(2.0))
+
+
+def _h48_sql(expr: str, duck: bool) -> str:
+    """First 12 md5 nibbles of `expr` → exact 48-bit integer."""
+    instr = "strpos" if duck else "instr"
+    terms = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (_H_NIBBLES - 1 - i)}"
+        for i in range(_H_NIBBLES)
+    )
+    return f"({terms})"
+
+
+def _shl1_sql(n: str, duck: bool) -> str:
+    """2^n as BIGINT (n ≤ 48 here — exact)."""
+    if duck:
+        return f"(CAST(1 AS BIGINT) << CAST({n} AS INTEGER))"
+    return f"shiftleft(CAST(1 AS BIGINT), CAST({n} AS INT))"
+
+
+def _rho_sql(key: str, duck: bool) -> tuple[str, str]:
+    """(register, rho) SQL fragments for a string key expression."""
+    h = _h48_sql(key, duck)
+    reg = f"({h} % {HLL_M})"
+    w = f"({h} DIV {HLL_M})" if not duck else f"({h} // {HLL_M})"
+    rho = f"(CASE WHEN {w} = 0 THEN {_RHO_MAX} ELSE {_RHO_MAX} - length(bin({w})) END)"
+    return reg, rho
+
+
+def hll_state(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Sketch state: per (group, register) max rho. One shuffle keyed on
+    (group, register) — never on the raw key, so a 10^9-distinct column
+    costs the same shuffle as a 10-distinct one."""
+    reg, rho = _rho_sql(f"CAST({key_col} AS STRING)", duck=False)
+    return (
+        df.select(F.col(group_col).alias("grp"), F.expr(reg).alias("register"), F.expr(rho).alias("rho"))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Sketch union = groupBy-max over the unioned states (commutative,
+    associative, idempotent — the HLL merge law)."""
+    from functools import reduce
+
+    unioned = reduce(DataFrame.unionByName, states)
+    return unioned.groupBy("grp", "register").agg(F.max("m_j").alias("m_j"))
+
+
+def _estimate_cols(duck: bool) -> str:
+    """Estimate SQL over per-group (s_present, n_present) partials."""
+    pow48 = str(1 << _RHO_BITS)
+    s = f"(s_present + ({HLL_M} - n_present) * {pow48})"
+    v = f"({HLL_M} - n_present)"
+    e_raw = f"({_ALPHA_M2_POW} / CAST({s} AS DOUBLE))"
+    lc = f"({HLL_M}.0 * ({plog2_sql(str(HLL_M), duck)} - {plog2_sql(v, duck)}) * {_LN2})"
+    return (
+        f"CASE WHEN {e_raw} <= {2.5 * HLL_M!r} AND {v} > 0 THEN {lc} ELSE {e_raw} END"
+    )
+
+
+def hll_estimate(state: DataFrame) -> DataFrame:
+    """(grp, n_est): cardinality estimate per group from the sketch state."""
+    shl = _shl1_sql(f"{_RHO_BITS} - m_j", duck=False)
+    partials = state.groupBy("grp").agg(
+        F.expr(f"SUM({shl})").alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return partials.select("grp", F.expr(_estimate_cols(duck=False)).alias("n_est"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, n_exact, n_est, rel_err): sketch estimate next to the exact
+    distinct count — the error column is the operator's own audit."""
+    est = hll_estimate(hll_state(df, group_col, key_col))
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.countDistinct(key_col).alias("n_exact"))
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            "n_est",
+            ((F.col("n_est") - F.col("n_exact").cast("double")) / F.col("n_exact").cast("double")).alias("rel_err"),
+        )
+    )
+
+
+def hll_distinct_sql(source_sql: str, group_col: str, key_col: str) -> str:
+    """DuckDB twin of :func:`hll_distinct` over `source_sql`."""
+    reg, rho = _rho_sql(f"CAST({key_col} AS VARCHAR)", duck=True)
+    shl = _shl1_sql(f"{_RHO_BITS} - m_j", duck=True)
+    return f"""
+  WITH src AS ({source_sql}),
+  regs AS (
+    SELECT {group_col} AS grp, {reg} AS register, MAX({rho}) AS m_j
+    FROM src GROUP BY 1, 2),
+  partials AS (
+    SELECT grp, CAST(SUM({shl}) AS BIGINT) AS s_present, COUNT(*) AS n_present
+    FROM regs GROUP BY grp),
+  est AS (SELECT grp, {_estimate_cols(duck=True)} AS n_est FROM partials),
+  exact AS (SELECT {group_col} AS grp, COUNT(DISTINCT {key_col}) AS n_exact
+            FROM src GROUP BY 1)
+  SELECT exact.grp AS {group_col}, CAST(n_exact AS BIGINT) AS n_exact, n_est,
+         (n_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+  FROM exact JOIN est ON exact.grp = est.grp"""
+
+
+# --- Count-min sketch -------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(seed: int, h: str) -> str:
+    return f"({_affine_sql(seed, h)} % {CMS_W})"
+
+
+def cms_top_terms(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
+    """(word, n_exact, n_cms, overcount) for the k most frequent corpus
+    words: exact counts vs the count-min estimate (min over CMS_D rows).
+
+    Build path: exact vocab first (one corpus shuffle — the same relation
+    ts_vocab_topk already materializes), then the sketch is vocab-sized:
+    each word fans out to CMS_D (row, bucket) increments of its exact
+    total. Query path: candidates re-derive their buckets row-locally and
+    equi-join the tiny (d×w)-row sketch."""
+    words = documents.select(F.explode(_words()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    h = _hex_int_sql("md5(word)", duck=False)
+    pairs = [
+        e
+        for s in range(CMS_D)
+        for e in (f"{s} AS seed_{s}", f"{_cms_bucket_sql(s, h)} AS bucket_{s}")
+    ]
+    stack = ", ".join(f"seed_{s}, bucket_{s}" for s in range(CMS_D))
+    sketch = (
+        vocab.selectExpr("word", "cnt", *pairs)
+        .selectExpr("cnt", f"stack({CMS_D}, {stack}) AS (seed, bucket)")
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("total"))
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(k)
+    cand = top.selectExpr("word", "cnt", *pairs).selectExpr(
+        "word", "cnt", f"stack({CMS_D}, {stack}) AS (seed, bucket)"
+    )
+    est = (
+        cand.join(sketch, ["seed", "bucket"])
+        .groupBy("word")
+        .agg(F.max("cnt").alias("n_exact"), F.min("total").alias("n_cms"))
+    )
+    return est.select(
+        "word",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def cms_top_terms_sql(k: int = CMS_TOPK) -> str:
+    h = _hex_int_sql("md5(word)", duck=True)
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT word, cnt, {s} AS seed, {_cms_bucket_sql(s, h)} AS bucket FROM vocab"
+        for s in range(CMS_D)
+    )
+    return f"""
+  WITH words AS (SELECT unnest({WORDS_SQL}) AS word FROM documents),
+  vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+  fanout AS ({bucket_rows}),
+  sketch AS (SELECT seed, bucket, CAST(SUM(cnt) AS BIGINT) AS total
+             FROM fanout GROUP BY seed, bucket),
+  top AS (SELECT word, cnt FROM vocab ORDER BY cnt DESC, word ASC LIMIT {k}),
+  cand AS (SELECT f.word, f.cnt, f.seed, f.bucket FROM fanout f
+           JOIN top t ON f.word = t.word),
+  est AS (SELECT c.word, MAX(c.cnt) AS n_exact, MIN(s.total) AS n_cms
+          FROM cand c JOIN sketch s ON c.seed = s.seed AND c.bucket = s.bucket
+          GROUP BY c.word)
+  SELECT word, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms,
+         CAST(n_cms - n_exact AS BIGINT) AS overcount
+  FROM est"""

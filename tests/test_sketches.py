@@ -1,0 +1,66 @@
+"""Sketch laws (operators/sketches.py): HLL merge/accuracy, CMS guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark import harness
+from azeroth_data_platform_spark.operators import sketches
+
+
+@pytest.fixture(scope="module")
+def silver(spark, sf_dir):
+    return harness._silver(spark, sf_dir).cache()
+
+
+def _est(df):
+    return {r["grp"]: r["n_est"] for r in df.collect()}
+
+
+def test_hll_merge_equals_whole_data_sketch(spark, silver):
+    """Sketch union law: states built per partition-slice and merged give
+    the IDENTICAL registers (hence identical estimate) as one pass over
+    everything — what makes the sketch a day-over-day maintainable state."""
+    parts = [silver.where(F.col("id") % 3 == i) for i in range(3)]
+    merged = sketches.hll_merge(
+        *[sketches.hll_state(p, "time_left", "item_id") for p in parts]
+    )
+    whole = sketches.hll_state(silver, "time_left", "item_id")
+    m = {(r["grp"], r["register"]): r["m_j"] for r in merged.collect()}
+    w = {(r["grp"], r["register"]): r["m_j"] for r in whole.collect()}
+    assert m == w
+    assert _est(sketches.hll_estimate(merged)) == _est(sketches.hll_estimate(whole))
+
+
+def test_hll_estimate_within_expected_error(spark, silver):
+    """m=256 gives ~1.04/√m ≈ 6.5% typical error; assert a 3σ-ish bound."""
+    for r in sketches.hll_distinct(silver, "time_left", "item_id").collect():
+        assert abs(r["rel_err"]) < 0.20, (r["time_left"], r["rel_err"])
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    """Tiny cardinalities take the linear-counting branch and stay tight."""
+    df = spark.createDataFrame(
+        [("g", i) for i in range(30)], "grp_col string, key long"
+    )
+    row = sketches.hll_distinct(df, "grp_col", "key").collect()[0]
+    assert row["n_exact"] == 30
+    assert abs(row["rel_err"]) < 0.15
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS point estimates are one-sided: estimate ≥ truth, always."""
+    docs = harness._docs(spark, sf_dir)
+    for r in sketches.cms_top_terms(docs, k=50).collect():
+        assert r["overcount"] >= 0, r
+
+
+def test_cms_top_terms_tight_on_heavy_keys(spark, sf_dir):
+    """Heavy hitters dominate their buckets; overcount stays a small
+    fraction of the true count for the corpus's top terms."""
+    docs = harness._docs(spark, sf_dir)
+    rows = sketches.cms_top_terms(docs, k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_cms"] - r["n_exact"] <= max(50, r["n_exact"]), r
