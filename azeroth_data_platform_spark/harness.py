@@ -766,6 +766,10 @@ def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_top_terms(_docs(spark, sf_dir))
 
 
+def q_ts_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.perplexity_bigram(_docs(spark, sf_dir))
+
+
 def q_w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.funnel(_events_ts(spark, sf_dir))
 
@@ -1369,6 +1373,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # mergeable sketches, relationally (hash-exact approximate structures)
     "x_hll_distinct": q_x_hll_distinct,
     "x_cms_top_terms": q_x_cms_top_terms,
+    # interpolated bigram-LM perplexity (next step toward CCNet's KenLM)
+    "ts_perplexity_bigram": q_ts_perplexity_bigram,
 }
 
 def _sketches_hll_sql() -> str:
@@ -1473,4 +1479,5 @@ ALL_ORACLES: dict[str, str] = {
     "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
     "x_hll_distinct": _sketches_hll_sql(),
     "x_cms_top_terms": _sketches_cms_sql(),
+    "ts_perplexity_bigram": textstats.PERPLEXITY_BIGRAM_SQL,
 }

@@ -1236,3 +1236,101 @@ CCNET_BUCKETS_SQL = f"""
               ELSE 'tail' END AS ppl_bucket
   FROM pplx CROSS JOIN t"""
 
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity — the next step toward CCNet's KenLM: an interpolated
+# bigram model p(w|v) = ½·c(v,w)/c(v·) + ½·p_uni(w), with p_uni the same
+# add-one top-k unigram the unigram scorer uses. λ = ½ is chosen so the
+# probability is a RATIO OF INTEGERS — p = (a·d + u·b) / (2·b·d) with
+# a = c(v,w), b = c(v·) (v's count as a context), u = unigram numerator,
+# d = N + k + 1 — which makes the per-pair cost two portable plog2 calls on
+# integer arguments: plog2(2·b·d) − plog2(a·d + u·b). No engine
+# transcendentals, decimal-accumulated per doc → hash-exact.
+#
+# Exactness bound: the plog2 arguments stay under 2^53 while corpus token
+# count × context count < 9e15 (true through ~sf100 here); past that the
+# model would rescale counts — the relational shape is unchanged.
+#
+# Shuffle story: bigram counts and context counts are one groupBy each on
+# high-cardinality skew-free keys; scoring is an equi-join of the pair
+# stream against the (v,w) model plus a broadcast k-row vocab and a one-row
+# total. Linear in corpus size, no pairwise blowup.
+
+PPLX2_VOCAB_K = PPLX_VOCAB_K
+
+_BIGRAMS_EXPR = (
+    "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)),"
+    " (x, i) -> struct(x AS v, element_at(_ws, i + 2) AS w))"
+)
+
+
+def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame:
+    """Per-doc mean NLL (bits/transition) under the interpolated bigram LM
+    trained on the corpus itself. Docs with fewer than 2 tokens have no
+    transitions and drop out (both engines agree)."""
+    from ..functions.numerics import plog2_sql
+
+    toks = documents.select("doc_id", _words().alias("_ws"))
+    bg = toks.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("_p")
+    ).select("doc_id", "_p.v", "_p.w")
+    tok = documents.select(F.explode(_words()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k)
+        .select(F.col("token").alias("w"), (F.col("c") + 1).alias("_u"))
+    )
+    total = counts.agg((F.sum("c") + k + 1).cast("bigint").alias("_d"))
+    bgc = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a"))
+    ctx = bg.groupBy("v").agg(F.count(F.lit(1)).alias("_b"))
+    bits = F.expr(
+        f"{plog2_sql('2 * _b * _d')} - {plog2_sql('_a * _d + coalesce(_u, 1) * _b')}"
+    )
+    dbits = bits.cast("decimal(28,12)")
+    return (
+        bg.join(bgc, ["v", "w"])
+        .join(ctx, "v")
+        .join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(dbits).cast("double").alias("sum_nll_bits"),
+            (F.sum(dbits).cast("double") / F.count(F.lit(1))).alias("mean_nll_bits"),
+        )
+    )
+
+
+def _perplexity_bigram_sql(k: int = PPLX2_VOCAB_K) -> str:
+    from ..functions.numerics import plog2_sql
+
+    bits = (
+        f"{plog2_sql('2 * _b * _d', duck=True)}"
+        f" - {plog2_sql('_a * _d + coalesce(_u, 1) * _b', duck=True)}"
+    )
+    return f"""
+  WITH bg AS (
+    SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+    FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+         unnest(range(1, len(ws))) AS u(i)),
+  tok AS (SELECT unnest({WORDS_SQL}) AS token FROM documents),
+  counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+  vocab AS (SELECT token AS w, CAST(c + 1 AS BIGINT) AS _u FROM counts
+            ORDER BY c DESC, token ASC LIMIT {k}),
+  total AS (SELECT CAST(SUM(c) + {k} + 1 AS BIGINT) AS _d FROM counts),
+  bgc AS (SELECT v, w, COUNT(*) AS _a FROM bg GROUP BY v, w),
+  ctx AS (SELECT v, COUNT(*) AS _b FROM bg GROUP BY v)
+  SELECT bg.doc_id, COUNT(*) AS n_transitions,
+         CAST(SUM(CAST({bits} AS DECIMAL(28,12))) AS DOUBLE) AS sum_nll_bits,
+         CAST(SUM(CAST({bits} AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_nll_bits
+  FROM bg
+  JOIN bgc ON bg.v = bgc.v AND bg.w = bgc.w
+  JOIN ctx ON bg.v = ctx.v
+  LEFT JOIN vocab ON bg.w = vocab.w
+  CROSS JOIN total
+  GROUP BY bg.doc_id"""
+
+
+PERPLEXITY_BIGRAM_SQL = _perplexity_bigram_sql()

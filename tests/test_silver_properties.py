@@ -245,3 +245,16 @@ def test_line_dedup_keeps_exactly_the_distinct_lines(spark, texts):
         row = next(r for r in out if r.doc_id == i)
         assert row.text_dedup == " ".join(expect_kept)
         assert row.n_lines == len(lines_by_doc[i])
+
+
+def test_bigram_pplx_beats_unigram_on_self_trained_corpus(spark, sf_dir):
+    """A self-trained interpolated bigram LM compresses the corpus better
+    than the unigram LM on average (its ML term concentrates mass on seen
+    transitions) — the signal that justifies the extra model state."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import textstats
+
+    docs = harness._docs(spark, sf_dir)
+    uni = textstats.perplexity(docs).agg({"mean_nll_bits": "avg"}).collect()[0][0]
+    bi = textstats.perplexity_bigram(docs).agg({"mean_nll_bits": "avg"}).collect()[0][0]
+    assert bi < uni, (bi, uni)
