@@ -766,6 +766,21 @@ def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_top_terms(_docs(spark, sf_dir))
 
 
+def q_x_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    _prep(spark)
+    return profiling.table_stats(
+        adapters.read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_x_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.histogram_quantiles(_events_ts(spark, sf_dir))
+
+
 def q_ts_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.perplexity_bigram(_docs(spark, sf_dir))
 
@@ -1375,7 +1390,22 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_cms_top_terms": q_x_cms_top_terms,
     # interpolated bigram-LM perplexity (next step toward CCNet's KenLM)
     "ts_perplexity_bigram": q_ts_perplexity_bigram,
+    # ANALYZE-style exact column profile + histogram quantile sketch
+    "x_table_stats": q_x_table_stats,
+    "x_histogram_quantiles": q_x_histogram_quantiles,
 }
+
+def _profiling_stats_sql() -> str:
+    from .operators import profiling
+
+    return profiling.table_stats_sql()
+
+
+def _profiling_hist_sql() -> str:
+    from .operators import profiling
+
+    return profiling.histogram_quantiles_sql()
+
 
 def _sketches_hll_sql() -> str:
     from .operators import sketches
@@ -1480,4 +1510,6 @@ ALL_ORACLES: dict[str, str] = {
     "x_hll_distinct": _sketches_hll_sql(),
     "x_cms_top_terms": _sketches_cms_sql(),
     "ts_perplexity_bigram": textstats.PERPLEXITY_BIGRAM_SQL,
+    "x_table_stats": _profiling_stats_sql(),
+    "x_histogram_quantiles": _profiling_hist_sql(),
 }

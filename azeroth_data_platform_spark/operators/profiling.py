@@ -1,0 +1,187 @@
+"""Table profiling: ANALYZE-style per-column statistics + histogram sketches.
+
+A 100 TB store runs ANALYZE continuously — null fractions, NDVs, min/max
+and value distributions feed the cost-based optimizer, data-quality
+monitors, and partition-layout decisions (the reference's serving store
+gets this for free from Postgres' autovacuum/analyze; an engine owns it
+explicitly). Two surfaces:
+
+* `table_stats` — exact per-column profile, one column-pruned aggregate
+  per profiled column UNION'd into a long-format stats table. Each
+  aggregate is a single map-side-combining pass over ONLY that column
+  (column pruning reaches the parquet scan), so profiling k columns costs
+  k cheap scans, embarrassingly parallel — the same shape ANALYZE uses.
+  The sketch alternative for NDV at scale is operators/sketches.py's HLL
+  (one pass, mergeable) — these are the exact reference values.
+
+* `histogram_quantiles` — the third sketch pillar next to HLL (distinct)
+  and CMS (frequency): a fixed-grid histogram sketch for quantiles.
+  Bucket = floor(value · SCALE) clamped into [0, BINS): multiplying by a
+  power of two is exact in IEEE doubles, so bucketing is deterministic and
+  IDENTICAL across engines — the approximate structure hash-checks
+  exactly, like the Bloom/HLL/CMS siblings. The histogram is a mergeable
+  state (per-bucket counts sum); quantile read-off is the smallest bucket
+  whose running count reaches ceil(q·n), reported as the bucket's upper
+  edge — error bounded by one bucket width (pinned in tests against the
+  exact percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (column, kind) spec for the lineitem profile; kinds: num | str | date
+TABLE_STATS_COLS = (
+    ("l_partkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+
+def table_stats(df: DataFrame, cols: tuple[tuple[str, str], ...] = TABLE_STATS_COLS) -> DataFrame:
+    """Long-format exact profile: one row per profiled column with
+    (column, n_rows, n_nulls, null_frac, n_distinct, min_num, max_num,
+    avg_str_len). Numeric min/max are NULL for strings and vice versa, so
+    the output schema is static."""
+    from functools import reduce
+
+    parts = []
+    for name, kind in cols:
+        c = F.col(name)
+        is_num = kind == "num"
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                (F.min(c.cast("double")) if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.max(c.cast("double")) if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+                (
+                    F.lit(None).cast("double")
+                    if is_num
+                    else F.sum(F.length(c).cast("decimal(28,0)")).cast("double")
+                    / F.count(c)
+                ).alias("avg_str_len"),
+            ).select(
+                F.lit(name).alias("column"),
+                "n_rows",
+                "n_nulls",
+                (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("null_frac"),
+                "n_distinct",
+                "min_num",
+                "max_num",
+                "avg_str_len",
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def table_stats_sql(
+    table: str = "lineitem", cols: tuple[tuple[str, str], ...] = TABLE_STATS_COLS
+) -> str:
+    selects = []
+    for name, kind in cols:
+        is_num = kind == "num"
+        min_num = f"CAST(MIN(CAST({name} AS DOUBLE)) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(MAX(CAST({name} AS DOUBLE)) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"
+        avg_len = (
+            "CAST(NULL AS DOUBLE)"
+            if is_num
+            else f"CAST(SUM(CAST(length({name}) AS DECIMAL(28,0))) AS DOUBLE) / COUNT({name})"
+        )
+        selects.append(
+            f"""SELECT '{name}' AS "column", COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*) AS null_frac,
+              COUNT(DISTINCT {name}) AS n_distinct,
+              {min_num} AS min_num, {max_num} AS max_num,
+              {avg_len} AS avg_str_len
+            FROM {table}"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+# --- histogram quantile sketch ---------------------------------------------
+
+HIST_BINS = 4096  # covers [0, 2048) — the tick-value domain with headroom
+HIST_SCALE = 2.0  # power of two: value·2 is EXACT in doubles → portable bins
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def _bucket_expr() -> str:
+    return (
+        f"CAST(least(greatest(floor(value * {HIST_SCALE!r}), 0.0),"
+        f" {HIST_BINS - 1}.0) AS BIGINT)"
+    )
+
+
+def histogram_quantiles(
+    events: DataFrame, qs: tuple[float, ...] = HIST_QS
+) -> DataFrame:
+    """(event_type, n_events, q50, q90, q99) read off a fixed-grid
+    histogram of `value` per event type. Two small shuffles: per-(group,
+    bucket) counts, then the read-off over the bucket CDF (a per-group
+    window on ≤ HIST_BINS rows). Estimates are bucket UPPER EDGES:
+    upward-biased by < 1/SCALE, mergeable, deterministic."""
+    from pyspark.sql import Window
+
+    hist = (
+        events.select("event_type", F.expr(_bucket_expr()).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_events")]
+    for q in qs:
+        rank = f"CAST(ceil({q!r} * n) AS BIGINT)"
+        aggs.append(
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= {rank} THEN"
+                    f" CAST(bucket + 1 AS DOUBLE) / CAST({HIST_SCALE!r} AS DOUBLE) END"
+                )
+            ).alias(f"q{int(q * 100)}")
+        )
+    return cdf.groupBy("event_type").agg(*aggs)
+
+
+def histogram_quantiles_sql(qs: tuple[float, ...] = HIST_QS) -> str:
+    cols = ", ".join(
+        f"MIN(CASE WHEN cum >= CAST(ceil({q!r} * n) AS BIGINT)"
+        f" THEN CAST(bucket + 1 AS DOUBLE) / CAST({HIST_SCALE!r} AS DOUBLE) END)"
+        f" AS q{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+  WITH b AS (
+    SELECT event_type,
+           CAST(least(greatest(floor(value * {HIST_SCALE!r}), 0.0),
+                      {HIST_BINS - 1}.0) AS BIGINT) AS bucket
+    FROM events),
+  hist AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+  cdf AS (
+    SELECT event_type, bucket,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist)
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events, {cols}
+  FROM cdf GROUP BY event_type"""

@@ -127,6 +127,14 @@ def main() -> int:
             "tp_ccnet_buckets",
             "mm_audio_segments",
             "tp_ccnet_sample",
+            "x_incremental_gold",
+            "w_funnel",
+            "x_retention_cohorts",
+            "x_hll_distinct",
+            "x_cms_top_terms",
+            "ts_perplexity_bigram",
+            "x_table_stats",
+            "x_histogram_quantiles",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -64,3 +64,34 @@ def test_cms_top_terms_tight_on_heavy_keys(spark, sf_dir):
     assert len(rows) == 10
     for r in rows:
         assert r["n_cms"] - r["n_exact"] <= max(50, r["n_exact"]), r
+
+
+def test_histogram_quantiles_within_one_bucket_of_exact(spark, sf_dir):
+    """Histogram read-off error is bounded by one bucket width (1/SCALE),
+    upper-edge biased: exact_q <= hist_q < exact_q + 1/SCALE + ulp."""
+    from azeroth_data_platform_spark.operators import profiling, windows
+
+    ev = harness._events_ts(spark, sf_dir)
+    hist = {r["event_type"]: r for r in profiling.histogram_quantiles(ev).collect()}
+    exact = {r["event_type"]: r for r in windows.group_percentiles(ev).collect()}
+    width = 1.0 / profiling.HIST_SCALE
+    for et, h in hist.items():
+        for q in ("50", "90", "99"):
+            e = exact[et][f"p{q}"]
+            g = h[f"q{q}"]
+            assert e <= g + 1e-9 and g <= e + width + 1e-9, (et, q, e, g)
+
+
+def test_table_stats_profile_values(spark, sf_dir):
+    """Spot-check the exact profile against direct aggregates."""
+    from azeroth_data_platform_spark.operators import profiling
+    from azeroth_data_platform_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = {r["column"]: r for r in profiling.table_stats(li).collect()}
+    n = li.count()
+    assert stats["l_partkey"]["n_rows"] == n
+    assert stats["l_partkey"]["n_distinct"] == li.select("l_partkey").distinct().count()
+    assert stats["l_returnflag"]["min_num"] is None
+    assert stats["l_returnflag"]["avg_str_len"] == 1.0
+    assert stats["l_quantity"]["null_frac"] == 0.0
