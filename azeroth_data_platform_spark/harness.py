@@ -766,6 +766,13 @@ def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_top_terms(_docs(spark, sf_dir))
 
 
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    return similarity.lsh_range_search(
+        embs, embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    )
+
+
 def q_x_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import profiling
 
@@ -1393,6 +1400,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
+    # cosine radius search over the LSH buckets (the top-k path's twin)
+    "ann_range_search": q_ann_range_search,
 }
 
 def _profiling_stats_sql() -> str:
@@ -1512,4 +1521,5 @@ ALL_ORACLES: dict[str, str] = {
     "ts_perplexity_bigram": textstats.PERPLEXITY_BIGRAM_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
+    "ann_range_search": similarity.lsh_range_search_sql(),
 }

@@ -1271,3 +1271,72 @@ def cluster_sample_sql(
     FROM hashed)
   SELECT cid AS cluster_id, vec_id, sample_rank FROM ranked
   WHERE sample_rank <= {m}"""
+
+
+# ---------------------------------------------------------------------------
+# Range search — the radius twin of top-k: ALL corpus vectors within a
+# cosine threshold of each query (the dedup/recommendation primitive where
+# the neighbor COUNT matters, not a fixed k). Same single-table LSH
+# candidate generation as lsh_bucketed_topk (equi-join on bucket +
+# hamming-1 probes — never a cross product), then a row-local threshold
+# filter instead of the two-phase rank: cheaper than top-k (no global
+# per-query ordering at all), and the output size is data-dependent by
+# design. Candidate pairs are distinct by construction (each corpus vector
+# has ONE bucket; a query's probe buckets are distinct values), so no
+# dedup pass is needed per table; the cross-table distinct is a UNION over
+# bit-identical scored rows (the lsh_multitable_topk precedent). Recall
+# amplifies as 1−(1−r)^T over RANGE_TABLES independent tables — measured
+# single-table r ≈ 0.13 at τ=0.2 on the near-uniform test corpus, ≈ 0.3+
+# at the 3-table default (floor pinned in tests/test_ann_recall.py).
+
+RANGE_TAU = 0.2
+RANGE_TABLES = 3
+
+
+def lsh_range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    tau: float = RANGE_TAU,
+    n_tables: int = RANGE_TABLES,
+) -> DataFrame:
+    """(q_vec_id, c_vec_id, cosine) for all bucketed candidates with
+    cosine ≥ tau, unioned over `n_tables` independent hash tables."""
+    from functools import reduce
+
+    parts = [
+        _lsh_table_scored(embeddings, queries, start=t * LSH_PLANES).where(
+            F.col("cosine") >= F.lit(tau)
+        )
+        for t in range(n_tables)
+    ]
+    # UNION (distinct) — duplicate cross-table pairs carry bit-identical
+    # cosines, so the distinct collapses them exactly.
+    return reduce(DataFrame.unionByName, parts).distinct()
+
+
+def lsh_range_search_sql(
+    tau: float = RANGE_TAU, n_tables: int = RANGE_TABLES
+) -> str:
+    ctes, selects = [], []
+    for t in range(n_tables):
+        bucket = lsh_bucket_sql("embedding", duck=True, start=t * LSH_PLANES)
+        probes = ", ".join(
+            ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+        )
+        ctes.append(f"""
+  b{t} AS (SELECT vec_id, embedding, {bucket} AS bucket,
+                  {norm_sql("embedding", duck=True)} AS nrm
+           FROM embeddings),
+  p{t} AS (SELECT vec_id, embedding, nrm, unnest([{probes}]) AS bucket
+           FROM b{t} WHERE vec_id < {N_QUERIES})""")
+        selects.append(f"""
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM b{t} c JOIN p{t} q
+      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id""")
+    scored = "\n    UNION\n  ".join(selects)
+    return f"""
+  WITH {",".join(ctes)},
+  scored AS ({scored})
+  SELECT q_vec_id, c_vec_id, cosine FROM scored WHERE cosine >= {tau!r}"""

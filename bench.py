@@ -135,6 +135,7 @@ def main() -> int:
             "ts_perplexity_bigram",
             "x_table_stats",
             "x_histogram_quantiles",
+            "ann_range_search",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -304,3 +304,27 @@ def test_lsh_index_topk_matches_multitable(spark, sf_dir):
     assert sorted((key(r), r.c_vec_id, r.cosine) for r in fused2) == sorted(
         (key(r), r.c_vec_id, r.cosine) for r in via2
     )
+
+
+def test_range_search_precision_one_and_measured_recall(spark, sf_dir):
+    """Range search returns ONLY true-radius pairs (precision 1.0 — every
+    candidate is exact-cosine-verified) and finds a measured fraction of
+    the brute-force radius set (single-table LSH recall)."""
+    embs = read_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    tau = similarity.RANGE_TAU
+    got = {
+        (r.q_vec_id, r.c_vec_id): r.cosine
+        for r in similarity.lsh_range_search(embs, queries, tau).collect()
+    }
+    exact = {
+        (r.q_vec_id, r.c_vec_id): r.cosine
+        for r in similarity.brute_force_topk(embs, queries, k=10**9).collect()
+        if r.cosine >= tau
+    }
+    assert set(got) <= set(exact)          # precision 1.0
+    for pair, cos in got.items():
+        assert cos == exact[pair]          # bit-identical scores
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.2, recall       # single-table floor, measured
