@@ -22,7 +22,9 @@ def _rows(df):
 
 @pytest.fixture(scope="module")
 def silver(spark, sf_dir):
-    return harness._silver(spark, sf_dir).cache()
+    df = harness._silver(spark, sf_dir).cache()
+    yield df
+    df.unpersist()  # cached plans would pollute later plan-shape tests
 
 
 def test_incremental_equals_full_recompute(spark, silver):

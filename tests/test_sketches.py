@@ -11,7 +11,9 @@ from azeroth_data_platform_spark.operators import sketches
 
 @pytest.fixture(scope="module")
 def silver(spark, sf_dir):
-    return harness._silver(spark, sf_dir).cache()
+    df = harness._silver(spark, sf_dir).cache()
+    yield df
+    df.unpersist()  # cached plans would pollute later plan-shape tests
 
 
 def _est(df):
