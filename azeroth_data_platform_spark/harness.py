@@ -766,6 +766,10 @@ def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_top_terms(_docs(spark, sf_dir))
 
 
+def q_tp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mix_temperature(_docs(spark, sf_dir))
+
+
 def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.lsh_range_search(
@@ -1402,6 +1406,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_histogram_quantiles": q_x_histogram_quantiles,
     # cosine radius search over the LSH buckets (the top-k path's twin)
     "ann_range_search": q_ann_range_search,
+    # α=½ temperature mixture plan (XLM-R-style partial flattening)
+    "tp_mix_temperature": q_tp_mix_temperature,
 }
 
 def _profiling_stats_sql() -> str:
@@ -1522,4 +1528,5 @@ ALL_ORACLES: dict[str, str] = {
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
+    "tp_mix_temperature": corpus.MIX_TEMPERATURE_SQL,
 }

@@ -1452,3 +1452,72 @@ def _ccnet_sample_sql() -> str:
 
 
 CCNET_SAMPLE_SQL = _ccnet_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture rebalancing (α-sampling, Conneau et al. 2020
+# XLM-R §3.1 / mT5): target share q_s ∝ p_s^α flattens the source
+# distribution only PARTIALLY (α=1 keeps natural shares, α→0 goes uniform
+# — mix_rebalance is the α=0 endpoint of this family). α is fixed at ½
+# deliberately: p^0.5 = sqrt(), the one power IEEE 754 requires correctly
+# rounded, so the whole plan stays engine-portable with no pow()/exp()
+# (numerics.py plog2 rationale). The cross-source normalizer Σ√tokens is
+# accumulated in DECIMAL(28,12) (the ts_perplexity device) so the sum is
+# order-independent and bit-identical at any parallelism.
+#
+# Budget: the largest token budget where NO source up-samples past rate 1
+# (epoch-limited sampling): budget = min_s tokens_s / q_s; the binding
+# source keeps everything, every other source downsamples toward its
+# temperature share. Same two-tiny-rollup shuffle story as mix_rebalance.
+
+MIX_ALPHA = 0.5  # fixed: sqrt is the portable power
+
+
+def mix_temperature(documents: DataFrame) -> DataFrame:
+    """Per-source α=½ temperature sampling plan: (source, n_docs, tokens,
+    nat_share, temp_share, keep_rate, expected_tokens)."""
+    per_src = (
+        documents.select("source", F.size(textstats._words()).alias("_n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("tokens"))
+    )
+    rooted = per_src.withColumn("_rt", F.sqrt(F.col("tokens").cast("double")))
+    grand = rooted.agg(
+        F.sum("tokens").alias("_total"),
+        F.sum(F.col("_rt").cast("decimal(28,12)")).cast("double").alias("_z"),
+    )
+    with_q = rooted.crossJoin(F.broadcast(grand)).withColumn(
+        "_q", F.col("_rt") / F.col("_z")
+    )
+    budget = with_q.agg(
+        F.min(F.col("tokens").cast("double") / F.col("_q")).alias("_budget")
+    )
+    return with_q.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("_total").cast("double")).alias("nat_share"),
+        F.col("_q").alias("temp_share"),
+        F.least(F.lit(1.0), F.col("_q") * F.col("_budget") / F.col("tokens").cast("double"))
+        .alias("keep_rate"),
+        F.least(F.col("tokens").cast("double"), F.col("_q") * F.col("_budget"))
+        .alias("expected_tokens"),
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""
+  WITH t AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(len({textstats.WORDS_SQL})) AS BIGINT) AS tokens
+             FROM documents GROUP BY source),
+  r AS (SELECT *, sqrt(CAST(tokens AS DOUBLE)) AS rt FROM t),
+  g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+               CAST(SUM(CAST(rt AS DECIMAL(28,12))) AS DOUBLE) AS z
+        FROM r),
+  q AS (SELECT r.*, g.total, r.rt / g.z AS qs FROM r CROSS JOIN g),
+  b AS (SELECT MIN(CAST(tokens AS DOUBLE) / qs) AS budget FROM q)
+  SELECT source, n_docs, tokens,
+         CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,
+         qs AS temp_share,
+         LEAST(1.0, qs * budget / CAST(tokens AS DOUBLE)) AS keep_rate,
+         LEAST(CAST(tokens AS DOUBLE), qs * budget) AS expected_tokens
+  FROM q CROSS JOIN b"""

@@ -136,6 +136,7 @@ def main() -> int:
             "x_table_stats",
             "x_histogram_quantiles",
             "ann_range_search",
+            "tp_mix_temperature",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -921,3 +921,29 @@ def test_ccnet_sample_rates_follow_bands(spark):
         assert r.ppl_bucket == buckets[d]
     kept2 = {r.doc_id for r in corpus.ccnet_sample(docs.repartition(7)).collect()}
     assert kept2 == set(kept)
+
+
+def test_mix_temperature_flattens_partially(spark, sf_dir):
+    """α=½ temperature shares sit BETWEEN natural shares and uniform:
+    above-average sources shrink, below-average sources grow, ordering is
+    preserved, shares sum to 1, and exactly the binding source keeps
+    everything (rate 1)."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import corpus
+
+    rows = corpus.mix_temperature(harness._docs(spark, sf_dir)).collect()
+    n = len(rows)
+    uniform = 1.0 / n
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 < r.keep_rate <= 1.0
+        assert r.expected_tokens <= r.tokens + 1e-6
+        if r.nat_share > uniform:
+            assert r.temp_share < r.nat_share  # shrunk toward uniform
+        elif r.nat_share < uniform:
+            assert r.temp_share > r.nat_share  # boosted toward uniform
+    # ordering by share is preserved (monotone transform)
+    by_nat = sorted(rows, key=lambda r: r.nat_share)
+    by_tmp = sorted(rows, key=lambda r: r.temp_share)
+    assert [r.source for r in by_nat] == [r.source for r in by_tmp]
+    assert max(r.keep_rate for r in rows) > 0.999999  # a binding source exists
