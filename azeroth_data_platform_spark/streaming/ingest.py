@@ -119,3 +119,19 @@ def classify_ingest(documents: DataFrame) -> DataFrame:
     from ..operators import corpus
 
     return corpus.hash_classifier(documents)
+
+
+def sketch_ingest(events: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """HyperLogLog distinct-count state maintained ON A STREAM: the batch
+    sketch builder (operators/sketches.py hll_state) applies to a
+    readStream unchanged — the register table IS a streaming aggregation
+    (groupBy-max rho), and because max is the sketch's merge operation,
+    Spark's incremental state update IS sketch union. State is bounded by
+    #groups × 2^p registers regardless of stream volume — the property
+    that makes distinct-count dashboards feasible over unbounded streams.
+    Stream-final registers are bit-identical to the batch sketch over the
+    same rows (pinned in tests/test_streaming.py); estimates read off via
+    sketches.hll_estimate on the materialized state."""
+    from ..operators import sketches
+
+    return sketches.hll_state(events, group_col, key_col)

@@ -402,3 +402,45 @@ def test_streaming_classifier_scores_match_batch(spark, tmp_path):
     for d in want:
         assert got[d].logit == want[d].logit
         assert got[d].keep == want[d].keep
+
+
+def test_streaming_hll_state_matches_batch_sketch(spark, tmp_path):
+    """The HLL register table maintained incrementally over micro-batches is
+    bit-identical to the batch sketch over the union of the batches — max
+    IS the sketch merge, so streaming state update IS sketch union."""
+    from azeroth_data_platform_spark.operators import sketches
+    from azeroth_data_platform_spark.streaming.ingest import sketch_ingest
+
+    schema = "grp string, key long"
+    rows1 = [("a", i) for i in range(40)] + [("b", i) for i in range(10)]
+    rows2 = [("a", i) for i in range(20, 60)] + [("b", i) for i in range(5, 25)]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        sketch_ingest(stream, "grp", "key")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["grp"], r["register"]): r["m_j"]
+            for r in spark.sql("SELECT * FROM hll_regs").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {
+        (r["grp"], r["register"]): r["m_j"]
+        for r in sketches.hll_state(batch_df, "grp", "key").collect()
+    }
+    assert streamed == batch
