@@ -766,6 +766,14 @@ def q_x_cms_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_top_terms(_docs(spark, sf_dir))
 
 
+def q_o11_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return serving.keyset_paginate_items(_dim(spark, sf_dir), after_item_id=100)
+
+
+def q_x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.grouping_sets_summary(_silver(spark, sf_dir), _dim(spark, sf_dir))
+
+
 def q_tp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_temperature(_docs(spark, sf_dir))
 
@@ -1408,6 +1416,10 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_range_search": q_ann_range_search,
     # α=½ temperature mixture plan (XLM-R-style partial flattening)
     "tp_mix_temperature": q_tp_mix_temperature,
+    # keyset pagination (the scale-correct serving twin of o7's offset)
+    "o11_keyset_page": q_o11_keyset_page,
+    # arbitrary GROUPING SETS (the general form rollup/cube specialize)
+    "x_grouping_sets": q_x_grouping_sets,
 }
 
 def _profiling_stats_sql() -> str:
@@ -1529,4 +1541,6 @@ ALL_ORACLES: dict[str, str] = {
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
     "tp_mix_temperature": corpus.MIX_TEMPERATURE_SQL,
+    "o11_keyset_page": f"{_W_DIM} SELECT * FROM dim WHERE item_id > 100 ORDER BY item_id LIMIT 50",
+    "x_grouping_sets": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.GROUPING_SETS_SQL}",
 }

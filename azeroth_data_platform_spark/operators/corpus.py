@@ -1269,12 +1269,28 @@ def hash_classifier(documents: DataFrame) -> DataFrame:
     scale, and the same projection applies unchanged to a readStream
     (streaming.classify_ingest; batch/stream bit-equality pinned). The
     first cut exploded bigrams into a doc-keyed groupBy — a corpus-wide
-    exchange for an aggregation whose inputs never leave the row."""
-    w_expr = _ft_weight_sql(duck=False, f_expr=_ft_feature_sql(duck=False))
+    exchange for an aggregation whose inputs never leave the row.
+
+    The B-bucket weight vector is materialized DRIVER-SIDE into a map
+    literal folded into the plan (what shipping a trained model artifact
+    looks like — textstats.perplexity_scorer's device): scoring then pays
+    ONE md5 per bigram (the feature hash) plus a map lookup, not a second
+    md5 chain per feature. 16.2 → 2.8 s at sf0.1 (PERF.md), bit-identical
+    logits — the weight values are the same frozen function of the bucket
+    id, and the DuckDB oracle still RE-DERIVES them in SQL, making the
+    hash check an independent-implementation check of the model fold."""
+    import hashlib
+
+    wmap: dict[int, float] = {}
+    for f in range(FT_BUCKETS):
+        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % 2_147_483_647
+        wmap[f] = float(h % 2001 - 1000) / 1024.0
+    map_lit = F.create_map(*[F.lit(x) for kv in wmap.items() for x in kv])
+    feat = _ft_feature_sql(duck=False)
     sum_bits = (
         "CAST(aggregate(_bgs, CAST(0 AS DECIMAL(28,12)),"
-        f" (acc, bg) -> CAST(acc + CAST({w_expr} AS DECIMAL(28,12))"
-        " AS DECIMAL(28,12))) AS DOUBLE)"
+        f" (acc, bg) -> CAST(acc + CAST(element_at(_wmap, CAST({feat} AS INT))"
+        " AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)"
     )
     bgs = F.expr(
         "transform(sequence(0, size(_ws) - 2),"
@@ -1285,6 +1301,7 @@ def hash_classifier(documents: DataFrame) -> DataFrame:
         documents.withColumn("_ws", textstats._words())
         .where(F.size("_ws") >= 2)
         .withColumn("_bgs", bgs)
+        .withColumn("_wmap", map_lit)
         .withColumn("n_features", F.size("_bgs").cast("bigint"))
         .withColumn("_sum", F.expr(sum_bits))
         .select(

@@ -93,3 +93,21 @@ def retention_candidates(silver: DataFrame, keep_days: int = 30) -> DataFrame:
         .where(F.col("snapshot_date") < F.date_sub(F.col("max_date"), keep_days))
         .drop("max_date")
     )
+
+
+def keyset_paginate_items(
+    dim_items: DataFrame, after_item_id: int = 0, limit: int = 50
+) -> DataFrame:
+    """Keyset (seek) pagination — the scale-correct twin of
+    `paginate_items`: OFFSET pagination costs O(offset) rows per page
+    (every deep page re-scans and re-sorts the prefix — at catalog scale
+    the last page costs a full sort), while a keyset cursor on the unique
+    ordering key turns each page into an index-range read: the predicate
+    prunes at the scan (PushedFilters on item_id — pinned in
+    tests/test_plan_shapes.py) and the sort handles `limit` rows, total.
+    Cursor = the last item_id of the previous page."""
+    return (
+        dim_items.where(F.col("item_id") > F.lit(after_item_id))
+        .orderBy("item_id")
+        .limit(limit)
+    )

@@ -350,3 +350,40 @@ RETENTION_COHORTS_SQL = f"""
            / CAST(MAX(CASE WHEN week_offset = 0 THEN active_users END)
                   OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
   FROM active"""
+
+
+def grouping_sets_summary(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    ((item_class, time_left), (item_class), ()): per-(class, flag) cells,
+    per-class subtotals, and the grand total, WITHOUT the (flag)-only cut a
+    CUBE would force. One scan + Expand (no per-set re-aggregation);
+    grouping() flags disambiguate subtotal rows from genuine NULL keys —
+    the same trap sector_rollup documents."""
+    joined = silver.join(
+        F.broadcast(dim_items.select("item_id", "item_class")), "item_id", "left"
+    )
+    return joined.groupingSets(
+        [["item_class", "time_left"], ["item_class"], []], "item_class", "time_left"
+    ).agg(
+        F.grouping("item_class").cast("int").alias("g_class"),
+        F.grouping("time_left").cast("int").alias("g_flag"),
+        F.sum("quantity").alias("total_quantity"),
+        F.sum(
+            F.col("unit_price").cast("decimal(18,2)") * F.col("quantity").cast("decimal(10,0)")
+        )
+        .cast("double")
+        .alias("market_cap"),
+        F.count(F.lit(1)).alias("auction_count"),
+    )
+
+
+GROUPING_SETS_SQL = """
+  SELECT item_class, time_left,
+         CAST(GROUPING(item_class) AS INTEGER) AS g_class,
+         CAST(GROUPING(time_left) AS INTEGER) AS g_flag,
+         CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+         CAST(SUM(CAST(unit_price AS DECIMAL(18,2)) * CAST(quantity AS DECIMAL(10,0)))
+              AS DOUBLE) AS market_cap,
+         COUNT(*) AS auction_count
+  FROM (SELECT s.*, dim.item_class FROM silver s LEFT JOIN dim ON s.item_id = dim.item_id)
+  GROUP BY GROUPING SETS ((item_class, time_left), (item_class), ())"""

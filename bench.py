@@ -137,6 +137,7 @@ def main() -> int:
             "x_histogram_quantiles",
             "ann_range_search",
             "tp_mix_temperature",
+            "x_grouping_sets",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -330,3 +330,22 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct")
     assert not failures, failures
+
+
+def test_keyset_pagination_pushes_cursor_to_scan(spark, sf_dir):
+    """o11: the keyset cursor predicate reaches the parquet scan (the whole
+    point of seek-over-offset pagination) and the page collapses to
+    TakeOrderedAndProject — O(limit) work regardless of page depth."""
+    df = harness.ALL_QUERIES["o11_keyset_page"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(p_partkey,100)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_is_one_scan_expand(spark, sf_dir):
+    """x_grouping_sets: the three grouping sets ride ONE scan through an
+    Expand (no per-set re-aggregation union)."""
+    df = harness.ALL_QUERIES["x_grouping_sets"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") <= 2  # fact + broadcast dim only
