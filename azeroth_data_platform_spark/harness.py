@@ -30,6 +30,7 @@ from .operators import (
     multimodal,
     serving,
     similarity,
+    sketches,
     textstats,
     windows,
 )
@@ -1048,9 +1049,17 @@ QUERIES: dict[str, QueryFn] = {
     "tp_cluster_sample": q_tp_cluster_sample,
     "tp_line_dedup": q_tp_line_dedup,
     "ts_gopher_repetition": q_ts_gopher_repetition,
+    # round-4 session-2 promotions (56 -> 60, appended so the first 50
+    # stay unchanged if the external harness truncates): incremental gold
+    # maintenance, the relational HLL sketch, bigram-LM perplexity, and
+    # the one-shuffle ordered funnel — all with exact DuckDB oracles.
+    "x_incremental_gold": q_x_incremental_gold,
+    "x_hll_distinct": q_x_hll_distinct,
+    "ts_perplexity_bigram": q_ts_perplexity_bigram,
+    "w_funnel": q_w_funnel,
 }
 
-assert len(QUERIES) == 56, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 60, f"driver registry drifted: got {len(QUERIES)}"
 
 
 ORACLES: dict[str, str] = {
@@ -1309,6 +1318,10 @@ ORACLES: dict[str, str] = {
     "tp_cluster_sample": similarity.cluster_sample_sql(),
     "tp_line_dedup": corpus.LINE_DEDUP_SQL,
     "ts_gopher_repetition": textstats.GOPHER_REPETITION_SQL,
+    "x_incremental_gold": incremental.incremental_gold_sql(SILVER_SQL),
+    "x_hll_distinct": sketches.hll_distinct_sql(SILVER_SQL, "time_left", "item_id"),
+    "ts_perplexity_bigram": textstats.PERPLEXITY_BIGRAM_SQL,
+    "w_funnel": windows.FUNNEL_SQL,
 }
 
 # Serving reads over materialized gold frames (O5/O6) — derived by
@@ -1398,17 +1411,13 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # per-source sampling plan toward a uniform token mix + its application
     "tp_mix_rebalance": q_tp_mix_rebalance,
     "tp_mix_apply": q_tp_mix_apply,
-    # incremental gold maintenance: state(base) ⊕ state(delta) finalized,
-    # hash-checked against a from-scratch recompute oracle
-    "x_incremental_gold": q_x_incremental_gold,
-    # ordered funnel + weekly cohort retention (product-analytics OLAP)
-    "w_funnel": q_w_funnel,
+    # weekly cohort retention (product-analytics OLAP; the ordered funnel
+    # and incremental-gold/HLL/bigram-pplx siblings were promoted into the
+    # driver registry)
     "x_retention_cohorts": q_x_retention_cohorts,
-    # mergeable sketches, relationally (hash-exact approximate structures)
-    "x_hll_distinct": q_x_hll_distinct,
+    # count-min frequency sketch (HLL's sibling; hash-exact approximate
+    # structure)
     "x_cms_top_terms": q_x_cms_top_terms,
-    # interpolated bigram-LM perplexity (next step toward CCNet's KenLM)
-    "ts_perplexity_bigram": q_ts_perplexity_bigram,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1432,12 +1441,6 @@ def _profiling_hist_sql() -> str:
     from .operators import profiling
 
     return profiling.histogram_quantiles_sql()
-
-
-def _sketches_hll_sql() -> str:
-    from .operators import sketches
-
-    return sketches.hll_distinct_sql(SILVER_SQL, "time_left", "item_id")
 
 
 def _sketches_cms_sql() -> str:
@@ -1531,12 +1534,8 @@ ALL_ORACLES: dict[str, str] = {
     "ann_pq_codes": similarity.pq_codes_sql(),
     "ann_topk_pq": similarity.pq_topk_sql(),
     "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
-    "x_incremental_gold": incremental.incremental_gold_sql(SILVER_SQL),
-    "w_funnel": windows.FUNNEL_SQL,
     "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
-    "x_hll_distinct": _sketches_hll_sql(),
     "x_cms_top_terms": _sketches_cms_sql(),
-    "ts_perplexity_bigram": textstats.PERPLEXITY_BIGRAM_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

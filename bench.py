@@ -222,6 +222,9 @@ def main() -> int:
             "tp_pack_contents",
             "tp_bpe_encode",
             "tp_line_dedup",
+            "x_incremental_gold",
+            "x_hll_distinct",
+            "ts_perplexity_bigram",
         ]
         base = {**timings, **extra_timings}
 
