@@ -895,6 +895,48 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier profile per item (Iglewicz-Hoaglin modified
+    z = 0.6745·(x−med)/MAD, flag |z| > 3.5): the robust twin of the IQR
+    fence and A3's stddev z-score — mean/stddev are themselves dragged by
+    the outliers they're meant to find; median/MAD are 50%-breakdown.
+
+    Two exact holistic passes (median, then median of |x−med|), each one
+    groupBy + a same-key join back — at scale both joins ride ONE item_id
+    repartition. `F.percentile` ≡ DuckDB `quantile_cont` bit-exactly (the
+    x_price_iqr_outliers precedent); items with MAD = 0 (constant price)
+    carry no z and are excluded from outlier counting in both engines."""
+    s = _silver(spark, sf_dir)
+    med = s.groupBy("item_id").agg(
+        F.percentile("unit_price", 0.5).alias("median_price"),
+        F.count(F.lit(1)).alias("n_prices"),
+    )
+    dev = s.join(med, "item_id").withColumn(
+        "_dev", F.abs(F.col("unit_price") - F.col("median_price"))
+    )
+    mad = dev.groupBy("item_id").agg(F.percentile("_dev", 0.5).alias("mad"))
+    z = (
+        F.lit(0.6745)
+        * (F.col("unit_price") - F.col("median_price"))
+        / F.col("mad")
+    )
+    scored = dev.join(mad, "item_id").withColumn(
+        "_z", F.when(F.col("mad") > 0, z)
+    )
+    return (
+        scored.groupBy("item_id")
+        .agg(
+            F.max("median_price").alias("median_price"),
+            F.max("mad").alias("mad"),
+            F.max("n_prices").alias("n_prices"),
+            F.sum(F.when(F.abs(F.col("_z")) > 3.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(F.abs(F.col("_z"))).alias("max_abs_z"),
+        )
+    )
+
+
 def q_x_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quantile IQR outlier counts per item (percentile(0.25/0.75)
     verified bit-equal to DuckDB quantile_cont)."""
@@ -1418,6 +1460,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # count-min frequency sketch (HLL's sibling; hash-exact approximate
     # structure)
     "x_cms_top_terms": q_x_cms_top_terms,
+    # MAD/modified-z robust outliers (the 50%-breakdown twin of IQR/A3)
+    "x_robust_outliers": q_x_robust_outliers,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1536,6 +1580,24 @@ ALL_ORACLES: dict[str, str] = {
     "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
     "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
     "x_cms_top_terms": _sketches_cms_sql(),
+    "x_robust_outliers": f"""{_W_SILVER},
+      med AS (SELECT item_id, quantile_cont(unit_price, 0.5) AS median_price,
+                     COUNT(*) AS n_prices
+              FROM silver GROUP BY item_id),
+      dev AS (SELECT s.item_id, s.unit_price, m.median_price, m.n_prices,
+                     ABS(s.unit_price - m.median_price) AS d
+              FROM silver s JOIN med m ON s.item_id = m.item_id),
+      mad AS (SELECT item_id, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY item_id),
+      scored AS (SELECT dev.*, mad.mad,
+                        CASE WHEN mad.mad > 0
+                             THEN CAST(0.6745 AS DOUBLE) * (dev.unit_price - dev.median_price)
+                                  / mad.mad END AS z
+                 FROM dev JOIN mad ON dev.item_id = mad.item_id)
+      SELECT item_id, MAX(median_price) AS median_price, MAX(mad) AS mad,
+             CAST(MAX(n_prices) AS BIGINT) AS n_prices,
+             CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             MAX(ABS(z)) AS max_abs_z
+      FROM scored GROUP BY item_id""",
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

@@ -138,6 +138,7 @@ def main() -> int:
             "ann_range_search",
             "tp_mix_temperature",
             "x_grouping_sets",
+            "x_robust_outliers",
         )
         if q in harness.ALL_QUERIES
     ]
