@@ -895,6 +895,20 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase PageRank (operators/graph.py): 3 power iterations,
+    decimal-accumulated contributions, hash-checked against the
+    unrolled-CTE oracle."""
+    from .operators import graph
+
+    _prep(spark)
+    li = adapters.read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return graph.pagerank(graph.copurchase_edges(baskets))
+
+
 def q_x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based robust outlier profile per item (Iglewicz-Hoaglin modified
     z = 0.6745·(x−med)/MAD, flag |z| > 3.5): the robust twin of the IQR
@@ -1462,6 +1476,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_cms_top_terms": q_x_cms_top_terms,
     # MAD/modified-z robust outliers (the 50%-breakdown twin of IQR/A3)
     "x_robust_outliers": q_x_robust_outliers,
+    # co-purchase PageRank: iterative graph algebra, unrolled-CTE oracle
+    "x_pagerank": q_x_pagerank,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1485,6 +1501,12 @@ def _profiling_hist_sql() -> str:
     from .operators import profiling
 
     return profiling.histogram_quantiles_sql()
+
+
+def _pagerank_sql() -> str:
+    from .operators import graph
+
+    return graph.pagerank_sql()
 
 
 def _sketches_cms_sql() -> str:
@@ -1598,6 +1620,7 @@ ALL_ORACLES: dict[str, str] = {
              CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              MAX(ABS(z)) AS max_abs_z
       FROM scored GROUP BY item_id""",
+    "x_pagerank": _pagerank_sql(),
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

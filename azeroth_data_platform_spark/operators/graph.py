@@ -1,0 +1,119 @@
+"""Graph analytics over relational data: co-purchase PageRank.
+
+The engine's ITERATIVE-algorithm pattern (the kmeans_centroids precedent,
+operators/similarity.py) applied to a graph: power iteration is k rounds
+of (equi-join + groupBy) over an edge relation — exactly the shape GraphX /
+Pregel compile to, expressed directly in DataFrame algebra so Catalyst
+handles distribution. The graph here is the co-purchase item graph
+(items sharing an order basket), the classic recommendation substrate.
+
+Determinism (the repo's invariant): per-node contribution sums accumulate
+in DECIMAL(28,14) — exact and associative, so ranks are bit-identical at
+any partitioning and in both engines; the damping constants are emitted as
+identical double literals on both sides. Iterations are FIXED (3) and the
+oracle unrolls them as chained CTEs (the trained-quantizer device), making
+the whole iterative computation hash-checkable.
+
+Scale notes: edges build from a basket self-join — fan-out bounded by
+basket size (TPC-H ≤ 7 lines/order), distinct'd once and localCheckpointed
+so the 3 iterations reread a materialized relation instead of re-running
+the self-join; each iteration is one edge-keyed equi-join plus one
+dst-keyed groupBy (linear in |E|, skew governed by max in-degree — AQE
+territory, same class as the gold aggregates). Rank state is node-sized.
+
+Dangling nodes: none by construction — co-purchase edges are symmetric,
+so every node has out-degree ≥ 1 (asserted in tests); the simplified
+update r' = (1−d)/N + d·Σ r_u/deg_u is therefore mass-conserving here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+_D_LIT = repr(PAGERANK_D)
+_BASE_LIT = repr(1.0 - PAGERANK_D)  # emitted identically in both engines
+
+
+def copurchase_edges(baskets: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges from (basket_id, item_id) rows.
+    Symmetric by construction: (a,b) and (b,a) both appear."""
+    a, b = baskets.alias("a"), baskets.alias("b")
+    return (
+        a.join(b, "basket_id")
+        .where(F.col("a.item_id") != F.col("b.item_id"))
+        .select(F.col("a.item_id").alias("src"), F.col("b.item_id").alias("dst"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, d: float = PAGERANK_D, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """(item_id, pagerank) after `iters` power iterations over `edges`."""
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("CAST(1 AS DOUBLE) / n").alias("r")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("CAST(r / deg AS DECIMAL(28,14))"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({_BASE_LIT} AS DOUBLE) / n"
+                    f" + CAST({_D_LIT} AS DOUBLE) * coalesce(s, CAST(0 AS DOUBLE))"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("item_id"), F.col("r").alias("pagerank"))
+
+
+def pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
+    """DuckDB twin: the fixed iterations unrolled as chained CTEs."""
+    ctes = [
+        "b AS (SELECT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem)",
+        """e AS (SELECT DISTINCT a.item_id AS src, c.item_id AS dst
+             FROM b a JOIN b c ON a.basket_id = c.basket_id
+             WHERE a.item_id <> c.item_id)""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(28,14))) AS DOUBLE) AS s
+        FROM e JOIN r{i - 1} p ON e.src = p.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst)""")
+        ctes.append(f"""r{i} AS (
+        SELECT nodes.node,
+               CAST({_BASE_LIT} AS DOUBLE) / nn.n
+                 + CAST({_D_LIT} AS DOUBLE) * coalesce(c{i}.s, CAST(0 AS DOUBLE)) AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT node AS item_id, r AS pagerank FROM r{iters}"
+    )

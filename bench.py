@@ -139,6 +139,7 @@ def main() -> int:
             "tp_mix_temperature",
             "x_grouping_sets",
             "x_robust_outliers",
+            "x_pagerank",
         )
         if q in harness.ALL_QUERIES
     ]
