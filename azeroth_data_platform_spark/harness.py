@@ -744,6 +744,10 @@ def q_x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.group_percentiles(ev)
 
 
+def q_w_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.funnel_latency(_events_ts(spark, sf_dir))
+
+
 def q_x_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental gold maintenance: the history state merged with the
     newest year's batch, finalized — hash-equal to a from-scratch recompute
@@ -1478,6 +1482,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_robust_outliers": q_x_robust_outliers,
     # co-purchase PageRank: iterative graph algebra, unrolled-CTE oracle
     "x_pagerank": q_x_pagerank,
+    # time-to-convert percentiles per funnel transition
+    "w_funnel_latency": q_w_funnel_latency,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1621,6 +1627,7 @@ ALL_ORACLES: dict[str, str] = {
              MAX(ABS(z)) AS max_abs_z
       FROM scored GROUP BY item_id""",
     "x_pagerank": _pagerank_sql(),
+    "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

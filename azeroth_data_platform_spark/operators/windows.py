@@ -219,10 +219,12 @@ GROUP_PERCENTILES_SQL = _group_percentiles_sql()
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
-    """(step_idx, step, users, conversion_pct): users reaching each funnel
-    step under first-completion strict ordering; conversion_pct is relative
-    to step 1. `events` must carry (user_id, event_type, ts)."""
+def _funnel_user_times(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Per-user step completion timestamps (user_id, _t0 … _tk) under the
+    first-completion strict-ordering semantics — the shared stage of
+    `funnel` and `funnel_latency`."""
     aggs = [
         F.sort_array(
             F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
@@ -236,6 +238,14 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
         per_user = per_user.withColumn(
             f"_t{i}", F.array_min(F.filter(F.col(f"_ts{i}"), lambda x: x > prev))
         )
+    return per_user
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(step_idx, step, users, conversion_pct): users reaching each funnel
+    step under first-completion strict ordering; conversion_pct is relative
+    to step 1. `events` must carry (user_id, event_type, ts)."""
+    per_user = _funnel_user_times(events, steps)
     counts = per_user.agg(
         *[F.count(F.col(f"_t{i}")).alias(f"_c{i}") for i in range(len(steps))]
     )
@@ -387,3 +397,56 @@ GROUPING_SETS_SQL = """
          COUNT(*) AS auction_count
   FROM (SELECT s.*, dim.item_class FROM silver s LEFT JOIN dim ON s.item_id = dim.item_id)
   GROUP BY GROUPING SETS ((item_class, time_left), (item_class), ())"""
+
+
+def funnel_latency(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """(step, n_converted, median_sec, p90_sec): time-to-convert per funnel
+    transition, over users who completed that transition. Same one-shuffle
+    per-user stage as `funnel`; latencies are exact integer microsecond
+    differences scaled to seconds (one double division — identical in both
+    engines), and the percentiles are `F.percentile` ≡ DuckDB
+    `quantile_cont` (the x_price_iqr_outliers-verified pair)."""
+    per_user = _funnel_user_times(events, steps)
+    stack_args = ", ".join(
+        f"'{steps[i - 1]}->{steps[i]}',"
+        f" CAST(unix_micros(_t{i}) - unix_micros(_t{i - 1}) AS DOUBLE) / 1000000.0"
+        for i in range(1, len(steps))
+    )
+    dts = per_user.select(
+        F.expr(f"stack({len(steps) - 1}, {stack_args}) AS (step, dt_sec)")
+    ).where(F.col("dt_sec").isNotNull())
+    return dts.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("dt_sec", 0.5).alias("median_sec"),
+        F.percentile("dt_sec", 0.9).alias("p90_sec"),
+    )
+
+
+def _funnel_latency_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    ctes = [
+        "ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)",
+        f"s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = '{steps[0]}'"
+        " GROUP BY user_id)",
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e"
+            f" JOIN s{i - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{steps[i - 1]}->{steps[i]}' AS step,"
+        f" CAST(epoch_us(b.t) - epoch_us(a.t) AS DOUBLE) / 1000000.0 AS dt_sec"
+        f" FROM s{i - 1} a JOIN s{i} b ON a.user_id = b.user_id"
+        for i in range(1, len(steps))
+    )
+    return f"""WITH {", ".join(ctes)}, dts AS ({rows})
+  SELECT step, COUNT(*) AS n_converted,
+         quantile_cont(dt_sec, 0.5) AS median_sec,
+         quantile_cont(dt_sec, 0.9) AS p90_sec
+  FROM dts GROUP BY step"""
+
+
+FUNNEL_LATENCY_SQL = _funnel_latency_sql()

@@ -140,6 +140,7 @@ def main() -> int:
             "x_grouping_sets",
             "x_robust_outliers",
             "x_pagerank",
+            "w_funnel_latency",
         )
         if q in harness.ALL_QUERIES
     ]
