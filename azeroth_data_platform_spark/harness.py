@@ -913,6 +913,18 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts in the co-purchase graph (operators/graph.py)."""
+    from .operators import graph
+
+    _prep(spark)
+    li = adapters.read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return graph.triangle_counts(graph.copurchase_edges(baskets))
+
+
 def q_x_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based robust outlier profile per item (Iglewicz-Hoaglin modified
     z = 0.6745·(x−med)/MAD, flag |z| > 3.5): the robust twin of the IQR
@@ -1484,6 +1496,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     # time-to-convert percentiles per funnel transition
     "w_funnel_latency": q_w_funnel_latency,
+    # per-node triangle counts (wedge-close joins, canonical orientation)
+    "x_triangles": q_x_triangles,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1513,6 +1527,12 @@ def _pagerank_sql() -> str:
     from .operators import graph
 
     return graph.pagerank_sql()
+
+
+def _triangles_sql() -> str:
+    from .operators import graph
+
+    return graph.TRIANGLES_SQL
 
 
 def _sketches_cms_sql() -> str:
@@ -1628,6 +1648,7 @@ ALL_ORACLES: dict[str, str] = {
       FROM scored GROUP BY item_id""",
     "x_pagerank": _pagerank_sql(),
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
+    "x_triangles": _triangles_sql(),
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

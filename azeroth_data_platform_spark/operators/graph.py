@@ -117,3 +117,53 @@ def pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
         f"WITH {', '.join(ctes)} "
         f"SELECT node AS item_id, r AS pagerank FROM r{iters}"
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(item_id, n_triangles): per-node triangle membership counts.
+
+    Canonical ordering (src < dst, each undirected edge once) makes every
+    triangle a<b<c appear exactly once in the wedge-close join — the
+    standard distributed formulation (two equi-joins, no explicit dedup):
+    wedges (a<b<c via a-b, b-c) closed against the a-c edge. Wedge count is
+    Σ deg², so production runs degree-order the edges first (orient each
+    edge low-degree → high-degree) to bound the join; at the bench scales
+    the canonical orientation suffices. Counts are integers — hash-exact.
+    """
+    canon = (
+        edges.where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    e3 = canon.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("item_id"))
+        .groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+TRIANGLES_SQL = """
+  WITH b AS (SELECT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+  e AS (SELECT DISTINCT a.item_id AS src, c.item_id AS dst
+        FROM b a JOIN b c ON a.basket_id = c.basket_id
+        WHERE a.item_id < c.item_id),
+  tri AS (SELECT e1.src AS a, e1.dst AS bb, e2.dst AS c
+          FROM e e1
+          JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+  m AS (SELECT unnest([a, bb, c]) AS item_id FROM tri)
+  SELECT item_id, COUNT(*) AS n_triangles FROM m GROUP BY item_id"""

@@ -141,6 +141,7 @@ def main() -> int:
             "x_robust_outliers",
             "x_pagerank",
             "w_funnel_latency",
+            "x_triangles",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -58,3 +58,18 @@ def test_copurchase_edges_symmetric_no_dangling(spark, sf_dir):
         assert dsts.exceptAll(srcs).count() == 0
     finally:
         e.unpersist()
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """K4 has 4 triangles (3 per node); a square (4-cycle) has none; a
+    square with one diagonal has 2 triangles, diagonal nodes in both."""
+    def tri(pairs):
+        e = _toy_edges(spark, pairs + [(b, a) for a, b in pairs])
+        return {r.item_id: r.n_triangles for r in graph.triangle_counts(e).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert tri(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    square = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert tri(square) == {}
+    diag = square + [(0, 2)]
+    assert tri(diag) == {0: 2, 2: 2, 1: 1, 3: 1}
