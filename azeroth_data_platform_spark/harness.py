@@ -913,6 +913,13 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 market-status history per item, built over the A5 gold
+    snapshots (operators/incremental.py::scd2_history)."""
+    a5 = QUERIES["a5_market_concentration"](spark, sf_dir)
+    return incremental.scd2_history(a5)
+
+
 def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts in the co-purchase graph (operators/graph.py)."""
     from .operators import graph
@@ -1498,6 +1505,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "w_funnel_latency": q_w_funnel_latency,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
+    # SCD Type-2 version history over the A5 status snapshots
+    "x_scd2_history": q_x_scd2_history,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1649,6 +1658,7 @@ ALL_ORACLES: dict[str, str] = {
     "x_pagerank": _pagerank_sql(),
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
     "x_triangles": _triangles_sql(),
+    "x_scd2_history": incremental.scd2_history_sql(ORACLES["a5_market_concentration"]),
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

@@ -158,3 +158,82 @@ def incremental_gold_sql(silver_sql: str) -> str:
              COUNT(*) AS auction_count
       FROM silver
       GROUP BY item_id, snapshot_date"""
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 version history — the warehouse's OTHER canonical merge shape
+# next to sources/merge.py's type-1 upsert: instead of overwriting, every
+# attribute change opens a new version row with a validity interval
+# (valid_from, valid_to, is_current). Built from a snapshot series by
+# change detection: lag() marks run starts, a running sum numbers the
+# runs (the gaps-and-islands device dedup.py uses for span merge), one
+# groupBy collapses each run to its interval, and lead() closes it against
+# the next version's start. Two window passes + one groupBy, all on the
+# same entity-key partitioning — one shuffle at scale.
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key: str = "item_id",
+    ts: str = "snapshot_date",
+    attr: str = "market_status",
+) -> DataFrame:
+    """(key, version, attr, valid_from, valid_to, is_current) from a
+    per-(key, ts) snapshot series: consecutive equal `attr` values collapse
+    into one version; `valid_to` is the next version's start (NULL for the
+    open current version)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts)
+    changed = (
+        F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr))
+    ).cast("bigint")
+    versioned = snapshots.select(key, ts, attr).withColumn(
+        "version",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = versioned.groupBy(key, "version").agg(
+        F.max(attr).alias(attr),  # constant within the run
+        F.min(ts).alias("valid_from"),
+    )
+    wv = Window.partitionBy(key).orderBy("valid_from")
+    # warehouse convention: the open version carries a far-future sentinel
+    # instead of NULL — range predicates (BETWEEN valid_from AND valid_to)
+    # then need no NULL branch, and engines agree on the representation
+    sentinel = F.lit("9999-12-31").cast("date")
+    nxt = F.lead("valid_from").over(wv)
+    return runs.select(
+        key,
+        "version",
+        attr,
+        "valid_from",
+        F.coalesce(nxt, sentinel).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def scd2_history_sql(
+    base_sql: str,
+    key: str = "item_id",
+    ts: str = "snapshot_date",
+    attr: str = "market_status",
+) -> str:
+    """DuckDB twin over `base_sql` (a full SELECT producing the snapshots)."""
+    return f"""
+  WITH base AS (SELECT {key}, {ts}, {attr} FROM ({base_sql}) t),
+  flagged AS (
+    SELECT *, CASE WHEN lag({attr}) OVER w IS NULL
+                     OR lag({attr}) OVER w <> {attr} THEN 1 ELSE 0 END AS chg
+    FROM base WINDOW w AS (PARTITION BY {key} ORDER BY {ts})),
+  versioned AS (
+    SELECT *, CAST(SUM(chg) OVER (PARTITION BY {key} ORDER BY {ts}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS version
+    FROM flagged),
+  runs AS (
+    SELECT {key}, version, MAX({attr}) AS {attr}, MIN({ts}) AS valid_from
+    FROM versioned GROUP BY {key}, version)
+  SELECT {key}, version, {attr}, valid_from,
+         COALESCE(lead(valid_from) OVER wv, DATE '9999-12-31') AS valid_to,
+         lead(valid_from) OVER wv IS NULL AS is_current
+  FROM runs WINDOW wv AS (PARTITION BY {key} ORDER BY valid_from)"""

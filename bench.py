@@ -142,6 +142,7 @@ def main() -> int:
             "x_pagerank",
             "w_funnel_latency",
             "x_triangles",
+            "x_scd2_history",
         )
         if q in harness.ALL_QUERIES
     ]

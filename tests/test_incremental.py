@@ -87,3 +87,38 @@ def test_state_merge_plan_is_single_aggregate(spark, silver):
     )
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_history_semantics(spark):
+    """Hand-built snapshot series: runs collapse to versions, intervals
+    tile the timeline (valid_to = next valid_from), exactly one current
+    version per key, status flaps open NEW versions (no merging across
+    gaps in value)."""
+    import datetime as dt
+
+    from azeroth_data_platform_spark.operators.incremental import scd2_history
+
+    d = dt.date
+    rows = [
+        # item 1: A A B B A  -> 3 versions (A, B, A)
+        (1, d(2024, 1, 1), "A"), (1, d(2024, 1, 2), "A"),
+        (1, d(2024, 1, 3), "B"), (1, d(2024, 1, 4), "B"),
+        (1, d(2024, 1, 5), "A"),
+        # item 2: constant -> 1 version
+        (2, d(2024, 1, 1), "X"), (2, d(2024, 1, 9), "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, market_status string"
+    )
+    hist = scd2_history(df).collect()
+    by_item = {}
+    for r in hist:
+        by_item.setdefault(r.item_id, []).append(r)
+    v1 = sorted(by_item[1], key=lambda r: r.version)
+    assert [r.market_status for r in v1] == ["A", "B", "A"]
+    assert [r.valid_from for r in v1] == [d(2024, 1, 1), d(2024, 1, 3), d(2024, 1, 5)]
+    assert [r.valid_to for r in v1] == [d(2024, 1, 3), d(2024, 1, 5), d(9999, 12, 31)]
+    assert [r.is_current for r in v1] == [False, False, True]
+    assert len(by_item[2]) == 1 and by_item[2][0].is_current
+    for rows_ in by_item.values():
+        assert sum(1 for r in rows_ if r.is_current) == 1

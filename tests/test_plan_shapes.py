@@ -329,6 +329,10 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
             continue
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct")
+        # row-at-a-time Python UDFs are banned everywhere — the only
+        # Python surface is Arrow-batched mapInPandas (multimodal decode)
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-UDF (BatchEvalPython)")
     assert not failures, failures
 
 
