@@ -913,6 +913,10 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
 def q_x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 market-status history per item, built over the A5 gold
     snapshots (operators/incremental.py::scd2_history)."""
@@ -1507,6 +1511,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_triangles": q_x_triangles,
     # SCD Type-2 version history over the A5 status snapshots
     "x_scd2_history": q_x_scd2_history,
+    # containment scoring: asymmetric (sub-document) dup signal
+    "dd_containment": q_dd_containment,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1659,6 +1665,7 @@ ALL_ORACLES: dict[str, str] = {
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
     "x_triangles": _triangles_sql(),
     "x_scd2_history": incremental.scd2_history_sql(ORACLES["a5_market_concentration"]),
+    "dd_containment": dedup.CONTAINMENT_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

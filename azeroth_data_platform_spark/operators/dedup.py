@@ -1173,3 +1173,88 @@ def _remove_spans_sql(w: int = SUBSTR_W) -> str:
 
 
 REMOVE_SPANS_SQL = _remove_spans_sql()
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring — the asymmetric dup signal Jaccard under-reports:
+# containment(A,B) = |A∩B| / min(|A|,|B|) is ≈1 when the smaller document
+# is embedded in the larger one even though Jaccard (|A∩B|/|A∪B|) is
+# dragged down by the size gap — the sub-document duplication case (quoted
+# articles, boilerplate-wrapped reposts). Candidates come from the SAME
+# MinHash band relation as minhash_lsh_dedup (one signature pass, equi-join
+# buckets); the verify stage computes BOTH scores, so `containment_only`
+# rows are exactly the asymmetric dupes a pure-Jaccard pipeline would keep.
+# Honest limit, documented: banded MinHash collisions are Jaccard-biased,
+# so extreme-size-ratio pairs may not reach the verify stage at all — the
+# cure at scale is dd_exact_substring (span-level), which is size-blind.
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """(d1, d2, jaccard, containment, containment_only) for banded
+    candidates with containment ≥ threshold."""
+    sh = shingles(documents)
+    bands_df = _minhash_bands(sh)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
+    common = (
+        F.broadcast(cand)
+        .join(s1, "d1")
+        .join(s2, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))
+    cont = F.col("common").cast("double") / F.least("n1", "n2").cast("double")
+    return (
+        common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            jac.alias("jaccard"),
+            cont.alias("containment"),
+            ((cont >= F.lit(threshold)) & (jac < F.lit(JACCARD_THRESHOLD))).alias(
+                "containment_only"
+            ),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+    )
+
+
+CONTAINMENT_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  {_minhash_bands_sql()},
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+  SELECT p.d1, p.d2,
+         CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard,
+         CAST(common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE) AS containment,
+         (CAST(common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE)
+            >= {CONTAINMENT_THRESHOLD!r}
+          AND CAST(common AS DOUBLE) / (x.n + y.n - common) < {JACCARD_THRESHOLD})
+           AS containment_only
+  FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
+       JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
+  WHERE CAST(common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD!r}"""

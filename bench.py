@@ -143,6 +143,7 @@ def main() -> int:
             "w_funnel_latency",
             "x_triangles",
             "x_scd2_history",
+            "dd_containment",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -947,3 +947,26 @@ def test_mix_temperature_flattens_partially(spark, sf_dir):
     by_tmp = sorted(rows, key=lambda r: r.temp_share)
     assert [r.source for r in by_nat] == [r.source for r in by_tmp]
     assert max(r.keep_rate for r in rows) > 0.999999  # a binding source exists
+
+
+def test_containment_flags_embedded_document(spark):
+    """A document fully contained in a longer one scores containment 1.0
+    even though Jaccard < 1 — the asymmetric signal the operator adds on
+    top of minhash_lsh's symmetric score."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + " extraone extratwo", "en", "s", len(base) + 18),
+        (3, " ".join(f"other{i}" for i in range(40)), "en", "s", 200),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {(r.d1, r.d2): r for r in dedup.containment_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    p = pairs[(1, 2)]
+    assert p.containment == 1.0
+    assert p.jaccard < 1.0
+    assert all(3 not in k for k in pairs)
