@@ -913,6 +913,16 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_tp_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.quality_calibrate(_docs(spark, sf_dir))
+
+
+def q_x_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as _sk
+
+    return _sk.hll_weekly_rollup(_events_ts(spark, sf_dir))
+
+
 def q_dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs(spark, sf_dir))
 
@@ -1513,6 +1523,11 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_scd2_history": q_x_scd2_history,
     # containment scoring: asymmetric (sub-document) dup signal
     "dd_containment": q_dd_containment,
+    # per-source rank calibration of quality scores
+    "tp_quality_calibrate": q_tp_quality_calibrate,
+    # daily HLL states re-aggregated to weekly (sketch rollup law,
+    # differentially proven: oracle computes the weekly sketch directly)
+    "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1666,6 +1681,8 @@ ALL_ORACLES: dict[str, str] = {
     "x_triangles": _triangles_sql(),
     "x_scd2_history": incremental.scd2_history_sql(ORACLES["a5_market_concentration"]),
     "dd_containment": dedup.CONTAINMENT_SQL,
+    "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,
+    "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

@@ -1538,3 +1538,47 @@ MIX_TEMPERATURE_SQL = f"""
          LEAST(1.0, qs * budget / CAST(tokens AS DOUBLE)) AS keep_rate,
          LEAST(CAST(tokens AS DOUBLE), qs * budget) AS expected_tokens
   FROM q CROSS JOIN b"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration — raw heuristic scores are NOT comparable
+# across sources (a boilerplate-heavy crawl scores systematically lower
+# than a books corpus), so a single global threshold over-prunes whole
+# sources. Rank-normalizing WITHIN source (percent_rank over a total
+# order) maps every source onto [0,1] uniformly; a calibrated cut then
+# removes the same per-source quantile everywhere — the practice behind
+# per-language/per-domain thresholds in CCNet-style pipelines. One window
+# pass per source partition (high-cardinality-safe); the total order
+# (score, doc_id) makes percent_rank tie-free and engine-identical.
+
+CALIBRATE_KEEP_Q = 0.2  # drop the bottom quintile of each source
+
+
+def quality_calibrate(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, quality_score, calibrated, keep): percent_rank of
+    the quality score within source; keep = calibrated ≥ CALIBRATE_KEEP_Q."""
+    from pyspark.sql import Window
+
+    scored = textstats.quality_score(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.percent_rank().over(w).alias("calibrated"),
+    ).withColumn("keep", F.col("calibrated") >= F.lit(CALIBRATE_KEEP_Q))
+
+
+QUALITY_CALIBRATE_SQL = f"""
+  WITH q AS ({textstats.QUALITY_SQL}),
+  j AS (SELECT q.doc_id, d.source, q.quality_score
+        FROM q JOIN documents d ON q.doc_id = d.doc_id)
+  SELECT doc_id, source, quality_score,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY quality_score, doc_id) AS calibrated,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY quality_score, doc_id)
+           >= {CALIBRATE_KEEP_Q!r} AS keep
+  FROM j"""

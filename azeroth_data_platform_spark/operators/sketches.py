@@ -242,3 +242,92 @@ def cms_top_terms_sql(k: int = CMS_TOPK) -> str:
   SELECT word, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_cms AS BIGINT) AS n_cms,
          CAST(n_cms - n_exact AS BIGINT) AS overcount
   FROM est"""
+
+
+# --- sketch re-aggregation (the reason sketches exist) ----------------------
+#
+# Distinct counts do NOT re-aggregate: you cannot sum daily uniques into a
+# weekly unique. HLL states DO: weekly registers = max over the daily
+# registers. hll_weekly_rollup materializes the daily sketch states and
+# merges them up to weekly — the Spark side goes rows → daily states →
+# weekly merge, while the DuckDB oracle computes the weekly sketch
+# DIRECTLY from rows in one pass; hash-equality between the two is a
+# differential proof of the merge law on real data (on top of the unit
+# pin in tests/test_sketches.py). At 100 TB the daily states are the
+# materialized artifact (a few KB per group-day) and every wider window
+# (week, month, quarter) is a re-aggregation, never a re-scan.
+
+ROLLUP_EPOCH = "1970-01-05"  # Monday-aligned week arithmetic, engine-neutral
+
+
+def hll_weekly_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, week, n_exact, n_est, rel_err): weekly distinct users
+    estimated by merging the 7 daily HLL states of each (type, week)."""
+    epoch = F.lit(ROLLUP_EPOCH).cast("date")
+    day = F.col("ts").cast("date")
+    base = events.select(
+        "event_type",
+        F.floor(F.datediff(day, epoch) / 7).alias("week"),
+        day.alias("day"),
+        "user_id",
+    )
+    reg, rho = _rho_sql("CAST(user_id AS STRING)", duck=False)
+    daily = (
+        base.select(
+            "event_type", "week", "day",
+            F.expr(reg).alias("register"), F.expr(rho).alias("rho"),
+        )
+        .groupBy("event_type", "week", "day", "register")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    weekly = daily.groupBy("event_type", "week", "register").agg(
+        F.max("m_j").alias("m_j")
+    )
+    shl = _shl1_sql(f"{_RHO_BITS} - m_j", duck=False)
+    partials = weekly.groupBy("event_type", "week").agg(
+        F.expr(f"SUM({shl})").alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = partials.select(
+        "event_type", "week", F.expr(_estimate_cols(duck=False)).alias("n_est")
+    )
+    exact = base.groupBy("event_type", "week").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, ["event_type", "week"]).select(
+        "event_type",
+        "week",
+        "n_exact",
+        "n_est",
+        (
+            (F.col("n_est") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+def hll_weekly_rollup_sql() -> str:
+    """Oracle: the weekly sketch computed DIRECTLY (no daily stage)."""
+    reg, rho = _rho_sql("CAST(user_id AS VARCHAR)", duck=True)
+    shl = _shl1_sql(f"{_RHO_BITS} - m_j", duck=True)
+    return f"""
+  WITH base AS (
+    SELECT event_type,
+           CAST(floor(date_diff('day', DATE '{ROLLUP_EPOCH}',
+                                CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7.0) AS BIGINT)
+             AS week,
+           user_id
+    FROM events),
+  regs AS (
+    SELECT event_type, week, {reg} AS register, MAX({rho}) AS m_j
+    FROM base GROUP BY 1, 2, 3),
+  partials AS (
+    SELECT event_type, week, CAST(SUM({shl}) AS BIGINT) AS s_present,
+           COUNT(*) AS n_present
+    FROM regs GROUP BY 1, 2),
+  est AS (SELECT event_type, week, {_estimate_cols(duck=True)} AS n_est FROM partials),
+  exact AS (SELECT event_type, week, COUNT(DISTINCT user_id) AS n_exact
+            FROM base GROUP BY 1, 2)
+  SELECT exact.event_type, exact.week, CAST(n_exact AS BIGINT) AS n_exact, n_est,
+         (n_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+  FROM exact JOIN est ON exact.event_type = est.event_type AND exact.week = est.week"""

@@ -144,6 +144,8 @@ def main() -> int:
             "x_triangles",
             "x_scd2_history",
             "dd_containment",
+            "tp_quality_calibrate",
+            "x_hll_weekly_rollup",
         )
         if q in harness.ALL_QUERIES
     ]

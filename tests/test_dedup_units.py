@@ -970,3 +970,21 @@ def test_containment_flags_embedded_document(spark):
     assert p.containment == 1.0
     assert p.jaccard < 1.0
     assert all(3 not in k for k in pairs)
+
+
+def test_quality_calibration_uniformizes_per_source(spark, sf_dir):
+    """Within every source the calibrated score spans [0,1] and the keep
+    cut removes ~the bottom quintile regardless of the source's raw-score
+    distribution — the cross-source comparability the operator buys."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import corpus
+
+    rows = corpus.quality_calibrate(harness._docs(spark, sf_dir)).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        cals = sorted(r.calibrated for r in rs)
+        assert cals[0] == 0.0 and cals[-1] == 1.0, src
+        kept = sum(1 for r in rs if r.keep) / len(rs)
+        assert 0.7 <= kept <= 0.9, (src, kept)
