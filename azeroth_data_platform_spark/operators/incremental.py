@@ -237,3 +237,74 @@ def scd2_history_sql(
          COALESCE(lead(valid_from) OVER wv, DATE '9999-12-31') AS valid_to,
          lead(valid_from) OVER wv IS NULL AS is_current
   FROM runs WINDOW wv AS (PARTITION BY {key} ORDER BY valid_from)"""
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str = "item_id",
+    ts: str = "snapshot_date",
+    attr: str = "market_status",
+) -> DataFrame:
+    """Fold ONE new snapshot date into a standing SCD2 history — the
+    incremental maintenance step (cost O(|batch| + |current versions|),
+    never O(history)): changed keys close their current version at the
+    batch date and open a new one; unchanged keys pass through untouched;
+    unseen keys open version 1. Folding snapshots date-by-date reproduces
+    `scd2_history` of the full series exactly (pinned in
+    tests/test_incremental.py — the incremental ≡ from-scratch law again).
+
+    `batch` must carry one row per key at a single `ts` later than every
+    `valid_from` in `history` (the daily-batch contract).
+    """
+    sentinel = F.lit("9999-12-31").cast("date")
+    cur = history.where(F.col("is_current"))
+    closed_history = history.where(~F.col("is_current"))
+    b = batch.select(key, F.col(ts).alias("_bts"), F.col(attr).alias("_battr"))
+    j = cur.join(b, key, "full")
+    changed = j.where(
+        F.col(attr).isNotNull()
+        & F.col("_battr").isNotNull()
+        & (F.col(attr) != F.col("_battr"))
+    )
+    unchanged = j.where(
+        F.col(attr).isNotNull()
+        & (F.col("_battr").isNull() | (F.col(attr) == F.col("_battr")))
+    )
+    new_keys = j.where(F.col(attr).isNull())
+    hist_cols = [key, "version", attr, "valid_from", "valid_to", "is_current"]
+    keep_unchanged = unchanged.select(
+        key, "version", attr, "valid_from", "valid_to", "is_current"
+    )
+    close_changed = changed.select(
+        key,
+        "version",
+        attr,
+        "valid_from",
+        F.col("_bts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    open_changed = changed.select(
+        key,
+        (F.col("version") + 1).alias("version"),
+        F.col("_battr").alias(attr),
+        F.col("_bts").alias("valid_from"),
+        sentinel.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    open_new = new_keys.select(
+        key,
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("_battr").alias(attr),
+        F.col("_bts").alias("valid_from"),
+        sentinel.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out = (
+        closed_history.select(*hist_cols)
+        .unionByName(keep_unchanged)
+        .unionByName(close_changed)
+        .unionByName(open_changed)
+        .unionByName(open_new)
+    )
+    return out

@@ -122,3 +122,36 @@ def test_scd2_history_semantics(spark):
     assert len(by_item[2]) == 1 and by_item[2][0].is_current
     for rows_ in by_item.values():
         assert sum(1 for r in rows_ if r.is_current) == 1
+
+
+def test_scd2_merge_folding_equals_batch_history(spark):
+    """Folding daily snapshots into the history one date at a time (the
+    incremental maintenance step) reproduces the from-scratch
+    scd2_history of the full series exactly — including flapping values
+    and keys that appear mid-series."""
+    import datetime as dt
+
+    from azeroth_data_platform_spark.operators.incremental import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    d = dt.date
+    series = [
+        (1, d(2024, 1, 1), "A"), (1, d(2024, 1, 2), "A"),
+        (1, d(2024, 1, 3), "B"), (1, d(2024, 1, 4), "A"),
+        (2, d(2024, 1, 1), "X"), (2, d(2024, 1, 4), "Y"),
+        (3, d(2024, 1, 3), "Q"),  # appears mid-series
+    ]
+    schema = "item_id long, snapshot_date date, market_status string"
+    full = spark.createDataFrame(series, schema)
+    expected = sorted(map(tuple, scd2_history(full).collect()))
+
+    dates = sorted({r[1] for r in series})
+    first = [r for r in series if r[1] == dates[0]]
+    hist = scd2_history(spark.createDataFrame(first, schema))
+    for day in dates[1:]:
+        batch = spark.createDataFrame([r for r in series if r[1] == day], schema)
+        hist = scd2_merge(hist, batch).localCheckpoint()
+    got = sorted(map(tuple, hist.collect()))
+    assert got == expected
