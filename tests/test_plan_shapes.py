@@ -353,3 +353,25 @@ def test_grouping_sets_is_one_scan_expand(spark, sf_dir):
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("Scan parquet") <= 2  # fact + broadcast dim only
+
+
+def test_hll_state_single_exchange(spark, sf_dir):
+    """x_hll_distinct's sketch build shuffles ONCE, keyed on (group,
+    register) — never on the raw key (the whole point: a 10^9-distinct
+    column costs the same shuffle as a 10-distinct one)."""
+    from azeroth_data_platform_spark.operators import sketches
+
+    silver = harness._silver(spark, sf_dir)
+    plan = _plan(sketches.hll_state(silver, "time_left", "item_id"))
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan  # map-side combine of registers
+
+
+def test_funnel_is_single_shuffle(spark, sf_dir):
+    """w_funnel: per-user arrays + row-local chain scan = ONE exchange
+    (the user_id groupBy); counts ride a partial aggregate."""
+    df = harness.ALL_QUERIES["w_funnel"](spark, sf_dir)
+    plan = _plan(df)
+    # one user_id exchange + the final single-row aggregation exchange
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan

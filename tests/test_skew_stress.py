@@ -241,3 +241,31 @@ def test_pack_contents_splits_giant_doc_exactly(spark, dupfarm_docs):
         rows.sort(key=lambda r: r.pack_id)
         for r in rows[:-1]:
             assert r.n_tokens_in_pack == budget, (shard, r.pack_id, r.n_tokens_in_pack)
+
+
+def test_funnel_survives_hot_user(spark):
+    """One user carrying 50% of all events (the adversarial funnel case —
+    per-user collected arrays concentrate in one task): results stay
+    exact, and cold users are unaffected. State is bounded by the hot
+    user's STEP-TYPED event count, the same per-key bound sessionize
+    carries."""
+    import datetime as dt
+
+    from azeroth_data_platform_spark.operators.windows import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user: 3000 alternating view/click events, purchase at the end
+    for i in range(3000):
+        rows.append((0, "view" if i % 2 == 0 else "click", t0 + dt.timedelta(seconds=i)))
+    rows.append((0, "purchase", t0 + dt.timedelta(hours=2)))
+    # 100 cold users, each a clean 3-step funnel
+    for u in range(1, 101):
+        rows += [
+            (u, "view", t0 + dt.timedelta(minutes=u)),
+            (u, "click", t0 + dt.timedelta(minutes=u, seconds=30)),
+            (u, "purchase", t0 + dt.timedelta(minutes=u + 1)),
+        ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["users"] for r in funnel(df.repartition(16)).collect()}
+    assert got == {"view": 101, "click": 101, "purchase": 101}
