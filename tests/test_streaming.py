@@ -444,3 +444,74 @@ def test_streaming_hll_state_matches_batch_sketch(spark, tmp_path):
         for r in sketches.hll_state(batch_df, "grp", "key").collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two file streams joined within a bounded event-time interval: the
+    stream-final result equals the batch join over the full inputs —
+    including a late-but-within-watermark update pairing with an earlier
+    tick, and an out-of-horizon update matching nothing."""
+    import datetime as dt
+
+    from azeroth_data_platform_spark.streaming.joins import enrich_ticks_with_updates
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    tick_schema = "item_key string, ts timestamp, price double"
+    upd_schema = "item_key string, upd_ts timestamp, payload string"
+    ticks = [
+        ("iron", t0 + dt.timedelta(minutes=5), 10.0),
+        ("iron", t0 + dt.timedelta(minutes=20), 11.0),
+        ("gold", t0 + dt.timedelta(minutes=6), 99.0),
+    ]
+    upds = [
+        ("iron", t0 + dt.timedelta(minutes=1), "u1"),     # within 10 min of tick@5
+        ("iron", t0 + dt.timedelta(minutes=15), "u2"),    # within 10 min of tick@20
+        ("gold", t0 + dt.timedelta(minutes=50), "late"),  # after every tick: no match
+    ]
+    tick_dir, upd_dir = tmp_path / "ticks", tmp_path / "upds"
+    tick_dir.mkdir(), upd_dir.mkdir()
+    spark.createDataFrame(ticks[:2], tick_schema).coalesce(1).write.parquet(
+        str(tick_dir / "b1")
+    )
+    spark.createDataFrame(ticks[2:], tick_schema).coalesce(1).write.parquet(
+        str(tick_dir / "b2")
+    )
+    spark.createDataFrame(upds[:1], upd_schema).coalesce(1).write.parquet(
+        str(upd_dir / "b1")
+    )
+    spark.createDataFrame(upds[1:], upd_schema).coalesce(1).write.parquet(
+        str(upd_dir / "b2")
+    )
+
+    st = spark.readStream.schema(tick_schema).option("maxFilesPerTrigger", 1).parquet(
+        str(tick_dir / "*")
+    )
+    su = spark.readStream.schema(upd_schema).option("maxFilesPerTrigger", 1).parquet(
+        str(upd_dir / "*")
+    )
+    q = (
+        enrich_ticks_with_updates(st, su)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_ticks")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = sorted(
+            map(tuple, spark.sql("SELECT * FROM enriched_ticks").collect())
+        )
+    finally:
+        q.stop()
+
+    batch = sorted(
+        map(
+            tuple,
+            enrich_ticks_with_updates(
+                spark.createDataFrame(ticks, tick_schema),
+                spark.createDataFrame(upds, upd_schema),
+            ).collect(),
+        )
+    )
+    assert streamed == batch
+    assert len(batch) == 2  # (tick@5, u1) and (tick@20, u2); 'late' matches nothing
