@@ -923,6 +923,21 @@ def q_x_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.hll_weekly_rollup(_events_ts(spark, sf_dir))
 
 
+_SCD2_ASOF_DATE = "1996-06-15"
+
+
+def q_x_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history: every item's
+    market_status as of a fixed date — the query shape the far-future
+    sentinel exists for (one BETWEEN, no NULL branch). At scale this is a
+    partition-prunable range predicate over the history table."""
+    hist = q_x_scd2_history(spark, sf_dir)
+    d = F.lit(_SCD2_ASOF_DATE).cast("date")
+    return hist.where((F.col("valid_from") <= d) & (d < F.col("valid_to"))).select(
+        "item_id", "version", "market_status", "valid_from", "valid_to"
+    )
+
+
 def q_dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs(spark, sf_dir))
 
@@ -1528,6 +1543,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
+    # point-in-time read over the SCD2 history
+    "x_scd2_asof": q_x_scd2_asof,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1683,6 +1700,11 @@ ALL_ORACLES: dict[str, str] = {
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
+    "x_scd2_asof": f"""
+      SELECT item_id, version, market_status, valid_from, valid_to
+      FROM ({incremental.scd2_history_sql(ORACLES["a5_market_concentration"])}) h
+      WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
+        AND DATE '{_SCD2_ASOF_DATE}' < valid_to""",
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
