@@ -923,6 +923,22 @@ def q_x_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sk.hll_weekly_rollup(_events_ts(spark, sf_dir))
 
 
+def q_x_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly gold from the DAILY state table — re-key the mergeable
+    partial-aggregate state to month start and merge (the same
+    re-aggregation law the HLL weekly rollup proves for sketches: gold
+    states roll up without touching raw rows). Oracle recomputes monthly
+    from scratch; hash-equality proves daily-state rollup ≡ direct."""
+    s = _silver(spark, sf_dir)
+    daily = incremental.summary_state(s)
+    monthly_state = incremental.merge_summary_state(
+        daily.withColumn("snapshot_date", F.trunc("snapshot_date", "month"))
+    )
+    return incremental.finalize_summary(monthly_state).withColumnRenamed(
+        "snapshot_date", "month_start"
+    )
+
+
 _SCD2_ASOF_DATE = "1996-06-15"
 
 
@@ -1545,6 +1561,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
     # point-in-time read over the SCD2 history
     "x_scd2_asof": q_x_scd2_asof,
+    # monthly gold by re-keying + merging the daily state (rollup law)
+    "x_monthly_rollup": q_x_monthly_rollup,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1705,6 +1723,11 @@ ALL_ORACLES: dict[str, str] = {
       FROM ({incremental.scd2_history_sql(ORACLES["a5_market_concentration"])}) h
       WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
         AND DATE '{_SCD2_ASOF_DATE}' < valid_to""",
+    "x_monthly_rollup": incremental.incremental_gold_sql(
+        SILVER_SQL,
+        key_expr="CAST(date_trunc('month', snapshot_date) AS DATE)",
+        key_name="month_start",
+    ),
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

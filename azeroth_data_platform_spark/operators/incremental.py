@@ -142,11 +142,17 @@ def incremental_summary(base: DataFrame, delta: DataFrame) -> DataFrame:
     return finalize_summary(merge_summary_state(summary_state(base), summary_state(delta)))
 
 
-def incremental_gold_sql(silver_sql: str) -> str:
+def incremental_gold_sql(
+    silver_sql: str,
+    key_expr: str = "snapshot_date",
+    key_name: str = "snapshot_date",
+) -> str:
     """Oracle: FULL RECOMPUTE over the whole silver relation — deliberately
-    not incremental, so hash-equality proves incremental ≡ from-scratch."""
+    not incremental, so hash-equality proves incremental ≡ from-scratch.
+    `key_expr`/`key_name` select the date grain (daily by default; the
+    monthly-rollup twin passes date_trunc)."""
     return f"""WITH silver AS ({silver_sql})
-      SELECT item_id, snapshot_date,
+      SELECT item_id, {key_expr} AS {key_name},
              MIN(unit_price) AS min_buyout,
              MAX(unit_price) AS max_buyout,
              CAST(SUM(CAST(unit_price AS DECIMAL(28,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
@@ -157,7 +163,7 @@ def incremental_gold_sql(silver_sql: str) -> str:
              {dstddev_samp_sql("unit_price")} AS price_volatility,
              COUNT(*) AS auction_count
       FROM silver
-      GROUP BY item_id, snapshot_date"""
+      GROUP BY item_id, {key_expr}"""
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,8 @@ def main() -> int:
             "dd_containment",
             "tp_quality_calibrate",
             "x_hll_weekly_rollup",
+            "x_scd2_asof",
+            "x_monthly_rollup",
         )
         if q in harness.ALL_QUERIES
     ]
