@@ -913,6 +913,10 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cdc_segments(_docs(spark, sf_dir))
+
+
 def q_tp_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_calibrate(_docs(spark, sf_dir))
 
@@ -1563,6 +1567,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_scd2_asof": q_x_scd2_asof,
     # monthly gold by re-keying + merging the daily state (rollup law)
     "x_monthly_rollup": q_x_monthly_rollup,
+    # content-defined chunking dedup (shift-robust variable segments)
+    "dd_cdc_segments": q_dd_cdc_segments,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1728,6 +1734,7 @@ ALL_ORACLES: dict[str, str] = {
         key_expr="CAST(date_trunc('month', snapshot_date) AS DATE)",
         key_name="month_start",
     ),
+    "dd_cdc_segments": dedup.CDC_SEGMENTS_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),

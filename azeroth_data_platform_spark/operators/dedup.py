@@ -1258,3 +1258,95 @@ CONTAINMENT_SQL = f"""
        JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
   WHERE CAST(common AS DOUBLE) / CAST(LEAST(x.n, y.n) AS DOUBLE)
           >= {CONTAINMENT_THRESHOLD!r}"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the storage-dedup technique
+# (FastCDC lineage) applied to token streams: segment boundaries fall where
+# a rolling window hash ≡ 0 (mod CDC_DIV), so boundaries are a function of
+# CONTENT, not position — an insertion near the head shifts every
+# fixed-window offset but leaves downstream CDC boundaries (and therefore
+# segment hashes) intact. Complements dd_exact_substring: that finds
+# repeated FIXED-width windows; CDC finds repeated variable-length
+# segments robust to positional shift, at ~CDC_DIV-token granularity.
+#
+# Scale shape: boundary detection and segmentation are ROW-LOCAL array
+# expressions (one projection, no per-token shuffle on the Spark side);
+# the only exchange is the segment-hash groupBy — high-cardinality,
+# skew-free. The DuckDB oracle deliberately uses the RELATIONAL form
+# (per-position rows + window lag) — two independent implementations of
+# the same segmentation, hash-compared.
+
+CDC_W = 4  # boundary-hash window (tokens)
+CDC_DIV = 8  # expected segment length (tokens); boundary iff h % DIV == 0
+
+
+def cdc_segments(documents: DataFrame, w: int = CDC_W, div: int = CDC_DIV) -> DataFrame:
+    """(seg_hash, n_occurrences, n_docs, seg_len) for every content-defined
+    segment occurring more than once in the corpus."""
+    from .textstats import _words
+
+    win_h = _hex_int_sql(
+        f"md5(array_join(slice(_ws, p - {w} + 1, {w}), ' '))", duck=False
+    )
+    bounds = (
+        f"filter(sequence({w}, size(_ws)), p -> ({win_h}) % {div} = 0)"
+    )
+    segs = (
+        f"transform(_ends, (e, i) ->"
+        f" struct(IF(i = 0, 1, element_at(_ends, i) + 1) AS s, e AS e))"
+    )
+    toks = (
+        documents.select("doc_id", _words().alias("_ws"))
+        .where(F.size("_ws") >= w)
+        .withColumn("_ends", F.expr(f"array_distinct(concat({bounds}, array(size(_ws))))"))
+        .withColumn("_segs", F.expr(segs))
+    )
+    seg_rows = toks.select(
+        "doc_id", F.explode("_segs").alias("g"), F.col("_ws")
+    ).select(
+        "doc_id",
+        F.expr("md5(array_join(slice(_ws, g.s, g.e - g.s + 1), ' '))").alias("seg_hash"),
+        (F.col("g.e") - F.col("g.s") + 1).cast("bigint").alias("seg_len"),
+    )
+    return (
+        seg_rows.groupBy("seg_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("seg_len").alias("seg_len"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def _cdc_segments_sql(w: int = CDC_W, div: int = CDC_DIV) -> str:
+    from .textstats import WORDS_SQL
+
+    win_h = _hex_int_sql(
+        f"md5(array_to_string(ws[p - {w} + 1 : p], ' '))", duck=True
+    )
+    return f"""
+  WITH toks AS (SELECT doc_id, ws, len(ws) AS n
+                FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents)
+                WHERE len(ws) >= {w}),
+  bpos AS (SELECT doc_id, p FROM toks, unnest(range({w}, n + 1)) AS t(p)
+           WHERE ({win_h}) % {div} = 0),
+  ends AS (SELECT doc_id, p AS e FROM bpos
+           UNION
+           SELECT doc_id, n FROM toks),
+  seg AS (SELECT doc_id,
+                 COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                 e
+          FROM ends),
+  segh AS (SELECT g.doc_id,
+                  md5(array_to_string(t.ws[g.s : g.e], ' ')) AS seg_hash,
+                  g.e - g.s + 1 AS seg_len
+           FROM seg g JOIN toks t ON g.doc_id = t.doc_id)
+  SELECT seg_hash, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(MAX(seg_len) AS BIGINT) AS seg_len
+  FROM segh GROUP BY seg_hash HAVING COUNT(*) > 1"""
+
+
+CDC_SEGMENTS_SQL = _cdc_segments_sql()

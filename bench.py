@@ -148,6 +148,7 @@ def main() -> int:
             "x_hll_weekly_rollup",
             "x_scd2_asof",
             "x_monthly_rollup",
+            "dd_cdc_segments",
         )
         if q in harness.ALL_QUERIES
     ]

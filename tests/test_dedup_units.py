@@ -988,3 +988,24 @@ def test_quality_calibration_uniformizes_per_source(spark, sf_dir):
         assert cals[0] == 0.0 and cals[-1] == 1.0, src
         kept = sum(1 for r in rs if r.keep) / len(rs)
         assert 0.7 <= kept <= 0.9, (src, kept)
+
+
+def test_cdc_segments_survive_positional_shift(spark):
+    """The CDC property: prepending a token shifts every fixed-window
+    offset but leaves downstream content-defined boundaries intact, so the
+    two documents still share segment hashes — the shift-robustness
+    fixed-window substring dedup lacks."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    base = " ".join(f"w{i * 7 % 97}x{i}" for i in range(80))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, "inserted " + base, "en", "s", len(base) + 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    dups = dedup.cdc_segments(docs).collect()
+    cross = [r for r in dups if r.n_docs == 2]
+    assert cross, "no shared segments despite the shift"
+    assert all(r.n_occurrences >= 2 for r in dups)
