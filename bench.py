@@ -236,6 +236,8 @@ def main() -> int:
             "x_incremental_gold",
             "x_hll_distinct",
             "ts_perplexity_bigram",
+            "dd_cdc_segments",
+            "x_pagerank",
         ]
         base = {**timings, **extra_timings}
 

@@ -269,3 +269,21 @@ def test_funnel_survives_hot_user(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
     got = {r["step"]: r["users"] for r in funnel(df.repartition(16)).collect()}
     assert got == {"view": 101, "click": 101, "purchase": 101}
+
+
+def test_pagerank_survives_hot_node(spark):
+    """One item co-purchased in half of all baskets (the celebrity-node
+    case — its in-degree dominates the contribution groupBy): ranks stay
+    exact and mass-conserving, and the hot node ranks highest."""
+    from azeroth_data_platform_spark.operators import graph
+
+    rows = []
+    for b in range(400):
+        rows.append((b, 0 if b % 2 == 0 else 10_000 + b))  # hot item 0 in 50%
+        rows.append((b, 100 + b % 37))
+        rows.append((b, 200 + b % 53))
+    baskets = spark.createDataFrame(rows, "basket_id long, item_id long")
+    e = graph.copurchase_edges(baskets)
+    ranks = {r.item_id: r.pagerank for r in graph.pagerank(e.repartition(16)).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[0] == max(ranks.values())
