@@ -1278,39 +1278,61 @@ CONTAINMENT_SQL = f"""
 # the same segmentation, hash-compared.
 
 CDC_W = 4  # boundary-hash window (tokens)
-CDC_DIV = 8  # expected segment length (tokens); boundary iff h % DIV == 0
+CDC_DIV = 8  # expected segment length (tokens); boundary iff nibble % DIV == 0 (must divide 16)
 
 
 def cdc_segments(documents: DataFrame, w: int = CDC_W, div: int = CDC_DIV) -> DataFrame:
     """(seg_hash, n_occurrences, n_docs, seg_len) for every content-defined
-    segment occurring more than once in the corpus."""
+    segment occurring more than once in the corpus.
+
+    Shape: one explode(transform(...)) computes each position's boundary
+    nibble exactly ONCE (the exact_substring_spans cost profile — a HOF
+    lambda is interpreted, so the hash must not be re-derived per
+    reference; the first cut kept boundaries in a doubly-referenced array
+    column and CollapseProject re-evaluated the whole boundary scan per
+    reference: 153 -> 24 -> ~3 s at sf0.1 across the three forms, PERF.md),
+    then boundary filter, per-doc lag window for segment ranges, a join
+    back to the token arrays, and one codegen'd segment-hash projection
+    feeding the corpus groupBy."""
+    from pyspark.sql import Window
+
     from .textstats import _words
 
-    win_h = _hex_int_sql(
-        f"md5(array_join(slice(_ws, p - {w} + 1, {w}), ' '))", duck=False
-    )
-    bounds = (
-        f"filter(sequence({w}, size(_ws)), p -> ({win_h}) % {div} = 0)"
-    )
-    segs = (
-        f"transform(_ends, (e, i) ->"
-        f" struct(IF(i = 0, 1, element_at(_ends, i) + 1) AS s, e AS e))"
-    )
     toks = (
         documents.select("doc_id", _words().alias("_ws"))
         .where(F.size("_ws") >= w)
-        .withColumn("_ends", F.expr(f"array_distinct(concat({bounds}, array(size(_ws))))"))
-        .withColumn("_segs", F.expr(segs))
+        .withColumn("_n", F.size("_ws").cast("bigint"))
     )
-    seg_rows = toks.select(
-        "doc_id", F.explode("_segs").alias("g"), F.col("_ws")
-    ).select(
+    nib = (
+        f"instr('0123456789abcdef',"
+        f" substr(md5(array_join(slice(_ws, p - {w} + 1, {w}), ' ')), 32, 1)) - 1"
+    )
+    wins = toks.select(
         "doc_id",
-        F.expr("md5(array_join(slice(_ws, g.s, g.e - g.s + 1), ' '))").alias("seg_hash"),
-        (F.col("g.e") - F.col("g.s") + 1).cast("bigint").alias("seg_len"),
+        "_n",
+        F.explode(
+            F.expr(f"transform(sequence({w}, size(_ws)), p -> struct(p AS p, ({nib}) AS nib))")
+        ).alias("x"),
+    )
+    ends = (
+        wins.where(F.col("x.nib") % div == 0)
+        .select("doc_id", F.col("x.p").cast("bigint").alias("e"))
+        .unionByName(toks.select("doc_id", F.col("_n").alias("e")))
+        .distinct()
+    )
+    wd = Window.partitionBy("doc_id").orderBy("e")
+    seg = ends.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(wd), F.lit(0)) + 1).alias("s"),
+        "e",
+    )
+    segh = seg.join(toks.select("doc_id", "_ws"), "doc_id").select(
+        "doc_id",
+        F.expr("md5(array_join(slice(_ws, s, e - s + 1), ' '))").alias("seg_hash"),
+        (F.col("e") - F.col("s") + 1).cast("bigint").alias("seg_len"),
     )
     return (
-        seg_rows.groupBy("seg_hash")
+        segh.groupBy("seg_hash")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1323,8 +1345,9 @@ def cdc_segments(documents: DataFrame, w: int = CDC_W, div: int = CDC_DIV) -> Da
 def _cdc_segments_sql(w: int = CDC_W, div: int = CDC_DIV) -> str:
     from .textstats import WORDS_SQL
 
-    win_h = _hex_int_sql(
-        f"md5(array_to_string(ws[p - {w} + 1 : p], ' '))", duck=True
+    win_h = (
+        f"(strpos('0123456789abcdef',"
+        f" substr(md5(array_to_string(ws[p - {w} + 1 : p], ' ')), 32, 1)) - 1)"
     )
     return f"""
   WITH toks AS (SELECT doc_id, ws, len(ws) AS n
