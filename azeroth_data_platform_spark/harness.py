@@ -1185,9 +1185,15 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
     "ts_perplexity_bigram": q_ts_perplexity_bigram,
     "w_funnel": q_w_funnel,
+    # late session-2 promotions (60 -> 64, appended): iterative graph
+    # algebra, SCD2 warehouse history, CDC dedup, and the state-rollup law
+    "x_pagerank": q_x_pagerank,
+    "x_scd2_history": q_x_scd2_history,
+    "dd_cdc_segments": q_dd_cdc_segments,
+    "x_monthly_rollup": q_x_monthly_rollup,
 }
 
-assert len(QUERIES) == 60, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 64, f"driver registry drifted: got {len(QUERIES)}"
 
 
 ORACLES: dict[str, str] = {
@@ -1463,6 +1469,21 @@ ORACLES["o6_latest_index"] = (
     f"SELECT * FROM ({ORACLES['a6_market_index']}) t ORDER BY snapshot_date DESC LIMIT 30"
 )
 
+# Late session-2 promotions (their SQL builders live in operator modules;
+# x_scd2_history derives from the A5 oracle, hence the post-hoc adds).
+from .operators import graph as _graph  # noqa: E402
+
+ORACLES["x_pagerank"] = _graph.pagerank_sql()
+ORACLES["x_scd2_history"] = incremental.scd2_history_sql(
+    ORACLES["a5_market_concentration"]
+)
+ORACLES["dd_cdc_segments"] = dedup.CDC_SEGMENTS_SQL
+ORACLES["x_monthly_rollup"] = incremental.incremental_gold_sql(
+    SILVER_SQL,
+    key_expr="CAST(date_trunc('month', snapshot_date) AS DATE)",
+    key_name="month_start",
+)
+
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"
 
@@ -1548,14 +1569,10 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_cms_top_terms": q_x_cms_top_terms,
     # MAD/modified-z robust outliers (the 50%-breakdown twin of IQR/A3)
     "x_robust_outliers": q_x_robust_outliers,
-    # co-purchase PageRank: iterative graph algebra, unrolled-CTE oracle
-    "x_pagerank": q_x_pagerank,
     # time-to-convert percentiles per funnel transition
     "w_funnel_latency": q_w_funnel_latency,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
-    # SCD Type-2 version history over the A5 status snapshots
-    "x_scd2_history": q_x_scd2_history,
     # containment scoring: asymmetric (sub-document) dup signal
     "dd_containment": q_dd_containment,
     # per-source rank calibration of quality scores
@@ -1565,10 +1582,6 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
     # point-in-time read over the SCD2 history
     "x_scd2_asof": q_x_scd2_asof,
-    # monthly gold by re-keying + merging the daily state (rollup law)
-    "x_monthly_rollup": q_x_monthly_rollup,
-    # content-defined chunking dedup (shift-robust variable segments)
-    "dd_cdc_segments": q_dd_cdc_segments,
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -1592,12 +1605,6 @@ def _profiling_hist_sql() -> str:
     from .operators import profiling
 
     return profiling.histogram_quantiles_sql()
-
-
-def _pagerank_sql() -> str:
-    from .operators import graph
-
-    return graph.pagerank_sql()
 
 
 def _triangles_sql() -> str:
@@ -1717,10 +1724,8 @@ ALL_ORACLES: dict[str, str] = {
              CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              MAX(ABS(z)) AS max_abs_z
       FROM scored GROUP BY item_id""",
-    "x_pagerank": _pagerank_sql(),
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
     "x_triangles": _triangles_sql(),
-    "x_scd2_history": incremental.scd2_history_sql(ORACLES["a5_market_concentration"]),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
@@ -1729,12 +1734,6 @@ ALL_ORACLES: dict[str, str] = {
       FROM ({incremental.scd2_history_sql(ORACLES["a5_market_concentration"])}) h
       WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
         AND DATE '{_SCD2_ASOF_DATE}' < valid_to""",
-    "x_monthly_rollup": incremental.incremental_gold_sql(
-        SILVER_SQL,
-        key_expr="CAST(date_trunc('month', snapshot_date) AS DATE)",
-        key_name="month_start",
-    ),
-    "dd_cdc_segments": dedup.CDC_SEGMENTS_SQL,
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
