@@ -917,6 +917,23 @@ def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_segments(_docs(spark, sf_dir))
 
 
+def q_tp_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation: per-source BPE compression (tokens/word
+    fertility) over the trained merges — the metric that decides whether a
+    tokenizer fits a corpus slice (high fertility = the source pays more
+    sequence length per word)."""
+    docs = _docs(spark, sf_dir)
+    enc = corpus.bpe_encode(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        (
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_words").cast("double")
+        ).alias("tokens_per_word"),
+    )
+
+
 def q_tp_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_calibrate(_docs(spark, sf_dir))
 
@@ -1577,6 +1594,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_containment": q_dd_containment,
     # per-source rank calibration of quality scores
     "tp_quality_calibrate": q_tp_quality_calibrate,
+    # per-source tokenizer fertility over the trained BPE merges
+    "tp_bpe_compression": q_tp_bpe_compression,
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
@@ -1728,6 +1747,15 @@ ALL_ORACLES: dict[str, str] = {
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,
+    "tp_bpe_compression": f"""
+      WITH enc AS ({corpus.BPE_ENCODE_SQL}),
+      j AS (SELECT enc.*, d.source FROM enc JOIN documents d ON enc.doc_id = d.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS total_words,
+             CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+             CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+               AS tokens_per_word
+      FROM j GROUP BY source""",
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
     "x_scd2_asof": f"""
       SELECT item_id, version, market_status, valid_from, valid_to

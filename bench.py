@@ -149,6 +149,7 @@ def main() -> int:
             "x_scd2_asof",
             "x_monthly_rollup",
             "dd_cdc_segments",
+            "tp_bpe_compression",
         )
         if q in harness.ALL_QUERIES
     ]
