@@ -35,6 +35,17 @@ CHECK = [
     "ann_topk_lsh_multi",
     "dd_exact_substring",
     "dd_remove_spans",
+    # round-4 session-2 additions: incremental state merge (decimal
+    # monoid), HLL registers (max monoid + exact-integer estimate),
+    # bigram-LM NLL (decimal accumulation), PageRank (decimal-summed
+    # contributions), CDC segmentation (window lag + hash groupBy), and
+    # the funnel's collect_list path (sort_array makes it order-free)
+    "x_incremental_gold",
+    "x_hll_distinct",
+    "ts_perplexity_bigram",
+    "x_pagerank",
+    "dd_cdc_segments",
+    "w_funnel",
 ]
 
 
