@@ -783,6 +783,10 @@ def q_tp_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_temperature(_docs(spark, sf_dir))
 
 
+def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_graph(_embs(spark, sf_dir))
+
+
 def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     return similarity.lsh_range_search(
@@ -1606,6 +1610,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_histogram_quantiles": q_x_histogram_quantiles,
     # cosine radius search over the LSH buckets (the top-k path's twin)
     "ann_range_search": q_ann_range_search,
+    # k-NN graph build: neighbor lists for EVERY vector (SemDeDup substrate)
+    "ann_knn_graph": q_ann_knn_graph,
     # α=½ temperature mixture plan (XLM-R-style partial flattening)
     "tp_mix_temperature": q_tp_mix_temperature,
     # keyset pagination (the scale-correct serving twin of o7's offset)
@@ -1765,6 +1771,7 @@ ALL_ORACLES: dict[str, str] = {
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
+    "ann_knn_graph": similarity.knn_graph_sql(),
     "tp_mix_temperature": corpus.MIX_TEMPERATURE_SQL,
     "o11_keyset_page": f"{_W_DIM} SELECT * FROM dim WHERE item_id > 100 ORDER BY item_id LIMIT 50",
     "x_grouping_sets": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.GROUPING_SETS_SQL}",

@@ -1340,3 +1340,88 @@ def lsh_range_search_sql(
   WITH {",".join(ctes)},
   scored AS ({scored})
   SELECT q_vec_id, c_vec_id, cosine FROM scored WHERE cosine >= {tau!r}"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph build — nearest-neighbor lists for EVERY corpus vector (not a
+# small query batch): the substrate SemDeDup-style curation, duplicate
+# clustering, and diversity sampling consume. The all-pairs shape is the
+# important part: candidates come from the same hyperplane-bucket
+# SELF-join as dd_embed_lsh (equi-join on bucket + hamming-1 probes —
+# never a cross product, both embeddings ride the join), then each
+# vector's neighbors rank through the standard two-phase salted top-k.
+# Approximate by construction (single-table recall, the measured LSH
+# trade); each directed candidate (src, dst) arises exactly once, so no
+# dedup pass precedes the rank.
+
+KNN_K = 3
+
+
+def knn_graph(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """(vec_id, neighbor_id, cosine, rank ≤ k) for every vector with at
+    least one bucketed candidate."""
+    import itertools
+
+    from ..functions.vectors import dim_exprs, dim_names, dims_cosine_sql, dims_norm_sql
+
+    ad, cd = dim_names("_ad"), dim_names("_cd")
+    b_a = embeddings.select("vec_id", *dim_exprs("embedding", "_ad")).select(
+        "vec_id",
+        F.expr(dims_norm_sql("_ad")).alias("a_nrm"),
+        F.expr(lsh_bucket_dims_sql("_ad")).alias("bucket"),
+        *ad,
+    )
+    b_c = embeddings.select("vec_id", *dim_exprs("embedding", "_cd")).select(
+        "vec_id",
+        F.expr(dims_norm_sql("_cd")).alias("c_nrm"),
+        F.expr(lsh_bucket_dims_sql("_cd")).alias("bucket"),
+        *cd,
+    )
+    probe_list = ["bucket"] + [
+        f"bucket ^ {sum(1 << p for p in bits)}"
+        for bits in itertools.combinations(range(LSH_PLANES), 1)
+    ]
+    a = b_a.select(
+        "vec_id",
+        "a_nrm",
+        F.explode(F.expr(f"array({', '.join(probe_list)})")).alias("bucket"),
+        *ad,
+    ).alias("a")
+    scored = (
+        a.join(b_c.alias("c"), "bucket")
+        .where(F.col("a.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("q_vec_id"),
+            F.col("c.vec_id").alias("c_vec_id"),
+            F.expr(dims_cosine_sql("_ad", "_cd", "a_nrm", "c_nrm")).alias("cosine"),
+        )
+    )
+    return _two_phase_topk(scored, k).select(
+        F.col("q_vec_id").alias("vec_id"),
+        F.col("c_vec_id").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+def knn_graph_sql(k: int = KNN_K) -> str:
+    bucket = lsh_bucket_sql("embedding", duck=True)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+    )
+    return f"""
+  WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket,
+                    {norm_sql("embedding", duck=True)} AS nrm
+             FROM embeddings),
+  probes AS (SELECT vec_id, embedding, nrm, unnest([{probes}]) AS bucket FROM b),
+  scored AS (
+    SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+           {cosine_with_norms_sql("a.embedding", "c.embedding", "a.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM probes a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored)
+  SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= {k}"""

@@ -150,6 +150,7 @@ def main() -> int:
             "x_monthly_rollup",
             "dd_cdc_segments",
             "tp_bpe_compression",
+            "ann_knn_graph",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -328,3 +328,25 @@ def test_range_search_precision_one_and_measured_recall(spark, sf_dir):
     if exact:
         recall = len(got) / len(exact)
         assert recall >= 0.2, recall       # single-table floor, measured
+
+
+def test_knn_graph_identical_vectors_are_rank1_mutual(spark):
+    """Planted exact duplicates must be each other's rank-1 neighbor in
+    the k-NN graph (identical vectors share every bucket), and every
+    vector's neighbor list is sorted by cosine."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(similarity.EMBED_DIM)] for _ in range(40)]
+    vecs.append(list(vecs[0]))  # vec 40 == vec 0
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    g = similarity.knn_graph(embs).collect()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r.vec_id, []).append(r)
+    assert by_src[0][0].neighbor_id == 40 and by_src[0][0].rank == 1
+    assert by_src[40][0].neighbor_id == 0 and by_src[40][0].rank == 1
+    for rows_ in by_src.values():
+        cosines = [r.cosine for r in sorted(rows_, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
