@@ -122,13 +122,16 @@ def pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """(item_id, n_triangles): per-node triangle membership counts.
 
-    Canonical ordering (src < dst, each undirected edge once) makes every
-    triangle a<b<c appear exactly once in the wedge-close join — the
-    standard distributed formulation (two equi-joins, no explicit dedup):
-    wedges (a<b<c via a-b, b-c) closed against the a-c edge. Wedge count is
-    Σ deg², so production runs degree-order the edges first (orient each
-    edge low-degree → high-degree) to bound the join; at the bench scales
-    the canonical orientation suffices. Counts are integers — hash-exact.
+    Degree-ordered orientation (the standard distributed cut, e.g.
+    Suri & Vassilvitskii's MR triangle counting): orient every undirected
+    edge from the lower to the higher endpoint under the total order
+    (degree, id). Each triangle then has exactly one vertex with two
+    out-edges, so the wedge-close join counts it once — and out-degrees
+    are bounded by O(√m) on ANY degree distribution, which caps the wedge
+    volume at Σ out-deg² even when a celebrity node's raw degree explodes
+    (pinned under a hot node in tests/test_skew_stress.py). Counts are
+    orientation-invariant — the DuckDB oracle keeps the simple id-ordered
+    form, so the hash check also verifies the orientation argument.
     """
     canon = (
         edges.where(F.col("src") < F.col("dst"))
@@ -136,9 +139,27 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    e1 = canon.alias("e1")
-    e2 = canon.alias("e2")
-    e3 = canon.alias("e3")
+    undirected = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = undirected.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # orientation key: pack (deg, id) into one orderable bigint-pair struct
+    keyed = (
+        undirected.join(deg, "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_d")),
+            "dst",
+        )
+        .where(
+            (F.col("deg") < F.col("deg_d"))
+            | ((F.col("deg") == F.col("deg_d")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    e1 = keyed.alias("e1")
+    e2 = keyed.alias("e2")
+    e3 = keyed.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(

@@ -287,3 +287,36 @@ def test_pagerank_survives_hot_node(spark):
     ranks = {r.item_id: r.pagerank for r in graph.pagerank(e.repartition(16)).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert ranks[0] == max(ranks.values())
+
+
+def test_triangles_survive_hot_node(spark):
+    """Celebrity node in most baskets: degree-ordered orientation keeps the
+    wedge volume bounded by out-degree (≤ O(√m)) instead of the hot node's
+    raw degree, and counts stay exact vs a Python brute force."""
+    from itertools import combinations
+
+    from azeroth_data_platform_spark.operators import graph
+
+    rows = []
+    for b in range(300):
+        rows += [(b, 0), (b, 100 + b % 25), (b, 200 + b % 31)]  # hot item 0 everywhere
+    baskets = spark.createDataFrame(rows, "basket_id long, item_id long")
+    got = {
+        r.item_id: r.n_triangles
+        for r in graph.triangle_counts(graph.copurchase_edges(baskets)).collect()
+    }
+    # brute force over the distinct undirected edge set
+    edges = set()
+    by_basket = {}
+    for b, i in rows:
+        by_basket.setdefault(b, []).append(i)
+    for items in by_basket.values():
+        for a, c in combinations(sorted(set(items)), 2):
+            edges.add((a, c))
+    nodes = sorted({n for e in edges for n in e})
+    expected = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    assert got == expected
