@@ -921,6 +921,10 @@ def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_segments(_docs(spark, sf_dir))
 
 
+def q_tp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.leakage_safe_split(_docs(spark, sf_dir))
+
+
 def q_tp_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer evaluation: per-source BPE compression (tokens/word
     fertility) over the trained merges — the metric that decides whether a
@@ -1600,6 +1604,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_quality_calibrate": q_tp_quality_calibrate,
     # per-source tokenizer fertility over the trained BPE merges
     "tp_bpe_compression": q_tp_bpe_compression,
+    # leakage-safe splits: train/val/test assigned by near-dup cluster
+    "tp_leakage_safe_split": q_tp_leakage_safe_split,
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
@@ -1762,6 +1768,7 @@ ALL_ORACLES: dict[str, str] = {
              CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
                AS tokens_per_word
       FROM j GROUP BY source""",
+    "tp_leakage_safe_split": corpus._leakage_safe_split_sql(),
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
     "x_scd2_asof": f"""
       SELECT item_id, version, market_status, valid_from, valid_to

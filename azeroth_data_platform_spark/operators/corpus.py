@@ -1582,3 +1582,66 @@ QUALITY_CALIBRATE_SQL = f"""
                               ORDER BY quality_score, doc_id)
            >= {CALIBRATE_KEEP_Q!r} AS keep
   FROM j"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset splits — the subtle practice naive random splits
+# get wrong: near-duplicate documents placed on opposite sides of a
+# train/test boundary leak training content into evaluation (the
+# benchmark-contamination mechanism, internally). The fix is to split by
+# DUPLICATE CLUSTER, not by document: hash the cluster id (connected
+# component of the MinHash near-dup graph; singleton docs are their own
+# cluster), so every member of a cluster lands in the same split by
+# construction. Deterministic md5 split — reproducible like every other
+# sampling decision here.
+
+SPLIT_MOD = 10  # 8/1/1 train/val/test
+
+
+def _cluster_split_sql(duck: bool) -> str:
+    """Uniform hash of 'split:'||cluster_id ∈ [0, SPLIT_MOD)."""
+    instr = "strpos" if duck else "instr"
+    cast = "VARCHAR" if duck else "STRING"
+    md5e = f"md5('split:' || CAST(cluster_id AS {cast}))"
+    h = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr({md5e}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({h}) % {SPLIT_MOD})"
+
+
+def leakage_safe_split(documents: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, split): every document assigned train/val/test
+    by its near-dup cluster's hash — clusters never straddle splits."""
+    from . import dedup
+
+    clusters = dedup.neardup_clusters(documents)
+    with_cluster = documents.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    h = F.expr(_cluster_split_sql(duck=False))
+    return with_cluster.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < SPLIT_MOD - 2, "train")
+        .when(h == SPLIT_MOD - 2, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from .dedup import NEARDUP_CLUSTERS_SQL
+
+    h = _cluster_split_sql(duck=True)
+    return f"""
+  WITH comp AS ({NEARDUP_CLUSTERS_SQL})
+  SELECT d.doc_id,
+         COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN {h.replace("cluster_id", "COALESCE(comp.cluster_id, d.doc_id)")}
+                   < {SPLIT_MOD - 2} THEN 'train'
+              WHEN {h.replace("cluster_id", "COALESCE(comp.cluster_id, d.doc_id)")}
+                   = {SPLIT_MOD - 2} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id"""

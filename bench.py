@@ -151,6 +151,7 @@ def main() -> int:
             "dd_cdc_segments",
             "tp_bpe_compression",
             "ann_knn_graph",
+            "tp_leakage_safe_split",
         )
         if q in harness.ALL_QUERIES
     ]

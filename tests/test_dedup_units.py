@@ -1009,3 +1009,24 @@ def test_cdc_segments_survive_positional_shift(spark):
     cross = [r for r in dups if r.n_docs == 2]
     assert cross, "no shared segments despite the shift"
     assert all(r.n_occurrences >= 2 for r in dups)
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark, sf_dir):
+    """The leakage property head-on: every MinHash near-dup PAIR lands in
+    the same split; split sizes are roughly 8/1/1; all docs assigned."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import corpus, dedup
+
+    docs = harness._docs(spark, sf_dir)
+    split = {r.doc_id: r.split for r in corpus.leakage_safe_split(docs).collect()}
+    assert len(split) == docs.count()
+    pairs = dedup.minhash_lsh_dedup(docs).collect()
+    assert pairs, "fixture corpus should contain near-dups"
+    for p in pairs:
+        assert split[p.d1] == split[p.d2], (p.d1, p.d2)
+    from collections import Counter
+
+    frac = Counter(split.values())
+    n = len(split)
+    assert 0.6 <= frac["train"] / n <= 0.95
+    assert frac["val"] / n <= 0.25 and frac["test"] / n <= 0.25
