@@ -921,6 +921,12 @@ def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_segments(_docs(spark, sf_dir))
 
 
+def q_x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import profiling
+
+    return profiling.dq_checks(_silver(spark, sf_dir), _dim(spark, sf_dir))
+
+
 def q_tp_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.leakage_safe_split(_docs(spark, sf_dir))
 
@@ -1606,6 +1612,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_bpe_compression": q_tp_bpe_compression,
     # leakage-safe splits: train/val/test assigned by near-dup cluster
     "tp_leakage_safe_split": q_tp_leakage_safe_split,
+    # declarative data-quality gate (dbt-tests shape): check/metric/passed
+    "x_dq_checks": q_x_dq_checks,
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
@@ -1625,6 +1633,12 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # arbitrary GROUPING SETS (the general form rollup/cube specialize)
     "x_grouping_sets": q_x_grouping_sets,
 }
+
+def _dq_checks_sql() -> str:
+    from .operators import profiling
+
+    return profiling.dq_checks_sql(SILVER_SQL, DIM_SQL)
+
 
 def _profiling_stats_sql() -> str:
     from .operators import profiling
@@ -1769,6 +1783,7 @@ ALL_ORACLES: dict[str, str] = {
                AS tokens_per_word
       FROM j GROUP BY source""",
     "tp_leakage_safe_split": corpus._leakage_safe_split_sql(),
+    "x_dq_checks": _dq_checks_sql(),
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
     "x_scd2_asof": f"""
       SELECT item_id, version, market_status, valid_from, valid_to

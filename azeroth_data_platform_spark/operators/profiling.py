@@ -185,3 +185,114 @@ def histogram_quantiles_sql(qs: tuple[float, ...] = HIST_QS) -> str:
     FROM hist)
   SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events, {cols}
   FROM cdf GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality checks — the dbt-tests / Great-Expectations
+# surface: a fixed battery of assertions over the silver table evaluated
+# as ONE result row per check (check, metric, threshold, passed), so a
+# scheduler can gate downstream assets on `bool_and(passed)` and an
+# operator can read WHICH expectation broke. Each check is a small
+# column-pruned aggregate (or an anti-join for referential integrity);
+# at scale the battery costs one scan per independent column set and the
+# orphan check is the usual broadcast-dim anti-join.
+
+DQ_MAX_PRICE = 1e6
+DQ_MAX_ORPHAN_FRAC = 0.05
+
+
+def dq_checks(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
+    """(check, metric, threshold, passed) — fail-closed data-quality gate
+    over the silver table."""
+    from functools import reduce
+
+    def row(name: str, metric, threshold: float, op: str):
+        agg = silver.agg(metric.cast("double").alias("metric"))
+        passed = (
+            F.col("metric") <= threshold if op == "le" else F.col("metric") >= threshold
+        )
+        return agg.select(
+            F.lit(name).alias("check"),
+            "metric",
+            F.lit(float(threshold)).alias("threshold"),
+            passed.alias("passed"),
+        )
+
+    n = F.count(F.lit(1))
+    checks = [
+        row(
+            "unit_price_null_frac",
+            F.sum(F.when(F.col("unit_price").isNull(), 1).otherwise(0)) / n,
+            0.01,
+            "le",
+        ),
+        row(
+            "item_id_null_frac",
+            F.sum(F.when(F.col("item_id").isNull(), 1).otherwise(0)) / n,
+            0.0,
+            "le",
+        ),
+        row("quantity_min", F.min("quantity"), 1.0, "ge"),
+        row("unit_price_max", F.max("unit_price"), DQ_MAX_PRICE, "le"),
+        row(
+            "id_duplicate_frac",
+            (n - F.countDistinct("id")).cast("double") / n,
+            0.0,
+            "le",
+        ),
+    ]
+    orphans = (
+        silver.join(
+            F.broadcast(dim_items.select("item_id")), "item_id", "left_anti"
+        ).agg(F.count(F.lit(1)).alias("_orphans"))
+        .crossJoin(silver.agg(F.count(F.lit(1)).alias("_n")))
+        .select(
+            F.lit("orphan_item_frac").alias("check"),
+            (F.col("_orphans").cast("double") / F.col("_n")).alias("metric"),
+            F.lit(DQ_MAX_ORPHAN_FRAC).alias("threshold"),
+            (F.col("_orphans").cast("double") / F.col("_n") <= DQ_MAX_ORPHAN_FRAC).alias(
+                "passed"
+            ),
+        )
+    )
+    return reduce(DataFrame.unionByName, checks + [orphans])
+
+
+def dq_checks_sql(silver_sql: str, dim_sql: str) -> str:
+    return f"""
+  WITH silver AS ({silver_sql}), dim AS ({dim_sql}),
+  base AS (SELECT COUNT(*) AS n FROM silver)
+  SELECT 'unit_price_null_frac' AS "check",
+         CAST(SUM(CASE WHEN unit_price IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS metric, 0.01 AS threshold,
+         CAST(SUM(CASE WHEN unit_price IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) <= 0.01 AS passed
+  FROM silver
+  UNION ALL
+  SELECT 'item_id_null_frac',
+         CAST(SUM(CASE WHEN item_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+         0.0,
+         CAST(SUM(CASE WHEN item_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           <= 0.0
+  FROM silver
+  UNION ALL
+  SELECT 'quantity_min', CAST(MIN(quantity) AS DOUBLE), 1.0,
+         CAST(MIN(quantity) AS DOUBLE) >= 1.0 FROM silver
+  UNION ALL
+  SELECT 'unit_price_max', CAST(MAX(unit_price) AS DOUBLE), {DQ_MAX_PRICE!r},
+         CAST(MAX(unit_price) AS DOUBLE) <= {DQ_MAX_PRICE!r} FROM silver
+  UNION ALL
+  SELECT 'id_duplicate_frac',
+         CAST(COUNT(*) - COUNT(DISTINCT id) AS DOUBLE) / COUNT(*), 0.0,
+         CAST(COUNT(*) - COUNT(DISTINCT id) AS DOUBLE) / COUNT(*) <= 0.0
+  FROM silver
+  UNION ALL
+  SELECT 'orphan_item_frac',
+         CAST((SELECT COUNT(*) FROM silver s
+               WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.item_id = s.item_id))
+              AS DOUBLE) / base.n,
+         {DQ_MAX_ORPHAN_FRAC!r},
+         CAST((SELECT COUNT(*) FROM silver s
+               WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.item_id = s.item_id))
+              AS DOUBLE) / base.n <= {DQ_MAX_ORPHAN_FRAC!r}
+  FROM base"""

@@ -152,6 +152,7 @@ def main() -> int:
             "tp_bpe_compression",
             "ann_knn_graph",
             "tp_leakage_safe_split",
+            "x_dq_checks",
         )
         if q in harness.ALL_QUERIES
     ]
