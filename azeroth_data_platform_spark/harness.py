@@ -921,6 +921,32 @@ def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_segments(_docs(spark, sf_dir))
 
 
+def q_x_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroids in long format (source, dim, centroid)
+    — slice-level embedding analytics (drift monitoring, slice similarity):
+    the kmeans-update shape (posexplode → per-dimension exact-decimal mean)
+    as a first-class query. Fixture linkage: embeddings.vec_id ≅
+    documents.doc_id in the driver corpus (a doc_id column in production).
+
+    Cast chain: FLOAT → DOUBLE → DECIMAL. A direct float→decimal cast
+    diverges across engines on ~17% of elements (Spark rounds the FLOAT's
+    9-digit shortest repr, DuckDB the exact binary expansion — measured);
+    staging through DOUBLE puts the quantization digit inside the double's
+    17-digit repr, where both engines agree (0/32000 mismatches). The
+    kmeans training path tolerates the raw cast only because centroids
+    are internal (only ASSIGNMENTS must match); here centroids ARE the
+    output."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"), "source")
+    embs = _embs(spark, sf_dir).join(docs, "vec_id")
+    dims = embs.select("source", F.posexplode("embedding").alias("dim", "x"))
+    return dims.groupBy("source", "dim").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,8)")).cast("double")
+            / F.count("x")
+        ).alias("centroid")
+    )
+
+
 def q_x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import profiling
 
@@ -1614,6 +1640,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_leakage_safe_split": q_tp_leakage_safe_split,
     # declarative data-quality gate (dbt-tests shape): check/metric/passed
     "x_dq_checks": q_x_dq_checks,
+    # per-source embedding centroids (slice-level embedding analytics)
+    "x_embed_centroids": q_x_embed_centroids,
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
@@ -1784,6 +1812,15 @@ ALL_ORACLES: dict[str, str] = {
       FROM j GROUP BY source""",
     "tp_leakage_safe_split": corpus._leakage_safe_split_sql(),
     "x_dq_checks": _dq_checks_sql(),
+    "x_embed_centroids": """
+      WITH j AS (SELECT d.source, e.embedding FROM embeddings e
+                 JOIN documents d ON e.vec_id = d.doc_id),
+      dims AS (SELECT source, i - 1 AS dim, embedding[i] AS x
+               FROM j, unnest(range(1, len(embedding) + 1)) AS u(i))
+      SELECT source, CAST(dim AS INTEGER) AS dim,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(x)
+               AS centroid
+      FROM dims GROUP BY source, dim""",
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
     "x_scd2_asof": f"""
       SELECT item_id, version, market_status, valid_from, valid_to

@@ -153,6 +153,7 @@ def main() -> int:
             "ann_knn_graph",
             "tp_leakage_safe_split",
             "x_dq_checks",
+            "x_embed_centroids",
         )
         if q in harness.ALL_QUERIES
     ]
