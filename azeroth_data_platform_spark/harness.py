@@ -744,6 +744,10 @@ def q_x_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.group_percentiles(ev)
 
 
+def q_w_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.funnel_sessions(_events_ts(spark, sf_dir))
+
+
 def q_w_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.funnel_latency(_events_ts(spark, sf_dir))
 
@@ -1628,6 +1632,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_robust_outliers": q_x_robust_outliers,
     # time-to-convert percentiles per funnel transition
     "w_funnel_latency": q_w_funnel_latency,
+    # the funnel scoped to gap-sessions (product-analytics default unit)
+    "w_funnel_sessions": q_w_funnel_sessions,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1798,6 +1804,7 @@ ALL_ORACLES: dict[str, str] = {
              MAX(ABS(z)) AS max_abs_z
       FROM scored GROUP BY item_id""",
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
+    "w_funnel_sessions": windows.FUNNEL_SESSIONS_SQL,
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

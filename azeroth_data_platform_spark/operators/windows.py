@@ -17,15 +17,9 @@ SESSION_GAP_MIN = 30
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
-    """Classic gap-based sessionization: a new session starts when the gap
-    to the previous event exceeds `gap_minutes`. One window partition per
-    user (high-cardinality, skew-free); session_seq is a running sum of
-    session-start flags — one shuffle, two sorted window passes.
-
-    events: (event_id, user_id, ts, event_type, value).
-    Streaming twin: `session_window(ts, gap)` in a readStream groupBy.
-    """
+def session_tagged(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Events + their session_seq (the per-event stage sessionize
+    aggregates away) — shared by `sessionize` and `funnel_sessions`."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000  # microseconds: full ts precision
     with_flag = events.withColumn(
@@ -37,10 +31,22 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
         .otherwise(0)
         .cast("long"),
     )
-    with_id = with_flag.withColumn(
+    return with_flag.withColumn(
         "session_seq",
         F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the gap
+    to the previous event exceeds `gap_minutes`. One window partition per
+    user (high-cardinality, skew-free); session_seq is a running sum of
+    session-start flags — one shuffle, two sorted window passes.
+
+    events: (event_id, user_id, ts, event_type, value).
+    Streaming twin: `session_window(ts, gap)` in a readStream groupBy.
+    """
+    with_id = session_tagged(events, gap_minutes)
     return with_id.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -450,3 +456,64 @@ def _funnel_latency_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
 
 
 FUNNEL_LATENCY_SQL = _funnel_latency_sql()
+
+
+def funnel_sessions(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """The funnel scoped to SESSIONS (product-analytics' default unit): a
+    step only counts when completed within the same gap-session as the
+    previous step. Events re-key to a packed (user, session) id and ride
+    the identical one-shuffle per-key funnel machinery; output shape
+    matches `funnel` with sessions in place of users."""
+    tagged = session_tagged(events, gap_minutes).select(
+        (F.col("user_id") * 100_000 + F.col("session_seq")).alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    return (
+        funnel(tagged, steps)
+        .withColumnRenamed("users", "sessions")
+    )
+
+
+def _funnel_sessions_sql(
+    steps: tuple[str, ...] = FUNNEL_STEPS, gap_min: int = SESSION_GAP_MIN
+) -> str:
+    ctes = [
+        """ev0 AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events)""",
+        f"""flagged AS (
+      SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > {gap_min * 60 * 1_000_000}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ev0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+        """ev AS (
+      SELECT user_id * 100000
+               + SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS user_id,
+             event_type, ts
+      FROM flagged)""",
+        f"s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = '{steps[0]}'"
+        " GROUP BY user_id)",
+    ]
+    for i, st in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e"
+            f" JOIN s{i - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{st}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    counts = ", ".join(f"(SELECT COUNT(*) FROM s{i}) AS c{i}" for i in range(len(steps)))
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step_idx, '{st}' AS step,"
+        f" CAST(c{i} AS BIGINT) AS sessions,"
+        f" CASE WHEN c0 > 0 THEN CAST(c{i} AS DOUBLE) / CAST(c0 AS DOUBLE) END"
+        " AS conversion_pct FROM counts"
+        for i, st in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)}, counts AS (SELECT {counts}) {rows}"
+
+
+FUNNEL_SESSIONS_SQL = _funnel_sessions_sql()

@@ -154,6 +154,7 @@ def main() -> int:
             "tp_leakage_safe_split",
             "x_dq_checks",
             "x_embed_centroids",
+            "w_funnel_sessions",
         )
         if q in harness.ALL_QUERIES
     ]
