@@ -1587,8 +1587,8 @@ QUALITY_CALIBRATE_SQL = f"""
 # ---------------------------------------------------------------------------
 # Leakage-safe dataset splits — the subtle practice naive random splits
 # get wrong: near-duplicate documents placed on opposite sides of a
-# train/test boundary leak training content into evaluation (the
-# benchmark-contamination mechanism, internally). The fix is to split by
+# train/test boundary leak training content into evaluation (the same
+# mechanism as benchmark contamination, inside one's own eval split). The fix is to split by
 # DUPLICATE CLUSTER, not by document: hash the cluster id (connected
 # component of the MinHash near-dup graph; singleton docs are their own
 # cluster), so every member of a cluster lands in the same split by
