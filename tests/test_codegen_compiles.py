@@ -70,3 +70,21 @@ def test_char_entropy_compiles(no_codegen_fallback, spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     rows = textstats.char_entropy(docs).collect()
     assert len(rows) > 0
+
+
+def test_session2_wide_projections_compile(no_codegen_fallback, spark, sf_dir):
+    """The session-2 hash-heavy projections (HLL 12-nibble parse + register
+    arithmetic, CMS 4-way bucket fan-out, histogram bucketing, knn-graph
+    bucket pipeline) compile under whole-stage codegen — a regrowth past
+    janino's method limit fails here instead of shipping interpreted."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import profiling, similarity, sketches
+
+    silver = harness._silver(spark, sf_dir)
+    assert sketches.hll_distinct(silver, "time_left", "item_id").collect()
+    docs = harness._docs(spark, sf_dir)
+    assert sketches.cms_top_terms(docs, k=5).collect()
+    ev = harness._events_ts(spark, sf_dir)
+    assert profiling.histogram_quantiles(ev).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert similarity.knn_graph(emb).collect()
