@@ -512,6 +512,34 @@ def q_x_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(trades, quotes, key="item_key", right_values=("quote_price",))
 
 
+ASOF_TOLERANCE_SEC = 600
+
+
+def q_x_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (kdb `wj`-style tolerance): each
+    match carries its staleness and a within-tolerance verdict, so a
+    too-old quote is visible instead of silently used — the market-data
+    correctness feature plain as-of joins lack. Same union-merge plan as
+    x_asof_join plus a row-local projection."""
+    base = q_x_asof(spark, sf_dir)
+    staleness = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).cast("double")
+        / 1_000_000.0
+    )
+    return base.select(
+        "trade_id",
+        "item_key",
+        "ts",
+        "trade_price",
+        "asof_quote_price",
+        "asof_ts",
+        staleness.alias("staleness_sec"),
+        F.coalesce(staleness <= ASOF_TOLERANCE_SEC, F.lit(False)).alias(
+            "within_tolerance"
+        ),
+    )
+
+
 def q_x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sector_cube(_silver(spark, sf_dir), _dim(spark, sf_dir))
 
@@ -1634,6 +1662,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "w_funnel_latency": q_w_funnel_latency,
     # the funnel scoped to gap-sessions (product-analytics default unit)
     "w_funnel_sessions": q_w_funnel_sessions,
+    # as-of join with staleness tolerance (kdb wj-style)
+    "x_asof_tolerance": q_x_asof_tolerance,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1805,6 +1835,13 @@ ALL_ORACLES: dict[str, str] = {
       FROM scored GROUP BY item_id""",
     "w_funnel_latency": windows.FUNNEL_LATENCY_SQL,
     "w_funnel_sessions": windows.FUNNEL_SESSIONS_SQL,
+    "x_asof_tolerance": f"""
+      SELECT trade_id, item_key, ts, trade_price, asof_quote_price, asof_ts,
+             CAST(epoch_us(ts) - epoch_us(asof_ts) AS DOUBLE) / 1000000.0
+               AS staleness_sec,
+             COALESCE(CAST(epoch_us(ts) - epoch_us(asof_ts) AS DOUBLE) / 1000000.0
+                        <= {ASOF_TOLERANCE_SEC}, FALSE) AS within_tolerance
+      FROM ({ORACLES["x_asof_join"]}) t""",
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

@@ -155,6 +155,7 @@ def main() -> int:
             "x_dq_checks",
             "x_embed_centroids",
             "w_funnel_sessions",
+            "x_asof_tolerance",
         )
         if q in harness.ALL_QUERIES
     ]
