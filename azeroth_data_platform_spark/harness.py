@@ -949,6 +949,10 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_dd_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.doc_novelty(_docs(spark, sf_dir))
+
+
 def q_dd_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_segments(_docs(spark, sf_dir))
 
@@ -1664,6 +1668,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "w_funnel_sessions": q_w_funnel_sessions,
     # as-of join with staleness tolerance (kdb wj-style)
     "x_asof_tolerance": q_x_asof_tolerance,
+    # per-doc novelty: fraction of globally-unique W-token windows
+    "dd_doc_novelty": q_dd_doc_novelty,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1842,6 +1848,7 @@ ALL_ORACLES: dict[str, str] = {
              COALESCE(CAST(epoch_us(ts) - epoch_us(asof_ts) AS DOUBLE) / 1000000.0
                         <= {ASOF_TOLERANCE_SEC}, FALSE) AS within_tolerance
       FROM ({ORACLES["x_asof_join"]}) t""",
+    "dd_doc_novelty": dedup.DOC_NOVELTY_SQL,
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

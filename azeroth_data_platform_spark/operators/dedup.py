@@ -1373,3 +1373,72 @@ def _cdc_segments_sql(w: int = CDC_W, div: int = CDC_DIV) -> str:
 
 
 CDC_SEGMENTS_SQL = _cdc_segments_sql()
+
+
+# ---------------------------------------------------------------------------
+# Document novelty — the per-document summary of the exact-substring
+# machinery: what fraction of a doc's W-token windows are globally unique?
+# Low novelty = the doc is largely assembled from corpus-repeated material
+# (boilerplate, quotes, templates) even when no single span crosses the
+# dedup threshold — a curation signal complementary to pair-level dedup.
+# Same one-shuffle window-hash groupBy as exact_substring_spans; the
+# per-doc rollup rides a second small aggregation.
+
+def doc_novelty(documents: DataFrame, w: int = SUBSTR_W) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, novelty): novelty = fraction of
+    the doc's windows whose hash occurs exactly once in the corpus."""
+    from .textstats import _words
+
+    wins = (
+        documents.select("doc_id", _words().alias("_ws"))
+        .where(F.size("_ws") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_ws) - {w} + 1),"
+                    f" i -> md5(array_join(slice(_ws, i, {w}), ' ')))"
+                )
+            ).alias("h"),
+        )
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (
+                F.lit(1.0)
+                - F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def _doc_novelty_sql(w: int = SUBSTR_W) -> str:
+    from .textstats import WORDS_SQL
+
+    return f"""
+  WITH toks AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+  wins AS (SELECT doc_id,
+                  md5(array_to_string(ws[i : i + {w} - 1], ' ')) AS h
+           FROM toks, unnest(range(1, greatest(len(ws) - {w} + 1, 0) + 1)) AS t(i)),
+  counts AS (SELECT h, COUNT(*) AS cnt FROM wins GROUP BY h)
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         1.0 - CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS novelty
+  FROM wins w JOIN counts c ON w.h = c.h
+  GROUP BY w.doc_id"""
+
+
+DOC_NOVELTY_SQL = _doc_novelty_sql()

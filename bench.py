@@ -156,6 +156,7 @@ def main() -> int:
             "x_embed_centroids",
             "w_funnel_sessions",
             "x_asof_tolerance",
+            "dd_doc_novelty",
         )
         if q in harness.ALL_QUERIES
     ]
