@@ -13,6 +13,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 N_BUCKETS = 16
 
@@ -183,4 +184,36 @@ def write_zordered(
         .drop("_r1", "_r2", "_z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def export_manifest(packs: DataFrame) -> DataFrame:
+    """Delivery manifest for a packed training corpus: one row per shard
+    with pack/token counts and an ORDER-INSENSITIVE content checksum —
+    the artifact a data delivery hands the training team so ingestion can
+    verify completeness without re-reading the corpus (and a re-export
+    can be diffed shard-by-shard).
+
+    Checksum design: per-row md5(content) parsed to an integer and SUMMED
+    per shard (exact BIGINT within DECIMAL(38,0) headroom). Addition
+    commutes, so the checksum is independent of row order, partitioning,
+    and file layout — comparable across any two exports of the same data,
+    which a concatenated/ordered digest is not. Collision behavior is the
+    usual additive-checksum trade, fine for transport/completeness checks
+    (the security-grade alternative is a Merkle tree over sorted row
+    hashes — same relational shape plus a groupBy level).
+
+    `packs`: pack_contents output — (shard, pack_id, pack_text,
+    n_tokens_in_pack, …) with one row per pack."""
+    from ..operators.dedup import _hex_int_sql
+
+    h = _hex_int_sql("md5(pack_text)", duck=False)
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_tokens_in_pack").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr(f"CAST({h} AS DECIMAL(38,0))")).cast("decimal(38,0)").cast("string").alias("content_checksum"),
+        )
+        .orderBy("shard")
     )

@@ -412,3 +412,37 @@ def test_packed_corpus_roundtrip_conserves_tokens(spark, tmp_path):
     assert sorted(d for d in os.listdir(out) if d.startswith("shard=")) == [
         f"shard={i}" for i in sorted({r.shard for r in back})
     ]
+
+
+def test_export_manifest_is_layout_invariant(spark, sf_dir):
+    """The manifest checksum must not depend on row order or partitioning —
+    two exports of the same packs produce identical manifests; changing
+    ONE pack's content changes exactly that shard's checksum."""
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.sources.writers import export_manifest
+    from pyspark.sql import functions as F
+
+    docs = harness._docs(spark, sf_dir)
+    packs = corpus.pack_contents(
+        corpus.stratified_sample(corpus.clean_corpus(docs)), docs
+    ).cache()
+    try:
+        m1 = {r.shard: tuple(r) for r in export_manifest(packs).collect()}
+        m2 = {
+            r.shard: tuple(r)
+            for r in export_manifest(packs.repartition(17).sortWithinPartitions("pack_text")).collect()
+        }
+        assert m1 == m2
+        tampered = packs.withColumn(
+            "pack_text",
+            F.when(
+                (F.col("shard") == 0) & (F.col("pack_id") == 0),
+                F.concat(F.col("pack_text"), F.lit(" tampered")),
+            ).otherwise(F.col("pack_text")),
+        )
+        m3 = {r.shard: tuple(r) for r in export_manifest(tampered).collect()}
+        assert m3[0] != m1[0]
+        assert all(m3[s] == m1[s] for s in m1 if s != 0)
+    finally:
+        packs.unpersist()
