@@ -949,6 +949,16 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_tp_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery manifest over the packed corpus (sources/writers.py
+    export_manifest): per-shard counts + the order-insensitive additive
+    checksum, hash-checked against a DuckDB twin of the whole
+    pack-then-checksum chain."""
+    from .sources.writers import export_manifest
+
+    return export_manifest(q_tp_pack_contents(spark, sf_dir))
+
+
 def q_dd_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.doc_novelty(_docs(spark, sf_dir))
 
@@ -1670,6 +1680,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "x_asof_tolerance": q_x_asof_tolerance,
     # per-doc novelty: fraction of globally-unique W-token windows
     "dd_doc_novelty": q_dd_doc_novelty,
+    # delivery manifest (per-shard counts + additive checksum)
+    "tp_export_manifest": q_tp_export_manifest,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1849,6 +1861,14 @@ ALL_ORACLES: dict[str, str] = {
                         <= {ASOF_TOLERANCE_SEC}, FALSE) AS within_tolerance
       FROM ({ORACLES["x_asof_join"]}) t""",
     "dd_doc_novelty": dedup.DOC_NOVELTY_SQL,
+    "tp_export_manifest": f"""
+      WITH packs AS ({ORACLES["tp_pack_contents"]})
+      SELECT shard, COUNT(*) AS n_packs,
+             CAST(SUM(n_tokens_in_pack) AS BIGINT) AS total_tokens,
+             CAST(CAST(SUM(CAST({dedup._hex_int_sql("md5(pack_text)", duck=True)}
+                            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+               AS content_checksum
+      FROM packs GROUP BY shard""",
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

@@ -157,6 +157,7 @@ def main() -> int:
             "w_funnel_sessions",
             "x_asof_tolerance",
             "dd_doc_novelty",
+            "tp_export_manifest",
         )
         if q in harness.ALL_QUERIES
     ]
