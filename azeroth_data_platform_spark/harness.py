@@ -949,6 +949,12 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.binary_cdc_dedup(
+        multimodal.attach_binary(_docs(spark, sf_dir))
+    )
+
+
 def q_tp_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delivery manifest over the packed corpus (sources/writers.py
     export_manifest): per-shard counts + the order-insensitive additive
@@ -1682,6 +1688,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_doc_novelty": q_dd_doc_novelty,
     # delivery manifest (per-shard counts + additive checksum)
     "tp_export_manifest": q_tp_export_manifest,
+    # binary content-defined chunking dedup on the mapInPandas decode path
+    "mm_cdc_dedup": q_mm_cdc_dedup,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1869,6 +1877,7 @@ ALL_ORACLES: dict[str, str] = {
                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
                AS content_checksum
       FROM packs GROUP BY shard""",
+    "mm_cdc_dedup": multimodal.BINARY_CDC_SQL,
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

@@ -462,3 +462,87 @@ def _audio_segments_sql(s: int = AUDIO_SEG_SAMPLES) -> str:
 
 
 AUDIO_SEGMENTS_SQL = _audio_segments_sql()
+
+
+# ---------------------------------------------------------------------------
+# Binary content-defined chunking — dd_cdc_segments' MULTIMODAL twin: the
+# storage-dedup technique applied to payload BYTES (how media blobs dedup
+# in object stores: boundaries are a function of content, so re-encoded /
+# shifted copies still share downstream chunks). Boundary after byte b
+# where b % CDC_BIN_DIV == 0; chunk identity = md5 of the chunk bytes.
+# Spark side runs on the Arrow mapInPandas decode path (the real-payload
+# plumbing); the DuckDB twin re-derives byte values from the hex dump and
+# — the corpus payload being the ASCII utf-8 of `text` — takes chunk md5s
+# via substring, making the whole chunk-then-rollup chain hash-checkable.
+
+CDC_BIN_DIV = 17  # expected chunk length in bytes
+
+_BIN_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("seg_md5", T.StringType(), False),
+        T.StructField("seg_len", T.LongType(), False),
+    ]
+)
+
+
+def binary_cdc_dedup(multimodal: DataFrame, div: int = CDC_BIN_DIV) -> DataFrame:
+    """(seg_md5, n_occurrences, n_docs, seg_len) for every content-defined
+    payload chunk occurring more than once in the corpus."""
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "seg_md5": [], "seg_len": []}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bb = bytes(payload)
+                start = 0
+                for i, byte in enumerate(bb, start=1):
+                    if byte % div == 0 or i == len(bb):
+                        rows["doc_id"].append(doc)
+                        rows["seg_md5"].append(
+                            hashlib.md5(bb[start:i]).hexdigest()
+                        )
+                        rows["seg_len"].append(i - start)
+                        start = i
+            yield pd.DataFrame(rows)
+
+    segs = multimodal.mapInPandas(_batches, _BIN_SEG_SCHEMA)
+    return (
+        segs.groupBy("seg_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("seg_len").alias("seg_len"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def _binary_cdc_sql(div: int = CDC_BIN_DIV) -> str:
+    byte_at = (
+        f"(strpos('{_HEX}', substring(h, 2 * i - 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substring(h, 2 * i, 1)) - 1)"
+    )
+    return f"""
+  WITH b AS (SELECT doc_id, text, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS nb
+             FROM documents),
+  bpos AS (SELECT doc_id, i AS e FROM b, unnest(range(1, nb + 1)) AS t(i)
+           WHERE ({byte_at}) % {div} = 0),
+  ends AS (SELECT doc_id, e FROM bpos UNION SELECT doc_id, nb FROM b),
+  seg AS (SELECT doc_id,
+                 COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                 e
+          FROM ends),
+  segh AS (SELECT g.doc_id,
+                  md5(substring(t.text, g.s, g.e - g.s + 1)) AS seg_md5,
+                  g.e - g.s + 1 AS seg_len
+           FROM seg g JOIN b t ON g.doc_id = t.doc_id)
+  SELECT seg_md5, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         CAST(MAX(seg_len) AS BIGINT) AS seg_len
+  FROM segh GROUP BY seg_md5 HAVING COUNT(*) > 1"""
+
+
+BINARY_CDC_SQL = _binary_cdc_sql()

@@ -158,6 +158,7 @@ def main() -> int:
             "x_asof_tolerance",
             "dd_doc_novelty",
             "tp_export_manifest",
+            "mm_cdc_dedup",
         )
         if q in harness.ALL_QUERIES
     ]
