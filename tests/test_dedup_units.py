@@ -1030,3 +1030,22 @@ def test_leakage_safe_split_keeps_duplicates_together(spark, sf_dir):
     n = len(split)
     assert 0.6 <= frac["train"] / n <= 0.95
     assert frac["val"] / n <= 0.25 and frac["test"] / n <= 0.25
+
+
+def test_binary_cdc_chunks_survive_byte_shift(spark):
+    """Binary CDC property: prepending bytes to a payload leaves downstream
+    content-defined chunk hashes intact — the two payloads share chunks."""
+    from azeroth_data_platform_spark.operators import multimodal
+
+    base = " ".join(f"blob{i * 13 % 89}seg{i}" for i in range(60))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, "shifted-prefix " + base, "en", "s", len(base) + 15),
+        (3, "entirely different payload content here", "en", "s", 39),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    dups = multimodal.binary_cdc_dedup(multimodal.attach_binary(docs)).collect()
+    assert any(r.n_docs == 2 for r in dups), "no shared chunks despite the shift"
+    assert all(r.n_occurrences >= 2 for r in dups)
