@@ -949,6 +949,19 @@ def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(graph.copurchase_edges(baskets))
 
 
+def q_o13_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search over the item catalog (the API's typeahead read):
+    LIKE 'pre%' compiles to a StringStartsWith pushed into the parquet
+    scan (pinned), + the usual deterministic page ordering."""
+    return (
+        _dim(spark, sf_dir)
+        .where(F.col("name").startswith("blue"))
+        .select("item_id", "name", "item_class", "vendor_price")
+        .orderBy("name", "item_id")
+        .limit(50)
+    )
+
+
 def q_mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_cdc_dedup(
         multimodal.attach_binary(_docs(spark, sf_dir))
@@ -1690,6 +1703,8 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_export_manifest": q_tp_export_manifest,
     # binary content-defined chunking dedup on the mapInPandas decode path
     "mm_cdc_dedup": q_mm_cdc_dedup,
+    # typeahead prefix search (StringStartsWith pushed to the scan)
+    "o13_prefix_search": q_o13_prefix_search,
     # per-node triangle counts (wedge-close joins, canonical orientation)
     "x_triangles": q_x_triangles,
     # containment scoring: asymmetric (sub-document) dup signal
@@ -1878,6 +1893,9 @@ ALL_ORACLES: dict[str, str] = {
                AS content_checksum
       FROM packs GROUP BY shard""",
     "mm_cdc_dedup": multimodal.BINARY_CDC_SQL,
+    "o13_prefix_search": f"""{_W_DIM}
+      SELECT item_id, name, item_class, vendor_price FROM dim
+      WHERE name LIKE 'blue%' ORDER BY name, item_id LIMIT 50""",
     "x_triangles": _triangles_sql(),
     "dd_containment": dedup.CONTAINMENT_SQL,
     "tp_quality_calibrate": corpus.QUALITY_CALIBRATE_SQL,

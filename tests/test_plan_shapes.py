@@ -375,3 +375,11 @@ def test_funnel_is_single_shuffle(spark, sf_dir):
     # one user_id exchange + the final single-row aggregation exchange
     assert plan.count("Exchange") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_search_pushes_startswith_to_scan(spark, sf_dir):
+    """o13: the typeahead prefix compiles to a StringStartsWith pushed into
+    the parquet scan and the page is a TakeOrderedAndProject."""
+    plan = _plan(harness.ALL_QUERIES["o13_prefix_search"](spark, sf_dir))
+    assert "StringStartsWith(p_name,blue)" in plan
+    assert "TakeOrderedAndProject" in plan
