@@ -1218,6 +1218,68 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_a10_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill over the trailing 90-day window
+    (operators/timeseries.py): the resample('1D').ffill() the reference's
+    market-history consumers do reader-side, as a relational operator."""
+    from .operators import timeseries
+
+    return timeseries.gapfill_forward(_silver(spark, sf_dir))
+
+
+def q_a11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form EWMA (α = 1/2) over the dense daily series — the
+    recursive smoother as ONE exact-decimal window sum, hash-checked."""
+    from .operators import timeseries
+
+    return timeseries.ewma_halflife(_silver_events(spark, sf_dir))
+
+
+def q_a12_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day beta/correlation of each item vs the market-wide
+    series — exact integer-space window sums, double-identical combine."""
+    from .operators import timeseries
+
+    return timeseries.rolling_beta(_silver_events(spark, sf_dir))
+
+
+def q_x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the item catalog (operators/er.py): head-noun
+    blocking + exact Levenshtein threshold — distinct-entity pre-reduce,
+    equi-join-shaped candidates, never a cross product."""
+    from .operators import er
+
+    return er.fuzzy_name_matches(_dim(spark, sf_dir))
+
+
+def q_x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support/confidence/lift) over order
+    baskets — the co-purchase graph's edges upgraded to recommendation
+    statistics (operators/graph.py)."""
+    from .operators import graph
+
+    _prep(spark)
+    li = adapters.read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket_id"), F.col("l_partkey").alias("item_id")
+    )
+    return graph.association_rules(baskets)
+
+
+def q_ts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query (scores in
+    bits via the portable-plog2 idf) — two scan-bound passes, one scalar
+    broadcast (operators/textstats.py)."""
+    return textstats.bm25_scores(_docs(spark, sf_dir))
+
+
+def q_tp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sampling without
+    replacement — token-count-proportional, md5-seeded, mergeable top-k
+    (operators/corpus.py)."""
+    return corpus.weighted_sample(_docs(spark, sf_dir))
+
+
 # Driver-facing registry — the external correctness harness records at most
 # 50 entries (verified round 1: CORRECTNESS_r01.json held exactly the first
 # 50 dict keys while 58 were registered), so this dict holds EXACTLY 50
@@ -1313,9 +1375,20 @@ QUERIES: dict[str, QueryFn] = {
     "x_scd2_history": q_x_scd2_history,
     "dd_cdc_segments": q_dd_cdc_segments,
     "x_monthly_rollup": q_x_monthly_rollup,
+    # round-5 promotions (64 -> 71, appended): time-series repair/smoothing
+    # (gap-fill, closed-form EWMA, rolling beta), blocked fuzzy entity
+    # resolution, market-basket association rules, BM25 relevance, and
+    # weighted sampling without replacement — all with exact DuckDB oracles.
+    "a10_gapfill": q_a10_gapfill,
+    "a11_ewma": q_a11_ewma,
+    "a12_rolling_beta": q_a12_rolling_beta,
+    "x_fuzzy_match": q_x_fuzzy_match,
+    "x_assoc_rules": q_x_assoc_rules,
+    "ts_bm25": q_ts_bm25,
+    "tp_weighted_sample": q_tp_weighted_sample,
 }
 
-assert len(QUERIES) == 64, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 71, f"driver registry drifted: got {len(QUERIES)}"
 
 
 ORACLES: dict[str, str] = {
@@ -1605,6 +1678,19 @@ ORACLES["x_monthly_rollup"] = incremental.incremental_gold_sql(
     key_expr="CAST(date_trunc('month', snapshot_date) AS DATE)",
     key_name="month_start",
 )
+
+# round-5 promotions
+from .operators import er as _er  # noqa: E402
+from .operators import graph as _graph_mod  # noqa: E402
+from .operators import timeseries as _timeseries  # noqa: E402
+
+ORACLES["a10_gapfill"] = _timeseries.gapfill_sql(_W_SILVER)
+ORACLES["a11_ewma"] = _timeseries.ewma_sql(_W_SILVER_EVENTS)
+ORACLES["a12_rolling_beta"] = _timeseries.rolling_beta_sql(_W_SILVER_EVENTS)
+ORACLES["x_fuzzy_match"] = _er.fuzzy_name_matches_sql(DIM_SQL)
+ORACLES["x_assoc_rules"] = _graph_mod.association_rules_sql()
+ORACLES["ts_bm25"] = textstats.bm25_sql()
+ORACLES["tp_weighted_sample"] = corpus.weighted_sample_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -1645,3 +1645,73 @@ def _leakage_safe_split_sql() -> str:
                    = {SPLIT_MOD - 2} THEN 'val'
               ELSE 'test' END AS split
   FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id"""
+
+
+# --- weighted sampling without replacement ----------------------------------
+
+WS_K = 100  # sample size
+_WS_BITS = 32  # uniform granularity: first 8 md5 nibbles = 32 bits
+
+
+def _ws_u32_sql(duck: bool) -> str:
+    """Seeded 32-bit uniform from doc_id: first 8 nibbles of
+    md5('ws:' || doc_id) + 1 ∈ [1, 2^32] — engine-portable (the
+    _doc_hash_sql nibble device), independent of every other sampler's
+    hash stream via the 'ws:' seed."""
+    instr = "strpos" if duck else "instr"
+    s = "VARCHAR" if duck else "STRING"
+    md5 = f"md5('ws:' || CAST(doc_id AS {s}))"
+    terms = " + ".join(
+        f"CAST({instr}('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) + 1)"
+
+
+def _ws_key_sql(duck: bool) -> str:
+    """A-ES key in log space: log2(u)/w = (plog2(u32) − 32) / w, u uniform
+    on (0, 1], w the integer document weight (n_tokens)."""
+    from ..functions.numerics import plog2_sql
+
+    return (
+        f"(({plog2_sql(_ws_u32_sql(duck), duck=duck)}) - {_WS_BITS}.0)"
+        " / CAST(w AS DOUBLE)"
+    )
+
+
+def weighted_sample(documents: DataFrame, k: int = WS_K) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k documents
+    drawn with probability proportional to token count, via the
+    Efraimidis–Spirakis A-ES scheme — key_i = u_i^(1/w_i), take the k
+    largest. In log2 space (the portable-plog2 device, so both engines
+    compute the identical key): key = log2(u)/w, u a seeded md5-derived
+    uniform. Re-running the pipeline draws the SAME sample — reproducible
+    eval sets — and union-merging per-shard top-k IS the global top-k
+    (A-ES keys are independent per row), which is exactly what Spark's
+    TakeOrderedAndProject does here: per-partition top-k, then a k-row
+    merge on the driver — no global sort shuffle at any scale."""
+    w = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    scored = (
+        documents.withColumn("w", w)
+        .where(F.col("w") >= 1)
+        .withColumn("es_key", F.expr(_ws_key_sql(duck=False)))
+    )
+    return (
+        scored.select("doc_id", "source", "lang", "w", "es_key")
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = WS_K) -> str:
+    """DuckDB twin of :func:`weighted_sample`."""
+    from .textstats import WORDS_SQL
+
+    return f"""WITH weighted AS (
+    SELECT doc_id, source, lang, len({WORDS_SQL}) AS w FROM documents),
+  scored AS (
+    SELECT doc_id, source, lang, w, {_ws_key_sql(duck=True)} AS es_key
+    FROM weighted WHERE w >= 1)
+SELECT doc_id, source, lang, w, es_key
+FROM scored ORDER BY es_key DESC, doc_id ASC LIMIT {k}"""

@@ -188,3 +188,85 @@ TRIANGLES_SQL = """
           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
   m AS (SELECT unnest([a, bb, c]) AS item_id FROM tri)
   SELECT item_id, COUNT(*) AS n_triangles FROM m GROUP BY item_id"""
+
+
+# --- market-basket association rules ---------------------------------------
+
+MIN_PAIR_SUPPORT = 2  # co-occurrence count floor for a rule to surface
+
+
+def association_rules(baskets: DataFrame, min_pair: int = MIN_PAIR_SUPPORT) -> DataFrame:
+    """Directed association rules a→b over (basket_id, item_id) rows:
+    support / confidence / lift — the co-purchase graph's edges upgraded to
+    the classic recommendation statistics.
+
+    All counts are exact integers from two groupBys (item counts, pair
+    counts); the three ratios combine them in double arithmetic with an
+    identical expression tree on both engines (single-rounded IEEE ops ⇒
+    bit-identical). support = P(a,b), confidence = P(b|a),
+    lift = P(a,b) / (P(a)·P(b)).
+
+    Scale notes: pair generation is the basket self-join (fan-out bounded
+    by basket size, the copurchase_edges shape) feeding ONE pair-keyed
+    groupBy with map-side combine; item counts and the basket total are
+    dim-sized/scalar broadcasts. `min_pair` prunes the long tail before
+    the broadcast joins, so rule volume tracks genuinely co-purchased
+    pairs, not the pair cross product.
+    """
+    b = baskets.select("basket_id", "item_id").distinct()
+    n_baskets = b.agg(F.count_distinct("basket_id").alias("n_baskets"))
+    item_n = b.groupBy("item_id").agg(F.count(F.lit(1)).alias("item_n"))
+    l, r = b.alias("l"), b.alias("r")
+    pair_n = (
+        l.join(r, "basket_id")
+        .where(F.col("l.item_id") != F.col("r.item_id"))
+        .groupBy(
+            F.col("l.item_id").alias("item_a"), F.col("r.item_id").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= min_pair)
+    )
+    na = item_n.select(F.col("item_id").alias("item_a"), F.col("item_n").alias("n_a"))
+    nb = item_n.select(F.col("item_id").alias("item_b"), F.col("item_n").alias("n_b"))
+    out = (
+        pair_n.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    pn = F.col("pair_n").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        (pn / F.col("n_baskets").cast("double")).alias("support"),
+        (pn / F.col("n_a").cast("double")).alias("confidence"),
+        (
+            pn
+            * F.col("n_baskets").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+def association_rules_sql(min_pair: int = MIN_PAIR_SUPPORT) -> str:
+    """DuckDB twin of :func:`association_rules` over the lineitem baskets."""
+    return f"""
+  WITH b AS (SELECT DISTINCT l_orderkey AS basket_id, l_partkey AS item_id FROM lineitem),
+  nb AS (SELECT COUNT(DISTINCT basket_id) AS n_baskets FROM b),
+  item_n AS (SELECT item_id, COUNT(*) AS item_n FROM b GROUP BY item_id),
+  pair_n AS (SELECT l.item_id AS item_a, r.item_id AS item_b, COUNT(*) AS pair_n
+             FROM b l JOIN b r ON l.basket_id = r.basket_id
+             WHERE l.item_id <> r.item_id
+             GROUP BY l.item_id, r.item_id
+             HAVING COUNT(*) >= {min_pair})
+  SELECT p.item_a, p.item_b, p.pair_n, a.item_n AS n_a, c.item_n AS n_b,
+         CAST(p.pair_n AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+         CAST(p.pair_n AS DOUBLE) / CAST(a.item_n AS DOUBLE) AS confidence,
+         CAST(p.pair_n AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+           / (CAST(a.item_n AS DOUBLE) * CAST(c.item_n AS DOUBLE)) AS lift
+  FROM pair_n p
+  JOIN item_n a ON p.item_a = a.item_id
+  JOIN item_n c ON p.item_b = c.item_id
+  CROSS JOIN nb n"""

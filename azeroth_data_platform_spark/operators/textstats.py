@@ -1334,3 +1334,100 @@ def _perplexity_bigram_sql(k: int = PPLX2_VOCAB_K) -> str:
 
 
 PERPLEXITY_BIGRAM_SQL = _perplexity_bigram_sql()
+
+
+# --- BM25 relevance scoring --------------------------------------------------
+
+# Query terms for the named BM25 query: common-but-not-universal corpus
+# vocabulary, so tf and df both vary across documents.
+BM25_TERMS = ("hash", "join", "scan", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_term_score_sql(i: int, duck: bool) -> str:
+    """One term's BM25 contribution, emitted as IDENTICAL arithmetic in both
+    engines. idf uses the log-free-engine plog2 device: with the standard
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) = ln((N + 1)/(df + 0.5)), scaling
+    numerator and denominator by 2 makes both log arguments integers, so
+    idf_bits = plog2(2N + 2) − plog2(2·df + 1) — exact-integer inputs, the
+    score is in bits (a constant ln2 off the ln convention; rankings
+    identical, and we document the unit instead of paying a transcendental).
+    The saturation/length-norm factor is rational arithmetic on exact
+    integers — identical trees are bit-identical under IEEE rounding."""
+    from ..functions.numerics import plog2_sql
+
+    idf = (
+        f"(({plog2_sql('2 * n_docs + 2', duck=duck)})"
+        f" - ({plog2_sql(f'2 * df_{i} + 1', duck=duck)}))"
+    )
+    tfd = f"CAST(tf_{i} AS DOUBLE)"
+    norm = (
+        f"({tfd} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * "
+        f"(CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+    return f"({idf} * (({tfd} * {BM25_K1 + 1.0}) / {norm}))"
+
+
+def bm25_scores(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
+    """BM25 relevance of every document against the fixed query `terms`
+    (k1 = 1.2, b = 0.75, scores in bits — see _bm25_term_score_sql).
+
+    Plan shape: ONE scan-bound projection computes per-doc length and
+    per-term tf (row-local token filters, no explode); ONE global aggregate
+    reduces to the corpus statistics (N, Σdl, per-term df — a scalar row,
+    broadcast back); scoring is a second scan-bound projection. Two passes
+    over the corpus, no shuffle wider than a scalar — the shape an inverted
+    index would only improve for selective queries, which a 100 TB batch
+    scorer is not."""
+    words = _words()
+    tf_cols = [
+        F.size(F.filter(words, lambda w, t=t: w == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = documents.select("doc_id", F.size(words).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    score = " + ".join(_bm25_term_score_sql(i, duck=False) for i in range(len(terms)))
+    matched = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return (
+        j.where(F.expr(f"({matched}) > 0"))
+        .select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf_{i}") for i in range(len(terms))],
+            F.expr(score).alias("bm25_bits"),
+        )
+    )
+
+
+def bm25_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB twin of :func:`bm25_scores`. Internal sums are cast to BIGINT
+    (DuckDB SUM(bigint) → HUGEINT, whose bin() rendering would break the
+    plog2 msb device)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(_bm25_term_score_sql(i, duck=True) for i in range(len(terms)))
+    matched = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    tfs = ", ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""WITH toks AS (
+    SELECT doc_id, {WORDS_SQL} AS toks FROM documents),
+  per_doc AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM toks),
+  stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sdl, {df_cols}
+            FROM per_doc)
+SELECT doc_id, dl, {tfs}, {score} AS bm25_bits
+FROM per_doc CROSS JOIN stats
+WHERE ({matched}) > 0"""

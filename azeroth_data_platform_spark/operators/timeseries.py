@@ -1,0 +1,261 @@
+"""Time-series repair and smoothing over the daily price series.
+
+Three operators the reference's market-history consumers ask for as soon as
+the series is used for modeling (the reference stores raw daily rows —
+/root/reference/data_pipeline/utils/database.py:40-52 — and leaves gaps to
+the reader):
+
+* ``gapfill_forward``  — calendar densification + forward fill (the
+  classic "resample('1D').ffill()" expressed relationally).
+* ``ewma_halflife``    — exponentially-weighted moving average with
+  α = 1/2, computed in closed form so the "recursive" smoother is one
+  window sum (no iterative state, no UDF).
+* ``rolling_beta``     — trailing-window beta/correlation of each item's
+  price against the market-wide aggregate.
+
+Determinism strategy (the repo invariant, functions/numerics.py): every
+accumulation happens in exact integer/decimal space; doubles appear only in
+final single-rounding conversions and identical-expression-tree rational
+arithmetic, so results are bit-identical across partitionings and engines.
+
+Scale notes (100 TB): all three are one groupBy(item, day) pre-aggregation
+(map-side combinable) followed by per-item window work — a single shuffle
+keyed by item_id, state bounded by the calendar span, never by row count.
+The calendar explode in gapfill is row-local (sequence + explode) and
+bounded by GAPFILL_WINDOW_DAYS, so densification adds at most
+items × window rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import int_units, int_units_sql
+
+# Gap-fill and EWMA operate on the trailing window below (anchored at the
+# corpus max date). For EWMA this doubles as the exactness bound: with
+# α = 1/2 the closed-form coefficient 2^(rn-2) must stay inside a BIGINT
+# shift (rn ≤ 60 « 63), and lags beyond ~53 days contribute below one ulp
+# of the double result anyway — the window IS the full-precision EWMA.
+GAPFILL_WINDOW_DAYS = 90
+EWMA_WINDOW_DAYS = 60
+BETA_WINDOW_DAYS = 6  # RANGE 6 PRECEDING → 7-day trailing window, as a3
+
+
+def _daily(silver: DataFrame) -> DataFrame:
+    """Per-(item, day) observed price — MIN like the a3 daily stage, so all
+    series operators share one definition of "the day's price"."""
+    return silver.groupBy("item_id", "snapshot_date").agg(
+        F.min("unit_price").alias("price")
+    )
+
+
+def _window_anchor(daily: DataFrame, days: int) -> DataFrame:
+    """Restrict the daily series to the trailing `days` window ending at the
+    global max date. The anchor is a one-row broadcast — no driver collect."""
+    anchor = daily.agg(F.max("snapshot_date").alias("d1"))
+    return (
+        daily.crossJoin(F.broadcast(anchor))
+        .where(F.col("snapshot_date") >= F.expr(f"date_sub(d1, {days})"))
+    )
+
+
+def gapfill_forward(silver: DataFrame, days: int = GAPFILL_WINDOW_DAYS) -> DataFrame:
+    """Calendar gap-fill + forward fill over the trailing `days` window.
+
+    Each item's series is densified from its first in-window observation to
+    the corpus max date (one row per calendar day), then missing days take
+    the latest preceding observed price (`last(..., ignorenulls=True)` —
+    whole-stage window, no UDF). `is_imputed` keeps the provenance visible
+    so downstream consumers can weight real vs filled observations.
+
+    Plan shape: groupBy(item, day) → broadcast anchor → per-item span
+    groupBy → row-local sequence/explode → equi-join back → one item-keyed
+    window. Two shuffles total (daily agg, span agg share the item key).
+    """
+    w = _window_anchor(_daily(silver), days)
+    span = w.groupBy("item_id", "d1").agg(F.min("snapshot_date").alias("d0"))
+    cal = span.select(
+        "item_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    j = cal.join(
+        w.select("item_id", F.col("snapshot_date").alias("day"), "price"),
+        ["item_id", "day"],
+        "left",
+    )
+    fill = Window.partitionBy("item_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "item_id",
+        "day",
+        F.last("price", ignorenulls=True).over(fill).alias("price_filled"),
+        F.col("price").isNull().alias("is_imputed"),
+    )
+
+
+def gapfill_sql(silver_sql_cte: str, days: int = GAPFILL_WINDOW_DAYS) -> str:
+    """DuckDB twin of :func:`gapfill_forward` (expects `silver` CTE bound)."""
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.* , anchor.d1 FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  span AS (SELECT item_id, d1, MIN(snapshot_date) AS d0 FROM w GROUP BY item_id, d1),
+  cal AS (SELECT item_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                      CAST(d1 AS TIMESTAMP),
+                                                      INTERVAL 1 DAY)) AS DATE) AS day
+          FROM span),
+  j AS (SELECT cal.item_id, cal.day, w.price
+        FROM cal LEFT JOIN w ON cal.item_id = w.item_id AND cal.day = w.snapshot_date)
+SELECT item_id, day,
+       last_value(price IGNORE NULLS) OVER (
+         PARTITION BY item_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_filled,
+       price IS NULL AS is_imputed
+FROM j"""
+
+
+def ewma_halflife(silver: DataFrame, days: int = EWMA_WINDOW_DAYS) -> DataFrame:
+    """EWMA with α = 1/2 (half-life one step) over each item's daily series.
+
+    The recursion e_t = (e_{t-1} + x_t)/2, e_1 = x_1 has the closed form
+    e_t = C_t / 2^(t-1) with C_t = x_1 + Σ_{j=2..t} 2^(j-2)·x_j — so the
+    "stateful" smoother becomes ONE cumulative window sum of exact decimal
+    terms (price in integer units × an exact power-of-two coefficient),
+    divided by an exact power of two. No iteration, no driver loop, and the
+    result is bit-identical at any parallelism because every intermediate
+    is exact; α = 1/2 is precisely the choice that keeps the coefficients
+    representable. rn ≤ 61 is guaranteed by the {days}-day anchor window.
+    """
+    w = _window_anchor(_daily(silver), days)
+    order = Window.partitionBy("item_id").orderBy("snapshot_date")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(order)
+    coef = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(greatest(rn - 2, 0) AS INT)) AS DECIMAL(20,0))"
+    )
+    x0 = int_units("price").cast("decimal(18,0)")
+    return (
+        w.withColumn("rn", rn)
+        .withColumn("term", (x0 * coef).cast("decimal(38,0)"))
+        .select(
+            "item_id",
+            "snapshot_date",
+            "price",
+            (
+                F.sum("term").over(cum).cast("double")
+                / F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT)) AS DOUBLE)"
+                )
+                / F.lit(100.0)
+            ).alias("ewma"),
+        )
+    )
+
+
+def ewma_sql(silver_sql_cte: str, days: int = EWMA_WINDOW_DAYS) -> str:
+    """DuckDB twin of :func:`ewma_halflife`. DuckDB's `<<` on BIGINT matches
+    Spark shiftleft for shifts ≤ 62 (corpus._duck_bit_mask covers the
+    bit-63 edge we never reach here)."""
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.* FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  seq AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY snapshot_date) AS rn
+          FROM w),
+  terms AS (SELECT *,
+      CAST(CAST({int_units_sql('price')} AS DECIMAL(18,0))
+           * CAST(CAST(1 AS BIGINT) << CAST(GREATEST(rn - 2, 0) AS INTEGER) AS DECIMAL(20,0))
+        AS DECIMAL(38,0)) AS term
+    FROM seq)
+SELECT item_id, snapshot_date, price,
+       CAST(SUM(term) OVER (PARTITION BY item_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << CAST(rn - 1 AS INTEGER) AS DOUBLE)
+         / 100.0 AS ewma
+FROM terms"""
+
+
+def rolling_beta(silver: DataFrame, days: int = BETA_WINDOW_DAYS) -> DataFrame:
+    """Trailing-window beta + correlation of each item's daily price against
+    the market-wide daily price total.
+
+    x = Σ_items price (integer units — a SUM, not an average, so the market
+    series stays exactly integer-valued), y = the item's price. All five
+    window sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate exact decimals; the
+    final beta/corr combine those sums in double arithmetic with an
+    identical expression tree on both engines (every IEEE op is correctly
+    rounded, so identical trees ⇒ identical bits). beta is scale-invariant,
+    so integer units cancel and the result is in price space directly.
+
+    Plan: one groupBy(item, day), one groupBy(day) for the market series
+    (broadcast back — day cardinality is calendar-bounded), one item-keyed
+    RANGE window. Σdeg-style skew doesn't apply: group keys are (item, day).
+    """
+    daily = _daily(silver).withColumn("y0", int_units("price").cast("decimal(18,0)"))
+    market = daily.groupBy("snapshot_date").agg(
+        F.sum("y0").cast("decimal(18,0)").alias("x0")
+    )
+    j = daily.join(F.broadcast(market), "snapshot_date")
+    w = (
+        Window.partitionBy("item_id")
+        .orderBy(F.expr("datediff(snapshot_date, DATE '1970-01-01')"))
+        .rangeBetween(-days, 0)
+    )
+    n = F.count("y0").over(w).cast("double")
+    sx = F.sum("x0").over(w).cast("decimal(28,0)").cast("double")
+    sy = F.sum("y0").over(w).cast("decimal(28,0)").cast("double")
+    sxy = F.sum((F.col("x0") * F.col("y0")).cast("decimal(38,0)")).over(w).cast("double")
+    sxx = F.sum((F.col("x0") * F.col("x0")).cast("decimal(38,0)")).over(w).cast("double")
+    syy = F.sum((F.col("y0") * F.col("y0")).cast("decimal(38,0)")).over(w).cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return j.select(
+        "item_id",
+        "snapshot_date",
+        "price",
+        n.cast("bigint").alias("n_obs"),
+        F.when((n >= 2) & (varx_n > 0), cov_n / varx_n).alias("beta"),
+        F.when(
+            (n >= 2) & (varx_n > 0) & (vary_n > 0),
+            cov_n / F.sqrt(varx_n * vary_n),
+        ).alias("corr"),
+    )
+
+
+def rolling_beta_sql(silver_sql_cte: str, days: int = BETA_WINDOW_DAYS) -> str:
+    """DuckDB twin of :func:`rolling_beta`."""
+    iu = int_units_sql("price")
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  daily_x AS (SELECT *, CAST({iu} AS DECIMAL(18,0)) AS y0 FROM daily),
+  market AS (SELECT snapshot_date, CAST(SUM(y0) AS DECIMAL(18,0)) AS x0
+             FROM daily_x GROUP BY snapshot_date),
+  j AS (SELECT d.item_id, d.snapshot_date, d.price, d.y0, m.x0
+        FROM daily_x d JOIN market m USING (snapshot_date)),
+  sums AS (SELECT item_id, snapshot_date, price,
+      CAST(COUNT(y0) OVER w AS DOUBLE) AS n,
+      CAST(CAST(SUM(x0) OVER w AS DECIMAL(28,0)) AS DOUBLE) AS sx,
+      CAST(CAST(SUM(y0) OVER w AS DECIMAL(28,0)) AS DOUBLE) AS sy,
+      CAST(SUM(CAST(x0 * y0 AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxy,
+      CAST(SUM(CAST(x0 * x0 AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxx,
+      CAST(SUM(CAST(y0 * y0 AS DECIMAL(38,0))) OVER w AS DOUBLE) AS syy
+    FROM j
+    WINDOW w AS (PARTITION BY item_id
+                 ORDER BY date_diff('day', DATE '1970-01-01', snapshot_date)
+                 RANGE BETWEEN {days} PRECEDING AND CURRENT ROW))
+SELECT item_id, snapshot_date, price,
+       CAST(n AS BIGINT) AS n_obs,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS corr
+FROM sums"""
