@@ -1671,13 +1671,24 @@ def _ws_u32_sql(duck: bool) -> str:
 
 def _ws_key_sql(duck: bool) -> str:
     """A-ES key in log space: log2(u)/w = (plog2(u32) − 32) / w, u uniform
-    on (0, 1], w the integer document weight (n_tokens)."""
+    on (0, 1], w the integer document weight (n_tokens).
+
+    The raw double is QUANTIZED to DECIMAL(18,12) and re-emitted as DOUBLE:
+    plog2 is bit-identical for every *quantized* consumer, but DuckDB
+    contracts the polynomial's a*t+c steps into FMA, so the raw double can
+    differ in the last ulp between engines (seen: 1-ulp divergence at
+    sf0.001). Keys are in [−32, 0], so 12 decimals ≈ 13 significant digits
+    (inside the repo's ≤14-digit cross-engine rule) while FMA noise is
+    ≤ ~3e-15 — five orders of magnitude below the rounding grid. Ranking
+    happens on the quantized key (doc_id tiebreak), so sample membership is
+    engine-identical too."""
     from ..functions.numerics import plog2_sql
 
-    return (
-        f"(({plog2_sql(_ws_u32_sql(duck), duck=duck)}) - {_WS_BITS}.0)"
-        " / CAST(w AS DOUBLE)"
+    raw = (
+        f"((({plog2_sql(_ws_u32_sql(duck), duck=duck)}) - {_WS_BITS}.0)"
+        " / CAST(w AS DOUBLE))"
     )
+    return f"CAST(CAST({raw} AS DECIMAL(18,12)) AS DOUBLE)"
 
 
 def weighted_sample(documents: DataFrame, k: int = WS_K) -> DataFrame:

@@ -254,12 +254,21 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     jaccard semi-joined with candidates afterwards) re-runs the shingle
     self-join over every co-shingled pair, which is exactly the
     quadratic sweep LSH exists to avoid — measured 1.6× slower at sf0.1
-    and catastrophically worse at scale."""
+    and catastrophically worse at scale.
+
+    No forced broadcast: candidate volume scales with DUPLICATE DENSITY,
+    not corpus size (an 80%-dup source generates O(dups²/bands) pairs), so
+    an unconditional F.broadcast hint is a broadcast-OOM waiting to happen
+    at 100 TB. With AQE on, Catalyst still picks broadcast-hash when the
+    candidate side measures small at runtime, and degrades to a shuffled
+    hash join when it does not — tests/test_skew_stress.py pins both: the
+    uniform fixture still broadcasts, the dup-heavy fixture still returns
+    exact jaccards either way."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
     common = (
-        F.broadcast(cand)
+        cand
         .join(s1, "d1")
         .join(s2, ["d2", "sh"])
         .groupBy("d1", "d2")

@@ -14,15 +14,19 @@ classic ER recipe, expressed relationally:
 
 Levenshtein is the unit-cost DP edit distance in both Spark
 (`F.levenshtein`) and DuckDB (`levenshtein()`), so the score is an exact
-integer and the match set is hash-checkable (pinned by a cross-engine
-property test).
+integer and the match set is hash-checkable (pinned by the cross-engine
+property test in tests/test_er_properties.py). ONE caveat that test also
+pins: DuckDB's levenshtein counts UTF-8 BYTES while Spark's counts
+CODEPOINTS — they agree only on ASCII (true of the catalog); a non-ASCII
+source must be transliterated/normalized before matching.
 
 Scale notes (100 TB): the distinct-entity reduce is the only full-data
 pass (map-side combinable groupBy). Blocking makes candidate volume
 Σ_blocks |block|² over the ENTITY set, not the row set — the knob is the
 block key (compound keys cut hot blocks; a skewed block is AQE territory
 exactly like any hot join key). The pair join is a plain equi-join on the
-block key — never CartesianProduct (pinned in tests/test_plan_shapes.py).
+block key — never CartesianProduct (pinned in tests/test_plan_shapes.py::
+test_fuzzy_match_blocked_equi_join_no_cross_product).
 """
 
 from __future__ import annotations

@@ -3,7 +3,9 @@
 At 100 TB you never recompute gold from scratch — a day's batch arrives and
 the store merges it into yesterday's materialized state. The reference runs
 the same daily cadence (its Dagster assets recompute per schedule,
-/root/reference/data_pipeline/assets/gold/gold_daily_market_summary.py:1);
+/root/reference/data_pipeline/assets/gold/gold_sector_trends.py:1 — the
+gold layer's three stubs, with gold_safe_investments.py and
+gold_sales_velocity.py);
 this module is that cadence made *incremental*: gold summaries maintained
 as a mergeable partial-aggregate state table, so each batch costs
 O(batch + touched-partitions), not O(history).

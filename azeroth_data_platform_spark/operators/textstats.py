@@ -1381,8 +1381,15 @@ def bm25_scores(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> Da
     index would only improve for selective queries, which a 100 TB batch
     scorer is not."""
     words = _words()
+
+    def _eq(term: str):
+        # A unary closure: a 2-parameter lambda (even via a default arg)
+        # makes F.filter bind the 2nd parameter to the ELEMENT INDEX,
+        # turning the predicate into token == index (CAST_INVALID_INPUT).
+        return lambda w: w == F.lit(term)
+
     tf_cols = [
-        F.size(F.filter(words, lambda w, t=t: w == F.lit(t))).alias(f"tf_{i}")
+        F.size(F.filter(words, _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
     per_doc = documents.select("doc_id", F.size(words).alias("dl"), *tf_cols)

@@ -59,7 +59,16 @@ def run_pipeline(
         log.warning("empty bronze batch for %s — skipping", snapshot_date)
         meta["silver_inserted"] = 0
         return meta
-    meta["silver_inserted"] = merge.insert_if_absent(spark, silver_path, batch, key="id")
+    # The reference's conflict target is `id` ALONE (on_conflict_do_nothing,
+    # postgres_client.py:39) — a composite (id, snapshot_date) key would
+    # re-insert persisting auctions daily, changing semantics. So the
+    # scale-safe bounded probe prunes on `id` itself: exact (id IS the key),
+    # and the existing-side scan reads only row groups whose id min/max
+    # stats overlap the batch's id range — a bounded probe, not a
+    # full-table pass, since auction ids correlate with write order.
+    meta["silver_inserted"] = merge.insert_if_absent(
+        spark, silver_path, batch, key="id", prune_col="id"
+    )
     silver_df = spark.read.parquet(silver_path)
     # One silver scan feeds every gold job in this run (reference re-reads
     # Postgres per asset; SURVEY.md §4 caching row).

@@ -290,6 +290,57 @@ def main() -> int:
             },
         }
 
+        # --- dup-density probe (VERDICT r5 #5): MinHash-LSH on a
+        # duplicate-HEAVY corpus — the regime LSH exists for, which the
+        # (deliberately near-dup-free) uniform probe above cannot measure.
+        # Clusters of size f at fixed cluster count ⇒ candidate pairs grow
+        # ~C(f,2)·bands; pin that (a) candidate growth tracks that model,
+        # not n², and (b) the verify join keeps its equi-join shape with NO
+        # forced broadcast (dedup._verify_jaccard dropped its hint).
+        from azeroth_data_platform_spark.operators import dedup as _dd
+        from pyspark.sql import functions as F
+        import subprocess as _sp
+
+        dup = {}
+        for f in (2, 4):
+            ddir = os.path.join(repo, ".scaledata", f"dup{f}")
+            if not os.path.exists(os.path.join(ddir, "documents.parquet")):
+                _sp.run(
+                    [sys.executable, os.path.join(repo, "tools", "gen_scale.py"),
+                     "--dup-heavy", sf_dir, ddir, str(f)],
+                    check=True, capture_output=True,
+                )
+            docs = spark.read.parquet(os.path.join(ddir, "documents.parquet"))
+            sh = _dd.shingles(docs)
+            bands = _dd._minhash_bands(sh)
+            cand = (
+                bands.alias("a")
+                .join(bands.alias("b"), ["band", "band_key"])
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+                .distinct()
+            )
+            t0 = time.perf_counter()
+            pairs = _dd.minhash_lsh_dedup(docs)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            n_pairs = pairs.count()
+            sec = round(time.perf_counter() - t0, 3)
+            dup[f"f{f}"] = {
+                "docs": docs.count(),
+                "cand_pairs": cand.count(),
+                "dup_pairs": n_pairs,
+                "sec": sec,
+                "equi_join_only": (
+                    "CartesianProduct" not in plan
+                    and "BroadcastNestedLoopJoin" not in plan
+                ),
+            }
+        scaling["dup_probe"] = {
+            **dup,
+            "cand_growth": round(dup["f4"]["cand_pairs"] / max(dup["f2"]["cand_pairs"], 1), 2),
+            "model": "clusters of size f at fixed cluster count -> C(f,2) pairs: f2->f4 predicts ~6x cand, ~2x docs",
+        }
+
     quad_total = round(sum(t for n, t in timings.items() if n in quadratic), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     out = {
@@ -300,7 +351,6 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "quadratic_baselines_sec": quad_total,
         "scale_path_sec": round(sum(timings.values()) - quad_total, 3),
-        "extra_queries": extra_timings,
         "canary_sec": canary_sec,
         "canary_sec_post": canary_sec_post,
         # PRIMARY cross-round comparison number (round 4+): host drift moved
@@ -308,8 +358,16 @@ def main() -> int:
         # canary-normalized ratio is the host-honest series (r3 = 174.8).
         "headline_over_canary": round(sum(timings.values()) / canary_sec, 2),
     }
+    # Two lines: a FULL detail record first (extra queries + scaling probe —
+    # can exceed 2 kB), then the COMPACT required-schema record LAST so a
+    # tail-capturing consumer always gets a complete, parseable JSON line
+    # (BENCH_r05's `parsed: null` was the detail line overflowing the
+    # driver's ~2000-char tail window).
+    detail = dict(out)
+    detail["extra_queries"] = extra_timings
     if scaling is not None:
-        out["scaling"] = scaling
+        detail["scaling"] = scaling
+    print(json.dumps(detail))
     print(json.dumps(out))
     spark.stop()
     return 0

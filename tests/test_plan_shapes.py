@@ -383,3 +383,16 @@ def test_prefix_search_pushes_startswith_to_scan(spark, sf_dir):
     plan = _plan(harness.ALL_QUERIES["o13_prefix_search"](spark, sf_dir))
     assert "StringStartsWith(p_name,blue)" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_match_blocked_equi_join_no_cross_product(spark, sf_dir):
+    """x_fuzzy_match (operators/er.py): the candidate pair join is a plain
+    equi-join on the block key — never CartesianProduct / nested loop —
+    and the distinct-entity pre-reduce means the join inputs are
+    aggregates, not raw dim rows."""
+    df = harness.QUERIES["x_fuzzy_match"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # blocked join keyed on the head-noun block column
+    assert "block" in plan

@@ -211,6 +211,45 @@ def test_minhash_signature_agg_bounded_on_dupfarm(dupfarm_docs):
     assert cand <= dedup.LSH_BANDS * 20 * (40 * 39 // 2) + 2_000, cand
 
 
+def test_verify_jaccard_no_forced_broadcast(dupfarm_docs):
+    """VERDICT r5 #5: _verify_jaccard must NOT carry an unconditional
+    F.broadcast hint — candidate volume scales with duplicate density, so
+    a dup-heavy 100 TB source would blow the broadcast limit. Pin (a) the
+    logical plan has zero broadcast hints (Catalyst/AQE choose freely),
+    (b) the join stays an equi-join either way, and (c) jaccards are
+    still exact against a driver-side recompute on sampled pairs."""
+    sh = dedup.shingles(dupfarm_docs)
+    bands = dedup._minhash_bands(sh)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    verified = dedup._verify_jaccard(sh, cand)
+    logical = verified._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    plan = _plan(verified)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r.d1, r.d2): r.jaccard for r in verified.collect()}
+    assert got, "dupfarm must yield candidates"
+    shingle_sets: dict[int, set] = {}
+    for r in sh.where(F.col("doc_id") < 80).collect():
+        shingle_sets.setdefault(r.doc_id, set()).add(r.sh)
+    checked = 0
+    for (d1, d2), j in got.items():
+        if d1 in shingle_sets and d2 in shingle_sets:
+            a, b = shingle_sets[d1], shingle_sets[d2]
+            assert j == len(a & b) / len(a | b), (d1, d2)
+            checked += 1
+        if checked >= 5:
+            break
+    assert checked >= 1
+
+
 # --- pack_contents with a 100×-median giant doc ---------------------------
 
 

@@ -138,6 +138,37 @@ def scale_documents(src: str, out: str, factor: int) -> None:
     _write(pd.concat(parts, ignore_index=True), out, "documents", sch)
 
 
+def gen_dup_heavy_documents(src: str, out: str, factor: int) -> None:
+    """Duplicate-HEAVY documents variant (VERDICT r5 #5): every copy k ≥ 1
+    is a NEAR-DUPLICATE of the original (one word in ~30 swapped for a
+    copy token), so the corpus is (factor-1)/factor near-dups in clusters
+    of size `factor`. This is the regime LSH exists for — candidate-pair
+    volume grows ~C(factor, 2) per cluster, i.e. quadratically in dup
+    density at fixed cluster count — and is exactly the distribution the
+    uniform scale probe (scale_documents above) deliberately avoids.
+    Only documents.parquet is written; the dup probe needs nothing else."""
+    os.makedirs(out, exist_ok=True)
+    docs = _read(src, "documents")
+    max_did = int(docs["doc_id"].max()) + 1
+    parts = [docs]
+    for k in range(1, factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + k * max_did
+        tok = f"dz{k}q"
+
+        def mutate(text: str, tok: str = tok) -> str:
+            ws = text.split()
+            for i in range(14, len(ws), 30):
+                ws[i] = tok
+            return " ".join(ws)
+
+        d["text"] = d["text"].map(mutate)
+        d["n_chars"] = d["text"].str.len()
+        parts.append(d)
+    sch = pq.read_schema(os.path.join(src, "documents.parquet"))
+    _write(pd.concat(parts, ignore_index=True), out, "documents", sch)
+
+
 def scale_embeddings(src: str, out: str, factor: int) -> None:
     emb = _read(src, "embeddings")
     max_vid = int(emb["vec_id"].max()) + 1
@@ -152,9 +183,16 @@ def scale_embeddings(src: str, out: str, factor: int) -> None:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--dup-heavy"]
+    dup_heavy = "--dup-heavy" in sys.argv[1:]
+    src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    out = argv[1] if len(argv) > 1 else ".scaledata/sf1"
+    factor = int(argv[2]) if len(argv) > 2 else 10
+    if dup_heavy:
+        gen_dup_heavy_documents(src, out, factor)
+        for t in sorted(os.listdir(out)):
+            print(t, pq.ParquetFile(os.path.join(out, t)).metadata.num_rows)
+        return 0
     os.makedirs(out, exist_ok=True)
     scale_tpch(src, out, factor)
     scale_events(src, out, factor)
