@@ -1726,3 +1726,70 @@ def weighted_sample_sql(k: int = WS_K) -> str:
     FROM weighted WHERE w >= 1)
 SELECT doc_id, source, lang, w, es_key
 FROM scored ORDER BY es_key DESC, doc_id ASC LIMIT {k}"""
+
+
+# --- deterministic global shuffle + shard layout ----------------------------
+
+SHUFFLE_SHARDS = 64
+
+
+def _shuffle_key_sql(duck: bool) -> str:
+    """Seeded shuffle key: md5('gs:' || doc_id) — a hex string, so plain
+    string ordering IS the shuffled order in both engines. The 'gs:' seed
+    keeps this hash stream independent of every sampler's."""
+    s = "VARCHAR" if duck else "STRING"
+    return f"md5('gs:' || CAST(doc_id AS {s}))"
+
+
+def global_shuffle(
+    documents: DataFrame, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus into `n_shards` training
+    shards: every doc gets (shard, pos) — its file and offset in the
+    shuffled training order. Training-data pipelines need exactly this
+    before writing tokenized shards: a reproducible random order that no
+    source/time locality survives (consecutive docs from one crawl batch
+    must not land in one shard).
+
+    shard = first 8 md5 nibbles mod n_shards; pos = rank of the full md5
+    key within the shard. Re-runs produce the identical layout.
+
+    Scale shape: ONE hash-partitioned exchange on `shard` + an in-partition
+    sort (Spark's window does precisely repartition-by-key + sortWithin) —
+    there is NO global sort; each shard orders independently, which is
+    valid because shard membership already routed every row. At 100 TB
+    with n_shards sized to ~1-4 GB of tokens per shard, this is the
+    write-side layout pass before `partitionBy("shard")`."""
+    instr_terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    keyed = documents.select(
+        "doc_id",
+        "source",
+        F.expr(_shuffle_key_sql(duck=False)).alias("skey"),
+    ).withColumn("shard", F.expr(f"({instr_terms}) % {n_shards}"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id", "source", "shard", F.row_number().over(win).alias("pos")
+    )
+
+
+def global_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    """DuckDB twin of :func:`global_shuffle`."""
+    strpos_terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""WITH keyed AS (
+    SELECT doc_id, source, {_shuffle_key_sql(duck=True)} AS skey FROM documents),
+  sharded AS (
+    SELECT doc_id, source, skey, ({strpos_terms}) % {n_shards} AS shard
+    FROM keyed)
+SELECT doc_id, source, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+FROM sharded"""

@@ -1438,3 +1438,108 @@ def bm25_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
 SELECT doc_id, dl, {tfs}, {score} AS bm25_bits
 FROM per_doc CROSS JOIN stats
 WHERE ({matched}) > 0"""
+
+
+# --- PMI collocation mining --------------------------------------------------
+
+PMI_MIN_COUNT = 5  # a bigram needs this much evidence to be scored
+PMI_TOP_K = 50
+
+
+def _pmi_bits_sql(duck: bool) -> str:
+    """PMI in bits, every log on a SINGLE exact integer so no product can
+    overflow at any corpus size:
+
+      pmi = log2( (c_ab/NB) / ((c_a/NU)(c_b/NU)) )
+          = plog2(c_ab) + 2*plog2(NU) - plog2(NB) - plog2(c_a) - plog2(c_b)
+
+    (NU = total unigram tokens, NB = total bigram transitions.) The five
+    plog2 terms combine in doubles; the sum is QUANTIZED through
+    DECIMAL(18,12) before output — the tp_weighted_sample lesson: raw
+    plog2-derived doubles must never be output columns (DuckDB's FMA
+    contraction moves the last ulp)."""
+    from ..functions.numerics import plog2_sql
+
+    p = lambda x: plog2_sql(x, duck=duck)  # noqa: E731
+    raw = (
+        f"({p('c_ab')} + 2 * ({p('nu')}) - ({p('nb')})"
+        f" - ({p('c_a')}) - ({p('c_b')}))"
+    )
+    return f"CAST(CAST({raw} AS DECIMAL(18,12)) AS DOUBLE)"
+
+
+def pmi_collocations(
+    documents: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information —
+    the classic "new york"/"machine learning" detector a corpus curation
+    pipeline runs to build tokenizer merge candidates and stopword-phrase
+    lists.
+
+    Plan shape (100 TB): bigram and unigram counts are each ONE map-side-
+    combinable groupBy over the token stream; the marginal joins hit the
+    vocab-sized count table (broadcast-friendly, and AQE picks broadcast
+    when it fits); the corpus totals are scalar broadcasts; the final
+    top-k is TakeOrderedAndProject — per-partition top-k then a k-row
+    driver merge, never a global sort. min_count pruning happens BEFORE
+    the marginal joins, so the scored relation is the rare-collocation
+    head, not the full bigram tail."""
+    toks = documents.select("doc_id", _words().alias("_ws"))
+    bg = toks.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("_p")).select(
+        "_p.v", "_p.w"
+    )
+    uni = (
+        documents.select(F.explode(_words()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    bgc = (
+        bg.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    nb = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    scored = (
+        bgc.join(uni.select(F.col("token").alias("v"), F.col("c").alias("c_a")), "v")
+        .join(uni.select(F.col("token").alias("w"), F.col("c").alias("c_b")), "w")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "v",
+            "w",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(_pmi_bits_sql(duck=False)).alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_bits").desc(), F.col("v").asc(), F.col("w").asc()
+    ).limit(k)
+
+
+def pmi_collocations_sql(
+    min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations`."""
+    return f"""WITH bg AS (
+    SELECT ws[i] AS v, ws[i + 1] AS w
+    FROM (SELECT doc_id, {WORDS_SQL} AS ws FROM documents),
+         unnest(range(1, len(ws))) AS u(i)),
+  uni AS (SELECT token, COUNT(*) AS c
+          FROM (SELECT unnest({WORDS_SQL}) AS token FROM documents)
+          GROUP BY token),
+  nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+  bgc AS (SELECT v, w, COUNT(*) AS c_ab FROM bg GROUP BY v, w
+          HAVING COUNT(*) >= {min_count}),
+  nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+  scored AS (
+    SELECT bgc.v, bgc.w, bgc.c_ab, a.c AS c_a, b.c AS c_b,
+           {_pmi_bits_sql(duck=True)} AS pmi_bits
+    FROM bgc
+    JOIN uni a ON bgc.v = a.token
+    JOIN uni b ON bgc.w = b.token
+    CROSS JOIN nu CROSS JOIN nb)
+SELECT v, w, c_ab, c_a, c_b, pmi_bits
+FROM scored ORDER BY pmi_bits DESC, v ASC, w ASC LIMIT {k}"""

@@ -396,3 +396,26 @@ def test_fuzzy_match_blocked_equi_join_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # blocked join keyed on the head-noun block column
     assert "block" in plan
+
+
+def test_global_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """tp_global_shuffle: ONE hash exchange on shard + in-partition sort —
+    a global Range exchange (total sort) would be a 100 TB bottleneck."""
+    df = harness.QUERIES["tp_global_shuffle"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_pmi_collocations_topk_and_min_count_before_joins(spark, sf_dir):
+    """ts_pmi_collocations: final top-k is TakeOrderedAndProject (never a
+    global sort), marginal joins are hash joins (no cartesian except the
+    sanctioned 1-row scalar anchors), and the min-count filter sits on the
+    aggregate BEFORE the marginal joins (prunes the bigram tail first)."""
+    df = harness.QUERIES["ts_pmi_collocations"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the c_ab >= 5 pruning filter lives under the join, on the aggregate
+    assert "c_ab" in opt and ">= 5" in opt
