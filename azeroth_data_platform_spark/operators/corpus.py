@@ -1281,29 +1281,56 @@ def hash_classifier(documents: DataFrame) -> DataFrame:
     hash check an independent-implementation check of the model fold."""
     import hashlib
 
+    import hashlib as _hl  # noqa: F401  (back-compat: hashlib imported above)
+
+    from .dedup import MINHASH_P
+
     wmap: dict[int, float] = {}
     for f in range(FT_BUCKETS):
         h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % 2_147_483_647
         wmap[f] = float(h % 2001 - 1000) / 1024.0
-    map_lit = F.create_map(*[F.lit(x) for kv in wmap.items() for x in kv])
-    feat = _ft_feature_sql(duck=False)
-    sum_bits = (
-        "CAST(aggregate(_bgs, CAST(0 AS DECIMAL(28,12)),"
-        f" (acc, bg) -> CAST(acc + CAST(element_at(_wmap, CAST({feat} AS INT))"
-        " AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)"
+    # ONE parsed SQL expression, not 8192 F.lit Column objects: building
+    # the map via create_map cost ~3.4 s of py4j round-trips PER QUERY
+    # CONSTRUCTION (measured at sf0.1 — more than the execution itself).
+    # Weights are n/1024 so repr() round-trips exactly through the parser.
+    map_lit = F.expr(
+        "map(" + ", ".join(f"{k}, CAST({v!r} AS DOUBLE)" for k, v in wmap.items()) + ")"
+    )
+    # HOF lambdas are INTERPRETED (no whole-stage codegen, no common-
+    # subexpression elimination) — inlining _ft_feature_sql here evaluated
+    # the md5 once PER NIBBLE TERM, i.e. 8 md5s per bigram (measured 6.2 s
+    # at sf0.1). Hoist the md5 into its own transform so each bigram pays
+    # exactly one md5; the nibble parse then reads the 8-char local string.
+    nib = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
     )
     bgs = F.expr(
         "transform(sequence(0, size(_ws) - 2),"
         " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
+    )
+    wts = F.expr(
+        "transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))"
+    )
+    sum_bits = (
+        "CAST(aggregate(_hx, CAST(0 AS DECIMAL(28,12)),"
+        " (acc, h) -> CAST(acc + CAST(element_at(_wmap,"
+        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT))"
+        " AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)"
     )
     logit = (F.col("_sum") / F.col("n_features")) + F.lit(FT_BIAS)
     return (
         documents.withColumn("_ws", textstats._words())
         .where(F.size("_ws") >= 2)
         .withColumn("_bgs", bgs)
+        .withColumn("_hx", wts)
         .withColumn("_wmap", map_lit)
         .withColumn("n_features", F.size("_bgs").cast("bigint"))
-        .withColumn("_sum", F.expr(sum_bits))
+        # the rand()*0.0 no-op makes _sum nondeterministic so projection
+        # collapse cannot inline the interpreted aggregate tree into BOTH
+        # logit and keep (the dedup cosine device) — measured 2× on this op
+        .withColumn("_sum", F.expr(sum_bits) + F.rand(45) * 0.0)
         .select(
             "doc_id",
             "n_features",

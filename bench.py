@@ -248,6 +248,8 @@ def main() -> int:
             "ts_perplexity_bigram",
             "dd_cdc_segments",
             "x_pagerank",
+            "tp_global_shuffle",
+            "ts_pmi_collocations",
         ]
         base = {**timings, **extra_timings}
 
