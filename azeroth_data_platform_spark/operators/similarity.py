@@ -428,6 +428,49 @@ def lsh_index_topk(
     )
 
 
+LSH_INDEX_BUCKETS = 64
+
+
+def persist_lsh_index(
+    spark,
+    embeddings: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_tables: int = LSH_N_TABLES,
+    n_buckets: int = LSH_INDEX_BUCKETS,
+) -> None:
+    """Write the LSH index as a PERSISTENT bucketed table — the on-disk
+    form of `build_lsh_index` for build-once/query-across-sessions: the
+    corpus fan-out is paid once at write time; every later session reads
+    the materialized relation with `read_lsh_index` and queries it with
+    `lsh_index_topk`, bit-identical to the in-memory path (pinned in
+    tests/test_bucketing.py).
+
+    Layout: bucketed + sorted on the join key (tbl, bucket), vec_id as
+    the sort tiebreak for deterministic files. At scale the candidate
+    equi-join then needs NO exchange on the (huge) index side regardless
+    of query-batch size; a small batch still broadcasts. `n_tables` is a
+    build-time property — queries must pass the same value (the bucket
+    ids are positional in the plane family)."""
+    from ..sources.writers import write_bucketed_table
+
+    rel = _lsh_corpus_relation(embeddings, n_tables)
+    write_bucketed_table(
+        spark,
+        rel,
+        table,
+        bucket_col=["tbl", "bucket"],
+        path=path,
+        n_buckets=n_buckets,
+        sort_col=["tbl", "bucket", "vec_id"],
+    )
+
+
+def read_lsh_index(spark, table: str) -> DataFrame:
+    """Read a `persist_lsh_index` table for use with `lsh_index_topk`."""
+    return spark.table(table)
+
+
 N_IVF_CENTROIDS = 8
 N_PROBE = 2
 KMEANS_ITERS = 3

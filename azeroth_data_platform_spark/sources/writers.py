@@ -58,16 +58,27 @@ def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
     table: str,
-    bucket_col: str = "item_id",
+    bucket_col: str | list[str] = "item_id",
     path: str | None = None,
     n_buckets: int = N_BUCKETS,
+    sort_col: str | list[str] | None = None,
 ) -> None:
     """Persist as a Hive-style bucketed (+sorted) table: later equi-joins and
     aggregations on `bucket_col` between tables bucketed the same way run
-    with zero exchanges. `path` overrides the warehouse location (the
-    warehouse dir itself is a static conf)."""
+    with zero exchanges. `bucket_col` may be a composite key (list);
+    `sort_col` defaults to the bucket key and may extend it for
+    deterministic in-file order. `path` overrides the warehouse location
+    (the warehouse dir itself is a static conf)."""
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    scols = (
+        bcols
+        if sort_col is None
+        else ([sort_col] if isinstance(sort_col, str) else list(sort_col))
+    )
     writer = (
-        df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bcols[0], *bcols[1:])
+        .sortBy(scols[0], *scols[1:])
     )
     if path is not None:
         writer = writer.option("path", path)

@@ -103,3 +103,33 @@ def test_zorder_layout_prunes_on_both_keys(spark, tmp_path):
     assert z_k2 <= 0.75 and z_k1 <= 0.75
     # and the layout is lossless
     assert spark.read.parquet(zout).count() == ev.count()
+
+
+def test_persisted_lsh_index_bit_identical_and_exchange_free(
+    spark, sf_dir, tmp_path_factory
+):
+    """persist_lsh_index -> read_lsh_index -> lsh_index_topk is
+    bit-identical to the in-memory build_lsh_index path, and the
+    candidate join reads the bucketed index scan with NO exchange on the
+    index side (the build-once/query-many 100 TB story)."""
+    from azeroth_data_platform_spark.operators import similarity
+
+    wh = str(tmp_path_factory.mktemp("lsh_wh"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS btest")
+    emb = adapters.read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < similarity.N_QUERIES)
+
+    mem = similarity.lsh_index_topk(similarity.build_lsh_index(emb), queries)
+    want = sorted(map(tuple, mem.collect()))
+
+    similarity.persist_lsh_index(spark, emb, "btest.lsh_idx", path=f"{wh}/lsh_idx")
+    idx = similarity.read_lsh_index(spark, "btest.lsh_idx")
+    got_df = similarity.lsh_index_topk(idx, queries)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # index side: bucketed file scan feeding the join without an exchange
+    assert "Bucketed: true" in plan
+    idx_frag = plan.split("Location")[0]
+    assert "Exchange hashpartitioning(tbl" not in plan
