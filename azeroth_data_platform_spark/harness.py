@@ -1280,6 +1280,13 @@ def q_tp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample(_docs(spark, sf_dir))
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — metadata predicate (lang/min-length) semi-joined
+    BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
+    candidates (operators/similarity.py filtered_lsh_topk)."""
+    return similarity.filtered_lsh_topk(_embs(spark, sf_dir), _docs(spark, sf_dir))
+
+
 def q_ts_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k adjacent-bigram collocations by PMI — two map-combinable
     count groupBys, broadcast marginals, TakeOrderedAndProject top-k;
@@ -1400,9 +1407,10 @@ QUERIES: dict[str, QueryFn] = {
     # PMI collocation mining and the deterministic global shuffle layout.
     "ts_pmi_collocations": q_ts_pmi_collocations,
     "tp_global_shuffle": q_tp_global_shuffle,
+    "ann_filtered_topk": q_ann_filtered_topk,
 }
 
-assert len(QUERIES) == 73, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 74, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1709,6 +1717,7 @@ ORACLES["ts_bm25"] = textstats.bm25_sql()
 ORACLES["tp_weighted_sample"] = corpus.weighted_sample_sql()
 ORACLES["ts_pmi_collocations"] = textstats.pmi_collocations_sql()
 ORACLES["tp_global_shuffle"] = corpus.global_shuffle_sql()
+ORACLES["ann_filtered_topk"] = similarity.filtered_lsh_topk_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

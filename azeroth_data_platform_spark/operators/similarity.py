@@ -1468,3 +1468,70 @@ def knn_graph_sql(k: int = KNN_K) -> str:
     FROM scored)
   SELECT vec_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
   FROM ranked WHERE rank <= {k}"""
+
+
+# --- filtered ANN: metadata predicate + vector search -----------------------
+
+FILTER_LANG = "en"
+FILTER_MIN_CHARS = 200
+
+
+def filtered_lsh_topk(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    k: int = TOP_K,
+    lang: str = FILTER_LANG,
+    min_chars: int = FILTER_MIN_CHARS,
+) -> DataFrame:
+    """Filtered ANN — the "vector search with a WHERE clause" every hybrid
+    retrieval system needs: top-k by cosine among ONLY the corpus vectors
+    whose document passes the metadata predicate (lang + min length), for
+    each query vector.
+
+    Strategy is PREFILTER: the allowed-id semi-join runs BEFORE the LSH
+    bucket fan-out, so the bucket relation (and every candidate scored) is
+    built over the filtered subset — at 100 TB a 10%-selective predicate
+    makes the index pass 10× cheaper, and recall within the filtered set
+    is exactly the unfiltered operator's recall on that subset. (The
+    alternative, post-filtering a k-sized result, silently returns < k
+    rows whenever the filter eats ranked hits — this returns the true
+    filtered top-k.) Candidate generation stays an equi-join on bucket
+    with hamming-1 probes; rank/tie rules match brute_force_topk."""
+    allowed = documents.where(
+        (F.col("lang") == lang) & (F.col("n_chars") >= min_chars)
+    ).select(F.col("doc_id").alias("vec_id"))
+    corpus_f = embeddings.join(allowed, "vec_id", "left_semi")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    return _two_phase_topk(_lsh_table_scored(corpus_f, queries, start=0), k)
+
+
+def filtered_lsh_topk_sql(
+    k: int = TOP_K, lang: str = FILTER_LANG, min_chars: int = FILTER_MIN_CHARS
+) -> str:
+    """DuckDB twin of :func:`filtered_lsh_topk` (single-table form of
+    lsh_bucketed_topk_sql with the corpus side prefiltered; probes come
+    from the UNfiltered embeddings — queries need not pass the filter)."""
+    bucket = lsh_bucket_sql("embedding", duck=True)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+    )
+    return f"""
+  WITH allowed AS (SELECT doc_id FROM documents
+                   WHERE lang = '{lang}' AND n_chars >= {min_chars}),
+  base AS (SELECT vec_id, embedding, {bucket} AS bucket,
+                  {norm_sql("embedding", duck=True)} AS nrm
+           FROM embeddings),
+  b AS (SELECT * FROM base WHERE vec_id IN (SELECT doc_id FROM allowed)),
+  probes AS (SELECT vec_id, embedding, nrm, unnest([{probes}]) AS bucket
+             FROM base WHERE vec_id < {N_QUERIES}),
+  scored AS (
+    SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id,
+           {cosine_with_norms_sql("q.embedding", "c.embedding", "q.nrm", "c.nrm", duck=True)}
+             AS cosine
+    FROM b c JOIN probes q
+      ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                 ORDER BY cosine DESC, c_vec_id ASC) AS rank
+    FROM scored)
+  SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""

@@ -419,3 +419,26 @@ def test_pmi_collocations_topk_and_min_count_before_joins(spark, sf_dir):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     # the c_ab >= 5 pruning filter lives under the join, on the aggregate
     assert "c_ab" in opt and ">= 5" in opt
+
+
+def test_filtered_ann_prefilters_before_fanout(spark, sf_dir):
+    """ann_filtered_topk: the metadata semi-join restricts the corpus
+    BEFORE the LSH bucket fan-out (prefilter strategy) — the plan shows
+    the documents-side filter under the bucket join, candidates stay an
+    equi-join, and every returned candidate passes the predicate."""
+    from azeroth_data_platform_spark.operators import adapters
+
+    df = harness.QUERIES["ann_filtered_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the documents scan participates with its predicate pushed
+    assert "lang" in plan and "n_chars" in plan
+    allowed = {
+        r.doc_id
+        for r in adapters.read_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id")
+        .collect()
+    }
+    got = df.collect()
+    assert got and all(r.c_vec_id in allowed for r in got)
