@@ -1280,6 +1280,13 @@ def q_tp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample(_docs(spark, sf_dir))
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 block-average resize of the byte raster over mapInPandas —
+    exact integer math, hash-checked by the hex-pair DuckDB twin
+    (operators/multimodal.py resize_payloads)."""
+    return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1408,9 +1415,10 @@ QUERIES: dict[str, QueryFn] = {
     "ts_pmi_collocations": q_ts_pmi_collocations,
     "tp_global_shuffle": q_tp_global_shuffle,
     "ann_filtered_topk": q_ann_filtered_topk,
+    "mm_resize": q_mm_resize,
 }
 
-assert len(QUERIES) == 74, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 75, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1718,6 +1726,7 @@ ORACLES["tp_weighted_sample"] = corpus.weighted_sample_sql()
 ORACLES["ts_pmi_collocations"] = textstats.pmi_collocations_sql()
 ORACLES["tp_global_shuffle"] = corpus.global_shuffle_sql()
 ORACLES["ann_filtered_topk"] = similarity.filtered_lsh_topk_sql()
+ORACLES["mm_resize"] = multimodal.RESIZE_SQL
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -546,3 +546,118 @@ def _binary_cdc_sql(div: int = CDC_BIN_DIV) -> str:
 
 
 BINARY_CDC_SQL = _binary_cdc_sql()
+
+
+# --- image resize plumbing ---------------------------------------------------
+
+RESIZE_SRC_W = 16  # synthetic raster width (bytes per row)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resize_checksum", T.LongType()),
+        T.StructField("preview_hex", T.StringType()),
+    ]
+)
+
+
+def resize_payloads(multimodal: DataFrame) -> DataFrame:
+    """Image-resize plumbing over binary payloads: treat each payload as a
+    row-major `RESIZE_SRC_W`-wide byte raster (zero-padded to full rows /
+    even height) and 2×2 block-average downsample it — INTEGER floor
+    division, so the result is exact and the DuckDB twin (RESIZE_SQL) can
+    hash-check the mapInPandas path byte for byte. A real pipeline swaps
+    the raster interpretation for a decoded image (decode_image above is
+    the stubbed seam) and the block mean for the interpolation kernel; the
+    Arrow batching, schema, and 1-row-per-image shape are exactly this.
+
+    Scale: embarrassingly parallel scan; payload bytes never shuffle
+    (output carries dims + checksum + preview, not the raster)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = RESIZE_SRC_W
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                src_h = max((len(b) + w - 1) // w, 1)
+                padded_h = src_h + (src_h % 2)
+                arr = np.zeros((padded_h, w), dtype=np.int64)
+                flat = np.frombuffer(b, dtype=np.uint8)
+                arr.reshape(-1)[: len(flat)] = flat
+                blocks = (
+                    arr[0::2, 0::2] + arr[0::2, 1::2]
+                    + arr[1::2, 0::2] + arr[1::2, 1::2]
+                ) // 4
+                out = blocks.astype(np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        src_h,
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.sum()) % 997,
+                        out.reshape(-1)[:4].tobytes().hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "out_w", "out_h",
+                    "resize_checksum", "preview_hex",
+                ],
+            )
+
+    return multimodal.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def _byte_at_expr(idx: str, nb: str = "nb") -> str:
+    """Hex-pair byte value at (0-based) index expression `idx`, 0 beyond
+    the payload (the zero padding)."""
+    return (
+        f"CASE WHEN ({idx}) < {nb} THEN"
+        f" (strpos('{_HEX}', substring(h, 2*({idx})+1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substring(h, 2*({idx})+2, 1)) - 1)"
+        " ELSE 0 END"
+    )
+
+
+def _resize_sql() -> str:
+    w = RESIZE_SRC_W
+    ow = w // 2
+    # resized pixel p: r = p // ow, c = p % ow; source indexes (2r, 2c) etc.
+    px = " + ".join(
+        _byte_at_expr(f"(2*(p//{ow}) + {dy}) * {w} + 2*(p%{ow}) + {dx}")
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    return f"""
+  WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS nb
+             FROM documents),
+  dims AS (SELECT doc_id, h, nb,
+                  GREATEST((nb + {w} - 1) // {w}, 1) AS src_h
+           FROM b),
+  sized AS (SELECT doc_id, h, nb, src_h,
+                   CAST((src_h + (src_h % 2)) // 2 AS INTEGER) AS out_h
+            FROM dims),
+  px AS (SELECT doc_id, src_h, out_h,
+                [({px}) // 4 FOR p IN range(0, out_h * {ow})] AS pxs
+         FROM sized)
+  SELECT doc_id,
+         {w} AS src_w, CAST(src_h AS INTEGER) AS src_h,
+         {ow} AS out_w, out_h,
+         CAST(COALESCE(list_sum(pxs), 0) % 997 AS BIGINT) AS resize_checksum,
+         lower(concat(
+           {", ".join(f"lpad(hex(COALESCE(pxs[{i}], 0)), 2, '0')" for i in range(1, 5))}
+         )) AS preview_hex
+  FROM px"""
+
+
+RESIZE_SQL = _resize_sql()
