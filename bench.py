@@ -159,6 +159,11 @@ def main() -> int:
             "dd_doc_novelty",
             "tp_export_manifest",
             "mm_cdc_dedup",
+            # round-6 additions (extras are not part of the frozen headline)
+            "ts_pmi_collocations",
+            "tp_global_shuffle",
+            "ann_filtered_topk",
+            "mm_resize",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -256,7 +261,7 @@ def main() -> int:
         # Budget guard: the probe must never endanger the driver's bench
         # timeout — stop launching scaled queries after this many seconds
         # and report what completed (truncated=True marks a partial probe).
-        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "240"))
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
         probe_t0 = time.perf_counter()
 
         def run_scaled(name: str) -> float:
