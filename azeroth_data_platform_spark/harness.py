@@ -1287,6 +1287,20 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_w_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (src -> dst) with exact distinct-user
+    support — the product-analytics flow feed (operators/windows.py)."""
+    return windows.user_paths(_events_ts(spark, sf_dir))
+
+
+def q_a13_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item CUSUM regime-change profile (operators/timeseries.py):
+    exact-integer mean-centered prefix deviations, argmax changepoint."""
+    from .operators import timeseries
+
+    return timeseries.cusum_changepoint(_silver(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1416,9 +1430,11 @@ QUERIES: dict[str, QueryFn] = {
     "tp_global_shuffle": q_tp_global_shuffle,
     "ann_filtered_topk": q_ann_filtered_topk,
     "mm_resize": q_mm_resize,
+    "a13_cusum_changepoint": q_a13_cusum,
+    "w_user_paths": q_w_user_paths,
 }
 
-assert len(QUERIES) == 75, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 77, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1727,6 +1743,8 @@ ORACLES["ts_pmi_collocations"] = textstats.pmi_collocations_sql()
 ORACLES["tp_global_shuffle"] = corpus.global_shuffle_sql()
 ORACLES["ann_filtered_topk"] = similarity.filtered_lsh_topk_sql()
 ORACLES["mm_resize"] = multimodal.RESIZE_SQL
+ORACLES["a13_cusum_changepoint"] = _timeseries.cusum_sql(_W_SILVER)
+ORACLES["w_user_paths"] = windows.USER_PATHS_SQL
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

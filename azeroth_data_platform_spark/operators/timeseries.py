@@ -259,3 +259,110 @@ SELECT item_id, snapshot_date, price,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
             THEN (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS corr
 FROM sums"""
+
+
+# --- CUSUM changepoint detection --------------------------------------------
+
+CUSUM_WINDOW_DAYS = GAPFILL_WINDOW_DAYS
+
+
+def cusum_changepoint(
+    silver: DataFrame, days: int = CUSUM_WINDOW_DAYS
+) -> DataFrame:
+    """Per-item CUSUM regime-change profile over the trailing daily price
+    series: where (and how hard) did the price level shift?
+
+    Page's CUSUM against the series' own mean, in EXACT integer space so
+    the statistic is engine- and partitioning-identical: with x_t the
+    day's price in integer units (int_units, 2 decimals) and S = Σx over
+    the item's n-day series, the mean-centered prefix is
+
+        cum_t = n·prefix_t − t·S        (all BIGINT, exact)
+
+    drawup_t = cum_t − min(cum_≤t) spikes when the level shifts UP,
+    drawdown_t = max(cum_≤t) − cum_t when it shifts DOWN; the changepoint
+    is the argmax of the combined deviation (earliest date on ties —
+    row_number, not max_by, which breaks ties differently across
+    engines). Values are n-scaled (document: divide by n·100 for price
+    units) — consumers threshold against n·σ, exactly as reported.
+
+    Scale: one (item, day) pre-aggregation (map-side combinable), then
+    per-item window passes riding ONE item_id shuffle; series length is
+    calendar-bounded (`days`), so BIGINT headroom holds at any corpus
+    size: |cum| ≤ n²·max_price_units ≈ 90²·1e9 ≪ 2⁶³."""
+    daily = _window_anchor(_daily(silver), days).select(
+        "item_id",
+        "snapshot_date",
+        # int_units yields DECIMAL(18,0); BIGINT keeps every downstream
+        # sum/product integer-typed (DuckDB's HUGEINT sums cast back in
+        # the twin) — headroom documented above
+        int_units("price").cast("bigint").alias("xu"),
+    )
+    wi = Window.partitionBy("item_id")
+    wo = wi.orderBy("snapshot_date")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        F.col("n") * F.sum("xu").over(wrun) - F.row_number().over(wo) * F.col("s")
+    )
+    scored = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wi))
+        .withColumn("s", F.sum("xu").over(wi))
+        .withColumn("cum", cum)
+        .withColumn("drawup", F.col("cum") - F.min("cum").over(wrun))
+        .withColumn("drawdown", F.max("cum").over(wrun) - F.col("cum"))
+        .withColumn(
+            "dev", F.greatest("drawup", "drawdown")
+        )
+    )
+    wpick = wi.orderBy(F.col("dev").desc(), F.col("snapshot_date").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(wpick))
+        .where(F.col("_r") == 1)
+        .select(
+            "item_id",
+            F.col("n").alias("n_days"),
+            F.col("snapshot_date").alias("cp_date"),
+            F.col("dev").alias("max_dev"),
+            "drawup",
+            "drawdown",
+        )
+    )
+
+
+def cusum_sql(silver_sql_cte: str, days: int = CUSUM_WINDOW_DAYS) -> str:
+    """DuckDB twin of :func:`cusum_changepoint` (expects `silver` CTE)."""
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.item_id, d.snapshot_date, {int_units_sql('d.price')} AS xu
+        FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  st AS (SELECT item_id, snapshot_date, xu,
+                COUNT(*) OVER (PARTITION BY item_id) AS n,
+                SUM(xu) OVER (PARTITION BY item_id) AS s,
+                SUM(xu) OVER (PARTITION BY item_id ORDER BY snapshot_date
+                              ROWS UNBOUNDED PRECEDING) AS prefix,
+                row_number() OVER (PARTITION BY item_id
+                                   ORDER BY snapshot_date) AS t
+         FROM w),
+  c AS (SELECT item_id, snapshot_date, n,
+               n * prefix - t * s AS cum
+        FROM st),
+  dev AS (SELECT item_id, snapshot_date, n,
+                 cum - MIN(cum) OVER (PARTITION BY item_id
+                                      ORDER BY snapshot_date
+                                      ROWS UNBOUNDED PRECEDING) AS drawup,
+                 MAX(cum) OVER (PARTITION BY item_id
+                                ORDER BY snapshot_date
+                                ROWS UNBOUNDED PRECEDING) - cum AS drawdown
+          FROM c),
+  pick AS (SELECT *, GREATEST(drawup, drawdown) AS dev,
+                  row_number() OVER (PARTITION BY item_id
+                                     ORDER BY GREATEST(drawup, drawdown) DESC,
+                                               snapshot_date ASC) AS _r
+           FROM dev)
+SELECT item_id, CAST(n AS BIGINT) AS n_days, snapshot_date AS cp_date,
+       CAST(dev AS BIGINT) AS max_dev,
+       CAST(drawup AS BIGINT) AS drawup, CAST(drawdown AS BIGINT) AS drawdown
+FROM pick WHERE _r = 1"""

@@ -517,3 +517,54 @@ def _funnel_sessions_sql(
 
 
 FUNNEL_SESSIONS_SQL = _funnel_sessions_sql()
+
+
+# --- user path analysis (top transitions) -----------------------------------
+
+PATHS_TOP_K = 20
+
+
+def user_paths(events: DataFrame, k: int = PATHS_TOP_K) -> DataFrame:
+    """Top-k (src → dst) event-type transitions across all users — the
+    Sankey/flow diagram feed of product analytics: which step follows
+    which, how often, and for how many distinct users.
+
+    One window pass per user ((ts, event_id) total order — the repo's
+    event tiebreak), one map-combinable groupBy on the (src, dst) pair,
+    TakeOrderedAndProject top-k (count desc, then src/dst asc — total
+    order, engine-identical). Distinct-user support rides the same
+    aggregate as an exact COUNT(DISTINCT) — at 100 TB swap for the HLL
+    sketch (sketches.py) if the pair cardinality makes exact counting the
+    bottleneck; the column is the evidence a flow diagram needs to
+    distinguish one power user looping from a common path."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .select("user_id", F.col("event_type").alias("src"), "dst")
+    )
+    return (
+        trans.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_transitions").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(k)
+    )
+
+
+USER_PATHS_SQL = f"""
+  WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM events),
+  trans AS (
+    SELECT user_id, event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev)
+  SELECT src, dst, COUNT(*) AS n_transitions,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM trans WHERE dst IS NOT NULL
+  GROUP BY src, dst
+  ORDER BY n_transitions DESC, src ASC, dst ASC
+  LIMIT {PATHS_TOP_K}"""
