@@ -287,16 +287,26 @@ def cusum_changepoint(
     units) — consumers threshold against n·σ, exactly as reported.
 
     Scale: one (item, day) pre-aggregation (map-side combinable), then
-    per-item window passes riding ONE item_id shuffle; series length is
-    calendar-bounded (`days`), so BIGINT headroom holds at any corpus
-    size: |cum| ≤ n²·max_price_units ≈ 90²·1e9 ≪ 2⁶³."""
-    daily = _window_anchor(_daily(silver), days).select(
-        "item_id",
-        "snapshot_date",
-        # int_units yields DECIMAL(18,0); BIGINT keeps every downstream
-        # sum/product integer-typed (DuckDB's HUGEINT sums cast back in
-        # the twin) — headroom documented above
-        int_units("price").cast("bigint").alias("xu"),
+    per-item window passes riding ONE item_id shuffle (the gold modules'
+    repartition-on-prefix trick: hashpartitioning(item_id) satisfies the
+    (item_id, day) grouping AND every item window — plan-pinned); series
+    length is calendar-bounded (`days`), so BIGINT headroom holds at any
+    corpus size: |cum| ≤ n²·max_price_units ≈ 90²·1e9 ≪ 2⁶³."""
+    # anchor from RAW silver (same max as over daily) so the scalar branch
+    # never pays the item_id repartition the main path needs
+    anchor = silver.agg(F.max("snapshot_date").alias("d1"))
+    daily = (
+        _daily(silver.repartition("item_id"))
+        .crossJoin(F.broadcast(anchor))
+        .where(F.col("snapshot_date") >= F.expr(f"date_sub(d1, {days})"))
+        .select(
+            "item_id",
+            "snapshot_date",
+            # int_units yields DECIMAL(18,0); BIGINT keeps every downstream
+            # sum/product integer-typed (DuckDB's HUGEINT sums cast back in
+            # the twin) — headroom documented above
+            int_units("price").cast("bigint").alias("xu"),
+        )
     )
     wi = Window.partitionBy("item_id")
     wo = wi.orderBy("snapshot_date")

@@ -164,6 +164,8 @@ def main() -> int:
             "tp_global_shuffle",
             "ann_filtered_topk",
             "mm_resize",
+            "a13_cusum_changepoint",
+            "w_user_paths",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -442,3 +442,23 @@ def test_filtered_ann_prefilters_before_fanout(spark, sf_dir):
     }
     got = df.collect()
     assert got and all(r.c_vec_id in allowed for r in got)
+
+
+def test_cusum_single_item_shuffle(spark, sf_dir):
+    """a13_cusum_changepoint: all window passes ride ONE item_id exchange
+    (plus the scalar anchor); the statistic never touches a float."""
+    df = harness.QUERIES["a13_cusum_changepoint"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(item_id") <= 1
+    assert "CartesianProduct" not in plan
+    row = df.first()
+    assert isinstance(row.max_dev, int)
+
+
+def test_user_paths_topk_no_global_sort(spark, sf_dir):
+    """w_user_paths: final top-k is TakeOrderedAndProject; the transition
+    build is one user_id window pass."""
+    df = harness.QUERIES["w_user_paths"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
