@@ -59,6 +59,18 @@ FUZZ_QUERIES = [
     "ts_tfidf_top_terms",
     "tp_clean_corpus",
     "tp_train_sample",
+    # rounds 5-6: the newest families on adversarial inputs (short docs,
+    # dup clusters, dim-less items, gap days, floor ties)
+    "ts_bm25",
+    "tp_weighted_sample",
+    "ts_hash_classifier",
+    "tp_line_dedup",
+    "x_fuzzy_match",
+    "ts_pmi_collocations",
+    "tp_global_shuffle",
+    "ann_filtered_topk",
+    "mm_resize",
+    "a13_cusum_changepoint",
 ]
 
 VOCAB = (
