@@ -135,3 +135,19 @@ def sketch_ingest(events: DataFrame, group_col: str, key_col: str) -> DataFrame:
     from ..operators import sketches
 
     return sketches.hll_state(events, group_col, key_col)
+
+
+def lsh_index_ingest(embeddings: DataFrame, n_tables: int | None = None) -> DataFrame:
+    """LSH index maintenance ON A STREAM — new vectors arrive, their
+    (vec_id, c_nrm, tbl, bucket, dims) index rows leave. The corpus
+    fan-out (operators/similarity.py _lsh_corpus_relation) is a stateless
+    row-local projection + explode — no shuffle, no state, no watermark —
+    so the batch index builder applies to a readStream unchanged, and
+    appending each micro-batch to the persisted bucketed index
+    (similarity.persist_lsh_index's layout) keeps the build-once index
+    FRESH without rebuilds. Rows are bit-identical to the batch builder
+    on the same vectors (pinned in tests/test_streaming.py)."""
+    from ..operators import similarity
+
+    nt = similarity.LSH_N_TABLES if n_tables is None else n_tables
+    return similarity._lsh_corpus_relation(embeddings, nt)

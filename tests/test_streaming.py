@@ -515,3 +515,34 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(batch) == 2  # (tick@5, u1) and (tick@20, u2); 'late' matches nothing
+
+
+def test_lsh_index_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming LSH index maintenance: the index rows produced from a
+    vector stream are bit-identical to the batch index builder on the
+    same vectors (stateless fan-out — no state, no watermark)."""
+    from azeroth_data_platform_spark.operators import similarity
+    from azeroth_data_platform_spark.streaming import ingest as singest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    src = tmp_path / "vec_src"
+    emb.repartition(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tmp_path / "idx_out"
+    q = (
+        singest.lsh_index_ingest(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(
+        map(tuple, similarity._lsh_corpus_relation(emb, similarity.LSH_N_TABLES).collect())
+    )
+    assert got == want and len(got) == 50 * similarity.LSH_N_TABLES
