@@ -1287,6 +1287,19 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency Zipf slope over the top-200 vocab — log-log OLS with
+    decimal-staged normal equations (operators/textstats.py)."""
+    return textstats.zipf_fit(_docs(spark, sf_dir))
+
+
+def q_tp_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram with cumulative token mass —
+    the packing planner's input (operators/corpus.py); floor(log2) from
+    the exact bit width, no float log."""
+    return corpus.seqlen_histogram(_docs(spark, sf_dir))
+
+
 def q_w_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top event-type transitions (src -> dst) with exact distinct-user
     support — the product-analytics flow feed (operators/windows.py)."""
@@ -1432,9 +1445,11 @@ QUERIES: dict[str, QueryFn] = {
     "mm_resize": q_mm_resize,
     "a13_cusum_changepoint": q_a13_cusum,
     "w_user_paths": q_w_user_paths,
+    "tp_seqlen_histogram": q_tp_seqlen_histogram,
+    "ts_zipf_fit": q_ts_zipf_fit,
 }
 
-assert len(QUERIES) == 77, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 79, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1745,6 +1760,8 @@ ORACLES["ann_filtered_topk"] = similarity.filtered_lsh_topk_sql()
 ORACLES["mm_resize"] = multimodal.RESIZE_SQL
 ORACLES["a13_cusum_changepoint"] = _timeseries.cusum_sql(_W_SILVER)
 ORACLES["w_user_paths"] = windows.USER_PATHS_SQL
+ORACLES["tp_seqlen_histogram"] = corpus.seqlen_histogram_sql()
+ORACLES["ts_zipf_fit"] = textstats.zipf_fit_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -1820,3 +1820,71 @@ def global_shuffle_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
 SELECT doc_id, source, shard,
        row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
 FROM sharded"""
+
+
+# --- sequence-length histogram ----------------------------------------------
+
+
+def seqlen_histogram(documents: DataFrame) -> DataFrame:
+    """Power-of-two histogram of per-document token counts with cumulative
+    token mass — the input a packing planner reads to choose max_seq_len
+    and the pack budget (what fraction of token mass lives in docs longer
+    than 2^k?).
+
+    bucket = floor(log2(n_tokens)) computed EXACTLY from the bigint bit
+    width (no float log); one scan-bound projection + one tiny groupBy
+    (≤ ~40 buckets) + a running sum over the bucket-ordered result —
+    the window runs over the bucket relation, not the corpus."""
+    from pyspark.sql import Window
+
+    n = F.size(textstats._words())
+    per_doc = documents.select(n.alias("n_tokens")).where(F.col("n_tokens") >= 1)
+    # floor(log2(n)) == bit_length(n) - 1, exactly (bin() trick JVM-side:
+    # 63 - leading zeros). Spark: use log-free width via conv/bin length.
+    bucket = (F.length(F.conv(F.col("n_tokens").cast("string"), 10, 2)) - 1)
+    hist = (
+        per_doc.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("token_mass"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .withColumn("cum_token_mass", F.sum("token_mass").over(w).cast("bigint"))
+        .select(
+            "bucket",
+            (F.lit(2) ** F.col("bucket")).cast("bigint").alias("len_lo"),
+            "n_docs",
+            "token_mass",
+            "cum_docs",
+            "cum_token_mass",
+        )
+        .orderBy("bucket")
+    )
+
+
+def seqlen_histogram_sql() -> str:
+    """DuckDB twin of :func:`seqlen_histogram` (bit_length device: DuckDB
+    has no conv(); floor(log2(n)) = length(bin-string) - 1 via printf)."""
+    from .textstats import WORDS_SQL
+
+    return f"""WITH per_doc AS (
+    SELECT len({WORDS_SQL}) AS n_tokens FROM documents
+    WHERE len({WORDS_SQL}) >= 1),
+  hist AS (
+    SELECT CAST(length(printf('%b', n_tokens)) - 1 AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+    FROM per_doc GROUP BY 1)
+SELECT bucket,
+       CAST(power(2, bucket) AS BIGINT) AS len_lo,
+       CAST(n_docs AS BIGINT) AS n_docs, token_mass,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       CAST(SUM(token_mass) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_token_mass
+FROM hist ORDER BY bucket"""

@@ -1543,3 +1543,104 @@ def pmi_collocations_sql(
     CROSS JOIN nu CROSS JOIN nb)
 SELECT v, w, c_ab, c_a, c_b, pmi_bits
 FROM scored ORDER BY pmi_bits DESC, v ASC, w ASC LIMIT {k}"""
+
+
+# --- Zipf law fit ------------------------------------------------------------
+
+ZIPF_TOP_K = 200  # fit over the head of the rank-frequency curve
+
+
+def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """Corpus-health check: least-squares slope of the rank-frequency
+    curve in log2-log2 space over the top-`k` vocabulary (natural text
+    ≈ −1; heavily duplicated or templated corpora drift far from it).
+
+    x = plog2(rank), y = plog2(count) — exact-integer inputs, and every
+    product/sum is staged through DECIMAL(28,12) so the normal-equations
+    arithmetic is order-independent and engine-identical (the raw-double
+    rule); the closed-form slope/intercept divide once into DOUBLE at the
+    very end. The vocab count is ONE map-combinable groupBy; the top-k
+    head is TakeOrderedAndProject; the fit itself aggregates k rows."""
+    from ..functions.numerics import plog2_sql
+
+    counts = (
+        documents.select(F.explode(_words()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = (
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("token").asc())),
+        )
+    )
+    # Exact-integer normal equations: quantize each coordinate to 6
+    # decimals (micro-bits) and do ALL products/sums in BIGINT — decimal
+    # multiplies of running sums hit Spark's and DuckDB's DIFFERENT
+    # precision-overflow scale reductions (measured 1e-8 divergence); in
+    # integer units the scale factors cancel in the slope ratio. Outputs
+    # quantize through DECIMAL(18,12) (the raw-double rule; residual FMA
+    # noise ~1e-15 is far below the grid). Headroom: |x|,|y| ≤ 32 bits →
+    # units ≤ 3.2e7; Σxy ≤ k·1e15 and n·Σxy ≤ k²·1e15 ≪ 2^63 for k=200.
+    dx = f"CAST(CAST({plog2_sql('rank')} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    dy = f"CAST(CAST({plog2_sql('c')} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    fitted = head.select(
+        F.expr(dx).alias("x"),
+        F.expr(dy).alias("y"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+    )
+    q = "CAST(CAST({expr} AS DECIMAL(18,12)) AS DOUBLE)"
+    slope_raw = (
+        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+    )
+    slope = F.expr(q.format(expr=slope_raw))
+    intercept_raw = (
+        f"(((CAST(sy AS DOUBLE) - {slope_raw} * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) / 1000000.0)"
+    )
+    intercept = F.expr(q.format(expr=intercept_raw))
+    return fitted.select(
+        "n",
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept_bits"),
+    )
+
+
+def zipf_fit_sql(k: int = ZIPF_TOP_K) -> str:
+    """DuckDB twin of :func:`zipf_fit`."""
+    from ..functions.numerics import plog2_sql
+
+    dx = f"CAST(CAST({plog2_sql('rank', duck=True)} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    dy = f"CAST(CAST({plog2_sql('c', duck=True)} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    slope_raw = (
+        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+    )
+    intercept_raw = (
+        f"(((CAST(sy AS DOUBLE) - {slope_raw} * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) / 1000000.0)"
+    )
+    return f"""WITH counts AS (
+    SELECT token, COUNT(*) AS c
+    FROM (SELECT unnest({WORDS_SQL}) AS token FROM documents) GROUP BY token),
+  head AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rank
+    FROM counts ORDER BY c DESC, token ASC LIMIT {k}),
+  pts AS (SELECT {dx} AS x, {dy} AS y FROM head),
+  fit AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts)
+SELECT n,
+       CAST(CAST({slope_raw} AS DECIMAL(18,12)) AS DOUBLE) AS zipf_slope,
+       CAST(CAST({intercept_raw} AS DECIMAL(18,12)) AS DOUBLE)
+         AS zipf_intercept_bits
+FROM fit"""
