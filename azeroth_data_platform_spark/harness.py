@@ -1287,6 +1287,13 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_x_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B comparison (user-parity cohorts): exact-decimal
+    moment sums, Welch's t quantized per the raw-double rule
+    (operators/windows.py abtest_welch)."""
+    return windows.abtest_welch(_events_ts(spark, sf_dir))
+
+
 def q_ts_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-frequency Zipf slope over the top-200 vocab — log-log OLS with
     decimal-staged normal equations (operators/textstats.py)."""
@@ -1447,9 +1454,10 @@ QUERIES: dict[str, QueryFn] = {
     "w_user_paths": q_w_user_paths,
     "tp_seqlen_histogram": q_tp_seqlen_histogram,
     "ts_zipf_fit": q_ts_zipf_fit,
+    "x_abtest_welch": q_x_abtest_welch,
 }
 
-assert len(QUERIES) == 79, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 80, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1762,6 +1770,11 @@ ORACLES["a13_cusum_changepoint"] = _timeseries.cusum_sql(_W_SILVER)
 ORACLES["w_user_paths"] = windows.USER_PATHS_SQL
 ORACLES["tp_seqlen_histogram"] = corpus.seqlen_histogram_sql()
 ORACLES["ts_zipf_fit"] = textstats.zipf_fit_sql()
+from .functions.numerics import int_units_sql as _int_units_sql  # noqa: E402
+
+ORACLES["x_abtest_welch"] = windows.ABTEST_SQL.replace(
+    "{XU}", _int_units_sql("value")
+)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numerics import int_units
+
 SESSION_GAP_MIN = 30
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -568,3 +570,122 @@ USER_PATHS_SQL = f"""
   GROUP BY src, dst
   ORDER BY n_transitions DESC, src ASC, dst ASC
   LIMIT {PATHS_TOP_K}"""
+
+
+# --- A/B test summary (Welch's t) -------------------------------------------
+
+ABTEST_T_CRIT = 1.96
+
+
+def abtest_welch(events: DataFrame) -> DataFrame:
+    """Per-event-type A/B comparison of `value` between two deterministic
+    user cohorts (user_id parity — the stand-in for an assignment
+    column): group sizes, means, Welch's t statistic, and the |t| > 1.96
+    flag.
+
+    Exactness: values quantize to integer units (int_units, 2 decimals);
+    Σx accumulates in BIGINT and Σx² in DECIMAL(38,0) — scale-0 decimal
+    arithmetic is safe cross-engine (the scale-REDUCTION divergence only
+    bites fractional decimals), and 38 digits holds Σx² at any realistic
+    volume. Means and variances are exact rationals converted once to
+    DOUBLE; the t chain is div/add/sub/sqrt (no a*b+c shape, so no FMA
+    contraction), and the output still quantizes through DECIMAL(18,12)
+    per the raw-double rule. ONE map-combinable groupBy on
+    (event_type, cohort) + a 2-row-per-type pivot — scan-bound."""
+    x = F.col("xu")
+    g = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("grp"),
+            int_units("value").cast("bigint").alias("xu"),
+        )
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x).cast("bigint").alias("sx"),
+            F.sum(x.cast("decimal(38,0)") * x.cast("decimal(38,0)")).alias("sxx"),
+        )
+    )
+    a = g.where(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = g.where(F.col("grp") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    mean = lambda sx, n: f"(CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE) / 100.0)"  # noqa: E731
+    # unbiased variance in units^2: (n*Sxx - Sx^2) / (n*(n-1)), exact in
+    # DECIMAL(38,0) until the single DOUBLE conversion
+    var = (
+        lambda sxx, sx, n: f"(CAST(CAST({n} AS DECIMAL(38,0)) * {sxx}"
+        f" - CAST({sx} AS DECIMAL(38,0)) * CAST({sx} AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / (CAST({n} AS DOUBLE) * CAST({n} - 1 AS DOUBLE)) / 10000.0)"
+    )  # noqa: E731
+    t_raw = (
+        f"(({mean('sx_a', 'n_a')}) - ({mean('sx_b', 'n_b')}))"
+        f" / sqrt(({var('sxx_a', 'sx_a', 'n_a')}) / n_a"
+        f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b)"
+    )
+    q12 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,12)) AS DOUBLE)"  # noqa: E731
+    return (
+        a.join(b, "event_type")
+        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(q12(mean("sx_a", "n_a"))).alias("mean_a"),
+            F.expr(q12(mean("sx_b", "n_b"))).alias("mean_b"),
+            F.expr(q12(t_raw)).alias("welch_t"),
+            F.expr(f"abs({q12(t_raw)}) > {ABTEST_T_CRIT}").alias("significant"),
+        )
+    )
+
+
+ABTEST_SQL = f"""
+  WITH ev AS (SELECT event_type, user_id % 2 AS grp,
+                     CAST({{XU}} AS BIGINT) AS xu FROM events),
+  g AS (SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xu) AS BIGINT) AS sx,
+               SUM(CAST(xu AS DECIMAL(38,0)) * CAST(xu AS DECIMAL(38,0))) AS sxx
+        FROM ev GROUP BY event_type, grp),
+  a AS (SELECT event_type, n AS n_a, sx AS sx_a, sxx AS sxx_a FROM g WHERE grp = 0),
+  b AS (SELECT event_type, n AS n_b, sx AS sx_b, sxx AS sxx_b FROM g WHERE grp = 1)
+SELECT a.event_type, n_a, n_b,
+       CAST(CAST((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
+            AS DECIMAL(18,12)) AS DOUBLE) AS mean_a,
+       CAST(CAST((CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)
+            AS DECIMAL(18,12)) AS DOUBLE) AS mean_b,
+       CAST(CAST(
+         ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
+          - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0))
+         / sqrt(
+             (CAST(CAST(n_a AS DECIMAL(38,0)) * sxx_a
+                   - CAST(sx_a AS DECIMAL(38,0)) * CAST(sx_a AS DECIMAL(38,0))
+               AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / 10000.0) / n_a
+           + (CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b
+                   - CAST(sx_b AS DECIMAL(38,0)) * CAST(sx_b AS DECIMAL(38,0))
+               AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / 10000.0) / n_b)
+       AS DECIMAL(18,12)) AS DOUBLE) AS welch_t,
+       abs(CAST(CAST(
+         ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
+          - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0))
+         / sqrt(
+             (CAST(CAST(n_a AS DECIMAL(38,0)) * sxx_a
+                   - CAST(sx_a AS DECIMAL(38,0)) * CAST(sx_a AS DECIMAL(38,0))
+               AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / 10000.0) / n_a
+           + (CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b
+                   - CAST(sx_b AS DECIMAL(38,0)) * CAST(sx_b AS DECIMAL(38,0))
+               AS DOUBLE)
+              / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / 10000.0) / n_b)
+       AS DECIMAL(18,12)) AS DOUBLE)) > {ABTEST_T_CRIT} AS significant
+FROM a JOIN b ON a.event_type = b.event_type
+WHERE n_a >= 2 AND n_b >= 2"""
