@@ -166,6 +166,9 @@ def main() -> int:
             "mm_resize",
             "a13_cusum_changepoint",
             "w_user_paths",
+            "tp_seqlen_histogram",
+            "ts_zipf_fit",
+            "x_abtest_welch",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -71,6 +71,8 @@ FUZZ_QUERIES = [
     "ann_filtered_topk",
     "mm_resize",
     "a13_cusum_changepoint",
+    "tp_seqlen_histogram",
+    "ts_zipf_fit",
 ]
 
 VOCAB = (
