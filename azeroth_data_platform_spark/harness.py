@@ -1287,6 +1287,12 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_dd_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-jaccard histogram of every LSH candidate pair — the
+    threshold operating curve from ONE pass (operators/dedup.py)."""
+    return dedup.jaccard_histogram(_docs(spark, sf_dir))
+
+
 def q_x_abtest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type A/B comparison (user-parity cohorts): exact-decimal
     moment sums, Welch's t quantized per the raw-double rule
@@ -1455,9 +1461,10 @@ QUERIES: dict[str, QueryFn] = {
     "tp_seqlen_histogram": q_tp_seqlen_histogram,
     "ts_zipf_fit": q_ts_zipf_fit,
     "x_abtest_welch": q_x_abtest_welch,
+    "dd_jaccard_histogram": q_dd_jaccard_histogram,
 }
 
-assert len(QUERIES) == 80, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 81, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1775,6 +1782,7 @@ from .functions.numerics import int_units_sql as _int_units_sql  # noqa: E402
 ORACLES["x_abtest_welch"] = windows.ABTEST_SQL.replace(
     "{XU}", _int_units_sql("value")
 )
+ORACLES["dd_jaccard_histogram"] = dedup.JACCARD_HISTOGRAM_SQL
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

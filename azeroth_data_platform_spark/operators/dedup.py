@@ -1451,3 +1451,75 @@ def _doc_novelty_sql(w: int = SUBSTR_W) -> str:
 
 
 DOC_NOVELTY_SQL = _doc_novelty_sql()
+
+
+# --- Jaccard operating-curve histogram --------------------------------------
+
+
+def jaccard_histogram(documents: DataFrame) -> DataFrame:
+    """Tuning curve for the MinHash-LSH threshold: exact-jaccard histogram
+    of EVERY LSH candidate pair in 0.1-wide bands (band = floor(j·10),
+    exact — jaccard is a rational c/(n1+n2−c), so j·10 is computed as
+    integer 10·c DIV (n1+n2−c), never a float floor). One extra groupBy
+    on top of the existing candidate+verify relations; tells the operator
+    what pair volume each threshold would keep BEFORE anyone re-runs
+    dedup at a new threshold — at 100 TB the sweep costs one histogram,
+    not one run per candidate threshold."""
+    sh = shingles(documents)
+    bands_df = _minhash_bands(sh)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
+    common = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            F.expr("CAST(10 * common DIV (n1 + n2 - common) AS INT)").alias("jband")
+        )
+    )
+    return (
+        scored.groupBy("jband")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "jband",
+            (F.col("jband") / 10.0).alias("j_lo"),
+            "n_pairs",
+        )
+        .orderBy("jband")
+    )
+
+
+JACCARD_HISTOGRAM_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  {_minhash_bands_sql()},
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+  pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+  scored AS (
+    SELECT CAST(10 * p.common // (x.n + y.n - p.common) AS INTEGER) AS jband
+    FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
+         JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2)
+SELECT jband, jband / 10.0 AS j_lo, COUNT(*) AS n_pairs
+FROM scored GROUP BY jband ORDER BY jband"""
