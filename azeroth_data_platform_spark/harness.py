@@ -1287,6 +1287,14 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_a14_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-seasonal (t-7) forecast backtest per item — calendar-aware
+    lag join, exact-integer error sums (operators/timeseries.py)."""
+    from .operators import timeseries
+
+    return timeseries.forecast_backtest(_silver(spark, sf_dir))
+
+
 def q_dd_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-jaccard histogram of every LSH candidate pair — the
     threshold operating curve from ONE pass (operators/dedup.py)."""
@@ -1462,9 +1470,10 @@ QUERIES: dict[str, QueryFn] = {
     "ts_zipf_fit": q_ts_zipf_fit,
     "x_abtest_welch": q_x_abtest_welch,
     "dd_jaccard_histogram": q_dd_jaccard_histogram,
+    "a14_forecast_backtest": q_a14_forecast_backtest,
 }
 
-assert len(QUERIES) == 81, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 82, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1783,6 +1792,7 @@ ORACLES["x_abtest_welch"] = windows.ABTEST_SQL.replace(
     "{XU}", _int_units_sql("value")
 )
 ORACLES["dd_jaccard_histogram"] = dedup.JACCARD_HISTOGRAM_SQL
+ORACLES["a14_forecast_backtest"] = _timeseries.forecast_backtest_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -376,3 +376,69 @@ SELECT item_id, CAST(n AS BIGINT) AS n_days, snapshot_date AS cp_date,
        CAST(dev AS BIGINT) AS max_dev,
        CAST(drawup AS BIGINT) AS drawup, CAST(drawdown AS BIGINT) AS drawdown
 FROM pick WHERE _r = 1"""
+
+
+# --- naive-seasonal forecast backtest ---------------------------------------
+
+SEASONAL_LAG_DAYS = 7
+
+
+def forecast_backtest(
+    silver: DataFrame, lag_days: int = SEASONAL_LAG_DAYS
+) -> DataFrame:
+    """Per-item backtest of the naive-seasonal forecaster (predict day t
+    with day t−7's price) — the baseline every model must beat before it
+    ships, and the op a warehouse runs nightly to monitor drift.
+
+    The lag is CALENDAR-aware: a (item, date) equi-join against the series
+    shifted by `lag_days` (gap days simply produce no scored row — no
+    forward-fill contamination of the error metric). Errors accumulate in
+    exact integer units (int_units): mae/bias are exact-integer sums
+    divided once into DOUBLE (single correctly-rounded op, engine-safe).
+    One (item, day) pre-aggregation + one equi-join + one groupBy —
+    everything keyed on item_id."""
+    daily = _daily(silver).select(
+        "item_id", "snapshot_date", int_units("price").cast("bigint").alias("xu")
+    )
+    cur = daily.alias("cur")
+    past = daily.select(
+        "item_id",
+        F.date_add("snapshot_date", lag_days).alias("snapshot_date"),
+        F.col("xu").alias("pu"),
+    ).alias("past")
+    scored = cur.join(past, ["item_id", "snapshot_date"]).select(
+        "item_id", (F.col("xu") - F.col("pu")).alias("err")
+    )
+    return (
+        scored.groupBy("item_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.abs("err")).cast("bigint").alias("sae"),
+            F.sum("err").cast("bigint").alias("se"),
+        )
+        .select(
+            "item_id",
+            "n_scored",
+            (F.col("sae").cast("double") / F.col("n_scored") / 100.0).alias("mae"),
+            (F.col("se").cast("double") / F.col("n_scored") / 100.0).alias("bias"),
+        )
+    )
+
+
+def forecast_backtest_sql(
+    silver_sql_cte: str, lag_days: int = SEASONAL_LAG_DAYS
+) -> str:
+    """DuckDB twin of :func:`forecast_backtest`."""
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date,
+                   CAST({int_units_sql('MIN(unit_price)')} AS BIGINT) AS xu
+            FROM silver GROUP BY item_id, snapshot_date),
+  scored AS (
+    SELECT cur.item_id, cur.xu - past.xu AS err
+    FROM daily cur JOIN daily past
+      ON cur.item_id = past.item_id
+     AND cur.snapshot_date = past.snapshot_date + INTERVAL {lag_days} DAY)
+SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*) / 100.0 AS mae,
+       CAST(SUM(err) AS DOUBLE) / COUNT(*) / 100.0 AS bias
+FROM scored GROUP BY item_id"""
