@@ -169,6 +169,8 @@ def main() -> int:
             "tp_seqlen_histogram",
             "ts_zipf_fit",
             "x_abtest_welch",
+            "dd_jaccard_histogram",
+            "a14_forecast_backtest",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -73,6 +73,8 @@ FUZZ_QUERIES = [
     "a13_cusum_changepoint",
     "tp_seqlen_histogram",
     "ts_zipf_fit",
+    "dd_jaccard_histogram",
+    "a14_forecast_backtest",
 ]
 
 VOCAB = (
