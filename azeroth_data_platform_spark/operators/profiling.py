@@ -296,3 +296,52 @@ def dq_checks_sql(silver_sql: str, dim_sql: str) -> str:
                WHERE NOT EXISTS (SELECT 1 FROM dim WHERE dim.item_id = s.item_id))
               AS DOUBLE) / base.n <= {DQ_MAX_ORPHAN_FRAC!r}
   FROM base"""
+
+
+# --- join-key skew profiler --------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
+    """Heavy-hitter profile of the engine's hottest join/aggregation key
+    (item_id): the pre-flight check an operator runs BEFORE choosing a
+    salting factor or trusting AQE's skew split — which keys carry what
+    share of the rows, and how far the head sits above a uniform spread.
+
+    Output per top-k key: row count, share in ppm (exact integer:
+    1e6·c DIV total — no float ratio in the hash path), and the
+    skew multiple vs the uniform expectation in ppm of the mean
+    (1e6·c·n_keys DIV total). ONE map-combinable count groupBy + a
+    scalar broadcast + TakeOrderedAndProject."""
+    counts = silver.groupBy("item_id").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "item_id",
+            F.col("c").cast("bigint").alias("n_rows"),
+            F.expr("CAST(1000000 * c DIV total AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(1000000 * c * n_keys DIV total AS BIGINT)").alias(
+                "x_uniform_ppm"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("item_id").asc())
+        .limit(k)
+    )
+
+
+def skew_report_sql(silver_sql_cte: str, k: int = SKEW_TOP_K) -> str:
+    """DuckDB twin of :func:`skew_report`."""
+    return f"""{silver_sql_cte},
+  counts AS (SELECT item_id, COUNT(*) AS c FROM silver GROUP BY item_id),
+  totals AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
+SELECT item_id, CAST(c AS BIGINT) AS n_rows,
+       CAST(1000000 * c // total AS BIGINT) AS share_ppm,
+       CAST(1000000 * c * n_keys // total AS BIGINT) AS x_uniform_ppm
+FROM counts, totals
+ORDER BY n_rows DESC, item_id ASC LIMIT {k}"""
