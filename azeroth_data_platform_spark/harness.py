@@ -1287,6 +1287,14 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_x_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit DQ check over prices — exact integer digits and
+    ppm, frozen expected constants (operators/profiling.py)."""
+    from .operators import profiling
+
+    return profiling.benford_check(_silver(spark, sf_dir))
+
+
 def q_x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter profile of the hot join key — share and skew multiple
     in exact integer ppm (operators/profiling.py skew_report)."""
@@ -1480,9 +1488,10 @@ QUERIES: dict[str, QueryFn] = {
     "dd_jaccard_histogram": q_dd_jaccard_histogram,
     "a14_forecast_backtest": q_a14_forecast_backtest,
     "x_skew_report": q_x_skew_report,
+    "x_benford_check": q_x_benford_check,
 }
 
-assert len(QUERIES) == 83, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 84, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1805,6 +1814,7 @@ ORACLES["a14_forecast_backtest"] = _timeseries.forecast_backtest_sql(_W_SILVER)
 from .operators import profiling as _profiling  # noqa: E402
 
 ORACLES["x_skew_report"] = _profiling.skew_report_sql(_W_SILVER)
+ORACLES["x_benford_check"] = _profiling.benford_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

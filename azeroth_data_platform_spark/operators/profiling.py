@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numerics import int_units, int_units_sql
+
 # (column, kind) spec for the lineitem profile; kinds: num | str | date
 TABLE_STATS_COLS = (
     ("l_partkey", "num"),
@@ -345,3 +347,59 @@ SELECT item_id, CAST(c AS BIGINT) AS n_rows,
        CAST(1000000 * c * n_keys // total AS BIGINT) AS x_uniform_ppm
 FROM counts, totals
 ORDER BY n_rows DESC, item_id ASC LIMIT {k}"""
+
+
+# --- Benford first-digit check ----------------------------------------------
+
+# Frozen expected first-digit distribution, ppm (round(1e6*log10(1+1/d))):
+# python-computed ONCE and embedded as integer literals in BOTH engines'
+# texts, so no engine ever evaluates a transcendental.
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+               5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_check(silver: DataFrame) -> DataFrame:
+    """First-digit distribution of prices vs Benford's law — the
+    fraud/synthetic-data smell test a DQ suite runs over any financial
+    column. Digits come from the INTEGER-UNITS price (first char of the
+    bigint's string — exact, no float formatting); observed shares are
+    exact integer ppm; expected shares are the frozen constants above.
+    One map-combinable groupBy over 9 groups + a scalar broadcast."""
+    exp_map = ", ".join(f"{d}, {p}" for d, p in BENFORD_PPM.items())
+    counts = (
+        silver.select(int_units("unit_price").cast("bigint").alias("xu"))
+        .where(F.col("xu") >= 1)
+        .select(F.expr("CAST(substr(CAST(xu AS STRING), 1, 1) AS INT)").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(1000000 * n DIV total AS BIGINT)").alias("obs_ppm"),
+            F.expr(f"element_at(map({exp_map}), digit)").cast("bigint").alias(
+                "exp_ppm"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_sql(silver_sql_cte: str) -> str:
+    """DuckDB twin of :func:`benford_check`."""
+    exp_map = ", ".join(f"{d}, {p}" for d, p in BENFORD_PPM.items())
+    return f"""{silver_sql_cte},
+  units AS (SELECT CAST({int_units_sql('unit_price')} AS BIGINT) AS xu
+            FROM silver),
+  digits AS (SELECT CAST(substr(CAST(xu AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             FROM units WHERE xu >= 1),
+  counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+             FROM digits GROUP BY digit),
+  total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n,
+       CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
+       CAST(map_extract(MAP {{{", ".join(f"{d}: {p}" for d, p in BENFORD_PPM.items())}}}, digit)[1] AS BIGINT) AS exp_ppm
+FROM counts, total ORDER BY digit"""
