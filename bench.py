@@ -171,6 +171,8 @@ def main() -> int:
             "x_abtest_welch",
             "dd_jaccard_histogram",
             "a14_forecast_backtest",
+            "x_skew_report",
+            "x_benford_check",
         )
         if q in harness.ALL_QUERIES
     ]

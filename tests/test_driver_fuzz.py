@@ -75,6 +75,8 @@ FUZZ_QUERIES = [
     "ts_zipf_fit",
     "dd_jaccard_histogram",
     "a14_forecast_backtest",
+    "x_skew_report",
+    "x_benford_check",
 ]
 
 VOCAB = (
