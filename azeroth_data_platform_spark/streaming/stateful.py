@@ -255,3 +255,67 @@ def streaming_sessions(events: DataFrame, watermark: str = "10 minutes") -> Data
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- streaming user-path transitions ----------------------------------------
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("src_event_id", T.LongType()),
+        T.StructField("dst_event_id", T.LongType()),
+    ]
+)
+
+_TRANS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _transition_state(
+    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last = state.get if state.exists else (None, None, None)
+    last_type, last_eid, last_us = last
+    rows = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for eid, us, et in zip(pdf["event_id"], pdf["us"], pdf["event_type"]):
+            if last_type is not None:
+                rows.append((key[0], last_type, et, int(last_eid), int(eid)))
+            last_type, last_eid, last_us = et, int(eid), int(us)
+    state.update((last_type, last_eid, last_us))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "src", "dst", "src_event_id", "dst_event_id"]
+        )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """(src → dst) event transitions ON A STREAM — the live feed of the
+    batch `windows.user_paths` flow analysis. The per-user state is ONE
+    (last_type, last_event_id, last_ts) tuple, so state scales with
+    distinct users, never volume; each micro-batch emits the transitions
+    it completes, including the one spanning the batch boundary — the
+    case a per-batch window could never see.
+
+    Within-batch order is (ts, event_id) — the repo's event total order;
+    correctness across batches assumes per-user in-order arrival (the
+    dedup-ingest watermark upstream provides it), the standard contract
+    for transition CDC. Batch parity pinned in tests/test_streaming.py.
+
+    Expects columns (user_id, event_id, event_type, us) — `us` the
+    microsecond epoch (integer event time)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_state,
+        TRANSITION_SCHEMA,
+        _TRANS_STATE_SCHEMA,
+        "append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

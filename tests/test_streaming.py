@@ -546,3 +546,82 @@ def test_lsh_index_ingest_stream_matches_batch(spark, tmp_path):
         map(tuple, similarity._lsh_corpus_relation(emb, similarity.LSH_N_TABLES).collect())
     )
     assert got == want and len(got) == 50 * similarity.LSH_N_TABLES
+
+
+def test_streaming_transitions_match_batch_user_paths(spark, tmp_path):
+    """streaming_transitions over micro-batches = the batch per-user
+    transition relation, including transitions that SPAN batch boundaries
+    (the case a per-batch window can't see). Feed two file batches split
+    mid-user; compare against the batch lead() computation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from azeroth_data_platform_spark.streaming.stateful import streaming_transitions
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .limit(300)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    rows = ev.collect()
+    # split by event_id parity so most users straddle both batches
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    schema = ev.schema
+    b1 = spark.createDataFrame([r for r in rows if r.event_id % 2 == 0], schema)
+    b2 = spark.createDataFrame([r for r in rows if r.event_id % 2 == 1], schema)
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    out = tmp_path / "trans_out"
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        return (
+            streaming_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run_stream()
+    q.awaitTermination(120)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    q = run_stream()
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.src, r.dst, r.src_event_id, r.dst_event_id)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    # batch truth: same (us, event_id) order — but the STREAM saw batch 1
+    # (even event_ids) fully before batch 2, so its per-user order is
+    # (batch, us, event_id). Replicate that order for the parity check.
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        (F.col("event_id") % 2).asc(), F.col("us").asc(), F.col("event_id").asc()
+    )
+    batch = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .withColumn("dst_eid", F.lead("event_id").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(
+            "user_id", F.col("event_type").alias("src"), "dst",
+            F.col("event_id").alias("src_event_id"),
+            F.col("dst_eid").alias("dst_event_id"),
+        )
+    )
+    want = {
+        (r.user_id, r.src, r.dst, r.src_event_id, r.dst_event_id)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # and cross-batch transitions actually exist in the stream output
+    crossers = {t for t in got if (t[3] % 2) != (t[4] % 2)}
+    assert crossers, "no batch-boundary transition exercised"
