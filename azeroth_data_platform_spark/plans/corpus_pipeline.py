@@ -4,7 +4,9 @@ into ONE run, the way a data-curation team would actually ship a corpus:
   PII scrub → exact-substring span removal → corpus-wide line dedup →
   quality + near-dup clean → benchmark decontamination (drop) →
   stratified sample + shard → sequence packing (layout + materialized
-  content) → shard layout on disk (+ per-source health report).
+  content) → shard layout on disk + deterministic training-order
+  manifest (global_shuffle) (+ per-source health report and the
+  sequence-length histogram the packing budget was sized from).
 
 Same orchestration contract as plans/pipeline.py (X1-X5): lineage is the
 DataFrame plan, run metadata is the returned dict, structured logging per
@@ -127,12 +129,29 @@ def run_corpus_pipeline(
         or 0
     )
 
+    # --- 6b. training-order manifest: deterministic global shuffle of
+    # the sampled docs into (shard, pos) — the order the trainer reads ---
+    shuffle = corpus.global_shuffle(
+        sampled.select("doc_id").join(docs.select("doc_id", "source"), "doc_id")
+    )
+    shuffle.write.mode("overwrite").parquet(os.path.join(out_dir, "order"))
+    meta["order_rows"] = spark.read.parquet(os.path.join(out_dir, "order")).count()
+
     # --- 7. per-source health report for the curation dashboard ---
     corpus.corpus_report(docs).write.mode("overwrite").parquet(
         os.path.join(out_dir, "report")
     )
     meta["report_sources"] = spark.read.parquet(
         os.path.join(out_dir, "report")
+    ).count()
+
+    # --- 7b. sequence-length histogram: the packing planner's evidence
+    # that `budget` was sized sensibly for this corpus ---
+    corpus.seqlen_histogram(docs).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "seqlen")
+    )
+    meta["seqlen_buckets"] = spark.read.parquet(
+        os.path.join(out_dir, "seqlen")
     ).count()
 
     docs.unpersist()

@@ -394,10 +394,14 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert 0 < meta["sampled_docs"] <= meta["train_pool_docs"]
     assert meta["packed_tokens"] == meta["sampled_tokens"]  # conservation
     assert meta["packs"] > 0 and meta["report_sources"] == 20
+    assert meta["order_rows"] == meta["sampled_docs"]
+    assert meta["seqlen_buckets"] > 0
     import os
 
     assert os.path.isdir(os.path.join(out, "packs"))
     assert os.path.isdir(os.path.join(out, "pack_layout"))
+    assert os.path.isdir(os.path.join(out, "order"))
+    assert os.path.isdir(os.path.join(out, "seqlen"))
     # idempotent re-run (overwrite semantics end to end)
     meta2 = run_corpus_pipeline(
         spark, "/root/testdata/sf0.001/documents.parquet", out, budget=256
