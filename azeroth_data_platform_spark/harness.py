@@ -1287,6 +1287,18 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_payloads(multimodal.attach_binary(_docs(spark, sf_dir)))
 
 
+def q_dd_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution incl. singleton mass — the
+    one-glance dedup health report (operators/dedup.py)."""
+    return dedup.cluster_size_histogram(_docs(spark, sf_dir))
+
+
+def q_ts_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column, row
+    shares in exact integer ppm (operators/textstats.py)."""
+    return textstats.langid_confusion(_docs(spark, sf_dir))
+
+
 def q_x_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit DQ check over prices — exact integer digits and
     ppm, frozen expected constants (operators/profiling.py)."""
@@ -1489,9 +1501,11 @@ QUERIES: dict[str, QueryFn] = {
     "a14_forecast_backtest": q_a14_forecast_backtest,
     "x_skew_report": q_x_skew_report,
     "x_benford_check": q_x_benford_check,
+    "dd_cluster_sizes": q_dd_cluster_sizes,
+    "ts_langid_confusion": q_ts_langid_confusion,
 }
 
-assert len(QUERIES) == 84, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 86, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
 
@@ -1815,6 +1829,8 @@ from .operators import profiling as _profiling  # noqa: E402
 
 ORACLES["x_skew_report"] = _profiling.skew_report_sql(_W_SILVER)
 ORACLES["x_benford_check"] = _profiling.benford_sql(_W_SILVER)
+ORACLES["dd_cluster_sizes"] = dedup.CLUSTER_SIZE_HISTOGRAM_SQL
+ORACLES["ts_langid_confusion"] = textstats.langid_confusion_sql(textstats.LANGID_SQL)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

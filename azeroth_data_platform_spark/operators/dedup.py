@@ -1523,3 +1523,59 @@ JACCARD_HISTOGRAM_SQL = f"""
          JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2)
 SELECT jband, jband / 10.0 AS j_lo, COUNT(*) AS n_pairs
 FROM scored GROUP BY jband ORDER BY jband"""
+
+
+# --- near-dup cluster size distribution --------------------------------------
+
+
+def cluster_size_histogram(documents: DataFrame) -> DataFrame:
+    """Distribution of near-dup cluster sizes (including the singleton
+    mass) — the one-glance dedup health report: how much of the corpus is
+    unique, how much sits in pairs, and whether a mega-cluster (template
+    spam, mirrored site) is eating the data. Rides the existing
+    label-propagation cluster relation; docs in no pair are singletons.
+
+    Output per size: n_clusters, n_docs (= size·n_clusters), doc share in
+    exact integer ppm."""
+    clusters = neardup_clusters(documents)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    n_docs = documents.select(F.count(F.lit(1)).cast("bigint").alias("total"))
+    clustered = clusters.select(F.count(F.lit(1)).cast("bigint").alias("in_pairs"))
+    hist = sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    singles = (
+        n_docs.crossJoin(clustered)
+        .select(
+            F.lit(1).alias("size"),
+            (F.col("total") - F.col("in_pairs")).alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.select("size", F.col("n_clusters").cast("long"))
+        .unionByName(singles.select("size", F.col("n_clusters").cast("long")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("size").cast("int").alias("size"),
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.expr("CAST(1000000 * size * n_clusters DIV total AS BIGINT)").alias(
+                "doc_share_ppm"
+            ),
+        )
+        .orderBy("size")
+    )
+
+
+CLUSTER_SIZE_HISTOGRAM_SQL = f"""
+  WITH clusters AS ({NEARDUP_CLUSTERS_SQL.strip()}),
+  sizes AS (SELECT cluster_id, COUNT(*) AS size FROM clusters GROUP BY cluster_id),
+  nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+  cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS in_pairs FROM clusters),
+  hist AS (SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           FROM sizes GROUP BY size
+           UNION ALL
+           SELECT 1, total - in_pairs FROM nd, cl WHERE total - in_pairs > 0)
+SELECT CAST(size AS INTEGER) AS size, n_clusters,
+       CAST(size * n_clusters AS BIGINT) AS n_docs,
+       CAST(1000000 * size * n_clusters // total AS BIGINT) AS doc_share_ppm
+FROM hist, nd ORDER BY size"""

@@ -1644,3 +1644,43 @@ SELECT n,
        CAST(CAST({intercept_raw} AS DECIMAL(18,12)) AS DOUBLE)
          AS zipf_intercept_bits
 FROM fit"""
+
+
+# --- language-ID confusion matrix -------------------------------------------
+
+
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the marker-based language classifier against
+    the labeled `lang` column — the model-eval report a curation team
+    reads before trusting lang_pred for routing: per (label, prediction)
+    cell the doc count and the row share in exact integer ppm. ONE
+    scan-bound annotation pass + a ≤|langs|² groupBy."""
+    from pyspark.sql import Window
+
+    preds = language_id(documents).select("doc_id", "lang", "lang_pred")
+    cells = preds.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    row_total = Window.partitionBy("lang")
+    return (
+        cells.withColumn(
+            "row_share_ppm",
+            F.expr(
+                "CAST(1000000 * n_docs DIV (SUM(n_docs) OVER"
+                " (PARTITION BY lang)) AS BIGINT)"
+            ),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def langid_confusion_sql(langid_sql: str) -> str:
+    """DuckDB twin of :func:`langid_confusion` (expects the language_id
+    relation's SQL text)."""
+    return f"""WITH preds AS ({langid_sql}),
+  cells AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM preds GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n_docs,
+       CAST(1000000 * n_docs // (SUM(n_docs) OVER (PARTITION BY lang))
+            AS BIGINT) AS row_share_ppm
+FROM cells ORDER BY lang, lang_pred"""
