@@ -173,6 +173,8 @@ def main() -> int:
             "a14_forecast_backtest",
             "x_skew_report",
             "x_benford_check",
+            "dd_cluster_sizes",
+            "ts_langid_confusion",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -77,6 +77,8 @@ FUZZ_QUERIES = [
     "a14_forecast_backtest",
     "x_skew_report",
     "x_benford_check",
+    "dd_cluster_sizes",
+    "ts_langid_confusion",
 ]
 
 VOCAB = (
