@@ -1458,7 +1458,9 @@ DOC_NOVELTY_SQL = _doc_novelty_sql()
 
 def jaccard_histogram(documents: DataFrame) -> DataFrame:
     """Tuning curve for the MinHash-LSH threshold: exact-jaccard histogram
-    of EVERY LSH candidate pair in 0.1-wide bands (band = floor(j·10),
+    of EVERY LSH candidate pair — including zero-shingle-overlap pairs
+    from pure band-hash collisions, left-joined back with common=0 so
+    jband 0 counts the full pair volume — in 0.1-wide bands (band = floor(j·10),
     exact — jaccard is a rational c/(n1+n2−c), so j·10 is computed as
     integer 10·c DIV (n1+n2−c), never a float floor). One extra groupBy
     on top of the existing candidate+verify relations; tells the operator
@@ -1488,8 +1490,14 @@ def jaccard_histogram(documents: DataFrame) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # candidates with ZERO shingle overlap (pure band-hash collisions)
+    # produce no row in `common` — left-join them back with common=0 so
+    # band 0 counts the full pair volume the threshold sweep would prune
+    with_zero = cand.join(common, ["d1", "d2"], "left").withColumn(
+        "common", F.coalesce(F.col("common"), F.lit(0)).cast("bigint")
+    )
     scored = (
-        common.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        with_zero.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
         .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
         .select(
             F.expr("CAST(10 * common DIV (n1 + n2 - common) AS INT)").alias("jband")
@@ -1518,9 +1526,10 @@ JACCARD_HISTOGRAM_SQL = f"""
             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id),
   scored AS (
-    SELECT CAST(10 * p.common // (x.n + y.n - p.common) AS INTEGER) AS jband
-    FROM pairs p JOIN cand c ON c.d1 = p.d1 AND c.d2 = p.d2
-         JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2)
+    SELECT CAST(10 * COALESCE(p.common, 0)
+                // (x.n + y.n - COALESCE(p.common, 0)) AS INTEGER) AS jband
+    FROM cand c LEFT JOIN pairs p ON c.d1 = p.d1 AND c.d2 = p.d2
+         JOIN sizes x ON x.doc_id = c.d1 JOIN sizes y ON y.doc_id = c.d2)
 SELECT jband, jband / 10.0 AS j_lo, COUNT(*) AS n_pairs
 FROM scored GROUP BY jband ORDER BY jband"""
 

@@ -315,7 +315,13 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
     1e6·c DIV total — no float ratio in the hash path), and the
     skew multiple vs the uniform expectation in ppm of the mean
     (1e6·c·n_keys DIV total). ONE map-combinable count groupBy + a
-    scalar broadcast + TakeOrderedAndProject."""
+    scalar broadcast + TakeOrderedAndProject.
+
+    Headroom: 1e6·c·n_keys is staged through DECIMAL(38,0) in BOTH
+    engines — in BIGINT it overflows 2^63 once c·n_keys > ~9.2e12
+    (e.g. a 1e7-row hot key over 1e6 keys, squarely the 100 TB regime),
+    where Spark (non-ANSI) would wrap silently while DuckDB raises.
+    DECIMAL(38,0) holds exact up to c·n_keys ≤ 1e32."""
     counts = silver.groupBy("item_id").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("total"),
@@ -327,9 +333,10 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
             "item_id",
             F.col("c").cast("bigint").alias("n_rows"),
             F.expr("CAST(1000000 * c DIV total AS BIGINT)").alias("share_ppm"),
-            F.expr("CAST(1000000 * c * n_keys DIV total AS BIGINT)").alias(
-                "x_uniform_ppm"
-            ),
+            F.expr(
+                "CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys"
+                " / total) AS BIGINT)"
+            ).alias("x_uniform_ppm"),
         )
         .orderBy(F.col("n_rows").desc(), F.col("item_id").asc())
         .limit(k)
@@ -344,7 +351,8 @@ def skew_report_sql(silver_sql_cte: str, k: int = SKEW_TOP_K) -> str:
                     CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
 SELECT item_id, CAST(c AS BIGINT) AS n_rows,
        CAST(1000000 * c // total AS BIGINT) AS share_ppm,
-       CAST(1000000 * c * n_keys // total AS BIGINT) AS x_uniform_ppm
+       CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys
+                  / total) AS BIGINT) AS x_uniform_ppm
 FROM counts, totals
 ORDER BY n_rows DESC, item_id ASC LIMIT {k}"""
 

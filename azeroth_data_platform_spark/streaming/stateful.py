@@ -284,13 +284,20 @@ def _transition_state(
     last = state.get if state.exists else (None, None, None)
     last_type, last_eid, last_us = last
     rows = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["us", "event_id"])
+    # One user's micro-batch may arrive as SEVERAL Arrow chunks; sorting each
+    # chunk independently would interleave transitions in chunk order and
+    # could persist a non-latest event as state. Concatenate first, sort the
+    # whole group once by the event total order (us, event_id) — mirrors
+    # _pack_state above. State stays one tuple per user either way.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
         for eid, us, et in zip(pdf["event_id"], pdf["us"], pdf["event_type"]):
             if last_type is not None:
                 rows.append((key[0], last_type, et, int(last_eid), int(eid)))
             last_type, last_eid, last_us = et, int(eid), int(us)
-    state.update((last_type, last_eid, last_us))
+    if last_type is not None:
+        state.update((last_type, last_eid, last_us))
     if rows:
         yield pd.DataFrame(
             rows, columns=["user_id", "src", "dst", "src_event_id", "dst_event_id"]

@@ -119,3 +119,36 @@ def test_funnel_strict_ordering_semantics(spark):
     assert got["view"] == (5, 1.0)        # u1,u2,u3,u4,u6
     assert got["click"] == (3, 3 / 5)     # u1,u3,u6
     assert got["purchase"] == (1, 1 / 5)  # u1 only
+
+
+def test_skew_report_x_uniform_no_bigint_overflow(spark):
+    """x_uniform_ppm stages 1e6·c·n_keys through DECIMAL(38,0): in BIGINT
+    the product wraps (Spark, non-ANSI) or raises (DuckDB) once
+    c·n_keys > ~9.2e12 — the 100 TB hot-key regime. Pin the literal
+    expression both engines now share, in exactly that regime."""
+    import duckdb
+
+    expr = (
+        "CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys / total)"
+        " AS BIGINT) AS x"
+    )
+    # c=1e7-row hot key, 1e6 keys, 2e7 total rows → true answer 5e11
+    row = spark.sql(
+        "SELECT "
+        + expr
+        + " FROM VALUES (CAST(10000000 AS BIGINT), CAST(1000000 AS BIGINT),"
+        " CAST(20000000 AS BIGINT)) AS t(c, n_keys, total)"
+    ).collect()[0]
+    assert row.x == 500_000_000_000
+    dk = duckdb.sql(
+        "SELECT " + expr + " FROM (SELECT CAST(10000000 AS BIGINT) c,"
+        " CAST(1000000 AS BIGINT) n_keys, CAST(20000000 AS BIGINT) total)"
+    ).fetchone()[0]
+    assert dk == row.x
+    # and the old BIGINT form is genuinely out of range there (sanity)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        duckdb.sql(
+            "SELECT CAST(1000000 * 10000000 * CAST(1000000 AS BIGINT)"
+            " // 20000000 AS BIGINT)"
+        ).fetchone()

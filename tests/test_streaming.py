@@ -625,3 +625,46 @@ def test_streaming_transitions_match_batch_user_paths(spark, tmp_path):
     # and cross-batch transitions actually exist in the stream output
     crossers = {t for t in got if (t[3] % 2) != (t[4] % 2)}
     assert crossers, "no batch-boundary transition exercised"
+
+
+def test_transition_state_multichunk_group(spark):
+    """_transition_state must sort the WHOLE group's events once, not each
+    Arrow chunk independently: when one user's micro-batch spans multiple
+    chunks with interleaved event times, per-chunk sorting emits wrong
+    (src,dst) pairs and can persist a non-latest event as state.
+    (Regression pin for the round-7 fix — mirrors _pack_state's concat.)"""
+    import pandas as pd
+    from azeroth_data_platform_spark.streaming.stateful import _transition_state
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.value = None
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+    # two chunks whose event-times interleave: global order is
+    # e1(us=1) e3(us=2) e2(us=3) e4(us=4)
+    c1 = pd.DataFrame({"event_id": [1, 2], "us": [1, 3], "event_type": ["a", "c"]})
+    c2 = pd.DataFrame({"event_id": [3, 4], "us": [2, 4], "event_type": ["b", "d"]})
+    st = FakeState()
+    out = list(_transition_state((7,), iter([c1, c2]), st))
+    got = [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+    assert got == [
+        (7, "a", "b", 1, 3),
+        (7, "b", "c", 3, 2),
+        (7, "c", "d", 2, 4),
+    ]
+    # state holds the LATEST event across chunks, not the last of chunk 1
+    assert st.value == ("d", 4, 4)
+    # empty-chunk iterator: no rows, state untouched
+    st2 = FakeState()
+    assert list(_transition_state((7,), iter([c1.iloc[0:0]]), st2)) == []
+    assert st2.value is None
