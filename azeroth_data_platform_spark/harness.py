@@ -1389,13 +1389,29 @@ def q_tp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50 dict keys while 58 were registered). Entries PAST slot 50 rely solely
 # on the in-repo parity suite (tools/parity.py --all + pytest), so the
 # FIRST 50 slots rotate each round toward whatever has not yet had a driver
-# row: round 6 moves the 21 round-4/5 promotions (previously slots 51-71,
-# never driver-recorded) into the head, displacing 21 long-stable serving/
-# gold rows (a2/a4/a5/a7/a9/j1/j2/o1/o2/o3/o5/o6/o7/o9/o10/f4/p11/pj/
-# w_sessionize/x_pivot/x_sector_rollup — all driver-green since rounds 1-3
-# and still parity-checked locally every round) into the tail. Consolidated
-# under the cap (each absorbed operator stays oracle-checked inside the
-# named query, and the standalone legacy twins below stay locally verified):
+# row.
+#
+# ROTATION LEDGER (which slots carry external driver rows, by round):
+#   r1-r3: original 50-entry head (a*/o*/j*/f*/p*/w*/dd*/ann*/ts_token_stats
+#          ...) — CORRECTNESS_r01..r03 rows.
+#   r4-r5: same head (round 4-5 additions appended past slot 50, local
+#          parity only — the gap round 5 exposed).
+#   r6-r7: 21 round-4/5 promotions moved into slots 1-21 (CORRECTNESS_r06/
+#          r07 rows), displacing 21 long-stable serving/gold rows
+#          (a2/a4/a5/a7/a9/j1/j2/o1/o2/o3/o5/o6/o7/o9/o10/f4/p11/pj/
+#          w_sessionize/x_pivot/x_sector_rollup — driver-green r1-r3) to
+#          the tail. Round-6's own 15 additions appended past slot 50.
+#   r8 (NOW): the 15 round-6 additions (never driver-recorded) take slots
+#          1-15; slots 16-21 keep six shape-diverse r4/5 canaries
+#          (x_incremental_gold, x_hll_distinct, w_funnel, x_pagerank,
+#          dd_cdc_segments, tp_bpe_encode — driver-green r6+r7); slots
+#          22-50 are unchanged (a1/a3/a6 + one query per heavy family);
+#          the other 15 r4/5 promotions (driver-green r6 AND r7) rotate
+#          to the tail, still parity-checked locally every round.
+#
+# Consolidated under the cap (each absorbed operator stays oracle-checked
+# inside the named query, and the standalone legacy twins below stay
+# locally verified):
 #   a1  ← a1h_market_history (avg_price column) + item_name/icon_url denorm
 #   o3  ← f7_zscore_display (display columns) over the enriched a3e
 #   o5  ← market_status enum filter (main.py:70-71)
@@ -1408,29 +1424,32 @@ def q_tp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only queries (no SQL oracle, by design) sit LAST so every
 # hash-checked family stays inside the cap even if it tightens.
 QUERIES: dict[str, QueryFn] = {
-    # --- head slots 1-21: the round-4/5 promotions, rotated in for their
-    # first driver correctness row (see registry comment above) ---
-    "tp_bpe_encode": q_tp_bpe_encode,
-    "ts_hash_classifier": q_ts_hash_classifier,
-    "ts_char_entropy": q_ts_char_entropy,
-    "tp_cluster_sample": q_tp_cluster_sample,
-    "tp_line_dedup": q_tp_line_dedup,
-    "ts_gopher_repetition": q_ts_gopher_repetition,
+    # --- head slots 1-15: the round-6 additions, rotated in for their
+    # first driver correctness row (see rotation ledger above) ---
+    "ts_pmi_collocations": q_ts_pmi_collocations,
+    "tp_global_shuffle": q_tp_global_shuffle,
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "mm_resize": q_mm_resize,
+    "a13_cusum_changepoint": q_a13_cusum,
+    "w_user_paths": q_w_user_paths,
+    "tp_seqlen_histogram": q_tp_seqlen_histogram,
+    "ts_zipf_fit": q_ts_zipf_fit,
+    "x_abtest_welch": q_x_abtest_welch,
+    "dd_jaccard_histogram": q_dd_jaccard_histogram,
+    "a14_forecast_backtest": q_a14_forecast_backtest,
+    "x_skew_report": q_x_skew_report,
+    "x_benford_check": q_x_benford_check,
+    "dd_cluster_sizes": q_dd_cluster_sizes,
+    "ts_langid_confusion": q_ts_langid_confusion,
+    # --- slots 16-21: shape-diverse canaries from the r4/5 promotion
+    # block (incremental, sketch, funnel, iterative-graph, substring-
+    # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
     "x_hll_distinct": q_x_hll_distinct,
-    "ts_perplexity_bigram": q_ts_perplexity_bigram,
     "w_funnel": q_w_funnel,
     "x_pagerank": q_x_pagerank,
-    "x_scd2_history": q_x_scd2_history,
     "dd_cdc_segments": q_dd_cdc_segments,
-    "x_monthly_rollup": q_x_monthly_rollup,
-    "a10_gapfill": q_a10_gapfill,
-    "a11_ewma": q_a11_ewma,
-    "a12_rolling_beta": q_a12_rolling_beta,
-    "x_fuzzy_match": q_x_fuzzy_match,
-    "x_assoc_rules": q_x_assoc_rules,
-    "ts_bm25": q_ts_bm25,
-    "tp_weighted_sample": q_tp_weighted_sample,
+    "tp_bpe_encode": q_tp_bpe_encode,
     # --- slots 22-50: the heavier operator families keep their rows ---
     "a1_daily_market_summary": q_a1,
     "a3_rolling_zscore": q_a3,
@@ -1461,9 +1480,25 @@ QUERIES: dict[str, QueryFn] = {
     "mm_binary_stats": q_mm_binary_stats,
     "ann_topk_ivf_trained": q_ann_ivf_trained,
     "mm_feature_extract": q_mm_features,
-    # --- tail (51+, not driver-recorded this round): rotated-out rows,
-    # driver-green since rounds 1-3 (CORRECTNESS_r01..r05) with frozen
-    # semantics, still parity-checked locally every round ---
+    # --- tail (51+, not driver-recorded this round): rotated-out rows —
+    # driver-green in earlier rounds (r1-r3 for the serving/gold block,
+    # r6+r7 for the r4/5 promotions) with frozen semantics, still
+    # parity-checked locally every round ---
+    "ts_hash_classifier": q_ts_hash_classifier,
+    "ts_char_entropy": q_ts_char_entropy,
+    "tp_cluster_sample": q_tp_cluster_sample,
+    "tp_line_dedup": q_tp_line_dedup,
+    "ts_gopher_repetition": q_ts_gopher_repetition,
+    "ts_perplexity_bigram": q_ts_perplexity_bigram,
+    "x_scd2_history": q_x_scd2_history,
+    "x_monthly_rollup": q_x_monthly_rollup,
+    "a10_gapfill": q_a10_gapfill,
+    "a11_ewma": q_a11_ewma,
+    "a12_rolling_beta": q_a12_rolling_beta,
+    "x_fuzzy_match": q_x_fuzzy_match,
+    "x_assoc_rules": q_x_assoc_rules,
+    "ts_bm25": q_ts_bm25,
+    "tp_weighted_sample": q_tp_weighted_sample,
     "a2_hourly_ohlc": q_a2,
     "a4_sales_velocity": q_a4,
     "a5_market_concentration": q_a5,
@@ -1485,29 +1520,16 @@ QUERIES: dict[str, QueryFn] = {
     "w_sessionize": q_w_sessionize,
     "x_pivot_event_counts": q_x_pivot,
     "x_sector_rollup": q_x_rollup,
-    # --- round-6 promotions (appended past the recorded head; parity-green
-    # at sf0.001 + sf0.01 BEFORE registration, per the r5 placement rule):
-    # PMI collocation mining and the deterministic global shuffle layout.
-    "ts_pmi_collocations": q_ts_pmi_collocations,
-    "tp_global_shuffle": q_tp_global_shuffle,
-    "ann_filtered_topk": q_ann_filtered_topk,
-    "mm_resize": q_mm_resize,
-    "a13_cusum_changepoint": q_a13_cusum,
-    "w_user_paths": q_w_user_paths,
-    "tp_seqlen_histogram": q_tp_seqlen_histogram,
-    "ts_zipf_fit": q_ts_zipf_fit,
-    "x_abtest_welch": q_x_abtest_welch,
-    "dd_jaccard_histogram": q_dd_jaccard_histogram,
-    "a14_forecast_backtest": q_a14_forecast_backtest,
-    "x_skew_report": q_x_skew_report,
-    "x_benford_check": q_x_benford_check,
-    "dd_cluster_sizes": q_dd_cluster_sizes,
-    "ts_langid_confusion": q_ts_langid_confusion,
 }
 
 assert len(QUERIES) == 86, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
 assert list(QUERIES)[49] == "mm_feature_extract", "slot-50 boundary drifted"
+# r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
+# (their first external driver rows), canaries 16-21, heavy families 22-50.
+assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
+assert list(QUERIES)[14] == "ts_langid_confusion", "slot-15 drifted"
+assert list(QUERIES)[21] == "a1_daily_market_summary", "slot-22 drifted"
 
 
 ORACLES: dict[str, str] = {

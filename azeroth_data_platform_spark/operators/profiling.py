@@ -247,7 +247,7 @@ def dq_checks(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
         silver.join(
             F.broadcast(dim_items.select("item_id")), "item_id", "left_anti"
         ).agg(F.count(F.lit(1)).alias("_orphans"))
-        .crossJoin(silver.agg(F.count(F.lit(1)).alias("_n")))
+        .crossJoin(F.broadcast(silver.agg(F.count(F.lit(1)).alias("_n"))))
         .select(
             F.lit("orphan_item_frac").alias("check"),
             (F.col("_orphans").cast("double") / F.col("_n")).alias("metric"),
@@ -317,11 +317,17 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
     (1e6·c·n_keys DIV total). ONE map-combinable count groupBy + a
     scalar broadcast + TakeOrderedAndProject.
 
-    Headroom: 1e6·c·n_keys is staged through DECIMAL(38,0) in BOTH
+    Headroom: 1e6·c·n_keys is staged through 128-bit integers in BOTH
     engines — in BIGINT it overflows 2^63 once c·n_keys > ~9.2e12
     (e.g. a 1e7-row hot key over 1e6 keys, squarely the 100 TB regime),
     where Spark (non-ANSI) would wrap silently while DuckDB raises.
-    DECIMAL(38,0) holds exact up to c·n_keys ≤ 1e32."""
+    Spark stages through DECIMAL(38,0) with integer `DIV` (exact up to
+    c·n_keys ≤ 1e32); DuckDB stages through native HUGEINT with `//`
+    (exact up to c·n_keys ≤ ~1.7e32). floor(decimal / bigint) is NOT
+    used: Spark's decimal division rounds HALF_UP to the result scale
+    BEFORE floor, so floor is off by one whenever the true fractional
+    part is ≥ 1 − 5e-7; and DuckDB executes DECIMAL/BIGINT as DOUBLE,
+    losing exactness past 2^53. Integer division avoids both."""
     counts = silver.groupBy("item_id").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("total"),
@@ -334,8 +340,8 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
             F.col("c").cast("bigint").alias("n_rows"),
             F.expr("CAST(1000000 * c DIV total AS BIGINT)").alias("share_ppm"),
             F.expr(
-                "CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys"
-                " / total) AS BIGINT)"
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys"
+                " DIV total AS BIGINT)"
             ).alias("x_uniform_ppm"),
         )
         .orderBy(F.col("n_rows").desc(), F.col("item_id").asc())
@@ -351,8 +357,8 @@ def skew_report_sql(silver_sql_cte: str, k: int = SKEW_TOP_K) -> str:
                     CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
 SELECT item_id, CAST(c AS BIGINT) AS n_rows,
        CAST(1000000 * c // total AS BIGINT) AS share_ppm,
-       CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys
-                  / total) AS BIGINT) AS x_uniform_ppm
+       CAST(CAST(1000000 AS HUGEINT) * c * n_keys
+            // total AS BIGINT) AS x_uniform_ppm
 FROM counts, totals
 ORDER BY n_rows DESC, item_id ASC LIMIT {k}"""
 

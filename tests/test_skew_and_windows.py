@@ -122,29 +122,47 @@ def test_funnel_strict_ordering_semantics(spark):
 
 
 def test_skew_report_x_uniform_no_bigint_overflow(spark):
-    """x_uniform_ppm stages 1e6·c·n_keys through DECIMAL(38,0): in BIGINT
-    the product wraps (Spark, non-ANSI) or raises (DuckDB) once
+    """x_uniform_ppm stages 1e6·c·n_keys through 128-bit integers
+    (DECIMAL(38,0) + `DIV` in Spark, HUGEINT + `//` in DuckDB): in
+    BIGINT the product wraps (Spark, non-ANSI) or raises (DuckDB) once
     c·n_keys > ~9.2e12 — the 100 TB hot-key regime. Pin the literal
-    expression both engines now share, in exactly that regime."""
+    expressions each engine uses, on probes that would detect BOTH
+    historical failure modes:
+
+    - floor(decimal / bigint) in Spark rounds HALF_UP to the result
+      scale BEFORE floor → off by one when the true fractional part is
+      ≥ 1 − 5e-7 (probe 2: true quotient 2999999.99999995).
+    - DECIMAL(38,0)/BIGINT in DuckDB executes as DOUBLE → inexact once
+      the product exceeds 2^53 (probe 3: 90071992547409931·1e6/1e6 is
+      not double-representable; a DOUBLE path yields ...409936)."""
     import duckdb
 
-    expr = (
-        "CAST(floor(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys / total)"
+    spark_expr = (
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * c * n_keys DIV total"
         " AS BIGINT) AS x"
     )
-    # c=1e7-row hot key, 1e6 keys, 2e7 total rows → true answer 5e11
-    row = spark.sql(
-        "SELECT "
-        + expr
-        + " FROM VALUES (CAST(10000000 AS BIGINT), CAST(1000000 AS BIGINT),"
-        " CAST(20000000 AS BIGINT)) AS t(c, n_keys, total)"
-    ).collect()[0]
-    assert row.x == 500_000_000_000
-    dk = duckdb.sql(
-        "SELECT " + expr + " FROM (SELECT CAST(10000000 AS BIGINT) c,"
-        " CAST(1000000 AS BIGINT) n_keys, CAST(20000000 AS BIGINT) total)"
-    ).fetchone()[0]
-    assert dk == row.x
+    duck_expr = (
+        "CAST(CAST(1000000 AS HUGEINT) * c * n_keys // total"
+        " AS BIGINT) AS x"
+    )
+    probes = [
+        # (c, n_keys, total, exact x_uniform_ppm)
+        (10000000, 1000000, 20000000, 500_000_000_000),  # BIGINT-overflow regime
+        (59999999999999, 1, 20000000000000, 2_999_999),  # HALF_UP-floor trap
+        (90071992547409931, 1, 1000000, 90071992547409931),  # >2^53, non-double
+    ]
+    for c, n_keys, total, want in probes:
+        got_s = spark.sql(
+            f"SELECT {spark_expr} FROM VALUES (CAST({c} AS BIGINT),"
+            f" CAST({n_keys} AS BIGINT), CAST({total} AS BIGINT))"
+            " AS t(c, n_keys, total)"
+        ).collect()[0].x
+        got_d = duckdb.sql(
+            f"SELECT {duck_expr} FROM (SELECT CAST({c} AS BIGINT) c,"
+            f" CAST({n_keys} AS BIGINT) n_keys, CAST({total} AS BIGINT) total)"
+        ).fetchone()[0]
+        assert got_s == want, (c, n_keys, total, got_s)
+        assert got_d == want, (c, n_keys, total, got_d)
     # and the old BIGINT form is genuinely out of range there (sanity)
     import pytest as _pytest
     with _pytest.raises(Exception):

@@ -26,6 +26,14 @@ TABLES = (
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's footprint: DuckDB's default memory_limit is 80% of
+    # host RAM (~100 GiB here) with one thread per CPU — racing the Spark
+    # JVM in the same process, that defaulted footprint produced transient
+    # malloc failures ("Failed to allocate block ... bad allocation") on
+    # queries whose true peak is <1 GiB. The parity oracles are tiny
+    # (sf≤0.01); 8 GiB / 8 threads is >10× headroom and deterministic.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
