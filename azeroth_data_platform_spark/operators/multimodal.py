@@ -186,21 +186,44 @@ def sample_frame_features(
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — image decoding requires PIL/opencv, absent in this
-    environment. The mapInPandas plumbing above is where a real decoder
-    plugs in (swap the stand-in feature computation for
-    `Image.open(io.BytesIO(payload))`)."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this environment"
-    )
+    """Feature-flagged decoder seam: decodes with Pillow when it is
+    importable, raises NotImplementedError otherwise (this container
+    ships no imaging library). The DETERMINISTIC stand-ins in the
+    mapInPandas operators above remain the oracle-checked path either
+    way — a real deployment swaps the stand-in feature computation for
+    this call inside the same Arrow batch loop, changing only the
+    feature values, never the schema/partitioning/batch shape.
+    Both flag sides are pinned by
+    tests/test_dedup_units.py::test_image_decode_seam_feature_flag."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — optional, probed at call time
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this"
+            " environment"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> "object":
-    """STUB — video frame sampling (no av/ffmpeg bindings here); same
-    plug-in point as decode_image."""
-    raise NotImplementedError(
-        "video frame sampling requires an av library not present in this environment"
-    )
+    """Feature-flagged video seam (same contract as decode_image): uses
+    PyAV when importable, raises NotImplementedError otherwise."""
+    try:
+        import io
+
+        import av  # noqa: PLC0415 — optional, probed at call time
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video frame sampling requires an av library not present in this"
+            " environment"
+        ) from exc
+    container = av.open(io.BytesIO(payload))
+    return [
+        frame for i, frame in enumerate(container.decode(video=0))
+        if i % every_n == 0
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,10 +59,27 @@ def run_corpus_pipeline(
     out_dir: str,
     budget: int = corpus.PACK_BUDGET,
 ) -> dict[str, Any]:
-    """Materialize a training corpus end-to-end; returns run metadata."""
+    """Materialize a training corpus end-to-end; returns run metadata.
+
+    ``meta["stage_sec"]`` records per-stage wall time (the time from the
+    previous stage's last action to this stage's last action — Spark's
+    laziness means a stage's lineage cost lands on whichever action first
+    materializes it, which is exactly what a wall-clock budget cares
+    about). bench.py's end-to-end scale probe reads it directly."""
     meta: dict[str, Any] = {}
+    stage_sec: dict[str, float] = {}
+    meta["stage_sec"] = stage_sec
+    _t = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        stage_sec[stage] = round(now - _t, 3)
+        _t = now
+
     docs = spark.read.parquet(documents_path)
     meta["docs_in"] = docs.count()
+    _mark("0_read")
 
     # --- 1. PII scrub: annotation happens on the REDACTED text ---
     scrubbed = textstats.pii_scrub(docs)
@@ -69,6 +87,7 @@ def run_corpus_pipeline(
     docs = _rebuilt_docs(
         docs, scrubbed.select("doc_id", F.col("scrubbed_text").alias("text"))
     )
+    _mark("1_pii_scrub")
 
     # --- 2. exact-substring dedup: cut repeated spans, keep the docs ---
     cleaned_text = dedup.remove_repeated_spans(docs)
@@ -78,6 +97,7 @@ def run_corpus_pipeline(
     docs = _rebuilt_docs(
         docs, cleaned_text.select("doc_id", F.col("clean_text").alias("text"))
     )
+    _mark("2_span_dedup")
 
     # --- 2b. corpus-wide line dedup (the CCNet/C4 paragraph rule): drop
     # every repeated pseudo-line beyond its first occurrence, rebuild the
@@ -96,6 +116,7 @@ def run_corpus_pipeline(
         .cache()
     )
     meta["docs_emptied_by_dedup"] = meta["docs_in"] - docs.count()
+    _mark("2b_line_dedup")
 
     # --- 3. quality filter + near-dup removal + annotation ---
     cleaned = corpus.clean_corpus(docs)
@@ -110,11 +131,13 @@ def run_corpus_pipeline(
         F.broadcast(contaminated), "doc_id", "left_anti"
     )
     meta["train_pool_docs"] = train_pool.count()
+    _mark("3_4_clean_decontaminate")
 
     # --- 5. stratified sample + shard assignment ---
     sampled = corpus.stratified_sample(train_pool)
     meta["sampled_docs"] = sampled.count()
     meta["sampled_tokens"] = sampled.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    _mark("5_sample")
 
     # --- 6. pack: layout + materialized sequences, laid out per shard ---
     layout = corpus.pack_sequences(sampled, budget=budget)
@@ -128,6 +151,7 @@ def run_corpus_pipeline(
         .collect()[0][0]
         or 0
     )
+    _mark("6_pack")
 
     # --- 6b. training-order manifest: deterministic global shuffle of
     # the sampled docs into (shard, pos) — the order the trainer reads ---
@@ -136,6 +160,7 @@ def run_corpus_pipeline(
     )
     shuffle.write.mode("overwrite").parquet(os.path.join(out_dir, "order"))
     meta["order_rows"] = spark.read.parquet(os.path.join(out_dir, "order")).count()
+    _mark("6b_global_shuffle")
 
     # --- 7. per-source health report for the curation dashboard ---
     corpus.corpus_report(docs).write.mode("overwrite").parquet(
@@ -153,6 +178,7 @@ def run_corpus_pipeline(
     meta["seqlen_buckets"] = spark.read.parquet(
         os.path.join(out_dir, "seqlen")
     ).count()
+    _mark("7_report_seqlen")
 
     docs.unpersist()
     log.info("corpus pipeline run: %s", meta)

@@ -184,12 +184,29 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         harness.ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         return round(time.perf_counter() - t0, 3)
+
+    # Median-of-3 with a discarded warm-up run (VERDICT r7 #3): single-run
+    # headline timings proved unreliable — r6's flagged "ann regression"
+    # (4.70 s) vanished in r7 (2.51 s) with ZERO code change, and the
+    # canary itself drifted 2.4× within one run. Each headline query now
+    # gets the same treatment the canary always had: run 4×, discard the
+    # first (plan compile + cache warm), report the median of the last 3.
+    # Extras stay single-run (they are diagnostics, not the graded series).
+    # The FIRST (cold) run is kept separately as the scale-probe base so
+    # 10× growth ratios stay cold-vs-cold (median-warm base would inflate
+    # every growth number by the warm-up factor, not the data factor).
+    cold_timings: dict[str, float] = {}
+
+    def run(name: str) -> float:
+        times = [run_once(name) for _ in range(4)]
+        cold_timings[name] = times[0]
+        return sorted(times[1:])[1]
 
     # Host-noise canary (FROZEN, round 3+): a constant parquet scan +
     # aggregate whose work never changes across rounds. Round-2 late-round
@@ -222,7 +239,7 @@ def main() -> int:
 
     canary_sec = run_canary()
     timings = {name: run(name) for name in headline}
-    extra_timings = {name: run(name) for name in extra}
+    extra_timings = {name: run_once(name) for name in extra}
     canary_sec_post = run_canary()
 
     # --- scale-growth probe (round 4+): run a scale-path subset at 10× the
@@ -234,8 +251,13 @@ def main() -> int:
     scaling = None
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         repo = os.path.dirname(os.path.abspath(__file__))
+        # cache dirs are keyed by the BASE sf dir: a local bench run at
+        # sf0.001 must not leave small tables where a later sf0.1 run's
+        # exists-check would reuse them (stale-cache poisoning)
+        base_tag = os.path.basename(sf_dir.rstrip("/"))
         scale_dir = os.environ.get(
-            "SPARK_GRAFT_SCALE_DIR", os.path.join(repo, ".scaledata", "sf1")
+            "SPARK_GRAFT_SCALE_DIR",
+            os.path.join(repo, ".scaledata", f"{base_tag}x10"),
         )
         if not os.path.exists(os.path.join(scale_dir, "lineitem.parquet")):
             import subprocess
@@ -267,7 +289,7 @@ def main() -> int:
             "tp_global_shuffle",
             "ts_pmi_collocations",
         ]
-        base = {**timings, **extra_timings}
+        base = {**timings, **cold_timings, **extra_timings}
 
         # Budget guard: the probe must never endanger the driver's bench
         # timeout — stop launching scaled queries after this many seconds
@@ -308,55 +330,176 @@ def main() -> int:
             },
         }
 
-        # --- dup-density probe (VERDICT r5 #5): MinHash-LSH on a
-        # duplicate-HEAVY corpus — the regime LSH exists for, which the
-        # (deliberately near-dup-free) uniform probe above cannot measure.
-        # Clusters of size f at fixed cluster count ⇒ candidate pairs grow
-        # ~C(f,2)·bands; pin that (a) candidate growth tracks that model,
-        # not n², and (b) the verify join keeps its equi-join shape with NO
-        # forced broadcast (dedup._verify_jaccard dropped its hint).
+        # --- dup-density probe (VERDICT r5 #5, widened r8 per r7 #5):
+        # the banded dedup families on duplicate-HEAVY corpora — the
+        # regime LSH exists for, which the (deliberately near-dup-free)
+        # uniform probe above cannot measure. Clusters of size f at fixed
+        # cluster count ⇒ candidate pairs grow ~C(f,2) per cluster; pin
+        # that (a) candidate growth tracks that model, not n², for ALL
+        # THREE banded families (MinHash-LSH, SimHash-banded, embed-LSH),
+        # and (b) every verify/candidate join keeps its equi-join shape
+        # (no cartesian, no forced broadcast). Sizes {2,4,8,16}; a budget
+        # guard truncates larger sizes rather than endanger the driver's
+        # bench timeout.
         from azeroth_data_platform_spark.operators import dedup as _dd
         from pyspark.sql import functions as F
         import subprocess as _sp
 
-        dup = {}
-        for f in (2, 4):
-            ddir = os.path.join(repo, ".scaledata", f"dup{f}")
-            if not os.path.exists(os.path.join(ddir, "documents.parquet")):
-                _sp.run(
-                    [sys.executable, os.path.join(repo, "tools", "gen_scale.py"),
-                     "--dup-heavy", sf_dir, ddir, str(f)],
-                    check=True, capture_output=True,
-                )
+        def _minhash_cand(ddir):
             docs = spark.read.parquet(os.path.join(ddir, "documents.parquet"))
-            sh = _dd.shingles(docs)
-            bands = _dd._minhash_bands(sh)
-            cand = (
+            bands = _dd._minhash_bands(_dd.shingles(docs))
+            return (
                 bands.alias("a")
                 .join(bands.alias("b"), ["band", "band_key"])
                 .where(F.col("a.doc_id") < F.col("b.doc_id"))
                 .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
                 .distinct()
             )
-            t0 = time.perf_counter()
-            pairs = _dd.minhash_lsh_dedup(docs)
-            plan = pairs._jdf.queryExecution().executedPlan().toString()
-            n_pairs = pairs.count()
-            sec = round(time.perf_counter() - t0, 3)
-            dup[f"f{f}"] = {
-                "docs": docs.count(),
-                "cand_pairs": cand.count(),
-                "dup_pairs": n_pairs,
-                "sec": sec,
-                "equi_join_only": (
-                    "CartesianProduct" not in plan
-                    and "BroadcastNestedLoopJoin" not in plan
+
+        # (candidate-pair frame, dup-pair frame, row-count frame) per family.
+        # Candidates reuse the operator itself where the threshold can be
+        # opened fully (hamming ≤ 64 / cosine ≥ -1 pass every candidate).
+        families = {
+            "minhash": lambda ddir: (
+                _minhash_cand(ddir),
+                _dd.minhash_lsh_dedup(
+                    spark.read.parquet(os.path.join(ddir, "documents.parquet"))
                 ),
+                spark.read.parquet(os.path.join(ddir, "documents.parquet")),
+            ),
+            "simhash_banded": lambda ddir: (
+                _dd.simhash_banded_dedup(
+                    spark.read.parquet(os.path.join(ddir, "documents.parquet")),
+                    max_hamming=64,
+                ),
+                _dd.simhash_banded_dedup(
+                    spark.read.parquet(os.path.join(ddir, "documents.parquet"))
+                ),
+                spark.read.parquet(os.path.join(ddir, "documents.parquet")),
+            ),
+            "embed_lsh": lambda ddir: (
+                _dd.embedding_neardup_lsh(
+                    spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+                    threshold=-1.0,
+                ),
+                _dd.embedding_neardup_lsh(
+                    spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+                    threshold=0.9,
+                ),
+                spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+            ),
+        }
+
+        dup_budget = float(os.environ.get("SPARK_GRAFT_DUP_BUDGET_SEC", "300"))
+        dup_t0 = time.perf_counter()
+        dup = {fam: {} for fam in families}
+        dup_truncated = False
+        for f in (2, 4, 8, 16):
+            ddir = os.path.join(repo, ".scaledata", f"{base_tag}-dup{f}")
+            if not all(
+                os.path.exists(os.path.join(ddir, t))
+                for t in ("documents.parquet", "embeddings.parquet")
+            ):
+                _sp.run(
+                    [sys.executable, os.path.join(repo, "tools", "gen_scale.py"),
+                     "--dup-heavy", sf_dir, ddir, str(f)],
+                    check=True, capture_output=True,
+                )
+            for fam, build in families.items():
+                if time.perf_counter() - dup_t0 > dup_budget:
+                    dup_truncated = True
+                    break
+                cand, pairs, rows = build(ddir)
+                plan = pairs._jdf.queryExecution().executedPlan().toString()
+                t0 = time.perf_counter()
+                n_pairs = pairs.count()
+                sec = round(time.perf_counter() - t0, 3)
+                dup[fam][f"f{f}"] = {
+                    "rows": rows.count(),
+                    "cand_pairs": cand.count(),
+                    "dup_pairs": n_pairs,
+                    "sec": sec,
+                    "equi_join_only": (
+                        "CartesianProduct" not in plan
+                        and "BroadcastNestedLoopJoin" not in plan
+                    ),
+                }
+            if dup_truncated:
+                break
+
+        def _growth(fam):
+            fs = [f for f in (2, 4, 8, 16) if f"f{f}" in dup[fam]]
+            return {
+                f"f{a}->f{b}": round(
+                    dup[fam][f"f{b}"]["cand_pairs"]
+                    / max(dup[fam][f"f{a}"]["cand_pairs"], 1),
+                    2,
+                )
+                for a, b in zip(fs, fs[1:])
             }
+
+        # --- end-to-end corpus-pipeline probe (VERDICT r7 #6): the
+        # COMPOSED pipeline is the product; probe it as a whole at 1× and
+        # 10× and report per-stage wall + total growth. Stage walls come
+        # from run_corpus_pipeline's own meta["stage_sec"].
+        from azeroth_data_platform_spark.plans.corpus_pipeline import (
+            run_corpus_pipeline,
+        )
+        import shutil as _sh
+
+        pipe = {}
+        # Budget guard: the x10 leg only runs if the base leg left enough
+        # headroom (x10 on a ~linear pipeline costs ~10× the base); a
+        # truncated probe reports the base leg rather than blowing the
+        # driver's bench timeout.
+        pipe_budget = float(os.environ.get("SPARK_GRAFT_PIPE_BUDGET_SEC", "300"))
+        pipe_t0 = time.perf_counter()
+        for tag, ddir in (("base", sf_dir), ("x10", scale_dir)):
+            if tag == "x10" and (
+                time.perf_counter() - pipe_t0
+                > pipe_budget - 12 * pipe["base"]["total_sec"]
+            ):
+                break
+            out_pipe = os.path.join(repo, ".scaledata", f"pipe_{base_tag}_{tag}")
+            _sh.rmtree(out_pipe, ignore_errors=True)
+            t0 = time.perf_counter()
+            m = run_corpus_pipeline(
+                spark, os.path.join(ddir, "documents.parquet"), out_pipe
+            )
+            pipe[tag] = {
+                "total_sec": round(time.perf_counter() - t0, 3),
+                "stage_sec": m["stage_sec"],
+                "docs_in": m["docs_in"],
+                "packs": m["packs"],
+            }
+            _sh.rmtree(out_pipe, ignore_errors=True)
+        scaling["corpus_pipeline_e2e"] = {
+            **pipe,
+            "truncated": "x10" not in pipe,
+        }
+        if "x10" in pipe:
+            scaling["corpus_pipeline_e2e"].update(
+                growth=round(
+                    pipe["x10"]["total_sec"] / pipe["base"]["total_sec"], 2
+                ),
+                stage_growth={
+                    k: round(pipe["x10"]["stage_sec"][k] / max(v, 0.001), 2)
+                    for k, v in pipe["base"]["stage_sec"].items()
+                    if k in pipe["x10"]["stage_sec"]
+                },
+            )
+
         scaling["dup_probe"] = {
             **dup,
-            "cand_growth": round(dup["f4"]["cand_pairs"] / max(dup["f2"]["cand_pairs"], 1), 2),
-            "model": "clusters of size f at fixed cluster count -> C(f,2) pairs: f2->f4 predicts ~6x cand, ~2x docs",
+            "truncated": dup_truncated,
+            "cand_growth": {fam: _growth(fam) for fam in families},
+            "model": (
+                "clusters of size f at fixed cluster count -> ~C(f,2) pairs"
+                " per cluster on top of a constant uniform-background term:"
+                " f2->f4 ~6x, f4->f8 ~4.7x, f8->f16 ~4.3x of the CLUSTER"
+                " component (embed_lsh backgrounds are larger: fixed"
+                " 64-bucket geometry adds an n^2/64 uniform term)"
+            ),
         }
 
     quad_total = round(sum(t for n, t in timings.items() if n in quadratic), 3)

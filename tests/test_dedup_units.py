@@ -127,11 +127,37 @@ def test_multimodal_feature_extraction_batches(spark):
     assert meta == len(BASE.encode())
 
 
-def test_image_decode_is_stubbed():
+def test_image_decode_seam_feature_flag():
+    """The decoder seam probes for Pillow at call time: NotImplementedError
+    when absent (this container), a real decode when present. Both sides
+    of the flag are pinned; the real path auto-activates in environments
+    that ship an imaging library."""
+    import importlib.util
+
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+    else:  # pragma: no cover — container has no Pillow; runs elsewhere
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4), (128, 0, 255)).save(buf, format="PNG")
+        img = multimodal.decode_image(buf.getvalue())
+        assert img.size == (4, 4)
+
+
+def test_video_seam_feature_flag():
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("av") is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.sample_frames(b"\x00" * 64)
 
 
 def test_neardup_clusters_transitive_chain(spark):

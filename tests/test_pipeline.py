@@ -402,11 +402,14 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "pack_layout"))
     assert os.path.isdir(os.path.join(out, "order"))
     assert os.path.isdir(os.path.join(out, "seqlen"))
-    # idempotent re-run (overwrite semantics end to end)
+    # idempotent re-run (overwrite semantics end to end) — stage_sec is a
+    # wall-clock diagnostic, not a pipeline output; everything else must
+    # be bit-identical across re-runs
     meta2 = run_corpus_pipeline(
         spark, "/root/testdata/sf0.001/documents.parquet", out, budget=256
     )
-    assert meta2 == meta
+    drop = lambda m: {k: v for k, v in m.items() if k != "stage_sec"}  # noqa: E731
+    assert drop(meta2) == drop(meta)
 
 
 def test_packed_corpus_roundtrip_conserves_tokens(spark, tmp_path):

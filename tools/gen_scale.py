@@ -169,6 +169,40 @@ def gen_dup_heavy_documents(src: str, out: str, factor: int) -> None:
     _write(pd.concat(parts, ignore_index=True), out, "documents", sch)
 
 
+def gen_dup_heavy_embeddings(
+    src: str, out: str, factor: int, base_n: int = 500
+) -> None:
+    """Duplicate-HEAVY embeddings twin of :func:`gen_dup_heavy_documents`:
+    every copy k ≥ 1 is a NEAR-DUPLICATE of a base vector — the base
+    vector plus a deterministic small perturbation, renormalized, so
+    cosine(base, copy) ≈ 0.999 (far above any dedup threshold) and the
+    corpus forms clusters of size `factor`.
+
+    The base is the FIRST `base_n` vectors, not the whole table: at the
+    fixed 64-bucket LSH geometry the probe exercises, candidate volume
+    is ~n²/buckets, so a full-table f=16 copy would measure bucket
+    saturation instead of the C(f,2) cluster model the probe pins.
+    Cluster growth is the same either way; the subsample keeps f=16
+    tractable inside the bench budget."""
+    os.makedirs(out, exist_ok=True)
+    emb = _read(src, "embeddings").head(base_n).reset_index(drop=True)
+    max_vid = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    rng = np.random.default_rng(8151)  # frozen seed: probe must be stable
+    parts = [emb]
+    for k in range(1, factor):
+        d = emb.copy()
+        d["vec_id"] = d["vec_id"] + k * max_vid
+        noise = rng.standard_normal((len(d), dim)).astype(np.float32) * 0.02
+        vecs = np.stack(d["embedding"].to_numpy())  # (n, dim) float32
+        vecs = vecs + noise
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        d["embedding"] = list(vecs)
+        parts.append(d)
+    sch = pq.read_schema(os.path.join(src, "embeddings.parquet"))
+    _write(pd.concat(parts, ignore_index=True), out, "embeddings", sch)
+
+
 def scale_embeddings(src: str, out: str, factor: int) -> None:
     emb = _read(src, "embeddings")
     max_vid = int(emb["vec_id"].max()) + 1
@@ -190,6 +224,7 @@ def main() -> int:
     factor = int(argv[2]) if len(argv) > 2 else 10
     if dup_heavy:
         gen_dup_heavy_documents(src, out, factor)
+        gen_dup_heavy_embeddings(src, out, factor)
         for t in sorted(os.listdir(out)):
             print(t, pq.ParquetFile(os.path.join(out, t)).metadata.num_rows)
         return 0
