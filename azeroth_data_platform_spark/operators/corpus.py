@@ -1888,3 +1888,97 @@ SELECT bucket,
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_token_mass
 FROM hist ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking — the embedding/retrieval prep stage of
+# a training-data pipeline (every RAG/embedding corpus is built from
+# overlapping chunks, not whole documents). pack_sequences (above) packs
+# whole docs into budget-sized sequences; chunk_documents SPLITS one doc
+# into size-S token windows advancing by S−V (V tokens of overlap), the
+# dual operation.
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """One row per (doc_id, chunk_id): the chunk's token window, its text,
+    and its 0-based token offset.
+
+    Chunk k covers tokens [k·stride, k·stride + size) with
+    stride = size − overlap; the last chunk is the first one whose window
+    reaches the end of the doc (it may be shorter than `size`, and is the
+    ONLY chunk per doc when n_tokens ≤ size — no empty/degenerate trailing
+    chunks). n_chunks = 1 + ceil((n − size)/stride) for n > size, exact in
+    integer arithmetic (no float division anywhere).
+
+    100 TB shape: tokenize → explode → slice is entirely row-local (one
+    scan, zero shuffles, whole-stage codegen); output rows fan out ~n/stride
+    per doc, the same growth the downstream embedding job pays by necessity.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    n = F.size(F.col("t"))
+    # integer ceil-div (no float /: repo rule — exact integer arithmetic
+    # everywhere both engines compare values)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"CAST((size(t) - {size} + {stride} - 1) DIV {stride} AS INT) + 1")
+    )
+    return (
+        documents.select("doc_id", textstats._words().alias("t"))
+        .where(F.size("t") >= 1)
+        .select("doc_id", "t", n_chunks.alias("n_chunks"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("bigint").alias("begin_tok"),
+            F.slice(F.col("t"), F.col("chunk_id") * stride + 1, size).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "begin_tok",
+            F.size("c").cast("bigint").alias("n_tokens_in_chunk"),
+            F.array_join("c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list
+    slicing; range(n) is 0-based like Spark's sequence(0, n-1))."""
+    from .textstats import WORDS_SQL
+
+    stride = size - overlap
+    return f"""WITH toks AS (
+    SELECT doc_id, {WORDS_SQL} AS t FROM documents),
+  sized AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+  counted AS (
+    SELECT doc_id, t,
+           CASE WHEN n <= {size} THEN 1
+                ELSE CAST((n - {size} + {stride} - 1) // {stride} AS INTEGER) + 1
+           END AS n_chunks
+    FROM sized),
+  exploded AS (
+    SELECT doc_id, t, unnest(range(n_chunks)) AS chunk_id FROM counted)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS begin_tok,
+       CAST(len(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}])
+            AS BIGINT) AS n_tokens_in_chunk,
+       array_to_string(t[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}],
+                       ' ') AS chunk_text
+FROM exploded"""
+
+
+CHUNK_DOCUMENTS_SQL = chunk_documents_sql()

@@ -476,3 +476,63 @@ def test_export_manifest_is_layout_invariant(spark, sf_dir):
         assert all(m3[s] == m1[s] for s in m1 if s != 0)
     finally:
         packs.unpersist()
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: exact window math on crafted docs —
+    single-chunk short doc, exact-boundary doc (no empty trailing chunk),
+    overlap reconstruction (every consecutive pair shares exactly
+    `overlap` tokens), and full token coverage."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    toks = [f"w{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(toks[:5]), "en", "s", 0),     # n=5  <= size -> 1 chunk
+        (2, " ".join(toks[:10]), "en", "s", 0),    # n=10 == size -> 1 chunk
+        (3, " ".join(toks[:18]), "en", "s", 0),    # n=18: chunks @0,8 -> 2
+        (4, " ".join(toks[:24]), "en", "s", 0),    # n=24: @0,8,16 exact end
+        (5, "", "en", "s", 0),                     # empty -> dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = corpus.chunk_documents(docs, size=10, overlap=2)
+    got = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+
+    assert {d for d, _ in got} == {1, 2, 3, 4}
+    assert sum(1 for d, _ in got if d == 1) == 1
+    assert sum(1 for d, _ in got if d == 2) == 1
+    assert sum(1 for d, _ in got if d == 3) == 2
+    assert sum(1 for d, _ in got if d == 4) == 3
+
+    # window math: begin_tok = chunk_id * stride; stride = 8
+    for (d, c), r in got.items():
+        assert r.begin_tok == c * 8
+    # doc 3: chunk 0 covers toks[0:10], chunk 1 covers toks[8:18]
+    assert got[(3, 0)].chunk_text == " ".join(toks[0:10])
+    assert got[(3, 1)].chunk_text == " ".join(toks[8:18])
+    assert got[(3, 1)].n_tokens_in_chunk == 10
+    # overlap reconstruction: consecutive chunks share exactly 2 tokens
+    assert got[(3, 0)].chunk_text.split()[-2:] == got[(3, 1)].chunk_text.split()[:2]
+    # doc 4 ends exactly at a window boundary: last chunk is full, no 4th
+    assert got[(4, 2)].chunk_text == " ".join(toks[16:24])
+    assert got[(4, 2)].n_tokens_in_chunk == 8
+    # coverage: union of windows reconstructs the full token sequence
+    seen = []
+    for c in range(3):
+        t = got[(4, c)].chunk_text.split()
+        seen.extend(t if c == 0 else t[2:])
+    assert seen == toks[:24]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(docs, size=10, overlap=10)
