@@ -695,10 +695,6 @@ def q_tp_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_report(_docs(spark, sf_dir))
 
 
-def q_tp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus.chunk_documents(_docs(spark, sf_dir))
-
-
 def q_ts_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.oov_ratio(_docs(spark, sf_dir))
 
@@ -1902,7 +1898,6 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_corpus_report": q_tp_corpus_report,
     "ann_topk_lsh_multi": q_ann_lsh_multi,
     "ts_oov_ratio": q_ts_oov,
-    "tp_chunk_documents": q_tp_chunks,
     "ts_pii_scrub": q_ts_pii,
     "ts_pii_scrub_synth": q_ts_pii_synth,
     "ts_perplexity": q_ts_perplexity,
@@ -2061,7 +2056,6 @@ ALL_ORACLES: dict[str, str] = {
     "tp_corpus_report": corpus.CORPUS_REPORT_SQL,
     "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "ts_oov_ratio": textstats.OOV_RATIO_SQL,
-    "tp_chunk_documents": corpus.CHUNK_DOCUMENTS_SQL,
     "ts_pii_scrub": textstats.PII_SCRUB_SQL,
     "ts_pii_scrub_synth": textstats.PII_SCRUB_SYNTH_SQL,
     "ts_perplexity": textstats.PERPLEXITY_SQL,

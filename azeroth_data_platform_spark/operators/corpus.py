@@ -545,45 +545,6 @@ CORPUS_REPORT_SQL = _corpus_report_sql()
 
 
 # ---------------------------------------------------------------------------
-# Document chunking — sliding token windows with overlap: the 1→N fan-out
-# every context-window-bounded consumer needs (training sequence slicing,
-# RAG indexing). Relational (explode over a start-offset sequence), not a
-# UDTF: the fan-out stays inside Catalyst, prunes and pushes down like any
-# other plan node.
-
-CHUNK_SIZE = 40  # tokens per chunk
-CHUNK_STRIDE = 30  # overlap = CHUNK_SIZE - CHUNK_STRIDE
-
-
-def chunk_documents(
-    documents: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
-) -> DataFrame:
-    """Explode each doc into overlapping token windows: chunk i covers
-    tokens [i·stride, i·stride + size). Pure per-row HOF + explode — the
-    shuffle story is NO shuffle: fan-out happens inside the scan stage,
-    and downstream per-chunk operators (embedding, indexing) see a flat
-    relation. The word array materializes once (`_ws`, multiply
-    referenced), same CollapseProject mechanics as ts_repetition."""
-    staged = documents.select("doc_id", textstats._words().alias("_ws"))
-    return (
-        staged.select(
-            "doc_id",
-            "_ws",
-            F.explode(F.expr(f"sequence(0, size(_ws) - 1, {stride})")).alias("start_token"),
-        )
-        .select(
-            "doc_id",
-            (F.col("start_token") / stride).cast("bigint").alias("chunk_id"),
-            "start_token",
-            F.expr(f"size(slice(_ws, start_token + 1, {size}))").alias("n_tokens"),
-            F.expr(f"array_join(slice(_ws, start_token + 1, {size}), ' ')").alias(
-                "chunk_text"
-            ),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Quantile-threshold quality pruning — cut the corpus at a GLOBAL quality
 # percentile instead of a fixed score (the FineWeb-style "drop the bottom
 # X%" rule): the threshold adapts to the corpus distribution, so the same
@@ -705,19 +666,6 @@ def _keep_best_sql() -> str:
 
 
 KEEP_BEST_SQL = _keep_best_sql()
-
-
-CHUNK_DOCUMENTS_SQL = f"""
-  WITH w AS (SELECT doc_id, {textstats.WORDS_SQL} AS ws FROM documents),
-  starts AS (SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start_token
-             FROM w)
-  SELECT doc_id,
-         start_token // {CHUNK_STRIDE} AS chunk_id,
-         start_token,
-         len(ws[start_token + 1 : start_token + {CHUNK_SIZE}]) AS n_tokens,
-         array_to_string(ws[start_token + 1 : start_token + {CHUNK_SIZE}], ' ')
-           AS chunk_text
-  FROM starts"""
 
 
 # ---------------------------------------------------------------------------

@@ -175,8 +175,6 @@ def main() -> int:
             "x_benford_check",
             "dd_cluster_sizes",
             "ts_langid_confusion",
-            # round-8 addition
-            "tp_chunk_documents",
         )
         if q in harness.ALL_QUERIES
     ]

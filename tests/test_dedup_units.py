@@ -494,8 +494,12 @@ def test_oov_ratio_against_planted_vocab(spark):
 
 
 def test_chunk_documents_sliding_windows(spark):
-    """A 10-token doc at size=4/stride=3 yields starts 0,3,6,9 with the
-    final chunks short; overlap regions must repeat verbatim."""
+    """A 10-token doc at size=4/overlap=1 (stride 3) yields starts 0,3,6 —
+    the round-8 consolidated semantics: the LAST chunk is the first whose
+    window reaches the doc end, so no degenerate tail chunk (the old form
+    also emitted a start at 9 whose 1-token chunk was a strict subset of
+    the previous window — duplicate content downstream). Overlap regions
+    must repeat verbatim."""
     from azeroth_data_platform_spark.operators import corpus
 
     text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
@@ -504,15 +508,15 @@ def test_chunk_documents_sliding_windows(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     out = sorted(
-        corpus.chunk_documents(docs, size=4, stride=3).collect(),
+        corpus.chunk_documents(docs, size=4, overlap=1).collect(),
         key=lambda r: r.chunk_id,
     )
-    assert [(r.chunk_id, r.start_token, r.n_tokens) for r in out] == [
-        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1),
+    assert [(r.chunk_id, r.begin_tok, r.n_tokens_in_chunk) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
     ]
     assert out[0].chunk_text == "t0 t1 t2 t3"
     assert out[1].chunk_text == "t3 t4 t5 t6"  # one-token overlap with chunk 0
-    assert out[3].chunk_text == "t9"
+    assert out[2].chunk_text == "t6 t7 t8 t9"  # reaches the end; no tail dup
 
 
 def test_select_representatives_keeps_best_quality(spark):

@@ -668,3 +668,41 @@ def test_transition_state_multichunk_group(spark):
     st2 = FakeState()
     assert list(_transition_state((7,), iter([c1.iloc[0:0]]), st2)) == []
     assert st2.value is None
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents over a readStream is bit-identical to batch
+    (stateless row-local explode — no state, no watermark): the chunking
+    stage of an embedding-ingest pipeline runs on streams unchanged."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "docs_chunk"
+    docs.limit(40).repartition(3).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        corpus.chunk_documents(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunk_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.chunk_id): r
+        for r in spark.sql("SELECT * FROM chunk_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): r
+        for r in corpus.chunk_documents(docs.limit(40)).collect()
+    }
+    assert set(got) == set(want) and len(want) > 40  # fan-out happened
+    for k in want:
+        assert got[k].chunk_text == want[k].chunk_text
+        assert got[k].begin_tok == want[k].begin_tok
+        assert got[k].n_tokens_in_chunk == want[k].n_tokens_in_chunk
