@@ -587,11 +587,25 @@ def abtest_welch(events: DataFrame) -> DataFrame:
     Σx accumulates in BIGINT and Σx² in DECIMAL(38,0) — scale-0 decimal
     arithmetic is safe cross-engine (the scale-REDUCTION divergence only
     bites fractional decimals), and 38 digits holds Σx² at any realistic
-    volume. Means and variances are exact rationals converted once to
-    DOUBLE; the t chain is div/add/sub/sqrt (no a*b+c shape, so no FMA
-    contraction), and the output still quantizes through DECIMAL(18,12)
-    per the raw-double rule. ONE map-combinable groupBy on
-    (event_type, cohort) + a 2-row-per-type pivot — scan-bound."""
+    volume. ONE map-combinable groupBy on (event_type, cohort) + a
+    2-row-per-type pivot — scan-bound.
+
+    OUTPUT means bypass the DECIMAL(18,12)-of-double quantizer entirely:
+    the mean is the exact rational Σx/(100·n), so it is truncated at
+    1e-12 in 128-bit INTEGER arithmetic (Σx·10¹⁰ DIV n, staged through
+    DECIMAL(38,0)/HUGEINT) and converted once — int→double is exact below
+    2^53 (means ≤ ~9000 dollars), the final /1e12 is one correctly-
+    rounded op in both engines. Round-8 fuzz finding behind this: when a
+    double's SHORTEST decimal repr has exactly 13 fractional digits
+    ending in 5 (e.g. 10531809/38/100 → 2771.5286842105265, exact binary
+    …53502…), Spark's double→decimal cast rounds the exact binary
+    expansion (…527) while DuckDB rounds the shortest repr half-even
+    (…526) — the q12 device itself diverges. Requires value ≥ 0 (true
+    for prices; integer DIV truncates toward zero in Spark but floors in
+    DuckDB, divergent on negatives). welch_t keeps the q12 quantizer:
+    its sqrt-derived doubles have ~17-significant-digit shortest reprs,
+    so the 13-digit-trailing-5 boundary is not reachable from a 4-row
+    output in practice (residual risk documented here)."""
     x = F.col("xu")
     g = (
         events.select(
@@ -632,6 +646,12 @@ def abtest_welch(events: DataFrame) -> DataFrame:
         f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b)"
     )
     q12 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,12)) AS DOUBLE)"  # noqa: E731
+    # exact-rational mean at 1e-12: sx·10^10 DIV n in 128-bit integers,
+    # ONE exact int→double conversion, ONE correctly-rounded division
+    mean_exact = (
+        lambda sx, n: f"CAST(CAST(CAST(10000000000 AS DECIMAL(38,0))"
+        f" * {sx} DIV {n} AS BIGINT) AS DOUBLE) / 1e12"
+    )  # noqa: E731
     return (
         a.join(b, "event_type")
         .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
@@ -639,8 +659,8 @@ def abtest_welch(events: DataFrame) -> DataFrame:
             "event_type",
             "n_a",
             "n_b",
-            F.expr(q12(mean("sx_a", "n_a"))).alias("mean_a"),
-            F.expr(q12(mean("sx_b", "n_b"))).alias("mean_b"),
+            F.expr(mean_exact("sx_a", "n_a")).alias("mean_a"),
+            F.expr(mean_exact("sx_b", "n_b")).alias("mean_b"),
             F.expr(q12(t_raw)).alias("welch_t"),
             F.expr(f"abs({q12(t_raw)}) > {ABTEST_T_CRIT}").alias("significant"),
         )
@@ -657,10 +677,10 @@ ABTEST_SQL = f"""
   a AS (SELECT event_type, n AS n_a, sx AS sx_a, sxx AS sxx_a FROM g WHERE grp = 0),
   b AS (SELECT event_type, n AS n_b, sx AS sx_b, sxx AS sxx_b FROM g WHERE grp = 1)
 SELECT a.event_type, n_a, n_b,
-       CAST(CAST((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
-            AS DECIMAL(18,12)) AS DOUBLE) AS mean_a,
-       CAST(CAST((CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)
-            AS DECIMAL(18,12)) AS DOUBLE) AS mean_b,
+       CAST(CAST(CAST(10000000000 AS HUGEINT) * sx_a // n_a AS BIGINT)
+            AS DOUBLE) / 1e12 AS mean_a,
+       CAST(CAST(CAST(10000000000 AS HUGEINT) * sx_b // n_b AS BIGINT)
+            AS DOUBLE) / 1e12 AS mean_b,
        CAST(CAST(
          ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
           - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0))

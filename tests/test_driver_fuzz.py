@@ -24,9 +24,11 @@ from azeroth_data_platform_spark import harness
 from tools.parity import compare, duck_connection
 
 # Queries worth fuzzing: aggregation/window/join semantics over lineitem &
-# part, and the text/vector families over documents & embeddings. Events-
-# based queries are excluded (the fuzz writer can't reproduce the corpus's
-# TIMESTAMP(NANOS) physical type portably).
+# part, the text/vector families over documents & embeddings, and (round
+# 8+) the events-based head queries — the fuzz writer emits events as
+# TIMESTAMP(MICROS), the physical type driver testdata has used since
+# round 3 (the original TIMESTAMP(NANOS) portability concern is stale;
+# harness._ev_ts adapts by dtype either way).
 FUZZ_QUERIES = [
     "a1_daily_market_summary",
     "a3_rolling_zscore",
@@ -79,6 +81,12 @@ FUZZ_QUERIES = [
     "x_benford_check",
     "dd_cluster_sizes",
     "ts_langid_confusion",
+    # round 8: events-based head queries — the fuzz writer now emits a
+    # TIMESTAMP(MICROS) events table (the physical type driver testdata
+    # has used since round 3), with ts ties, single-event users, and n=1
+    # cohorts
+    "w_user_paths",
+    "x_abtest_welch",
 ]
 
 VOCAB = (
@@ -158,10 +166,41 @@ def _gen_tables(seed: int, outdir: str) -> None:
             "label": rng.integers(0, 3, size=40),
         }
     )
+    # events: adversarial transition/cohort shapes for w_user_paths and
+    # x_abtest_welch — single-event users (no transitions), exact ts TIES
+    # (event_id tie-break must decide src→dst order), users stuck on one
+    # event_type, n=1 cohorts (Welch variance edge), and values generated
+    # as integer cents so the oracle's DECIMAL(28,2) staging is exact.
+    # Written as datetime64[us] — the TIMESTAMP(MICROS) physical type the
+    # driver testdata has used since round 3 (harness._ev_ts adapts).
+    n_ev = 300
+    base_ts = dt.datetime(2025, 3, 1, 9, 0, 0)
+    ts_offsets = rng.integers(0, 500, size=n_ev)  # ~500 slots → many ties
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(1, n_ev + 1),
+            "ts": pd.Series(
+                [base_ts + dt.timedelta(seconds=int(o) * 60) for o in ts_offsets],
+                dtype="datetime64[us]",
+            ),
+            # user 999 appears once (no transition); users 1-24 dense
+            "user_id": np.append(
+                rng.integers(1, 25, size=n_ev - 1), [999]
+            ).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "refund"], size=n_ev
+            ),
+            "value": rng.integers(0, 500_000, size=n_ev) / 100.0,
+            "props": ['{"k": 1}'] * n_ev,
+        }
+    )
+    # one user stuck on a single event_type (self-transitions only)
+    events.loc[events["user_id"] == 7, "event_type"] = "view"
     lineitem.to_parquet(f"{outdir}/lineitem.parquet")
     part.to_parquet(f"{outdir}/part.parquet")
     documents.to_parquet(f"{outdir}/documents.parquet")
     embeddings.to_parquet(f"{outdir}/embeddings.parquet")
+    events.to_parquet(f"{outdir}/events.parquet")
 
 
 @pytest.mark.parametrize("seed", [7, 23])
