@@ -890,6 +890,51 @@ def _embed_lsh_banded_sql(n_bands: int = EMBED_LSH_N_BANDS) -> str:
 EMBED_LSH_BANDED_SQL = _embed_lsh_banded_sql()
 
 
+EMBED_LSH_TARGET_OCCUPANCY = 64  # vectors per bucket the auto variant aims for
+
+
+def embedding_neardup_lsh_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    target_occupancy: int = EMBED_LSH_TARGET_OCCUPANCY,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """`embedding_neardup_lsh` with the PRODUCTION scaling rule applied:
+    the hyperplane count tracks the corpus size so per-bucket occupancy
+    (and therefore candidates per vector) stays CONSTANT as n grows —
+    planes = max(6, ceil(log2(n / target_occupancy))), i.e. buckets ≈
+    n / occupancy. This is the documented fix for the fixed-geometry
+    superlinearity the bench dup-probe measures on `dd_embed_lsh`
+    (n²/2^planes uniform background at frozen planes).
+
+    The n-dependent geometry costs ONE count() job at plan-build time —
+    the same bounded-driver-work class as the trained-quantizer family's
+    k-means iterations (similarity.ivf_trained). It also excludes this
+    operator from the static-SQL oracle registry (the oracle text would
+    have to embed a bucket expression chosen by the data); correctness is
+    pinned instead by tests/test_ann_recall.py: precision 1.0 by
+    construction (exact cosine verify), recall ≥ 0.9 on planted
+    high-cosine near-dup clusters at TWO corpus sizes, and sub-quadratic
+    candidate growth vs the fixed-plane twin.
+
+    Recall note: more planes = more per-plane sign flips per pair, so
+    recall at a FIXED threshold decays with n for borderline pairs —
+    but for the near-dup regime this operator targets (cosine ≥ 0.9,
+    per-plane flip ≤ ~0.14; planted 0.999-cosine dups flip ≤ ~0.015)
+    the hamming-1 probe ring keeps recall high at any realistic planes
+    count. For threshold-0.4 similarity SEARCH at scale, use the banded
+    AND-OR variant (`embedding_neardup_lsh_banded`) whose bands recover
+    recall independently of geometry."""
+    n = embeddings.count()
+    # ceil(log2(n / occupancy)) = (ceil(n/occ) - 1).bit_length(), floored
+    # at the fixed-geometry default of 6 planes
+    planes = max(6, (max(n // target_occupancy, 1) - 1).bit_length())
+    return _embed_band_pairs(
+        embeddings, start=0, probe_hamming=probe_hamming,
+        threshold=threshold, planes=planes,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): partition the embedding space with a
 # coarse quantizer, then near-dup only WITHIN each cluster — the published

@@ -388,6 +388,20 @@ def main() -> int:
                 ),
                 spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
             ),
+            # planes-track-n variant: per-bucket occupancy held constant,
+            # so candidate growth should stay near the ~2x/doubling data
+            # line instead of embed_lsh's fixed-geometry ~4x (n^2/2^planes)
+            "embed_lsh_auto": lambda ddir: (
+                _dd.embedding_neardup_lsh_auto(
+                    spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+                    threshold=-1.0, target_occupancy=16,
+                ),
+                _dd.embedding_neardup_lsh_auto(
+                    spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+                    threshold=0.9, target_occupancy=16,
+                ),
+                spark.read.parquet(os.path.join(ddir, "embeddings.parquet")),
+            ),
         }
 
         dup_budget = float(os.environ.get("SPARK_GRAFT_DUP_BUDGET_SEC", "300"))
@@ -498,7 +512,10 @@ def main() -> int:
                 " per cluster on top of a constant uniform-background term:"
                 " f2->f4 ~6x, f4->f8 ~4.7x, f8->f16 ~4.3x of the CLUSTER"
                 " component (embed_lsh backgrounds are larger: fixed"
-                " 64-bucket geometry adds an n^2/64 uniform term)"
+                " 64-bucket geometry adds an n^2/64 uniform term;"
+                " embed_lsh_auto holds occupancy constant, so its growth"
+                " should sit near the ~2x/doubling data line + cluster"
+                " term — the production planes-track-n rule, measured)"
             ),
         }
 

@@ -350,3 +350,68 @@ def test_knn_graph_identical_vectors_are_rank1_mutual(spark):
     for rows_ in by_src.values():
         cosines = [r.cosine for r in sorted(rows_, key=lambda r: r.rank)]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def _dup_corpus(spark, n_base: int, seed: int = 8151):
+    """Random float32 corpus with a planted near-dup copy of every 8th
+    base vector (cosine ≈ 0.999 after a 0.02-σ perturbation + renorm)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, 64)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist(), 0) for i in range(n_base)]
+    planted = []
+    for i in range(0, n_base, 8):
+        v = base[i] + rng.standard_normal(64).astype("float32") * 0.02
+        v /= np.linalg.norm(v)
+        rows.append((n_base + i, v.tolist(), 1))
+        planted.append((i, n_base + i))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        planted,
+    )
+
+
+def test_embed_lsh_auto_recall_at_two_sizes(spark):
+    """The planes-track-n variant must keep recall ≥ 0.9 on planted
+    high-cosine near-dups at BOTH corpus sizes (the geometry changes with
+    n, the recall guarantee must not), with precision 1.0 by construction
+    (exact cosine verify)."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    for n_base in (256, 1024):
+        embs, planted = _dup_corpus(spark, n_base)
+        got = {
+            (r.v1, r.v2)
+            for r in dedup.embedding_neardup_lsh_auto(
+                embs, threshold=0.95, target_occupancy=8
+            ).collect()
+        }
+        hits = sum(1 for p in planted if p in got)
+        assert hits / len(planted) >= 0.9, (n_base, hits, len(planted))
+
+
+def test_embed_lsh_auto_candidates_grow_linearly_not_quadratically(spark):
+    """THE point of planes-track-n: at 4× the corpus, the fixed-geometry
+    variant's candidate count grows ~16× (n²/2^planes with frozen
+    planes) while the auto variant's grows ~4× (occupancy held constant).
+    Candidate sets are obtained by opening the threshold to -1."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    counts = {}
+    for n_base in (512, 2048):
+        embs, _ = _dup_corpus(spark, n_base)
+        counts[n_base] = {
+            "auto": dedup.embedding_neardup_lsh_auto(
+                embs, threshold=-1.0, target_occupancy=8
+            ).count(),
+            "fixed": dedup.embedding_neardup_lsh(embs, threshold=-1.0).count(),
+        }
+    auto_growth = counts[2048]["auto"] / max(counts[512]["auto"], 1)
+    fixed_growth = counts[2048]["fixed"] / max(counts[512]["fixed"], 1)
+    # 4x corpus: fixed-plane candidates ~16x; auto stays near-linear.
+    assert fixed_growth > 10, (counts, fixed_growth)
+    assert auto_growth < 8, (counts, auto_growth)
+    # and the auto geometry actually saves work at the larger size
+    assert counts[2048]["auto"] < counts[2048]["fixed"] / 2, counts
