@@ -1580,10 +1580,12 @@ def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
     # decimals (micro-bits) and do ALL products/sums in BIGINT — decimal
     # multiplies of running sums hit Spark's and DuckDB's DIFFERENT
     # precision-overflow scale reductions (measured 1e-8 divergence); in
-    # integer units the scale factors cancel in the slope ratio. Outputs
-    # quantize through DECIMAL(18,12) (the raw-double rule; residual FMA
-    # noise ~1e-15 is far below the grid). Headroom: |x|,|y| ≤ 32 bits →
-    # units ≤ 3.2e7; Σxy ≤ k·1e15 and n·Σxy ≤ k²·1e15 ≪ 2^63 for k=200.
+    # integer units the scale factors cancel in the slope ratio. The
+    # slope/intercept OUTPUTS are exact rationals of these sums, so they
+    # are truncated at 1e-12 in 128-bit integer space, never through the
+    # engine-divergent DECIMAL(18,12)-of-double cast — and never through
+    # BIGINT products, which wrap once the top token passes ~2^30
+    # occurrences (see _zipf_slope_sql).
     dx = f"CAST(CAST({plog2_sql('rank')} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     dy = f"CAST(CAST({plog2_sql('c')} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     fitted = head.select(
@@ -1596,21 +1598,54 @@ def zipf_fit(documents: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
         F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
         F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
     )
-    q = "CAST(CAST({expr} AS DECIMAL(18,12)) AS DOUBLE)"
-    slope_raw = (
-        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
-    )
-    slope = F.expr(q.format(expr=slope_raw))
-    intercept_raw = (
-        f"(((CAST(sy AS DOUBLE) - {slope_raw} * CAST(sx AS DOUBLE))"
-        " / CAST(n AS DOUBLE)) / 1000000.0)"
-    )
-    intercept = F.expr(q.format(expr=intercept_raw))
+    slope = F.expr(_zipf_slope_sql(duck=False))
+    intercept = F.expr(_zipf_intercept_sql(duck=False))
     return fitted.select(
         "n",
         slope.alias("zipf_slope"),
         intercept.alias("zipf_intercept_bits"),
     )
+
+
+def _zipf_slope_sql(duck: bool) -> str:
+    """Slope (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) as an EXACT-integer truncation
+    at 1e-12 — both the overflow and the quantizer fixed in round 8:
+
+    * BIGINT headroom: with y = plog2(c) micro-bits, n·Σxy and Σx·Σy
+      exceed 2^63 once the top token passes ~2^30 occurrences — i.e. in
+      exactly the 100 TB regime (any common English token in a ~1e13-token
+      corpus). Everything now stages through DECIMAL(38,0) (Spark) /
+      HUGEINT (DuckDB): num·10¹² ≤ ~1e31 ≪ 1e38.
+    * The old CAST(double AS DECIMAL(18,12)) quantizer is engine-divergent
+      on short-expansion rationals (the abtest_welch fuzz finding —
+      windows.py docstring); the slope IS a rational, so it is truncated
+      in integer space instead: num·10¹² DIV den → BIGINT (≤ ~5e13,
+      int→double exact) → one correctly-rounded /1e12. Both engines'
+      integer division truncates toward zero (verified incl. negatives —
+      the Zipf slope is negative)."""
+    big = "HUGEINT" if duck else "DECIMAL(38,0)"
+    div = "//" if duck else "DIV"
+    num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    e12 = f"CAST(CAST(1000000000000 AS {big}) * {num} {div} {den} AS BIGINT)"
+    return f"(CAST({e12} AS DOUBLE) / 1e12)"
+
+
+def _zipf_intercept_sql(duck: bool) -> str:
+    """Intercept (Σy/n − slope·Σx/n)/10⁶ bits as the exact rational
+    (Σy·den − num·Σx) / (n·den·10⁶), truncated at 1e-12 in the same
+    128-bit integer space: ·10⁶ on the numerator (≤ ~1e35 ≪ 1e38)
+    replaces ·10¹²/10⁶ so nothing overflows."""
+    big = "HUGEINT" if duck else "DECIMAL(38,0)"
+    div = "//" if duck else "DIV"
+    num = f"(CAST(n AS {big}) * sxy - CAST(sx AS {big}) * sy)"
+    den = f"(CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx)"
+    a = f"(CAST(sy AS {big}) * {den} - {num} * CAST(sx AS {big}))"
+    e12 = (
+        f"CAST(CAST(1000000 AS {big}) * {a} {div}"
+        f" (CAST(n AS {big}) * {den}) AS BIGINT)"
+    )
+    return f"(CAST({e12} AS DOUBLE) / 1e12)"
 
 
 def zipf_fit_sql(k: int = ZIPF_TOP_K) -> str:
@@ -1619,13 +1654,6 @@ def zipf_fit_sql(k: int = ZIPF_TOP_K) -> str:
 
     dx = f"CAST(CAST({plog2_sql('rank', duck=True)} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     dy = f"CAST(CAST({plog2_sql('c', duck=True)} AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
-    slope_raw = (
-        "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
-    )
-    intercept_raw = (
-        f"(((CAST(sy AS DOUBLE) - {slope_raw} * CAST(sx AS DOUBLE))"
-        " / CAST(n AS DOUBLE)) / 1000000.0)"
-    )
     return f"""WITH counts AS (
     SELECT token, COUNT(*) AS c
     FROM (SELECT unnest({WORDS_SQL}) AS token FROM documents) GROUP BY token),
@@ -1640,9 +1668,8 @@ def zipf_fit_sql(k: int = ZIPF_TOP_K) -> str:
            CAST(SUM(x * x) AS BIGINT) AS sxx
     FROM pts)
 SELECT n,
-       CAST(CAST({slope_raw} AS DECIMAL(18,12)) AS DOUBLE) AS zipf_slope,
-       CAST(CAST({intercept_raw} AS DECIMAL(18,12)) AS DOUBLE)
-         AS zipf_intercept_bits
+       {_zipf_slope_sql(duck=True)} AS zipf_slope,
+       {_zipf_intercept_sql(duck=True)} AS zipf_intercept_bits
 FROM fit"""
 
 

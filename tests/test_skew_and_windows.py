@@ -170,3 +170,47 @@ def test_skew_report_x_uniform_no_bigint_overflow(spark):
             "SELECT CAST(1000000 * 10000000 * CAST(1000000 AS BIGINT)"
             " // 20000000 AS BIGINT)"
         ).fetchone()
+
+
+def test_zipf_fit_expressions_exact_in_100tb_regime(spark):
+    """The zipf slope/intercept expressions stage through 128-bit integers
+    and truncate rationals in integer space. Probe the exact literal
+    expressions both engines use in the regime where the OLD forms broke:
+    y = plog2(c) micro-bits of a 1e12-count token makes n·Σxy and Σx·Σy
+    exceed 2^63 (BIGINT wrap — the 100 TB top-token regime), and the old
+    DECIMAL(18,12)-of-double quantizer is engine-divergent on rational
+    outputs (the abtest_welch fuzz finding)."""
+    import duckdb
+
+    from azeroth_data_platform_spark.operators.textstats import (
+        _zipf_intercept_sql,
+        _zipf_slope_sql,
+    )
+
+    # k=200-point fit with 100TB-scale magnitudes: x ~ log2(rank) ≤ 7.6e6
+    # micro-bits, y ~ log2(1e15 counts) ≈ 5e7 micro-bits
+    n, sx, sy = 200, 764_000_000, 10_000_000_000
+    sxy, sxx = 76_000_000_000_000_000, 3_300_000_000_000_000
+    # sanity: the old BIGINT products genuinely wrap here
+    assert n * sxy > 2**63 or sx * sy > 2**63
+
+    lit = (
+        f"(SELECT CAST({n} AS BIGINT) n, CAST({sx} AS BIGINT) sx,"
+        f" CAST({sy} AS BIGINT) sy, CAST({sxy} AS BIGINT) sxy,"
+        f" CAST({sxx} AS BIGINT) sxx)"
+    )
+    got_s = spark.sql(
+        f"SELECT {_zipf_slope_sql(duck=False)} AS s,"
+        f" {_zipf_intercept_sql(duck=False)} AS i FROM {lit} AS fit"
+    ).collect()[0]
+    got_d = duckdb.sql(
+        f"SELECT {_zipf_slope_sql(duck=True)} AS s,"
+        f" {_zipf_intercept_sql(duck=True)} AS i FROM {lit} fit"
+    ).fetchone()
+    assert got_s.s == got_d[0], (got_s.s, got_d[0])
+    assert got_s.i == got_d[1], (got_s.i, got_d[1])
+    # truncated exact rational, independently recomputed in Python ints
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    want_slope_e12 = (abs(num) * 10**12 // den) * (1 if num >= 0 else -1)
+    assert got_s.s == want_slope_e12 / 1e12
