@@ -28,7 +28,7 @@ explicitly). Two surfaces:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numerics import int_units, int_units_sql
@@ -417,3 +417,163 @@ SELECT digit, n,
        CAST(1000000 * n // total AS BIGINT) AS obs_ppm,
        CAST(map_extract(MAP {{{", ".join(f"{d}: {p}" for d, p in BENFORD_PPM.items())}}}, digit)[1] AS BIGINT) AS exp_ppm
 FROM counts, total ORDER BY digit"""
+
+
+# --- Spearman rank correlation ----------------------------------------------
+#
+# The monotonic-association profiler: "is price actually related to
+# quantity inside each return class?" — the DQ/feature-screening question
+# Pearson answers wrongly for non-linear-but-monotone relations and
+# outlier-heavy money columns. Spearman = Pearson over midranks, and
+# midranks over a quantized domain are computable WITHOUT a row-level sort:
+#
+#   * values quantize to integer cents (int_units) — bounded support;
+#   * per-column rank tables aggregate counts per (group, value), then a
+#     distinct-value window gives the tie-midrank: with cum = cumulative
+#     count through v and c = count at v, the midrank of v is
+#     cum - c + (c+1)/2, carried DOUBLED (r2 = 2*cum - 2*c + c + 1) so it
+#     stays an exact BIGINT; the 2x factors cancel in the correlation.
+#   * the joint distribution aggregates once to (group, x, y) -> n_xy, so
+#     every moment sum is over DISTINCT PAIRS, weighted by n_xy — at 100 TB
+#     the join/window inputs are value-domain-sized, not row-sized, and the
+#     three groupBys are all map-combinable single shuffles.
+#
+# Moment sums stage through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+# with r2 <= 2n, n*Sxx <= 4n^4 keeps every intermediate inside 38 digits up
+# to n ~ 1.2e9 rows per group — beyond that the sums saturate decimal
+# overflow (Spark non-ANSI nulls, DuckDB raises loudly), they never wrap
+# silently. rho itself is sqrt-derived (irrational), so the output uses
+# the q12-of-double quantizer — safe for 17-significant-digit shortest
+# reprs, the welch_t argument; degenerate groups (zero variance in either
+# column, n < 2) return NULL via the guarded CASE, identically in both
+# engines.
+
+SPEARMAN_GROUP = "l_returnflag"
+
+
+def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
+    """(l_returnflag, n_pairs, rho_spearman): exact-midrank Spearman
+    correlation of l_extendedprice vs l_quantity per return class."""
+    base = lineitem.select(
+        F.col(SPEARMAN_GROUP).alias("g"),
+        int_units("l_extendedprice").cast("bigint").alias("xu"),
+        int_units("l_quantity").cast("bigint").alias("yu"),
+    )
+    pairs = base.groupBy("g", "xu", "yu").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    wx = (
+        Window.partitionBy("g")
+        .orderBy("xu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rx = (
+        base.groupBy("g", "xu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cx"))
+        .select(
+            "g",
+            "xu",
+            (2 * F.sum("cx").over(wx) - 2 * F.col("cx") + F.col("cx") + 1)
+            .cast("bigint")
+            .alias("rx2"),
+        )
+    )
+    wy = (
+        Window.partitionBy("g")
+        .orderBy("yu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ry = (
+        base.groupBy("g", "yu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cy"))
+        .select(
+            "g",
+            "yu",
+            (2 * F.sum("cy").over(wy) - 2 * F.col("cy") + F.col("cy") + 1)
+            .cast("bigint")
+            .alias("ry2"),
+        )
+    )
+    d38 = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+    sums = (
+        pairs.join(rx, ["g", "xu"])
+        .join(ry, ["g", "yu"])
+        .groupBy("g")
+        .agg(
+            F.sum("n_xy").cast("bigint").alias("n"),
+            F.sum(F.expr(f"{d38('n_xy')} * rx2")).alias("sx"),
+            F.sum(F.expr(f"{d38('n_xy')} * ry2")).alias("sy"),
+            F.sum(F.expr(f"{d38('n_xy')} * rx2 * ry2")).alias("sxy"),
+            F.sum(F.expr(f"{d38('n_xy')} * rx2 * rx2")).alias("sxx"),
+            F.sum(F.expr(f"{d38('n_xy')} * ry2 * ry2")).alias("syy"),
+        )
+    )
+    num = f"({d38('n')} * sxy - sx * sy)"
+    dx = f"({d38('n')} * sxx - sx * sx)"
+    dy = f"({d38('n')} * syy - sy * sy)"
+    rho = (
+        f"CASE WHEN n >= 2 AND {dx} > 0 AND {dy} > 0 THEN"
+        f" CAST(CAST(CAST({num} AS DOUBLE)"
+        f" / (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE)))"
+        f" AS DECIMAL(18,12)) AS DOUBLE) END"
+    )
+    return sums.select(
+        F.col("g").alias(SPEARMAN_GROUP),
+        F.col("n").alias("n_pairs"),
+        F.expr(rho).alias("rho_spearman"),
+    ).orderBy(SPEARMAN_GROUP)
+
+
+def spearman_rank_corr_sql() -> str:
+    """DuckDB twin of :func:`spearman_rank_corr`."""
+    xu = int_units_sql("l_extendedprice")
+    yu = int_units_sql("l_quantity")
+    h = lambda e: f"CAST({e} AS HUGEINT)"  # noqa: E731
+    num = f"({h('n')} * sxy - sx * sy)"
+    dx = f"({h('n')} * sxx - sx * sx)"
+    dy = f"({h('n')} * syy - sy * sy)"
+    rho = (
+        f"CASE WHEN n >= 2 AND {dx} > 0 AND {dy} > 0 THEN"
+        f" CAST(CAST(CAST({num} AS DOUBLE)"
+        f" / (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE)))"
+        f" AS DECIMAL(18,12)) AS DOUBLE) END"
+    )
+    return f"""
+  WITH base AS (
+    SELECT {SPEARMAN_GROUP} AS g,
+           CAST({xu} AS BIGINT) AS xu,
+           CAST({yu} AS BIGINT) AS yu
+    FROM lineitem),
+  pairs AS (
+    SELECT g, xu, yu, CAST(COUNT(*) AS BIGINT) AS n_xy
+    FROM base GROUP BY g, xu, yu),
+  rx AS (
+    SELECT g, xu,
+           CAST(2 * SUM(cx) OVER (PARTITION BY g ORDER BY xu
+                                  ROWS UNBOUNDED PRECEDING)
+                - 2 * cx + cx + 1 AS BIGINT) AS rx2
+    FROM (SELECT g, xu, CAST(COUNT(*) AS BIGINT) AS cx
+          FROM base GROUP BY g, xu)),
+  ry AS (
+    SELECT g, yu,
+           CAST(2 * SUM(cy) OVER (PARTITION BY g ORDER BY yu
+                                  ROWS UNBOUNDED PRECEDING)
+                - 2 * cy + cy + 1 AS BIGINT) AS ry2
+    FROM (SELECT g, yu, CAST(COUNT(*) AS BIGINT) AS cy
+          FROM base GROUP BY g, yu)),
+  sums AS (
+    SELECT p.g,
+           CAST(SUM(n_xy) AS BIGINT) AS n,
+           SUM({h('n_xy')} * rx2) AS sx,
+           SUM({h('n_xy')} * ry2) AS sy,
+           SUM({h('n_xy')} * rx2 * ry2) AS sxy,
+           SUM({h('n_xy')} * rx2 * rx2) AS sxx,
+           SUM({h('n_xy')} * ry2 * ry2) AS syy
+    FROM pairs p
+    JOIN rx ON p.g = rx.g AND p.xu = rx.xu
+    JOIN ry ON p.g = ry.g AND p.yu = ry.yu
+    GROUP BY p.g)
+SELECT g AS {SPEARMAN_GROUP}, n AS n_pairs,
+       {rho} AS rho_spearman
+FROM sums
+ORDER BY {SPEARMAN_GROUP}"""

@@ -331,3 +331,202 @@ def hll_weekly_rollup_sql() -> str:
   SELECT exact.event_type, exact.week, CAST(n_exact AS BIGINT) AS n_exact, n_est,
          (n_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
   FROM exact JOIN est ON exact.event_type = est.event_type AND exact.week = est.week"""
+
+
+# --- K-minimum-values (theta) sketch: cohort overlap ------------------------
+#
+# HLL merges under UNION only — it cannot answer "how many users do the
+# `purchase` and `error` cohorts SHARE?". The KMV / theta sketch (Beyer et
+# al., "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007; the Apache DataSketches theta sketch) keeps the
+# K smallest hash values per set; the Kth smallest (theta) estimates
+# density ((K-1)·H / theta distinct values over a hash domain of size H),
+# and because the K-min-set of A ∪ B is computable from the two K-min-sets
+# alone, intersections estimate via the Jaccard of retained hashes:
+# |A∩B| ≈ (c/K)·|A∪B| with c = common retained hashes below the union
+# theta. Everything here is exact integer arithmetic over the portable
+# 48-bit md5 hash (_h48_sql) — the APPROXIMATE sketch is HASH-EXACTLY
+# reproducible in both engines, the module's standing trick.
+#
+# Exact-mode edge: a cohort (or pair union) with fewer than K distinct
+# hashes IS its own sketch — counts are exact and the estimator must not
+# extrapolate. Both code paths are CASE'd on retained-count < K and both
+# are exercised by the driver corpus (sf0.001 cohorts sit under K, sf0.01
+# over it).
+#
+# Scale shape: the ONLY corpus-sized work is one distinct over
+# (event_type, member-hash) — a map-combinable exchange;
+# the per-cohort K-min selection is a rank window whose partial
+# WindowGroupLimit caps every upstream partition at K rows before the
+# exchange, so no cohort ever funnels its full distinct set into one task.
+# Sketches are K·#cohorts rows; every pairwise stage is arithmetic on
+# kilobytes, broadcast-joined.
+
+KMV_K = 256
+_KMV_H = 1 << 48  # hash domain size (48-bit md5 prefix)
+
+
+def _kmv_sketches(events: DataFrame, k: int) -> DataFrame:
+    """(event_type, h, r): the k smallest distinct member-hashes per type,
+    r = 1-based rank in hash order. The set member is the USER-DAY
+    (user_id || '@' || ISO date): "which active user-days saw this event
+    type" — the granularity of DAU-overlap / retention questions, and
+    ~30× the user cardinality, so the sketch-estimate branch (not just
+    the small-set exact branch) is live even at driver scale."""
+    member = (
+        "CONCAT(CAST(user_id AS STRING), '@',"
+        " CAST(CAST(ts AS DATE) AS STRING))"
+    )
+    h = _h48_sql(member, duck=False)
+    hashed = (
+        events.select("event_type", F.expr(h).alias("h"))
+        .distinct()  # KMV is a SET of hashes: collapse 48-bit collisions
+    )
+    from pyspark.sql import Window
+
+    # Single-phase rank: Spark's rank-limit pushdown (WindowGroupLimit,
+    # SPARK-37099) inserts a PARTIAL limit before the exchange — each
+    # upstream partition forwards at most k rows per type, so the per-type
+    # window task receives ≤ k·#partitions rows, never the full distinct
+    # set. That is exactly what a hand-salted two-phase top-k would buy
+    # (similarity.py:42), minus one exchange+sort; verified in the
+    # executed plan (WindowGroupLimit Partial/Final pair).
+    w = Window.partitionBy("event_type").orderBy("h")
+    return hashed.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+
+
+def kmv_cohort_overlap(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise cohort overlap between event-type USER-DAY sets, from KMV
+    sketches only: per ordered pair (type_a < type_b) the estimated
+    distinct user-days of each side, of the union, the retained-common count,
+    Jaccard in exact ppm of the retained set, and the intersection
+    estimate. All integer arithmetic; 128-bit staging where products can
+    pass 2^63 (c·est_union ≤ K·(K-1)·H ≈ 1.8e19)."""
+    sk = _kmv_sketches(events, k).localCheckpoint()  # K·#types rows; reused 4×
+    per_type = sk.groupBy("event_type").agg(
+        F.max("r").alias("n_k"), F.max("h").alias("theta")
+    )
+    est_t = (
+        f"CASE WHEN n_k < {k} THEN n_k"
+        f" ELSE CAST({k - 1} AS BIGINT) * {_KMV_H} DIV theta END"
+    )
+    summary = per_type.select(
+        "event_type", F.expr(est_t).alias("est")
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")), F.col("ta") < F.col("tb"))
+    )
+    side_a = sk.join(
+        F.broadcast(pairs), sk["event_type"] == F.col("ta")
+    ).select("ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = sk.join(
+        F.broadcast(pairs), sk["event_type"] == F.col("tb")
+    ).select("ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    union_k = (
+        side_a.unionByName(side_b)
+        .groupBy("ta", "tb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .withColumn("r", F.row_number().over(wu))
+        .where(F.col("r") <= k)
+    )
+    per_pair = union_k.groupBy("ta", "tb").agg(
+        F.max("r").alias("l_u"),
+        F.max("h").alias("theta_u"),
+        F.sum(F.expr("CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    est_union = (
+        f"CASE WHEN l_u < {k} THEN CAST(l_u AS BIGINT)"
+        f" ELSE CAST({k - 1} AS BIGINT) * {_KMV_H} DIV theta_u END"
+    )
+    denom = f"CASE WHEN l_u < {k} THEN CAST(l_u AS BIGINT) ELSE CAST({k} AS BIGINT) END"
+    return (
+        per_pair.select(
+            "ta",
+            "tb",
+            F.expr(est_union).alias("est_union"),
+            "c",
+            F.expr(f"CAST(1000000 * c DIV ({denom}) AS BIGINT)").alias("jaccard_ppm"),
+            F.expr(
+                f"CAST(CAST(c AS DECIMAL(38,0)) * ({est_union})"
+                f" DIV ({denom}) AS BIGINT)"
+            ).alias("est_intersection"),
+        )
+        .join(F.broadcast(summary.select(F.col("event_type").alias("ta"),
+                                         F.col("est").alias("est_a"))), "ta")
+        .join(F.broadcast(summary.select(F.col("event_type").alias("tb"),
+                                         F.col("est").alias("est_b"))), "tb")
+        .select(
+            F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+            "est_a", "est_b", "est_union", F.col("c").alias("n_common"),
+            "jaccard_ppm", "est_intersection",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def kmv_cohort_overlap_sql(k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_cohort_overlap` (single-phase rank — the
+    two-phase Spark selection is bit-identical by total order on h)."""
+    h = _h48_sql(
+        "CONCAT(CAST(user_id AS VARCHAR), '@',"
+        " CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR))",
+        duck=True,
+    )
+    est_t = (
+        f"CASE WHEN n_k < {k} THEN n_k"
+        f" ELSE CAST({k - 1} AS BIGINT) * {_KMV_H} // theta END"
+    )
+    est_union = (
+        f"CASE WHEN l_u < {k} THEN CAST(l_u AS BIGINT)"
+        f" ELSE CAST({k - 1} AS BIGINT) * {_KMV_H} // theta_u END"
+    )
+    denom = f"CASE WHEN l_u < {k} THEN CAST(l_u AS BIGINT) ELSE CAST({k} AS BIGINT) END"
+    return f"""
+  WITH hashed AS (
+    SELECT DISTINCT event_type, {h} AS h FROM events),
+  sk AS (
+    SELECT event_type, h,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY h)
+                AS BIGINT) AS r
+    FROM hashed QUALIFY r <= {k}),
+  summary AS (
+    SELECT event_type, {est_t} AS est
+    FROM (SELECT event_type, MAX(r) AS n_k, MAX(h) AS theta
+          FROM sk GROUP BY event_type)),
+  pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM (SELECT DISTINCT event_type FROM sk) a
+    JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type),
+  tagged AS (
+    SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+    FROM sk s JOIN pairs p ON s.event_type = p.ta
+    UNION ALL
+    SELECT p.ta, p.tb, s.h, 0, 1
+    FROM sk s JOIN pairs p ON s.event_type = p.tb),
+  union_k AS (
+    SELECT ta, tb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b,
+           CAST(row_number() OVER (PARTITION BY ta, tb ORDER BY h)
+                AS BIGINT) AS r
+    FROM tagged GROUP BY ta, tb, h QUALIFY r <= {k}),
+  per_pair AS (
+    SELECT ta, tb, MAX(r) AS l_u, MAX(h) AS theta_u,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c
+    FROM union_k GROUP BY ta, tb)
+SELECT ta AS type_a, tb AS type_b,
+       sa.est AS est_a, sb.est AS est_b,
+       {est_union} AS est_union, c AS n_common,
+       CAST(1000000 * c // ({denom}) AS BIGINT) AS jaccard_ppm,
+       CAST(CAST(c AS HUGEINT) * ({est_union}) // ({denom}) AS BIGINT)
+         AS est_intersection
+FROM per_pair
+JOIN summary sa ON sa.event_type = ta
+JOIN summary sb ON sb.event_type = tb
+ORDER BY type_a, type_b"""

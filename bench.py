@@ -175,6 +175,11 @@ def main() -> int:
             "x_benford_check",
             "dd_cluster_sizes",
             "ts_langid_confusion",
+            # round-8 additions
+            "x_ks_drift",
+            "x_psi_drift",
+            "x_kmv_overlap",
+            "x_spearman",
         )
         if q in harness.ALL_QUERIES
     ]

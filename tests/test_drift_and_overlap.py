@@ -1,0 +1,205 @@
+"""Drift detectors + KMV overlap + Spearman (operators/drift.py,
+sketches.py kmv_*, profiling.py spearman_*): exactness pins on
+hand-computable cases, planted-drift detection, estimator error bounds,
+and a DuckDB midrank cross-check."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from azeroth_data_platform_spark import harness
+from azeroth_data_platform_spark.operators import drift, profiling, sketches
+
+
+def _events(spark, rows):
+    """rows: (event_type, user_id, ts_str, value)"""
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts_s string, value double"
+    )
+    return df.select(
+        "event_type", "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+
+
+# --- KS ---------------------------------------------------------------------
+
+
+def test_ks_exact_rational_hand_case(spark):
+    """4-vs-4 half-overlapping supports: D = 1/2 exactly, no rejection at
+    these sizes (crit ≈ 0.96)."""
+    rows = [("t", 0, "2024-01-01 00:00:00", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("t", 1, "2024-01-01 00:00:00", float(v)) for v in (3, 4, 5, 6)]
+    r = drift.ks_test(_events(spark, rows)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_d"] == 0.5  # (8 * 10^12 DIV 16) / 1e12 — exact
+    assert r["reject_05"] is False
+
+
+def test_ks_disjoint_cohorts_reject(spark):
+    """Fully disjoint supports at n=200/200: D = 1, crit ≈ 0.136 → reject."""
+    rows = [("t", 2 * i, "2024-01-01 00:00:00", 1.0 + i) for i in range(200)]
+    rows += [("t", 2 * i + 1, "2024-01-01 00:00:00", 1000.0 + i) for i in range(200)]
+    r = drift.ks_test(_events(spark, rows)).collect()[0]
+    assert r["ks_d"] == 1.0
+    assert r["reject_05"] is True
+
+
+def test_ks_null_case_on_corpus(spark, sf_dir):
+    """Parity cohorts of the real events table are iid by construction: D
+    stays small for every type. α=0.05 means individual false rejections
+    are EXPECTED (~23% chance of ≥1 across 5 types at sf0.001's ~100-row
+    cohorts), so the pin is on magnitude and flag consistency, not on
+    zero rejections."""
+    out = drift.ks_test(harness._events_ts(spark, sf_dir)).collect()
+    assert len(out) == 5
+    assert sum(r["reject_05"] for r in out) <= 2
+    for r in out:
+        assert r["ks_d"] < 0.35, r
+        assert r["reject_05"] == (r["ks_d"] > r["ks_crit_05"])
+
+
+# --- PSI --------------------------------------------------------------------
+
+
+def test_psi_planted_scale_drift(spark):
+    """Second half scaled 16× → every mass moves 4 log2-bins → PSI far
+    over the 0.25-nats band; identical halves stay under the warn band."""
+    early = [("a", i, "2024-01-02 00:00:00", 1.0 + (i % 5)) for i in range(100)]
+    late = [("a", i, "2024-01-28 00:00:00", 16.0 * (1.0 + (i % 5))) for i in range(100)]
+    stable = [("b", i, "2024-01-02 00:00:00", 1.0 + (i % 5)) for i in range(100)]
+    stable += [("b", i, "2024-01-28 00:00:00", 1.0 + (i % 5)) for i in range(100)]
+    out = {
+        r["event_type"]: r
+        for r in drift.psi_drift(_events(spark, early + late + stable)).collect()
+    }
+    assert out["a"]["drift_025"] is True
+    assert out["b"]["warn_010"] is False
+    assert out["b"]["psi_q15"] < out["a"]["psi_q15"]
+
+
+def test_psi_integer_quantization_is_sum_of_floored_terms(spark):
+    """psi_q15 must be an exact BIGINT (the flag path never sees a float):
+    recompute Σfloor(term·1e15) from the staged counts in plain Python
+    using the same plog2 polynomial via DuckDB, and match exactly."""
+    rows = [("a", i, "2024-01-02 00:00:00", float(1 + i % 7)) for i in range(60)]
+    rows += [("a", i, "2024-01-28 00:00:00", float(1 + i % 11)) for i in range(80)]
+    r = drift.psi_drift(_events(spark, rows)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{t}', {u}, TIMESTAMP '{ts}', {v})" for (t, u, ts, v) in rows
+        )
+        + ") AS t(event_type, user_id, ts, value)"
+    )
+    oracle = con.execute(drift.psi_drift_sql()).fetchall()[0]
+    assert r["psi_q15"] == oracle[4]
+    assert isinstance(r["psi_q15"], int)
+
+
+# --- KMV --------------------------------------------------------------------
+
+
+def test_kmv_exact_mode_small_sets(spark):
+    """Under K distinct members both per-side and in the union, every
+    output is EXACT set arithmetic: counts, jaccard, intersection."""
+    rows = [("X", u, "2024-01-01 00:00:00", 1.0) for u in range(10)]
+    rows += [("Y", u, "2024-01-01 00:00:00", 1.0) for u in range(5, 15)]
+    r = sketches.kmv_cohort_overlap(_events(spark, rows)).collect()[0]
+    assert (r["type_a"], r["type_b"]) == ("X", "Y")
+    assert (r["est_a"], r["est_b"]) == (10, 10)
+    assert r["est_union"] == 15
+    assert r["n_common"] == 5
+    assert r["jaccard_ppm"] == 1_000_000 * 5 // 15
+    assert r["est_intersection"] == 5
+
+
+def test_kmv_estimate_mode_error_bounds(spark):
+    """Over K members the estimator engages; KMV with K=256 has ~1/√K ≈
+    6% typical error — assert a generous 4σ band on union/intersection."""
+    rows = [("P", u, "2024-01-01 00:00:00", 1.0) for u in range(3000)]
+    rows += [("Q", u, "2024-01-01 00:00:00", 1.0) for u in range(1500, 4500)]
+    r = sketches.kmv_cohort_overlap(_events(spark, rows)).collect()[0]
+    assert abs(r["est_a"] - 3000) / 3000 < 0.25
+    assert abs(r["est_b"] - 3000) / 3000 < 0.25
+    assert abs(r["est_union"] - 4500) / 4500 < 0.25
+    assert abs(r["est_intersection"] - 1500) / 1500 < 0.40
+    assert abs(r["jaccard_ppm"] / 1e6 - 1500 / 4500) < 0.12
+
+
+def test_kmv_corpus_pairs_complete_and_ordered(spark, sf_dir):
+    """All C(5,2)=10 ordered pairs come back, union ≥ max(side), common ≤ K."""
+    out = sketches.kmv_cohort_overlap(harness._events_ts(spark, sf_dir)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.8
+        assert 0 <= r["n_common"] <= sketches.KMV_K
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+
+
+# --- Spearman ---------------------------------------------------------------
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+
+
+def test_spearman_perfect_monotone_is_exactly_one(spark):
+    rows = [("A", float(i), float(i * 3)) for i in range(1, 40)]
+    r = profiling.spearman_rank_corr(_lineitem(spark, rows)).collect()[0]
+    assert r["rho_spearman"] == 1.0
+    rows = [("A", float(i), float(100 - i)) for i in range(1, 40)]
+    r = profiling.spearman_rank_corr(_lineitem(spark, rows)).collect()[0]
+    assert r["rho_spearman"] == -1.0
+
+
+def test_spearman_degenerate_groups_null(spark):
+    """Zero variance in either column (or n < 2) → NULL, not a crash."""
+    rows = [("C", 5.0, float(i)) for i in range(10)] + [("S", 1.0, 2.0)]
+    out = {r["l_returnflag"]: r for r in
+           profiling.spearman_rank_corr(_lineitem(spark, rows)).collect()}
+    assert out["C"]["rho_spearman"] is None
+    assert out["S"]["rho_spearman"] is None
+
+
+def test_spearman_ties_match_midrank_pearson(spark):
+    """Tie-heavy synthetic data: the integer-midrank result must equal an
+    independent double-midrank Pearson (DuckDB corr) to ~1e-9."""
+    rows = [
+        ("A", float((i * 37) % 23) / 4.0, float((i * 17) % 13))
+        for i in range(500)
+    ]
+    r = profiling.spearman_rank_corr(_lineitem(spark, rows)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW li AS SELECT * FROM (VALUES "
+        + ", ".join(f"('A', {p!r}, {q!r})" for (_, p, q) in rows)
+        + ") AS t(l_returnflag, l_extendedprice, l_quantity)"
+    )
+    truth = con.execute(
+        """
+        WITH r AS (SELECT
+          rank() OVER (ORDER BY round(l_extendedprice*100)) +
+          (count(*) OVER (PARTITION BY round(l_extendedprice*100)) - 1)/2.0 AS rx,
+          rank() OVER (ORDER BY round(l_quantity*100)) +
+          (count(*) OVER (PARTITION BY round(l_quantity*100)) - 1)/2.0 AS ry
+          FROM li)
+        SELECT corr(rx, ry) FROM r"""
+    ).fetchone()[0]
+    assert r["rho_spearman"] == pytest.approx(truth, abs=1e-9)
+
+
+def test_spearman_corpus_groups(spark, sf_dir):
+    """Real lineitem: three return classes, |rho| small (price and
+    quantity are independent in the generator), never NULL."""
+    li = harness.adapters.read_table(spark, sf_dir, "lineitem")
+    out = profiling.spearman_rank_corr(li).collect()
+    assert {r["l_returnflag"] for r in out} == {"A", "N", "R"}
+    for r in out:
+        assert r["rho_spearman"] is not None
+        assert abs(r["rho_spearman"]) < 0.2
