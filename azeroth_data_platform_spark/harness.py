@@ -1411,6 +1411,27 @@ def q_x_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_cohort_overlap(_events_ts(spark, sf_dir))
 
 
+def q_x_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance between user-parity cohorts per event_type:
+    integer step-integral over the distinct-value ECDF, exact
+    micro-dollar output (operators/drift.py emd_drift)."""
+    return drift.emd_drift(_events_ts(spark, sf_dir))
+
+
+def q_x_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between user-parity cohorts per
+    event_type: doubled midranks over distinct values, exact u2, tie-
+    corrected z via q12 (operators/drift.py mannwhitney_u)."""
+    return drift.mannwhitney_u(_events_ts(spark, sf_dir))
+
+
+def q_x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event_type and the props k-quartile:
+    full contingency table with zero-cell completion, PSI-style integer
+    term summation, q12 V (operators/profiling.py cramers_v)."""
+    return profiling.cramers_v(_events_ts(spark, sf_dir))
+
+
 def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of price vs quantity per return class:
     distinct-value midranks (doubled, exact BIGINT), 128-bit moment sums,
@@ -1445,11 +1466,12 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          22-50 are unchanged (a1/a3/a6 + one query per heavy family);
 #          the other 15 r4/5 promotions (driver-green r6 AND r7) rotate
 #          to the tail, still parity-checked locally every round.
-#   r8 (cont.): the four NEW round-8 operators (x_ks_drift, x_psi_drift,
-#          x_kmv_overlap, x_spearman) insert at slots 16-19 at authoring
-#          time, displacing ts_fingerprint / mm_binary_stats /
-#          ann_topk_ivf_trained / mm_feature_extract (driver-green r1-r7)
-#          past the cap.
+#   r8 (cont.): the seven NEW round-8 operators (x_ks_drift, x_psi_drift,
+#          x_kmv_overlap, x_spearman, x_emd_drift, x_mannwhitney,
+#          x_cramers_v) insert at slots 16-22 at authoring time,
+#          displacing ts_token_stats / tp_quality_prune / ts_language_id /
+#          ts_fingerprint / mm_binary_stats / ann_topk_ivf_trained /
+#          mm_feature_extract (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1491,7 +1513,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_psi_drift": q_x_psi_drift,
     "x_kmv_overlap": q_x_kmv_overlap,
     "x_spearman": q_x_spearman,
-    # --- slots 20-25: shape-diverse canaries from the r4/5 promotion
+    "x_emd_drift": q_x_emd_drift,
+    "x_mannwhitney": q_x_mannwhitney,
+    "x_cramers_v": q_x_cramers_v,
+    # --- slots 23-28: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1500,10 +1525,11 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 26-50: the heavier operator families keep their rows
-    # (the r8 insertion pushes the 4 tail rows of the old head —
-    # ts_fingerprint, mm_binary_stats, ann_topk_ivf_trained,
-    # mm_feature_extract, all driver-green r1-r7 — past the cap) ---
+    # --- slots 29-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 7 tail rows of the old head —
+    # ts_token_stats, tp_quality_prune, ts_language_id, ts_fingerprint,
+    # mm_binary_stats, ann_topk_ivf_trained, mm_feature_extract, all
+    # driver-green r1-r7 — past the cap) ---
     "a1_daily_market_summary": q_a1,
     "a3_rolling_zscore": q_a3,
     "a6_market_index": q_a6,
@@ -1579,16 +1605,16 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 91, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 94, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "ts_language_id", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "ann_topk_ivf", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
 assert list(QUERIES)[14] == "ts_langid_confusion", "slot-15 drifted"
 assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
-assert list(QUERIES)[18] == "x_spearman", "slot-19 drifted"
-assert list(QUERIES)[25] == "a1_daily_market_summary", "slot-26 drifted"
+assert list(QUERIES)[21] == "x_cramers_v", "slot-22 drifted"
+assert list(QUERIES)[28] == "a1_daily_market_summary", "slot-29 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -1917,6 +1943,9 @@ ORACLES["x_ks_drift"] = drift.ks_test_sql()
 ORACLES["x_psi_drift"] = drift.psi_drift_sql()
 ORACLES["x_kmv_overlap"] = sketches.kmv_cohort_overlap_sql()
 ORACLES["x_spearman"] = profiling.spearman_rank_corr_sql()
+ORACLES["x_emd_drift"] = drift.emd_drift_sql()
+ORACLES["x_mannwhitney"] = drift.mannwhitney_u_sql()
+ORACLES["x_cramers_v"] = profiling.cramers_v_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -337,3 +337,245 @@ SELECT event_type, CAST(n_first AS BIGINT) AS n_first,
        psi_q15 > {PSI_DRIFT_Q15} AS drift_025
 FROM summed
 ORDER BY event_type"""
+
+
+# --- Wasserstein-1 (earth mover's) distance ---------------------------------
+#
+# KS is a MAX over the ECDF gap — insensitive to how much mass moved, only
+# to the worst single point. The Wasserstein-1 distance is its integral
+# twin, W1 = integral |F_a(x) - F_b(x)| dx: "how many dollar-units of work
+# moves one distribution onto the other" — the drift score embedding/
+# feature monitors alert on. Same distinct-value scaffold as ks_test, and
+# FULLY integer-exact (no sqrt anywhere): the step integral is
+# sum |ca*n_b - cb*n_a| * dx over consecutive support cents, staged in
+# DECIMAL(38,0)/HUGEINT, and the output is the exact rational
+# S / (n_a*n_b) cents reported in integer MICRO-DOLLARS
+# (S*10^4 DIV (n_a*n_b)); headroom: S*10^4 <= 1e38 holds through
+# n_a*n_b*range_cents <= 1e34 — two 10^12-row cohorts over the full 1e8-
+# cent price domain. The display double is one exact int->double
+# (micro-dollars <= ~1e12 < 2^53) and one correctly-rounded /1e6.
+
+def emd_drift(events: DataFrame) -> DataFrame:
+    """Per-event-type Wasserstein-1 distance between user-parity cohort
+    value distributions, exact in integer micro-dollars."""
+    counts = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("grp"),
+            int_units("value").cast("bigint").alias("xu"),
+        )
+        .groupBy("event_type", "xu")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("xu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("event_type").orderBy("xu")
+    wall = Window.partitionBy("event_type")
+    stepped = counts.select(
+        "event_type",
+        F.sum("c0").over(wcum).alias("ca"),
+        F.sum("c1").over(wcum).alias("cb"),
+        F.sum("c0").over(wall).alias("n_a"),
+        F.sum("c1").over(wall).alias("n_b"),
+        (F.coalesce(F.lead("xu").over(wlead), F.col("xu")) - F.col("xu")).alias("dx"),
+    )
+    per_type = (
+        stepped.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(
+                "abs(CAST(ca AS DECIMAL(38,0)) * n_b"
+                " - CAST(cb AS DECIMAL(38,0)) * n_a) * dx"
+            ).alias("step"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum("step").alias("s"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    micro = (
+        "CAST(CAST(10000 AS DECIMAL(38,0)) * s"
+        " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+    )
+    return per_type.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(micro).alias("emd_microdollars"),
+        F.expr(f"CAST({micro} AS DOUBLE) / 1e6").alias("emd_dollars"),
+    ).orderBy("event_type")
+
+
+def emd_drift_sql(xu_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`emd_drift`."""
+    xu = xu_sql or int_units_sql("value")
+    micro = (
+        "CAST(CAST(10000 AS HUGEINT) * s"
+        " // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)"
+    )
+    return f"""
+  WITH ev AS (SELECT event_type, user_id % 2 AS grp,
+                     CAST({xu} AS BIGINT) AS xu FROM events),
+  counts AS (
+    SELECT event_type, xu,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+    FROM ev GROUP BY event_type, xu),
+  stepped AS (
+    SELECT event_type,
+           CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY xu
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+           CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY xu
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+           CAST(SUM(c0) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+           CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n_b,
+           COALESCE(lead(xu) OVER (PARTITION BY event_type ORDER BY xu), xu)
+             - xu AS dx
+    FROM counts),
+  per_type AS (
+    SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+           SUM(abs(CAST(ca AS HUGEINT) * n_b
+                   - CAST(cb AS HUGEINT) * n_a) * dx) AS s
+    FROM stepped GROUP BY event_type
+    HAVING MAX(n_a) > 0 AND MAX(n_b) > 0)
+SELECT event_type, n_a, n_b,
+       {micro} AS emd_microdollars,
+       CAST({micro} AS DOUBLE) / 1e6 AS emd_dollars
+FROM per_type
+ORDER BY event_type"""
+
+
+# --- Mann-Whitney U ----------------------------------------------------------
+#
+# The rank-sum twin of abtest_welch: Welch's t compares MEANS and assumes
+# rough normality; Mann-Whitney asks the distribution-free question "does
+# one cohort stochastically dominate the other?" — the robust default for
+# heavy-tailed money metrics. Midranks over the COMBINED sample come from
+# the same distinct-value scaffold as spearman_rank_corr (doubled, exact
+# BIGINT: r2 = 2*cum - ct + 1); 2*R_a = sum c0*r2 accumulates in
+# DECIMAL(38,0)/HUGEINT, and u2 = 2*U_a = 2*R_a - n_a*(n_a+1) stays an
+# EXACT integer (U itself can end in .5 under ties, so the output column
+# is u2). The z statistic uses the tie-corrected variance
+# sigma^2 = (n_a*n_b/12) * ((n+1) - T/(n*(n-1))), T = sum(ct^3 - ct) in
+# 128-bit (headroom: a single value tied across 2.1e12 rows); z is
+# sqrt-derived -> q12 quantizer, flag compares the displayed value, the
+# welch/KS convention.
+
+MW_Z_CRIT = 1.96
+
+
+def mannwhitney_u(events: DataFrame) -> DataFrame:
+    """Per-event-type Mann-Whitney U between user-parity cohorts:
+    (event_type, n_a, n_b, u2, z_mw, significant)."""
+    counts = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("grp"),
+            int_units("value").cast("bigint").alias("xu"),
+        )
+        .groupBy("event_type", "xu")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+            F.sum(F.lit(1)).cast("bigint").alias("ct"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("xu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "event_type",
+        "c0",
+        "ct",
+        (2 * F.sum("ct").over(wcum) - F.col("ct") + 1).alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("c0").cast("bigint").alias("n_a"),
+        F.sum(F.col("ct") - F.col("c0")).cast("bigint").alias("n_b"),
+        F.sum(F.expr("CAST(c0 AS DECIMAL(38,0)) * r2")).alias("r2a"),
+        F.sum(
+            F.expr("CAST(ct AS DECIMAL(38,0)) * ct * ct - ct")
+        ).alias("ties"),
+    )
+    u2 = "(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1))"
+    n = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    sigma2 = (
+        f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+        f" * (({n} + 1.0) - CAST(ties AS DOUBLE) / ({n} * ({n} - 1.0)))"
+    )
+    z = (
+        f"(CAST({u2} AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        f" / (2.0 * sqrt({sigma2}))"
+    )
+    zq = _q12(z)
+    guard = f"n_a >= 1 AND n_b >= 1 AND {sigma2} > 0"
+    return (
+        sums.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST({u2} AS BIGINT)").alias("u2"),
+            F.expr(f"CASE WHEN {guard} THEN {zq} END").alias("z_mw"),
+            F.expr(
+                f"CASE WHEN {guard} THEN abs({zq}) > {MW_Z_CRIT} END"
+            ).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def mannwhitney_u_sql(xu_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`mannwhitney_u`."""
+    xu = xu_sql or int_units_sql("value")
+    u2 = "(r2a - CAST(n_a AS HUGEINT) * (n_a + 1))"
+    n = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    sigma2 = (
+        f"(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)"
+        f" * (({n} + 1.0) - CAST(ties AS DOUBLE) / ({n} * ({n} - 1.0)))"
+    )
+    z = (
+        f"(CAST({u2} AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+        f" / (2.0 * sqrt({sigma2}))"
+    )
+    zq = f"CAST(CAST({z} AS DECIMAL(18,12)) AS DOUBLE)"
+    guard = f"n_a >= 1 AND n_b >= 1 AND {sigma2} > 0"
+    return f"""
+  WITH ev AS (SELECT event_type, user_id % 2 AS grp,
+                     CAST({xu} AS BIGINT) AS xu FROM events),
+  counts AS (
+    SELECT event_type, xu,
+           CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           CAST(COUNT(*) AS BIGINT) AS ct
+    FROM ev GROUP BY event_type, xu),
+  ranked AS (
+    SELECT event_type, c0, ct,
+           CAST(2 * SUM(ct) OVER (PARTITION BY event_type ORDER BY xu
+                                  ROWS UNBOUNDED PRECEDING)
+                - ct + 1 AS BIGINT) AS r2
+    FROM counts),
+  sums AS (
+    SELECT event_type,
+           CAST(SUM(c0) AS BIGINT) AS n_a,
+           CAST(SUM(ct - c0) AS BIGINT) AS n_b,
+           SUM(CAST(c0 AS HUGEINT) * r2) AS r2a,
+           SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS ties
+    FROM ranked GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       CAST({u2} AS BIGINT) AS u2,
+       CASE WHEN {guard} THEN {zq} END AS z_mw,
+       CASE WHEN {guard} THEN abs({zq}) > {MW_Z_CRIT} END AS significant
+FROM sums
+WHERE n_a > 0 AND n_b > 0
+ORDER BY event_type"""

@@ -577,3 +577,141 @@ SELECT g AS {SPEARMAN_GROUP}, n AS n_pairs,
        {rho} AS rho_spearman
 FROM sums
 ORDER BY {SPEARMAN_GROUP}"""
+
+
+# --- Cramér's V (categorical association) -----------------------------------
+#
+# The categorical twin of spearman_rank_corr: "is the event mix independent
+# of the client property, or does one drive the other?" — chi-square over
+# the full r x c contingency table (INCLUDING zero-observed cells, which
+# still carry expected mass), normalized to Cramér's V in [0,1]. The
+# second categorical is the props JSON k-quartile (TRY_CAST of $.k DIV 25)
+# — same extraction path as pj_json_kpis, so the JSON surface gets an
+# association-level consumer too.
+#
+# Numeric discipline: cell terms of phi^2 = chi^2/n are computed as
+# (o - ri*cj/n)^2 / (ri*cj) in doubles whose inputs (o, ri, cj, n) are
+# int->double exact below 2^53 (documented bound: n <= 9e15 rows) with
+# IDENTICAL expression trees in both engines, then floored at 1e-15 and
+# summed in BIGINT — the PSI rule: no float ever crosses an aggregation
+# boundary, so partial-aggregation order cannot wobble the result.
+# phi^2 <= min(r-1, c-1) keeps every q15 term under ~4e15; V itself is
+# sqrt-derived -> q12 quantizer.
+#
+# Scale shape: ONE map-combinable groupBy on (event_type, quartile) to the
+# r x c cell table (tiny), margins via windows over it, the zero-cell
+# completion a broadcast cross of the two distinct margins — nothing
+# row-sized past the first aggregate.
+
+
+def cramers_v(events: DataFrame) -> DataFrame:
+    """Single-row association report between event_type and the props
+    k-quartile: (n, n_rows, n_cols, phi2_q15, chi2, cramers_v)."""
+    cells = (
+        events.select(
+            "event_type",
+            F.expr(
+                "TRY_CAST(get_json_object(props, '$.k') AS BIGINT) DIV 25"
+            ).alias("kq"),
+        )
+        .where(F.col("kq").isNotNull())
+        .groupBy("event_type", "kq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("ri"))
+    cols = cells.groupBy("kq").agg(F.sum("o").cast("bigint").alias("cj"))
+    full = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["event_type", "kq"], "left")
+        .select(
+            "event_type",
+            "kq",
+            "ri",
+            "cj",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    term = (
+        "(CAST(o AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    phi2_term = (
+        f"({term} * {term} / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))"
+    )
+    totals = (
+        full.crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum("o").cast("bigint").alias("n"),
+                    F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+                    F.countDistinct("kq").cast("bigint").alias("n_cols"),
+                )
+            )
+        )
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.expr(f"CAST(floor({phi2_term} * 1e15) AS BIGINT)").alias("tq"),
+        )
+        .groupBy("n", "n_rows", "n_cols")
+        .agg(F.sum("tq").alias("phi2_q15"))
+    )
+    k = "CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)"
+    v = (
+        f"CASE WHEN n_rows >= 2 AND n_cols >= 2 AND phi2_q15 >= 0 THEN"
+        f" CAST(CAST(sqrt((CAST(phi2_q15 AS DOUBLE) / 1e15) / {k})"
+        f" AS DECIMAL(18,12)) AS DOUBLE) END"
+    )
+    return totals.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "phi2_q15",
+        F.expr("CAST(phi2_q15 AS DOUBLE) / 1e15 * CAST(n AS DOUBLE)").alias("chi2"),
+        F.expr(v).alias("cramers_v"),
+    )
+
+
+def cramers_v_sql() -> str:
+    """DuckDB twin of :func:`cramers_v`."""
+    term = (
+        "(CAST(o AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    phi2_term = f"({term} * {term} / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)))"
+    k = "CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)"
+    v = (
+        f"CASE WHEN n_rows >= 2 AND n_cols >= 2 AND phi2_q15 >= 0 THEN"
+        f" CAST(CAST(sqrt((CAST(phi2_q15 AS DOUBLE) / 1e15) / {k})"
+        f" AS DECIMAL(18,12)) AS DOUBLE) END"
+    )
+    return f"""
+  WITH cells AS (
+    SELECT event_type, kq, CAST(COUNT(*) AS BIGINT) AS o
+    FROM (SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+                   AS kq
+          FROM events)
+    WHERE kq IS NOT NULL
+    GROUP BY event_type, kq),
+  rmarg AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ri
+            FROM cells GROUP BY event_type),
+  cmarg AS (SELECT kq, CAST(SUM(o) AS BIGINT) AS cj FROM cells GROUP BY kq),
+  tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT kq) AS BIGINT) AS n_cols
+          FROM cells),
+  full_cells AS (
+    SELECT r.event_type, c.kq, r.ri, c.cj, COALESCE(cl.o, 0) AS o
+    FROM rmarg r CROSS JOIN cmarg c
+    LEFT JOIN cells cl ON cl.event_type = r.event_type AND cl.kq = c.kq),
+  summed AS (
+    SELECT n, n_rows, n_cols,
+           SUM(CAST(floor({phi2_term} * 1e15) AS BIGINT)) AS phi2_q15
+    FROM full_cells, tot
+    GROUP BY n, n_rows, n_cols)
+SELECT n, n_rows, n_cols, CAST(phi2_q15 AS BIGINT) AS phi2_q15,
+       CAST(phi2_q15 AS DOUBLE) / 1e15 * CAST(n AS DOUBLE) AS chi2,
+       {v} AS cramers_v
+FROM summed"""

@@ -605,7 +605,15 @@ def abtest_welch(events: DataFrame) -> DataFrame:
     DuckDB, divergent on negatives). welch_t keeps the q12 quantizer:
     its sqrt-derived doubles have ~17-significant-digit shortest reprs,
     so the 13-digit-trailing-5 boundary is not reachable from a 4-row
-    output in practice (residual risk documented here)."""
+    output in practice (residual risk documented here).
+
+    Considered and REJECTED (round 8): an all-integer `significant` flag
+    via cross-multiplied t² > crit² — with D = sx_a·n_b − sx_b·n_a the
+    comparison needs D²·(n_a−1)(n_b−1)·10⁴ on one side; |D| ≤ 2n²·X
+    (X = max integer units ≈ 1e8) puts the product at ~4e20·n⁶, which
+    exceeds 128-bit range beyond n ≈ 800 rows per cohort — strictly worse
+    than the double path it would replace. The q12 double comparison with
+    identical expression trees in both engines stays the design."""
     x = F.col("xu")
     g = (
         events.select(

@@ -180,6 +180,9 @@ def main() -> int:
             "x_psi_drift",
             "x_kmv_overlap",
             "x_spearman",
+            "x_emd_drift",
+            "x_mannwhitney",
+            "x_cramers_v",
         )
         if q in harness.ALL_QUERIES
     ]

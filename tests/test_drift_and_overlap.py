@@ -203,3 +203,94 @@ def test_spearman_corpus_groups(spark, sf_dir):
     for r in out:
         assert r["rho_spearman"] is not None
         assert abs(r["rho_spearman"]) < 0.2
+
+
+# --- EMD --------------------------------------------------------------------
+
+
+def test_emd_exact_shift_hand_case(spark):
+    """Cohort B = cohort A shifted by exactly $2.50: W1 must equal 2.50
+    exactly (2,500,000 micro-dollars) — transport distance of a pure
+    translation."""
+    rows = [("t", 0, "2024-01-01 00:00:00", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("t", 1, "2024-01-01 00:00:00", v + 2.5) for v in (1.0, 2.0, 3.0, 4.0)]
+    r = drift.emd_drift(_events(spark, rows)).collect()[0]
+    assert r["emd_microdollars"] == 2_500_000
+    assert r["emd_dollars"] == 2.5
+
+
+def test_emd_identical_cohorts_zero(spark):
+    rows = [("t", u, "2024-01-01 00:00:00", float(1 + u % 5)) for u in range(100)]
+    r = drift.emd_drift(_events(spark, rows)).collect()[0]
+    assert r["emd_microdollars"] == 0
+
+
+def test_emd_dominated_by_ks_times_range(spark, sf_dir):
+    """W1 ≤ D·range (both integrals over the same support): cross-check
+    the two drift scores against each other on the corpus."""
+    ev = harness._events_ts(spark, sf_dir)
+    ks = {r["event_type"]: r for r in drift.ks_test(ev).collect()}
+    emd = {r["event_type"]: r for r in drift.emd_drift(ev).collect()}
+    rng = ev.agg(
+        (F.max("value") - F.min("value")).alias("r")
+    ).collect()[0]["r"]
+    for et, e in emd.items():
+        assert e["emd_dollars"] <= ks[et]["ks_d"] * rng + 1e-9
+
+
+# --- Mann-Whitney -----------------------------------------------------------
+
+
+def test_mannwhitney_dominant_cohort(spark):
+    """Cohort A strictly above cohort B: U_a = n_a·n_b (u2 = 2·n_a·n_b),
+    z strongly positive and significant."""
+    rows = [("t", 0, "2024-01-01 00:00:00", 100.0 + i) for i in range(30)]
+    rows += [("t", 1, "2024-01-01 00:00:00", 1.0 + i) for i in range(30)]
+    r = drift.mannwhitney_u(_events(spark, rows)).collect()[0]
+    assert r["u2"] == 2 * 30 * 30
+    assert r["z_mw"] > 1.96
+    assert r["significant"] is True
+
+
+def test_mannwhitney_all_tied_null(spark):
+    """Every value identical → sigma = 0 → z NULL (no crash, no inf)."""
+    rows = [("t", u, "2024-01-01 00:00:00", 7.0) for u in range(40)]
+    r = drift.mannwhitney_u(_events(spark, rows)).collect()[0]
+    assert r["z_mw"] is None
+    assert r["significant"] is None
+    assert r["u2"] == 20 * 20  # midranks: U = n_a·n_b/2, so u2 = n_a·n_b
+
+
+def test_mannwhitney_null_case_on_corpus(spark, sf_dir):
+    out = drift.mannwhitney_u(harness._events_ts(spark, sf_dir)).collect()
+    assert len(out) == 5
+    assert sum(bool(r["significant"]) for r in out) <= 2
+    for r in out:
+        assert r["z_mw"] is not None
+
+
+# --- Cramér's V -------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark):
+    """k deterministically a function of event_type → V = 1 exactly (2×2)."""
+    rows = [("a", u, "2024-01-01 00:00:00", 1.0) for u in range(50)]
+    rows += [("b", u, "2024-01-01 00:00:00", 1.0) for u in range(50)]
+    df = _events(spark, rows).withColumn(
+        "props",
+        F.when(F.col("event_type") == "a", F.lit('{"k": 10}')).otherwise(
+            F.lit('{"k": 90}')
+        ),
+    )
+    r = profiling.cramers_v(df).collect()[0]
+    assert (r["n_rows"], r["n_cols"]) == (2, 2)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+    assert r["chi2"] == pytest.approx(100.0, rel=1e-9)  # chi2 = n for 2x2 perfect
+
+
+def test_cramers_v_independent_near_zero(spark, sf_dir):
+    """Corpus props k is independent of event_type: V ≈ 0."""
+    r = profiling.cramers_v(harness._events_ts(spark, sf_dir)).collect()[0]
+    assert r["n_rows"] == 5
+    assert 0.0 <= r["cramers_v"] < 0.15
+    assert r["phi2_q15"] >= 0
