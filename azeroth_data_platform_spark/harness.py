@@ -1432,6 +1432,14 @@ def q_x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.cramers_v(_events_ts(spark, sf_dir))
 
 
+def q_x_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day PSI from the mergeable daily histogram state (the
+    stream-maintainable monitor; streaming twin in streaming/drift.py):
+    shift-union pairing, shared PSI term, chi-square small-sample bias
+    column, flags on the excess (operators/drift.py psi_day_over_day)."""
+    return drift.psi_day_over_day(_events_ts(spark, sf_dir))
+
+
 def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of price vs quantity per return class:
     distinct-value midranks (doubled, exact BIGINT), 128-bit moment sums,
@@ -1468,10 +1476,12 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          to the tail, still parity-checked locally every round.
 #   r8 (cont.): the seven NEW round-8 operators (x_ks_drift, x_psi_drift,
 #          x_kmv_overlap, x_spearman, x_emd_drift, x_mannwhitney,
-#          x_cramers_v) insert at slots 16-22 at authoring time,
-#          displacing ts_token_stats / tp_quality_prune / ts_language_id /
-#          ts_fingerprint / mm_binary_stats / ann_topk_ivf_trained /
-#          mm_feature_extract (driver-green r1-r7) past the cap.
+#          x_cramers_v, and x_psi_daily — the day-over-day PSI monitor
+#          with its streaming state twin) insert at slots 16-23 at
+#          authoring time, displacing ann_topk_ivf / ts_token_stats /
+#          tp_quality_prune / ts_language_id / ts_fingerprint /
+#          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract
+#          (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1516,7 +1526,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_emd_drift": q_x_emd_drift,
     "x_mannwhitney": q_x_mannwhitney,
     "x_cramers_v": q_x_cramers_v,
-    # --- slots 23-28: shape-diverse canaries from the r4/5 promotion
+    "x_psi_daily": q_x_psi_daily,
+    # --- slots 24-29: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1525,11 +1536,11 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 29-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 7 tail rows of the old head —
-    # ts_token_stats, tp_quality_prune, ts_language_id, ts_fingerprint,
-    # mm_binary_stats, ann_topk_ivf_trained, mm_feature_extract, all
-    # driver-green r1-r7 — past the cap) ---
+    # --- slots 30-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 8 tail rows of the old head —
+    # ann_topk_ivf, ts_token_stats, tp_quality_prune, ts_language_id,
+    # ts_fingerprint, mm_binary_stats, ann_topk_ivf_trained,
+    # mm_feature_extract, all driver-green r1-r7 — past the cap) ---
     "a1_daily_market_summary": q_a1,
     "a3_rolling_zscore": q_a3,
     "a6_market_index": q_a6,
@@ -1605,16 +1616,16 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 94, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 95, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "ann_topk_ivf", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "ann_topk_lsh", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
 assert list(QUERIES)[14] == "ts_langid_confusion", "slot-15 drifted"
 assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
-assert list(QUERIES)[21] == "x_cramers_v", "slot-22 drifted"
-assert list(QUERIES)[28] == "a1_daily_market_summary", "slot-29 drifted"
+assert list(QUERIES)[22] == "x_psi_daily", "slot-23 drifted"
+assert list(QUERIES)[29] == "a1_daily_market_summary", "slot-30 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -1946,6 +1957,7 @@ ORACLES["x_spearman"] = profiling.spearman_rank_corr_sql()
 ORACLES["x_emd_drift"] = drift.emd_drift_sql()
 ORACLES["x_mannwhitney"] = drift.mannwhitney_u_sql()
 ORACLES["x_cramers_v"] = profiling.cramers_v_sql()
+ORACLES["x_psi_daily"] = drift.psi_day_over_day_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -215,6 +215,20 @@ assert PSI_WARN_Q15 == math.floor(0.10 / math.log(2.0) * 1e15)
 assert PSI_DRIFT_Q15 == math.floor(0.25 / math.log(2.0) * 1e15)
 
 
+def _psi_term_q15(duck: bool) -> str:
+    """The per-bin PSI term over columns (c0, c1, n0, n1, nb), Laplace-
+    smoothed, in bits, floored at 1e-15 — shared by every PSI variant so
+    the half-split, day-over-day, and streaming read-offs are the same
+    arithmetic tree by construction."""
+    p = "(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + nb AS DOUBLE))"
+    q = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))"
+    logdiff = (
+        f"(({plog2_sql('(c0 + 1)', duck=duck)}) - ({plog2_sql('(n0 + nb)', duck=duck)})"
+        f" - ({plog2_sql('(c1 + 1)', duck=duck)}) + ({plog2_sql('(n1 + nb)', duck=duck)}))"
+    )
+    return f"CAST(floor((({p}) - ({q})) * ({logdiff}) * 1e15) AS BIGINT)"
+
+
 def psi_drift(events: DataFrame) -> DataFrame:
     """Per-event-type PSI between the first and second halves of the
     global time range (split at the epoch-micros midpoint).
@@ -256,13 +270,7 @@ def psi_drift(events: DataFrame) -> DataFrame:
         F.sum("c1").over(wall).alias("n1"),
         F.count(F.lit(1)).over(wall).alias("nb"),
     )
-    p = "(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + nb AS DOUBLE))"
-    q = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))"
-    logdiff = (
-        f"(({plog2_sql('(c0 + 1)')}) - ({plog2_sql('(n0 + nb)')})"
-        f" - ({plog2_sql('(c1 + 1)')}) + ({plog2_sql('(n1 + nb)')}))"
-    )
-    term_q = f"CAST(floor((({p}) - ({q})) * ({logdiff}) * 1e15) AS BIGINT)"
+    term_q = _psi_term_q15(duck=False)
     return (
         staged.select(
             "event_type",
@@ -295,13 +303,7 @@ def psi_drift(events: DataFrame) -> DataFrame:
 def psi_drift_sql(xu_sql: str | None = None) -> str:
     """DuckDB twin of :func:`psi_drift`."""
     xu = xu_sql or int_units_sql("value")
-    p = "(CAST(c0 + 1 AS DOUBLE) / CAST(n0 + nb AS DOUBLE))"
-    q = "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE))"
-    logdiff = (
-        f"(({plog2_sql('(c0 + 1)', duck=True)}) - ({plog2_sql('(n0 + nb)', duck=True)})"
-        f" - ({plog2_sql('(c1 + 1)', duck=True)}) + ({plog2_sql('(n1 + nb)', duck=True)}))"
-    )
-    term_q = f"CAST(floor((({p}) - ({q})) * ({logdiff}) * 1e15) AS BIGINT)"
+    term_q = _psi_term_q15(duck=True)
     return f"""
   WITH ev AS (SELECT event_type,
                      epoch_us(CAST(ts AS TIMESTAMP)) AS t,
@@ -579,3 +581,170 @@ SELECT event_type, n_a, n_b,
 FROM sums
 WHERE n_a > 0 AND n_b > 0
 ORDER BY event_type"""
+
+
+# --- daily histogram state + day-over-day PSI --------------------------------
+#
+# The PSI monitor a production pipeline actually runs is not "first half vs
+# second half of all time" — it is "each day vs the day before", over a
+# MAINTAINABLE state. Factored accordingly, mirroring the HLL weekly-rollup
+# architecture (sketches.py): the state is the per-(event_type, day, bin)
+# count histogram — a commutative monoid (counts sum), so it is exactly
+# what a Structured Streaming windowed aggregation materializes
+# (streaming/drift.py streaming_value_histogram is the stream twin,
+# pinned bit-identical to value_histogram_daily) — and day-over-day PSI is
+# a cheap batch read-off over that state, never a re-scan of the raw
+# events. At 100 TB: the histogram is ≤ #types × #days × 64 rows; the
+# read-off joins consecutive days with a SHIFT-UNION (next-day counts
+# re-keyed onto the anchor day) so pairing is one map-combinable groupBy,
+# no self-join, no window over raw data.
+
+
+# Small-sample null bias of PSI: under H0 (same distribution), PSI is
+# asymptotically chi-square-distributed with E[PSI] ~ (B-1)*(1/n0 + 1/n1)/2
+# nats — at 70 events/day over ~10 bins that is ~0.1 nats of pure noise,
+# which would trip the conventional bands on perfectly iid days. The
+# day-over-day monitor therefore reports the bias as an integer column and
+# flags on the EXCESS (psi_q15 - bias_q15). Constant below =
+# floor(1e15 / (2*ln 2)): converts the (B-1)*(1/n0+1/n1)/2-nats bias into
+# 1e-15-bit integer units via two exact integer divisions.
+PSI_BIAS_C_Q15 = 721347520444481
+assert PSI_BIAS_C_Q15 == math.floor(1e15 / (2.0 * math.log(2.0)))
+
+
+def value_histogram_daily(events: DataFrame) -> DataFrame:
+    """(event_type, day, bin, c): the mergeable daily log2-bin histogram
+    of `value` — the PSI monitor's state table."""
+    return (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            int_units("value").cast("bigint").alias("xu"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.expr("CASE WHEN xu <= 0 THEN 0 ELSE length(bin(xu)) END").alias("bin"),
+        )
+        .groupBy("event_type", "day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def psi_day_over_day(events: DataFrame) -> DataFrame:
+    """Per (event_type, day): PSI of day vs the NEXT calendar day, from
+    the daily histogram state. Output (event_type, day, n_day, n_next,
+    n_bins, psi_q15, psi_bits, warn_010, drift_025); a day appears only
+    if the next calendar day has data (gaps score no row — the
+    forecast_backtest convention)."""
+    hist = value_histogram_daily(events)
+    # shift-union: next-day counts re-keyed onto the anchor day, so the
+    # (day, day+1) pair — including bins present on only one side —
+    # collapses into one groupBy on (type, day, bin)
+    side0 = hist.select("event_type", "day", "bin", F.col("c").alias("c0"), F.lit(0).alias("c1"))
+    side1 = hist.select(
+        "event_type",
+        F.date_sub("day", 1).alias("day"),
+        "bin",
+        F.lit(0).alias("c0"),
+        F.col("c").alias("c1"),
+    )
+    paired = (
+        side0.unionByName(side1)
+        .groupBy("event_type", "day", "bin")
+        .agg(
+            F.sum("c0").cast("bigint").alias("c0"),
+            F.sum("c1").cast("bigint").alias("c1"),
+        )
+    )
+    wall = Window.partitionBy("event_type", "day")
+    staged = paired.select(
+        "event_type",
+        "day",
+        "c0",
+        "c1",
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    )
+    term_q = _psi_term_q15(duck=False)
+    return (
+        staged.select("event_type", "day", "n0", "n1", "nb", F.expr(term_q).alias("tq"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("n0").alias("n_day"),
+            F.max("n1").alias("n_next"),
+            F.max("nb").alias("n_bins"),
+            F.sum("tq").alias("psi_q15"),
+        )
+        .where((F.col("n_day") > 0) & (F.col("n_next") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n_day",
+            "n_next",
+            "n_bins",
+            "psi_q15",
+            F.expr("CAST(psi_q15 AS DOUBLE) / 1e15").alias("psi_bits"),
+            F.expr(
+                f"(n_bins - 1) * ({PSI_BIAS_C_Q15} DIV n_day)"
+                f" + (n_bins - 1) * ({PSI_BIAS_C_Q15} DIV n_next)"
+            ).alias("bias_q15"),
+        )
+        .select(
+            "*",
+            F.expr(f"psi_q15 - bias_q15 > {PSI_WARN_Q15}").alias("warn_010"),
+            F.expr(f"psi_q15 - bias_q15 > {PSI_DRIFT_Q15}").alias("drift_025"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def psi_day_over_day_sql(xu_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`psi_day_over_day`."""
+    xu = xu_sql or int_units_sql("value")
+    term_q = _psi_term_q15(duck=True)
+    return f"""
+  WITH ev AS (SELECT event_type,
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                     CAST({xu} AS BIGINT) AS xu FROM events),
+  hist AS (
+    SELECT event_type, day,
+           CASE WHEN xu <= 0 THEN 0 ELSE length(bin(xu)) END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2, 3),
+  paired AS (
+    SELECT event_type, day, bin,
+           CAST(SUM(c0) AS BIGINT) AS c0, CAST(SUM(c1) AS BIGINT) AS c1
+    FROM (
+      SELECT event_type, day, bin, c AS c0, 0 AS c1 FROM hist
+      UNION ALL
+      SELECT event_type, day - 1, bin, 0, c FROM hist)
+    GROUP BY event_type, day, bin),
+  staged AS (
+    SELECT event_type, day, c0, c1,
+           CAST(SUM(c0) OVER (PARTITION BY event_type, day) AS BIGINT) AS n0,
+           CAST(SUM(c1) OVER (PARTITION BY event_type, day) AS BIGINT) AS n1,
+           CAST(COUNT(*) OVER (PARTITION BY event_type, day) AS BIGINT) AS nb
+    FROM paired),
+  summed AS (
+    SELECT event_type, day,
+           MAX(n0) AS n_day, MAX(n1) AS n_next, MAX(nb) AS n_bins,
+           SUM({term_q}) AS psi_q15
+    FROM staged GROUP BY event_type, day)
+SELECT event_type, day,
+       CAST(n_day AS BIGINT) AS n_day, CAST(n_next AS BIGINT) AS n_next,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(psi_q15 AS BIGINT) AS psi_q15,
+       CAST(psi_q15 AS DOUBLE) / 1e15 AS psi_bits,
+       CAST((n_bins - 1) * ({PSI_BIAS_C_Q15} // n_day)
+            + (n_bins - 1) * ({PSI_BIAS_C_Q15} // n_next) AS BIGINT) AS bias_q15,
+       psi_q15 - ((n_bins - 1) * ({PSI_BIAS_C_Q15} // n_day)
+                  + (n_bins - 1) * ({PSI_BIAS_C_Q15} // n_next))
+         > {PSI_WARN_Q15} AS warn_010,
+       psi_q15 - ((n_bins - 1) * ({PSI_BIAS_C_Q15} // n_day)
+                  + (n_bins - 1) * ({PSI_BIAS_C_Q15} // n_next))
+         > {PSI_DRIFT_Q15} AS drift_025
+FROM summed
+WHERE n_day > 0 AND n_next > 0
+ORDER BY event_type, day"""

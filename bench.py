@@ -183,6 +183,7 @@ def main() -> int:
             "x_emd_drift",
             "x_mannwhitney",
             "x_cramers_v",
+            "x_psi_daily",
         )
         if q in harness.ALL_QUERIES
     ]

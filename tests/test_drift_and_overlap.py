@@ -294,3 +294,47 @@ def test_cramers_v_independent_near_zero(spark, sf_dir):
     assert r["n_rows"] == 5
     assert 0.0 <= r["cramers_v"] < 0.15
     assert r["phi2_q15"] >= 0
+
+
+# --- day-over-day PSI -------------------------------------------------------
+
+
+def test_psi_daily_planted_drift_day(spark):
+    """29 stable days + one day with 16×-scaled values: exactly the two
+    pairs touching the anomalous day flag, bias-corrected; stable pairs
+    stay quiet."""
+    rows = []
+    for d in range(1, 11):
+        scale = 16.0 if d == 6 else 1.0
+        for i in range(200):
+            rows.append(
+                ("a", i, f"2024-01-{d:02d} 12:00:00", scale * (1.0 + i % 5))
+            )
+    out = drift.psi_day_over_day(_events(spark, rows)).collect()
+    assert len(out) == 9  # days 1..9 each have a next day
+    flagged = {str(r["day"]) for r in out if r["drift_025"]}
+    assert flagged == {"2024-01-05", "2024-01-06"}
+    for r in out:
+        if str(r["day"]) not in flagged:
+            assert r["warn_010"] is False, r
+
+
+def test_psi_daily_histogram_is_mergeable_state(spark):
+    """The histogram built from partition slices and summed equals the
+    one-pass histogram — the monoid law that makes it stream-state."""
+    rows = [
+        ("a", i, f"2024-01-{1 + i % 3:02d} 08:00:00", float(1 + i % 9))
+        for i in range(300)
+    ]
+    ev = _events(spark, rows)
+    whole = {
+        (r["event_type"], str(r["day"]), r["bin"]): r["c"]
+        for r in drift.value_histogram_daily(ev).collect()
+    }
+    merged: dict = {}
+    for p in range(3):
+        part = drift.value_histogram_daily(ev.where(F.col("user_id") % 3 == p))
+        for r in part.collect():
+            k = (r["event_type"], str(r["day"]), r["bin"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole

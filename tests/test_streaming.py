@@ -706,3 +706,53 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
         assert got[k].chunk_text == want[k].chunk_text
         assert got[k].begin_tok == want[k].begin_tok
         assert got[k].n_tokens_in_chunk == want[k].n_tokens_in_chunk
+
+
+def test_streaming_histogram_matches_batch_drift_state(spark, tmp_path):
+    """The drift monitor's daily histogram state maintained by a stream
+    (tumbling 1-day windows + watermark) must equal the batch
+    value_histogram_daily bit-for-bit — the state psi_day_over_day reads
+    is the SAME regardless of how it was materialized."""
+    from azeroth_data_platform_spark.operators.drift import value_histogram_daily
+    from azeroth_data_platform_spark.streaming.drift import streaming_value_histogram
+
+    schema = "event_type string, user_id long, ts timestamp, value double"
+    rows = [
+        ("a", i, dt.datetime(2024, 1, 1 + i % 3, 6 + i % 12), float(1 + i % 20))
+        for i in range(240)
+    ] + [("b", i, dt.datetime(2024, 1, 1 + i % 2, 8), float(100 + i % 50)) for i in range(80)]
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_value_histogram(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_hist")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the event-time clock far past the watermark to close all days
+        advancer = [("clock", 0, dt.datetime(2024, 2, 1), 1.0)]
+        spark.createDataFrame(advancer, schema).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        got = {
+            (r.event_type, str(r.day), r.bin): r.c
+            for r in spark.sql("SELECT * FROM drift_hist").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.event_type, str(r.day), r.bin): r.c
+        for r in value_histogram_daily(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert got, "watermark should have closed the January days"
+    assert got == batch
