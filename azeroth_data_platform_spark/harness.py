@@ -28,6 +28,7 @@ from .operators import (
     gold,
     incremental,
     joins,
+    mleval,
     multimodal,
     profiling,
     serving,
@@ -1440,6 +1441,52 @@ def q_x_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.psi_day_over_day(_events_ts(spark, sf_dir))
 
 
+def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, label) frame for classifier evaluation: score = English-
+    profile trigram hits per character in exact ppm (integer — ties are
+    real and exercise the midrank path), label = (lang = 'en')."""
+    from .operators import textstats as _ts
+
+    docs = _docs(spark, sf_dir)
+    tri = _ts._trigram_score_sql(_ts.TRIGRAM_PROFILES["en"], duck=False)
+    return docs.where(F.length("text") > 0).select(
+        F.expr(
+            f"CAST(CAST(1000000 AS BIGINT) * ({tri}) DIV length(text) AS BIGINT)"
+        ).alias("score"),
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
+    )
+
+
+def _langid_scored_cte() -> str:
+    from .operators import textstats as _ts
+
+    tri = _ts._trigram_score_sql(_ts.TRIGRAM_PROFILES["en"], duck=True)
+    return f"""
+  WITH scored AS (
+    SELECT CAST(CAST(1000000 AS BIGINT) * ({tri}) // length(text) AS BIGINT)
+             AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents WHERE length(text) > 0)"""
+
+
+def q_ts_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the en-trigram-rate score against the lang label
+    via the rank-sum identity with midrank ties (operators/mleval.py
+    auc_exact) — the eval gate a corpus quality classifier ships with.
+    NOTE: the driver corpus's lang labels are content-independent
+    (markers appear equally across langs — verified), so the expected
+    value here IS the null ≈ 0.5; discriminative behavior is pinned on
+    planted-signal data in tests/test_drift_and_overlap.py."""
+    return mleval.auc_exact(_langid_scored(spark, sf_dir))
+
+
+def q_ts_lift_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/calibration table for the same scored frame
+    (operators/mleval.py decile_lift): per score-decile positive rate,
+    cumulative capture, and lift vs base rate — all exact ppm."""
+    return mleval.decile_lift(_langid_scored(spark, sf_dir))
+
+
 def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of price vs quantity per return class:
     distinct-value midranks (doubled, exact BIGINT), 128-bit moment sums,
@@ -1476,12 +1523,14 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          to the tail, still parity-checked locally every round.
 #   r8 (cont.): the seven NEW round-8 operators (x_ks_drift, x_psi_drift,
 #          x_kmv_overlap, x_spearman, x_emd_drift, x_mannwhitney,
-#          x_cramers_v, and x_psi_daily — the day-over-day PSI monitor
-#          with its streaming state twin) insert at slots 16-23 at
-#          authoring time, displacing ann_topk_ivf / ts_token_stats /
-#          tp_quality_prune / ts_language_id / ts_fingerprint /
-#          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract
-#          (driver-green r1-r7) past the cap.
+#          x_cramers_v, x_psi_daily — the day-over-day PSI monitor with
+#          its streaming state twin — and the classifier-eval pair
+#          ts_auc_langid / ts_lift_langid) insert at slots 16-25 at
+#          authoring time, displacing ann_topk_bruteforce / ann_topk_lsh /
+#          ann_topk_ivf / ts_token_stats / tp_quality_prune /
+#          ts_language_id / ts_fingerprint / mm_binary_stats /
+#          ann_topk_ivf_trained / mm_feature_extract (driver-green r1-r7)
+#          past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1527,7 +1576,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_mannwhitney": q_x_mannwhitney,
     "x_cramers_v": q_x_cramers_v,
     "x_psi_daily": q_x_psi_daily,
-    # --- slots 24-29: shape-diverse canaries from the r4/5 promotion
+    "ts_auc_langid": q_ts_auc_langid,
+    "ts_lift_langid": q_ts_lift_langid,
+    # --- slots 26-31: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1536,11 +1587,12 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 30-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 8 tail rows of the old head —
-    # ann_topk_ivf, ts_token_stats, tp_quality_prune, ts_language_id,
-    # ts_fingerprint, mm_binary_stats, ann_topk_ivf_trained,
-    # mm_feature_extract, all driver-green r1-r7 — past the cap) ---
+    # --- slots 32-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 10 tail rows of the old head — the
+    # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
+    # ts_language_id, ts_fingerprint, mm_binary_stats,
+    # ann_topk_ivf_trained, mm_feature_extract, all driver-green r1-r7 —
+    # past the cap) ---
     "a1_daily_market_summary": q_a1,
     "a3_rolling_zscore": q_a3,
     "a6_market_index": q_a6,
@@ -1616,16 +1668,17 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 95, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 97, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "ann_topk_lsh", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "ts_repetition", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
 assert list(QUERIES)[14] == "ts_langid_confusion", "slot-15 drifted"
 assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
 assert list(QUERIES)[22] == "x_psi_daily", "slot-23 drifted"
-assert list(QUERIES)[29] == "a1_daily_market_summary", "slot-30 drifted"
+assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
+assert list(QUERIES)[31] == "a1_daily_market_summary", "slot-32 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -1958,6 +2011,8 @@ ORACLES["x_emd_drift"] = drift.emd_drift_sql()
 ORACLES["x_mannwhitney"] = drift.mannwhitney_u_sql()
 ORACLES["x_cramers_v"] = profiling.cramers_v_sql()
 ORACLES["x_psi_daily"] = drift.psi_day_over_day_sql()
+ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
+ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

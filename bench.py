@@ -297,6 +297,14 @@ def main() -> int:
             "x_pagerank",
             "tp_global_shuffle",
             "ts_pmi_collocations",
+            # round-8 drift/overlap family: distinct-value scaffolds should
+            # grow SUBLINEARLY (window input is value-domain-sized); the
+            # KMV sketch stage is top-k-capped so only the distinct scan
+            # scales
+            "x_ks_drift",
+            "x_psi_daily",
+            "x_kmv_overlap",
+            "x_spearman",
         ]
         base = {**timings, **cold_timings, **extra_timings}
 

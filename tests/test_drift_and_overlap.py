@@ -338,3 +338,90 @@ def test_psi_daily_histogram_is_mergeable_state(spark):
             k = (r["event_type"], str(r["day"]), r["bin"])
             merged[k] = merged.get(k, 0) + r["c"]
     assert merged == whole
+
+
+# --- classifier eval (mleval) -----------------------------------------------
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score long, label int")
+
+
+def test_auc_perfect_and_reversed(spark):
+    """Positives strictly above negatives → AUC exactly 1; reversed → 0."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [(100 + i, 1) for i in range(20)] + [(i, 0) for i in range(20)]
+    r = mleval.auc_exact(_scored(spark, rows)).collect()[0]
+    assert r["auc_ppm"] == 1_000_000 and r["auc"] == 1.0 and r["gini"] == 1.0
+    rows = [(i, 1) for i in range(20)] + [(100 + i, 0) for i in range(20)]
+    r = mleval.auc_exact(_scored(spark, rows)).collect()[0]
+    assert r["auc_ppm"] == 0 and r["gini"] == -1.0
+
+
+def test_auc_all_tied_is_exactly_half(spark):
+    """One score for everything: midranks give U = n_pos·n_neg/2 → 0.5."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [(7, 1)] * 30 + [(7, 0)] * 50
+    r = mleval.auc_exact(_scored(spark, rows)).collect()[0]
+    assert r["auc_ppm"] == 500_000
+
+
+def test_auc_matches_independent_rank_formula(spark):
+    """Tie-heavy mixed case vs an independent double-rank AUC in DuckDB."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [((i * 7) % 23, 1 if (i * 13) % 3 == 0 else 0) for i in range(400)]
+    r = mleval.auc_exact(_scored(spark, rows)).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW s AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in rows)
+        + ") AS t(score, label)"
+    )
+    truth = con.execute(
+        """
+        WITH r AS (SELECT label,
+          rank() OVER (ORDER BY score) +
+          (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS rk FROM s)
+        SELECT (SUM(CASE WHEN label = 1 THEN rk END)
+                - (SUM(label) * (SUM(label) + 1)) / 2.0)
+               / (SUM(label) * (COUNT(*) - SUM(label))) FROM r"""
+    ).fetchone()[0]
+    assert abs(r["auc_ppm"] / 1e6 - truth) < 2e-6  # ppm truncation only
+
+
+def test_auc_single_class_null(spark):
+    from azeroth_data_platform_spark.operators import mleval
+
+    r = mleval.auc_exact(_scored(spark, [(5, 1)] * 10)).collect()[0]
+    assert r["auc"] is None and r["auc_ppm"] is None
+
+
+def test_decile_lift_monotone_signal(spark):
+    """Score == signal strength: top decile lift > 1 > bottom decile;
+    capture reaches exactly 1e6; whole tie-groups stay in one decile."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = []
+    for i in range(1000):
+        score = i // 10  # 100 distinct scores, tie-groups of 10
+        label = 1 if (i * 7919) % 1000 < score else 0  # P(pos) rises with score
+    # deterministic pseudo-random but reproducible
+        rows.append((score, label))
+    out = mleval.decile_lift(_scored(spark, rows)).collect()
+    assert [r["decile"] for r in out] == sorted(r["decile"] for r in out)
+    assert out[-1]["cum_capture_ppm"] == 1_000_000
+    assert sum(r["n"] for r in out) == 1000
+    top, bottom = out[0], out[-1]
+    assert top["lift_ppm"] > 1_000_000 > bottom["lift_ppm"]
+
+
+def test_decile_lift_corpus_base_rate(spark, sf_dir):
+    """Real corpus: capture ends at 1e6, rows sum to the doc count, and
+    every populated decile's pos_rate is a valid ppm."""
+    out = harness.QUERIES["ts_lift_langid"](spark, sf_dir).collect()
+    assert out[-1]["cum_capture_ppm"] == 1_000_000
+    for r in out:
+        assert 0 <= r["pos_rate_ppm"] <= 1_000_000
