@@ -212,3 +212,154 @@ SELECT decile, n_d AS n, pos_d AS n_pos,
        CASE WHEN pos > 0 THEN {lift} END AS lift_ppm
 FROM per_dec
 ORDER BY decile"""
+
+
+def _pr_staged(scored: DataFrame) -> DataFrame:
+    """Shared scaffold: one distinct-score groupBy, one descending window
+    → per threshold (= distinct score, classify-as-positive at score >=
+    threshold, whole tie-group included) the cumulative tp/fp and class
+    totals. Value-domain-sized after the first aggregate."""
+    counts = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return counts.select(
+        "score",
+        "c1",
+        F.sum("c1").over(wdesc).alias("tp"),
+        (F.sum("ct").over(wdesc) - F.sum("c1").over(wdesc)).alias("fp"),
+        F.sum("c1").over(wall).alias("n_pos"),
+        F.sum(F.col("ct") - F.col("c1")).over(wall).alias("n_neg"),
+    )
+
+
+# Shared ppm expressions for the PR scaffold (Spark `DIV` vs DuckDB `//`;
+# DECIMAL(38,0) vs HUGEINT staging — overflow-safe to tp ~ 1e31).
+def _pr_exprs(duck: bool) -> dict[str, str]:
+    big = "HUGEINT" if duck else "DECIMAL(38,0)"
+    dv = "//" if duck else "DIV"
+    m = f"CAST(1000000 AS {big})"
+    return {
+        "precision": f"CAST({m} * tp {dv} (tp + fp) AS BIGINT)",
+        "recall": f"CASE WHEN n_pos > 0 THEN"
+        f" CAST({m} * tp {dv} n_pos AS BIGINT) END",
+        "f1": f"CAST({m} * 2 * tp {dv} (2 * tp + fp + (n_pos - tp))"
+        f" AS BIGINT)",
+        # step-wise AP term (sklearn's sum over thresholds of
+        # precision·Δrecall), truncated PER TERM so the sum is a
+        # deterministic, engine-identical integer: the result is a lower
+        # bound of true AP within n_thresholds ppm (documented, exact).
+        "ap_term": f"CASE WHEN n_pos > 0 THEN CAST({m} * c1 * tp {dv}"
+        f" (CAST(n_pos AS {big}) * (tp + fp)) AS BIGINT) ELSE 0 END",
+    }
+
+
+def pr_curve(scored: DataFrame) -> DataFrame:
+    """scored: (score BIGINT, label INT 0/1) → one row per distinct score
+    threshold, descending-best-first semantics: (threshold, tp, fp, fn,
+    precision_ppm, recall_ppm, f1_ppm), all exact integer ppm. The fn
+    column and f1 derive from the same cumulative pass — no second scan."""
+    e = _pr_exprs(duck=False)
+    return (
+        _pr_staged(scored)
+        .select(
+            F.col("score").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            F.expr(e["precision"]).alias("precision_ppm"),
+            F.expr(e["recall"]).alias("recall_ppm"),
+            F.expr(e["f1"]).alias("f1_ppm"),
+        )
+        .orderBy(F.col("threshold").desc())
+    )
+
+
+def pr_curve_sql(scored_cte: str) -> str:
+    """DuckDB twin; `scored_cte` must define `scored(score, label)`."""
+    e = _pr_exprs(duck=True)
+    return f"""{scored_cte},
+  counts AS (
+    SELECT score, CAST(SUM(label) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS ct
+    FROM scored GROUP BY score),
+  staged AS (
+    SELECT score, c1,
+           CAST(SUM(c1) OVER w AS BIGINT) AS tp,
+           CAST(SUM(ct) OVER w - SUM(c1) OVER w AS BIGINT) AS fp,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n_pos
+    FROM counts
+    WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING))
+SELECT score AS threshold, tp, fp, n_pos - tp AS fn,
+       {e['precision']} AS precision_ppm,
+       {e['recall']} AS recall_ppm,
+       {e['f1']} AS f1_ppm
+FROM staged ORDER BY threshold DESC"""
+
+
+def pr_summary(scored: DataFrame) -> DataFrame:
+    """Single-row PR summary: (n_thresholds, n_pos, n_neg, ap_ppm,
+    best_f1_ppm, best_f1_threshold). ap_ppm is the step-wise average
+    precision (sum over thresholds of precision·Δrecall) with each term
+    truncated to ppm — a deterministic lower bound of true AP within
+    n_thresholds ppm. best_f1_threshold tie-breaks to the LOWEST
+    threshold achieving max F1 (the most inclusive operating point)."""
+    e = _pr_exprs(duck=False)
+    staged = _pr_staged(scored).select(
+        "score",
+        "n_pos",
+        "n_neg",
+        F.expr(e["f1"]).alias("f1_ppm"),
+        F.expr(e["ap_term"]).alias("ap_term"),
+    )
+    staged = staged.withColumn(
+        "max_f1", F.max("f1_ppm").over(Window.partitionBy())
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_thresholds"),
+        F.max("n_pos").cast("bigint").alias("n_pos"),
+        F.max("n_neg").cast("bigint").alias("n_neg"),
+        F.expr(
+            "CASE WHEN MAX(n_pos) > 0 THEN"
+            " CAST(SUM(CAST(ap_term AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("ap_ppm"),
+        F.max("f1_ppm").alias("best_f1_ppm"),
+        F.expr(
+            "MIN(CASE WHEN f1_ppm = max_f1 THEN score END)"
+        ).alias("best_f1_threshold"),
+    )
+
+
+def pr_summary_sql(scored_cte: str) -> str:
+    """DuckDB twin; `scored_cte` must define `scored(score, label)`."""
+    e = _pr_exprs(duck=True)
+    return f"""{scored_cte},
+  counts AS (
+    SELECT score, CAST(SUM(label) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS ct
+    FROM scored GROUP BY score),
+  staged AS (
+    SELECT score, c1,
+           CAST(SUM(c1) OVER w AS BIGINT) AS tp,
+           CAST(SUM(ct) OVER w - SUM(c1) OVER w AS BIGINT) AS fp,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n_pos,
+           CAST(SUM(ct - c1) OVER () AS BIGINT) AS n_neg
+    FROM counts
+    WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+  scoredrows AS (
+    SELECT score, n_pos, n_neg,
+           {e['f1']} AS f1_ppm,
+           {e['ap_term']} AS ap_term
+    FROM staged)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+       MAX(n_pos) AS n_pos, MAX(n_neg) AS n_neg,
+       CASE WHEN MAX(n_pos) > 0 THEN
+         CAST(SUM(CAST(ap_term AS HUGEINT)) AS BIGINT) END AS ap_ppm,
+       MAX(f1_ppm) AS best_f1_ppm,
+       MIN(CASE WHEN f1_ppm = (SELECT MAX(f1_ppm) FROM scoredrows)
+                THEN score END) AS best_f1_threshold
+FROM scoredrows"""

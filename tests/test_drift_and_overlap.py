@@ -425,3 +425,64 @@ def test_decile_lift_corpus_base_rate(spark, sf_dir):
     assert out[-1]["cum_capture_ppm"] == 1_000_000
     for r in out:
         assert 0 <= r["pos_rate_ppm"] <= 1_000_000
+
+
+def test_pr_curve_perfect_separation(spark):
+    """Positives strictly above negatives: at the lowest positive score
+    precision=1, recall=1, f1=1; at lower thresholds precision decays."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [(100 + i, 1) for i in range(20)] + [(i, 0) for i in range(30)]
+    out = mleval.pr_curve(_scored(spark, rows)).collect()
+    by_thr = {r["threshold"]: r for r in out}
+    assert by_thr[100]["precision_ppm"] == 1_000_000
+    assert by_thr[100]["recall_ppm"] == 1_000_000
+    assert by_thr[100]["f1_ppm"] == 1_000_000
+    assert by_thr[0]["precision_ppm"] == 1_000_000 * 20 // 50
+    # monotone recall as threshold descends; fn + tp == n_pos everywhere
+    thrs = sorted(by_thr, reverse=True)
+    rec = [by_thr[t]["recall_ppm"] for t in thrs]
+    assert rec == sorted(rec)
+    assert all(by_thr[t]["tp"] + by_thr[t]["fn"] == 20 for t in thrs)
+
+
+def test_pr_summary_matches_sklearn_style_ap(spark):
+    """Tie-heavy case vs an independently-computed step-wise AP
+    (python reimplementation of the sklearn threshold sum)."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [((i * 7) % 23, 1 if (i * 13) % 3 == 0 else 0) for i in range(400)]
+    r = mleval.pr_summary(_scored(spark, rows)).collect()[0]
+    # independent AP: group by distinct score desc, cumulative tp/fp
+    from collections import Counter
+
+    c1, ct = Counter(), Counter()
+    for s, l in rows:
+        ct[s] += 1
+        c1[s] += l
+    n_pos = sum(c1.values())
+    tp = fp = 0
+    ap_true = 0.0
+    ap_trunc = 0
+    best_f1 = -1
+    best_thr = None
+    for s in sorted(ct, reverse=True):
+        tp += c1[s]
+        fp += ct[s] - c1[s]
+        ap_true += (c1[s] / n_pos) * (tp / (tp + fp))
+        ap_trunc += 1_000_000 * c1[s] * tp // (n_pos * (tp + fp))
+        f1 = 1_000_000 * 2 * tp // (2 * tp + fp + (n_pos - tp))
+        if f1 > best_f1 or (f1 == best_f1 and s < best_thr):
+            best_f1, best_thr = f1, s
+    assert r["ap_ppm"] == ap_trunc
+    assert abs(r["ap_ppm"] / 1e6 - ap_true) < len(ct) / 1e6
+    assert r["best_f1_ppm"] == best_f1
+    assert r["best_f1_threshold"] == best_thr
+    assert r["n_thresholds"] == len(ct)
+
+
+def test_pr_summary_single_class(spark):
+    from azeroth_data_platform_spark.operators import mleval
+
+    r = mleval.pr_summary(_scored(spark, [(5, 0)] * 10)).collect()[0]
+    assert r["ap_ppm"] is None
