@@ -1501,6 +1501,17 @@ def q_ts_pr_summary_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mleval.pr_summary(_langid_scored(spark, sf_dir))
 
 
+def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class Cohen's kappa of the language-ID prediction against
+    the gold lang label (operators/mleval.py cohens_kappa) — the
+    chance-corrected agreement number a labeling pipeline reports
+    alongside raw accuracy."""
+    pairs = textstats.language_id(_docs(spark, sf_dir)).select(
+        F.col("lang").alias("label_a"), F.col("lang_pred").alias("label_b")
+    )
+    return mleval.cohens_kappa(pairs)
+
+
 def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of price vs quantity per return class:
     distinct-value midranks (doubled, exact BIGINT), 128-bit moment sums,
@@ -1538,14 +1549,15 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r8 (cont.): the seven NEW round-8 operators (x_ks_drift, x_psi_drift,
 #          x_kmv_overlap, x_spearman, x_emd_drift, x_mannwhitney,
 #          x_cramers_v, x_psi_daily — the day-over-day PSI monitor with
-#          its streaming state twin — and the classifier-eval quad
+#          its streaming state twin — and the classifier-eval block
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
-#          ts_pr_summary_langid) insert at slots 16-27 at authoring
-#          time, displacing ann_topk_bruteforce / ann_topk_lsh /
-#          ann_topk_ivf / ts_token_stats / tp_quality_prune /
-#          ts_language_id / ts_fingerprint / mm_binary_stats /
-#          ann_topk_ivf_trained / mm_feature_extract / tp_pack_contents /
-#          ts_repetition (driver-green r1-r7) past the cap.
+#          ts_pr_summary_langid / x_cohens_kappa) insert at slots 16-28
+#          at authoring time, displacing ann_topk_bruteforce /
+#          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
+#          tp_quality_prune / ts_language_id / ts_fingerprint /
+#          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
+#          tp_pack_contents / ts_repetition / tp_pack_sequences
+#          (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1595,7 +1607,8 @@ QUERIES: dict[str, QueryFn] = {
     "ts_lift_langid": q_ts_lift_langid,
     "ts_pr_curve_langid": q_ts_pr_curve_langid,
     "ts_pr_summary_langid": q_ts_pr_summary_langid,
-    # --- slots 28-33: shape-diverse canaries from the r4/5 promotion
+    "x_cohens_kappa": q_x_cohens_kappa,
+    # --- slots 29-34: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1604,8 +1617,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 34-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 12 tail rows of the old head — the
+    # --- slots 35-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 13 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1685,9 +1698,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 99, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 100, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_pack_sequences", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_decontaminate", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1696,7 +1709,8 @@ assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
 assert list(QUERIES)[22] == "x_psi_daily", "slot-23 drifted"
 assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
 assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
-assert list(QUERIES)[33] == "a1_daily_market_summary", "slot-34 drifted"
+assert list(QUERIES)[27] == "x_cohens_kappa", "slot-28 drifted"
+assert list(QUERIES)[34] == "a1_daily_market_summary", "slot-35 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2033,6 +2047,10 @@ ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
 ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
 ORACLES["ts_pr_summary_langid"] = mleval.pr_summary_sql(_langid_scored_cte())
+ORACLES["x_cohens_kappa"] = mleval.cohens_kappa_sql(
+    "WITH pairs AS (SELECT lang AS label_a, lang_pred AS label_b"
+    f" FROM ({textstats.LANGID_SQL}))"
+)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -363,3 +363,99 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_thresholds,
        MIN(CASE WHEN f1_ppm = (SELECT MAX(f1_ppm) FROM scoredrows)
                 THEN score END) AS best_f1_threshold
 FROM scoredrows"""
+
+
+def cohens_kappa(pairs: DataFrame) -> DataFrame:
+    """pairs: (label_a STRING, label_b STRING) — two labelings of the
+    same rows (e.g. gold lang vs predicted lang) → single row
+    (n, n_agree, po_ppm, pe_ppm, kappa_ppm, kappa): multi-class Cohen's
+    kappa as the exact rational (n·Σn_ii − Σ_i row_i·col_i) /
+    (n² − Σ_i row_i·col_i), ppm-truncated TOWARD ZERO (kappa can be
+    negative; sign split keeps Spark DIV / DuckDB // engine-identical).
+    NULL kappa when chance agreement is 1 (both sides constant).
+
+    Scale shape: one map-combinable groupBy to the |A|×|B| confusion
+    cells, margin joins over class-domain-sized frames — nothing
+    row-sized past the first aggregate. Headroom: 1e6·n² ≤ 1e38 holds
+    to n ~ 1e16 rows."""
+    cells = pairs.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    rows_m = cells.groupBy("label_a").agg(F.sum("n_ab").alias("row_n"))
+    cols_m = cells.groupBy("label_b").agg(F.sum("n_ab").alias("col_n"))
+    margin = rows_m.join(
+        cols_m, rows_m.label_a == cols_m.label_b, "inner"
+    ).select(
+        F.expr("CAST(row_n AS DECIMAL(38,0)) * col_n").alias("rowcol")
+    )
+    totals = cells.agg(
+        F.sum("n_ab").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN label_a = label_b THEN n_ab ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    sums = totals.crossJoin(
+        F.broadcast(
+            margin.agg(
+                F.coalesce(
+                    F.sum("rowcol"), F.lit(0).cast("decimal(38,0)")
+                ).alias("sum_rowcol")
+            )
+        )
+    )
+    num = "(CAST(n AS DECIMAL(38,0)) * n_agree - sum_rowcol)"
+    den = "(CAST(n AS DECIMAL(38,0)) * n - sum_rowcol)"
+    kappa_ppm = (
+        f"CASE WHEN {den} > 0 THEN"
+        f" CAST(SIGNUM({num}) AS BIGINT)"
+        f" * CAST(CAST(1000000 AS DECIMAL(38,0)) * ABS({num})"
+        f" DIV {den} AS BIGINT) END"
+    )
+    return sums.select(
+        "n",
+        "n_agree",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_agree DIV n AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum_rowcol"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(kappa_ppm).alias("kappa_ppm"),
+        F.expr(f"CAST({kappa_ppm} AS DOUBLE) / 1e6").alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(pairs_cte: str) -> str:
+    """DuckDB twin; `pairs_cte` must define `pairs(label_a, label_b)`."""
+    num = "(CAST(n AS HUGEINT) * n_agree - sum_rowcol)"
+    den = "(CAST(n AS HUGEINT) * n - sum_rowcol)"
+    kappa_ppm = (
+        f"CASE WHEN {den} > 0 THEN"
+        f" CAST(SIGN({num}) AS BIGINT)"
+        f" * CAST(CAST(1000000 AS HUGEINT) * ABS({num})"
+        f" // {den} AS BIGINT) END"
+    )
+    return f"""{pairs_cte},
+  cells AS (
+    SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM pairs GROUP BY label_a, label_b),
+  rows_m AS (SELECT label_a AS cls, CAST(SUM(n_ab) AS BIGINT) AS row_n
+             FROM cells GROUP BY label_a),
+  cols_m AS (SELECT label_b AS cls, CAST(SUM(n_ab) AS BIGINT) AS col_n
+             FROM cells GROUP BY label_b),
+  margin AS (
+    SELECT COALESCE(SUM(CAST(row_n AS HUGEINT) * col_n), 0) AS sum_rowcol
+    FROM rows_m JOIN cols_m USING (cls)),
+  totals AS (
+    SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label_a = label_b THEN n_ab ELSE 0 END)
+                AS BIGINT) AS n_agree
+    FROM cells)
+SELECT n, n_agree,
+       CAST(CAST(1000000 AS HUGEINT) * n_agree // n AS BIGINT) AS po_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * sum_rowcol
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+       {kappa_ppm} AS kappa_ppm,
+       CAST({kappa_ppm} AS DOUBLE) / 1e6 AS kappa
+FROM totals, margin"""

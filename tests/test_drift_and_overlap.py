@@ -486,3 +486,60 @@ def test_pr_summary_single_class(spark):
 
     r = mleval.pr_summary(_scored(spark, [(5, 0)] * 10)).collect()[0]
     assert r["ap_ppm"] is None
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "label_a string, label_b string")
+
+
+def test_kappa_perfect_and_chance(spark):
+    from azeroth_data_platform_spark.operators import mleval
+
+    # perfect agreement over 3 classes
+    rows = [(c, c) for c in "abc" for _ in range(10)]
+    r = mleval.cohens_kappa(_pairs(spark, rows)).collect()[0]
+    assert r["kappa_ppm"] == 1_000_000 and r["n_agree"] == 30
+    # independent labelings with identical uniform margins: po == pe
+    # exactly -> kappa == 0 (2x2 balanced grid)
+    rows = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 5
+    r = mleval.cohens_kappa(_pairs(spark, rows)).collect()[0]
+    assert r["kappa_ppm"] == 0 and r["po_ppm"] == r["pe_ppm"] == 500_000
+
+
+def test_kappa_negative_and_null(spark):
+    from azeroth_data_platform_spark.operators import mleval
+
+    # systematic disagreement -> kappa = -1 (truncation toward zero
+    # keeps the exact -1e6 since the rational is exactly -1)
+    rows = [("a", "b")] * 10 + [("b", "a")] * 10
+    r = mleval.cohens_kappa(_pairs(spark, rows)).collect()[0]
+    assert r["kappa_ppm"] == -1_000_000
+    # both sides constant -> pe = 1 -> NULL kappa
+    r = mleval.cohens_kappa(_pairs(spark, [("a", "a")] * 5)).collect()[0]
+    assert r["kappa_ppm"] is None and r["po_ppm"] == 1_000_000
+
+
+def test_kappa_matches_hand_formula(spark):
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [
+        ("a", "b" if (i * 7) % 5 == 0 else ("a" if i % 3 else "c"))
+        if i % 2
+        else ("b" if i % 5 else "c", "b")
+        for i in range(300)
+    ]
+    r = mleval.cohens_kappa(_pairs(spark, rows)).collect()[0]
+    from collections import Counter
+
+    cells = Counter(rows)
+    n = sum(cells.values())
+    diag = sum(v for (a, b), v in cells.items() if a == b)
+    rowm, colm = Counter(), Counter()
+    for (a, b), v in cells.items():
+        rowm[a] += v
+        colm[b] += v
+    rowcol = sum(rowm[c] * colm[c] for c in set(rowm) & set(colm))
+    num, den = n * diag - rowcol, n * n - rowcol
+    sign = -1 if num < 0 else 1
+    assert r["kappa_ppm"] == sign * (1_000_000 * abs(num) // den)
+    assert r["n"] == n and r["n_agree"] == diag
