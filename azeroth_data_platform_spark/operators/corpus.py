@@ -1770,6 +1770,89 @@ SELECT doc_id, source, shard,
 FROM sharded"""
 
 
+def shard_manifest(
+    documents: DataFrame, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Per-shard manifest of the :func:`global_shuffle` layout — the
+    sidecar a 100 TB export writes next to its shards so a trainer can
+    plan reads without listing data: per shard the doc count, char
+    volume, doc_id range, and two balance numbers in exact integer ppm
+    (docs_share_ppm: this shard's share of docs; chars_balance_ppm:
+    char volume vs the perfectly-even ideal, 1e6 == exactly even).
+
+    Uses the SAME seeded md5 shard key as global_shuffle (by contract —
+    the manifest must describe the layout that operator produced).
+
+    Scale shape: one map-combinable groupBy on shard (n_shards groups),
+    then a window over the n_shards-row aggregate. 128-bit staging keeps
+    the ppm numbers exact past 1e14 total chars × 1e6 × n_shards."""
+    instr_terms = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    keyed = documents.select(
+        "doc_id",
+        "n_chars",
+        F.expr(_shuffle_key_sql(duck=False)).alias("skey"),
+    ).withColumn("shard", F.expr(f"({instr_terms}) % {n_shards}"))
+    per = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    return (
+        per.withColumn("total_docs", F.sum("n_docs").over(wall))
+        .withColumn("total_chars", F.sum("n_chars").over(wall))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars",
+            "min_doc_id",
+            "max_doc_id",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_docs"
+                " DIV total_docs AS BIGINT)"
+            ).alias("docs_share_ppm"),
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * {n_shards}"
+                " * n_chars DIV total_chars AS BIGINT)"
+            ).alias("chars_balance_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    """DuckDB twin of :func:`shard_manifest`."""
+    strpos_terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""WITH keyed AS (
+    SELECT doc_id, n_chars, {_shuffle_key_sql(duck=True)} AS skey
+    FROM documents),
+  sharded AS (
+    SELECT doc_id, n_chars, ({strpos_terms}) % {n_shards} AS shard
+    FROM keyed),
+  per AS (
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard)
+SELECT shard, n_docs, n_chars, min_doc_id, max_doc_id,
+       CAST(CAST(1000000 AS HUGEINT) * n_docs
+            // (SUM(n_docs) OVER ()) AS BIGINT) AS docs_share_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * {n_shards} * n_chars
+            // (SUM(n_chars) OVER ()) AS BIGINT) AS chars_balance_ppm
+FROM per ORDER BY shard"""
+
+
 # --- sequence-length histogram ----------------------------------------------
 
 

@@ -108,3 +108,29 @@ def test_pmi_deterministic_across_partitionings(spark, sf_dir):
     a = sorted(map(tuple, textstats.pmi_collocations(docs.repartition(3)).collect()))
     b = sorted(map(tuple, textstats.pmi_collocations(docs.repartition(24)).collect()))
     assert a == b
+
+
+def test_shard_manifest_describes_global_shuffle_layout(spark, sf_dir):
+    """Manifest counts must equal a direct groupBy over global_shuffle's
+    shard assignment, shares must sum to ~1e6, and every doc is covered."""
+    from azeroth_data_platform_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    man = corpus.shard_manifest(docs).collect()
+    layout = {
+        r["shard"]: r["cnt"]
+        for r in corpus.global_shuffle(docs)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {r["shard"]: r["n_docs"] for r in man} == layout
+    n = docs.count()
+    assert sum(r["n_docs"] for r in man) == n
+    total_share = sum(r["docs_share_ppm"] for r in man)
+    assert 1_000_000 - len(man) <= total_share <= 1_000_000
+    for r in man:
+        assert r["min_doc_id"] <= r["max_doc_id"]
+        # seeded md5 sharding should be roughly even: each shard within
+        # 5x of ideal on the sf0.001 corpus (loose, deterministic)
+        assert 0 < r["chars_balance_ppm"] < 5_000_000
