@@ -1362,6 +1362,15 @@ def q_a13_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.cusum_changepoint(_silver(spark, sf_dir))
 
 
+def q_a15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier days per item — the robust twin of a3's
+    mean/sigma z-score, exact lower medians in integer price units
+    (operators/timeseries.py mad_outliers)."""
+    from .operators import timeseries
+
+    return timeseries.mad_outliers(_silver(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1558,14 +1567,15 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          x_cramers_v, x_psi_daily — the day-over-day PSI monitor with
 #          its streaming state twin — and the classifier-eval block
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
-#          ts_pr_summary_langid / x_cohens_kappa / tp_shard_manifest)
-#          insert at slots 16-29
+#          ts_pr_summary_langid / x_cohens_kappa / tp_shard_manifest /
+#          a15_mad_outliers) insert at slots 16-30
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
-#          tp_decontaminate (driver-green r1-r7) past the cap.
+#          tp_decontaminate / tp_train_sample (driver-green r1-r7)
+#          past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1617,7 +1627,8 @@ QUERIES: dict[str, QueryFn] = {
     "ts_pr_summary_langid": q_ts_pr_summary_langid,
     "x_cohens_kappa": q_x_cohens_kappa,
     "tp_shard_manifest": q_tp_shard_manifest,
-    # --- slots 30-35: shape-diverse canaries from the r4/5 promotion
+    "a15_mad_outliers": q_a15_mad_outliers,
+    # --- slots 31-36: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1626,8 +1637,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 36-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 14 tail rows of the old head — the
+    # --- slots 37-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 15 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1707,9 +1718,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 101, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 102, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_train_sample", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_clean_corpus", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1720,7 +1731,8 @@ assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
 assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
 assert list(QUERIES)[27] == "x_cohens_kappa", "slot-28 drifted"
 assert list(QUERIES)[28] == "tp_shard_manifest", "slot-29 drifted"
-assert list(QUERIES)[35] == "a1_daily_market_summary", "slot-36 drifted"
+assert list(QUERIES)[29] == "a15_mad_outliers", "slot-30 drifted"
+assert list(QUERIES)[36] == "a1_daily_market_summary", "slot-37 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2062,6 +2074,7 @@ ORACLES["x_cohens_kappa"] = mleval.cohens_kappa_sql(
     f" FROM ({textstats.LANGID_SQL}))"
 )
 ORACLES["tp_shard_manifest"] = corpus.shard_manifest_sql()
+ORACLES["a15_mad_outliers"] = _timeseries.mad_outliers_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

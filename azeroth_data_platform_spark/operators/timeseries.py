@@ -442,3 +442,125 @@ SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
        CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*) / 100.0 AS mae,
        CAST(SUM(err) AS DOUBLE) / COUNT(*) / 100.0 AS bias
 FROM scored GROUP BY item_id"""
+
+
+# --- MAD robust outliers ------------------------------------------------------
+
+MAD_K = 3  # flag |x - median| > K · MAD
+
+
+def mad_outliers(
+    silver: DataFrame, days: int = GAPFILL_WINDOW_DAYS, k: int = MAD_K
+) -> DataFrame:
+    """Median/MAD robust outlier days per item over the trailing daily
+    price series — the robust twin of a3's mean/σ z-score: a single
+    spike inflates σ and hides itself, but cannot move the median, so
+    MAD flags exactly the days a curation run should quarantine.
+
+    EXACT by construction: prices in integer units (int_units, 2
+    decimals), median = the LOWER median (element at rank (n+1) DIV 2 —
+    deterministic for even n, no averaging), MAD = lower median of
+    |x − med|, flag rule dev > k·MAD in pure BIGINT. A constant series
+    has MAD 0, so ANY deviation from the median flags — the right
+    degenerate behavior for a quarantine gate. dev_over_mad_ppm is the
+    exact-ppm robust score (NULL when MAD = 0; multiply by 1.4826e-6
+    for a σ-comparable scale).
+
+    Scale: one (item, day) map-combinable pre-aggregation, then all four
+    window passes ride ONE item_id exchange (two in-partition sorts:
+    by value, by deviation). State is bounded by the calendar span."""
+    daily = _window_anchor(_daily(silver), days)
+    w_item = Window.partitionBy("item_id")
+    st = (
+        daily.select(
+            "item_id",
+            "snapshot_date",
+            # BIGINT from stage 1: DuckDB's `//` on DECIMAL operands is
+            # executed as DOUBLE (ADVICE r7) — integer types keep both
+            # engines in exact integer division throughout
+            int_units("price").cast("bigint").alias("x"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("item_id").orderBy("x", "snapshot_date")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_item))
+        .withColumn(
+            "med",
+            F.max(F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN x END")).over(
+                w_item
+            ),
+        )
+        .withColumn("dev", F.abs(F.col("x") - F.col("med")))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("item_id").orderBy("dev", "snapshot_date")
+            ),
+        )
+        .withColumn(
+            "mad",
+            F.max(F.expr("CASE WHEN rn2 = (n + 1) DIV 2 THEN dev END")).over(
+                w_item
+            ),
+        )
+    )
+    return (
+        st.where(F.expr(f"dev > {k} * mad"))
+        .select(
+            "item_id",
+            "snapshot_date",
+            F.col("x").alias("price_units"),
+            F.col("med").alias("median_units"),
+            F.col("mad").alias("mad_units"),
+            F.col("dev").alias("dev_units"),
+            F.expr(
+                "CASE WHEN mad > 0 THEN"
+                " CAST(CAST(1000000 AS DECIMAL(38,0)) * dev DIV mad"
+                " AS BIGINT) END"
+            ).alias("dev_over_mad_ppm"),
+        )
+        .orderBy("item_id", "snapshot_date")
+    )
+
+
+def mad_outliers_sql(
+    silver_sql_cte: str, days: int = GAPFILL_WINDOW_DAYS, k: int = MAD_K
+) -> str:
+    """DuckDB twin of :func:`mad_outliers` (expects `silver` CTE)."""
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.item_id, d.snapshot_date,
+               CAST({int_units_sql('d.price')} AS BIGINT) AS x
+        FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  st AS (SELECT item_id, snapshot_date, x,
+                row_number() OVER (PARTITION BY item_id
+                                   ORDER BY x, snapshot_date) AS rn,
+                COUNT(*) OVER (PARTITION BY item_id) AS n
+         FROM w),
+  med AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                      OVER (PARTITION BY item_id) AS med
+          FROM st),
+  dv AS (SELECT *, ABS(x - med) AS dev,
+                row_number() OVER (PARTITION BY item_id
+                                   ORDER BY ABS(x - med), snapshot_date)
+                  AS rn2
+         FROM med),
+  md AS (SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                     OVER (PARTITION BY item_id) AS mad
+         FROM dv)
+SELECT item_id, snapshot_date,
+       CAST(x AS BIGINT) AS price_units,
+       CAST(med AS BIGINT) AS median_units,
+       CAST(mad AS BIGINT) AS mad_units,
+       CAST(dev AS BIGINT) AS dev_units,
+       CASE WHEN mad > 0 THEN
+         CAST(CAST(1000000 AS HUGEINT) * dev // mad AS BIGINT) END
+         AS dev_over_mad_ppm
+FROM md WHERE dev > {k} * mad
+ORDER BY item_id, snapshot_date"""

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from azeroth_data_platform_spark.operators import gold
 
 D = dt.date
@@ -133,3 +135,41 @@ def test_empty_input_yields_empty_gold(spark):
     assert gold.daily_market_summary(df).isEmpty()
     assert gold.rolling_zscore(df).isEmpty()
     assert gold.market_index(df).isEmpty()
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    """A flat series with one spike: the spike day (and only it) flags;
+    median/MAD are immune to the spike itself."""
+    from azeroth_data_platform_spark.operators import timeseries
+
+    rows = []
+    for d in range(1, 21):
+        price = 10.00 if d != 7 else 99.99
+        rows.append((1, f"2024-06-{d:02d}", price))
+        rows.append((2, f"2024-06-{d:02d}", 10.00 + (d % 3) * 0.01))
+    silver = spark.createDataFrame(
+        rows, "item_id int, snapshot_date string, unit_price double"
+    ).withColumn("snapshot_date", F.to_date("snapshot_date"))
+    out = timeseries.mad_outliers(silver).collect()
+    flagged = {(r["item_id"], str(r["snapshot_date"])) for r in out}
+    assert (1, "2024-06-07") in flagged
+    assert all(i != 1 or d == "2024-06-07" for i, d in flagged)
+    spike = [r for r in out if r["item_id"] == 1][0]
+    assert spike["median_units"] == 1000 and spike["mad_units"] == 0
+    assert spike["dev_units"] == 8999 and spike["dev_over_mad_ppm"] is None
+
+
+def test_mad_outliers_partition_invariant(spark):
+    """Same result under adversarial repartitioning (exact-integer rule)."""
+    from azeroth_data_platform_spark.operators import timeseries
+
+    rows = [
+        (i % 5, f"2024-06-{(i % 28) + 1:02d}", float((i * 37) % 100) + 0.5)
+        for i in range(300)
+    ]
+    silver = spark.createDataFrame(
+        rows, "item_id int, snapshot_date string, unit_price double"
+    ).withColumn("snapshot_date", F.to_date("snapshot_date"))
+    a = sorted(map(tuple, timeseries.mad_outliers(silver).collect()))
+    b = sorted(map(tuple, timeseries.mad_outliers(silver.repartition(7)).collect()))
+    assert a == b and len(a) > 0
