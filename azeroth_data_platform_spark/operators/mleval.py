@@ -45,6 +45,16 @@ def auc_exact(scored: DataFrame) -> DataFrame:
         F.sum("label").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("ct"),
     )
+    return auc_from_counts(counts)
+
+
+def auc_from_counts(counts: DataFrame) -> DataFrame:
+    """AUC read-off from the distinct-score count state: counts =
+    (score, c1 = positives at score, ct = rows at score). The state is a
+    commutative monoid (per-score sums), so it can be maintained
+    incrementally or by a stream (streaming/mleval.py) and folded before
+    this read-off — the result is bit-equal to :func:`auc_exact` on the
+    raw rows."""
     wcum = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

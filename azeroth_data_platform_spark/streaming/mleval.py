@@ -1,0 +1,55 @@
+"""Streaming classifier-monitor state: per-day distinct-score label
+counts as a Structured Streaming windowed aggregation.
+
+operators/mleval.py factors exact AUC into (distinct-score count state) +
+(rank-sum read-off) precisely so the state can be STREAM-MAINTAINED: the
+per-(day, score, label) count is a commutative monoid — exactly what a
+tumbling 1-day event-time window with a watermark materializes in append
+mode. A micro-batch ingest keeps the score/label histogram current; the
+AUC read-off (mleval.auc_from_counts after a fold across days) runs over
+the materialized state on whatever cadence the monitor wants — never
+re-scanning raw scored events. Day-sliced state also gives the monitor
+per-day AUC and day-over-day score drift for free (the PSI pattern,
+streaming/drift.py).
+
+State scale: one row per (day, distinct score, label) — for a ppm-scaled
+integer score that is value-domain-bounded, independent of event volume,
+and pruned by the watermark. Batch/stream bit-equality is pinned in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "2 days"
+
+
+def streaming_score_counts(scored: DataFrame) -> DataFrame:
+    """scored: streaming frame (ts TIMESTAMP, score BIGINT, label INT) →
+    (day, score, label, c) finalized daily count rows, append mode after
+    the watermark closes each day."""
+    return (
+        scored.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "score", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "score",
+            "label",
+            "c",
+        )
+    )
+
+
+def fold_score_counts(state: DataFrame) -> DataFrame:
+    """Fold the materialized (day, score, label, c) state across days to
+    the (score, c1, ct) frame mleval.auc_from_counts reads — one
+    value-domain-sized groupBy."""
+    return state.groupBy("score").agg(
+        F.sum(F.expr("CASE WHEN label = 1 THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum("c").cast("bigint").alias("ct"),
+    )

@@ -184,6 +184,13 @@ def main() -> int:
             "x_mannwhitney",
             "x_cramers_v",
             "x_psi_daily",
+            "ts_auc_langid",
+            "ts_lift_langid",
+            "ts_pr_curve_langid",
+            "ts_pr_summary_langid",
+            "x_cohens_kappa",
+            "tp_shard_manifest",
+            "a15_mad_outliers",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -305,6 +312,13 @@ def main() -> int:
             "x_psi_daily",
             "x_kmv_overlap",
             "x_spearman",
+            # classifier-eval + manifest + robust outliers: same
+            # distinct-value / bounded-group scaffolds — expect sublinear
+            # window cost over a linear scan
+            "ts_auc_langid",
+            "ts_pr_summary_langid",
+            "tp_shard_manifest",
+            "a15_mad_outliers",
         ]
         base = {**timings, **cold_timings, **extra_timings}
 

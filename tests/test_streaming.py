@@ -756,3 +756,57 @@ def test_streaming_histogram_matches_batch_drift_state(spark, tmp_path):
     }
     assert got, "watermark should have closed the January days"
     assert got == batch
+
+
+def test_streaming_auc_state_matches_batch(spark, tmp_path):
+    """Stream-materialized (day, score, label) counts, folded across days,
+    feed mleval.auc_from_counts to the BIT-identical AUC that auc_exact
+    computes on the raw rows — the monitor never re-scans scored events."""
+    from azeroth_data_platform_spark.operators import mleval
+    from azeroth_data_platform_spark.streaming.mleval import (
+        fold_score_counts,
+        streaming_score_counts,
+    )
+
+    schema = "ts timestamp, score long, label int"
+    rows = [
+        (
+            dt.datetime(2024, 3, 1 + i % 4, 5 + i % 15),
+            (i * 7) % 23,
+            1 if (i * 13) % 3 == 0 else 0,
+        )
+        for i in range(500)
+    ]
+    src = tmp_path / "scored"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src / "*")
+    )
+    q = (
+        streaming_score_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("auc_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        advancer = [(dt.datetime(2024, 4, 1), 0, 0)]
+        spark.createDataFrame(advancer, schema).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+        q.processAllAvailable()
+        state = spark.sql(
+            "SELECT * FROM auc_state WHERE day < DATE'2024-04-01'"
+        )
+        got = mleval.auc_from_counts(fold_score_counts(state)).collect()[0]
+    finally:
+        q.stop()
+
+    batch = mleval.auc_exact(
+        spark.createDataFrame(rows, schema).select("score", "label")
+    ).collect()[0]
+    assert got.asDict() == batch.asDict()
+    assert got["auc_ppm"] is not None
