@@ -462,3 +462,41 @@ def test_user_paths_topk_no_global_sort(spark, sf_dir):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_single_item_exchange(spark, sf_dir):
+    """a15_mad_outliers: both median passes and the flag filter ride ONE
+    item_id exchange after the daily pre-aggregation; the anchor is a
+    broadcast, never a cartesian."""
+    import re
+
+    df = harness.QUERIES["a15_mad_outliers"](spark, sf_dir)
+    plan = _plan(df)
+    # item-ONLY exchanges (the window host); the (item, day) groupBy
+    # exchange is a separate, expected map-combined aggregation
+    item_only = re.findall(r"Exchange hashpartitioning\(item_id#\d+L?, \d+\)", plan)
+    assert len(item_only) <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_classifier_eval_single_score_aggregate(spark, sf_dir):
+    """ts_auc_langid / ts_pr_summary_langid: ONE map-combinable groupBy
+    to distinct scores (partial_ before the exchange); everything after
+    is value-domain-sized."""
+    for q in ("ts_auc_langid", "ts_pr_summary_langid"):
+        df = harness.QUERIES[q](spark, sf_dir)
+        plan = _plan(df)
+        assert "partial_" in plan, q
+        assert plan.count("Exchange hashpartitioning(score") <= 1, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_shard_manifest_map_side_combine(spark, sf_dir):
+    """tp_shard_manifest: the per-shard aggregate partial-aggregates
+    before its single shard exchange; no row-sized window input."""
+    df = harness.QUERIES["tp_shard_manifest"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning(shard") <= 1
+    assert "CartesianProduct" not in plan
