@@ -1466,6 +1466,7 @@ def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tri = _ts._trigram_score_sql(_ts.TRIGRAM_PROFILES["en"], duck=False)
     return docs.where(F.length("text") > 0).select(
+        F.col("source"),
         F.expr(
             f"CAST(CAST(1000000 AS BIGINT) * ({tri}) DIV length(text) AS BIGINT)"
         ).alias("score"),
@@ -1479,7 +1480,8 @@ def _langid_scored_cte() -> str:
     tri = _ts._trigram_score_sql(_ts.TRIGRAM_PROFILES["en"], duck=True)
     return f"""
   WITH scored AS (
-    SELECT CAST(CAST(1000000 AS BIGINT) * ({tri}) // length(text) AS BIGINT)
+    SELECT source,
+           CAST(CAST(1000000 AS BIGINT) * ({tri}) // length(text) AS BIGINT)
              AS score,
            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
     FROM documents WHERE length(text) > 0)"""
@@ -1515,6 +1517,16 @@ def q_ts_pr_summary_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     average precision with per-term ppm truncation (deterministic lower
     bound within n_thresholds ppm) and the best-F1 operating point."""
     return mleval.pr_summary(_langid_scored(spark, sf_dir))
+
+
+def q_ts_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source slice AUC of the en-trigram scorer (operators/mleval.py
+    auc_by_group): the fully-partitioned form of the rank-sum scaffold —
+    the slice eval that catches a broken domain a global AUC hides."""
+    scored = _langid_scored(spark, sf_dir).select(
+        F.col("source").alias("grp"), "score", "label"
+    )
+    return mleval.auc_by_group(scored)
 
 
 def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,15 +1579,15 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          x_cramers_v, x_psi_daily — the day-over-day PSI monitor with
 #          its streaming state twin — and the classifier-eval block
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
-#          ts_pr_summary_langid / x_cohens_kappa / tp_shard_manifest /
-#          a15_mad_outliers) insert at slots 16-30
+#          ts_pr_summary_langid / ts_auc_by_source / x_cohens_kappa /
+#          tp_shard_manifest / a15_mad_outliers) insert at slots 16-31
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
-#          tp_decontaminate / tp_train_sample (driver-green r1-r7)
-#          past the cap.
+#          tp_decontaminate / tp_train_sample / tp_clean_corpus
+#          (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1625,10 +1637,11 @@ QUERIES: dict[str, QueryFn] = {
     "ts_lift_langid": q_ts_lift_langid,
     "ts_pr_curve_langid": q_ts_pr_curve_langid,
     "ts_pr_summary_langid": q_ts_pr_summary_langid,
+    "ts_auc_by_source": q_ts_auc_by_source,
     "x_cohens_kappa": q_x_cohens_kappa,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 31-36: shape-diverse canaries from the r4/5 promotion
+    # --- slots 32-37: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1637,8 +1650,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 37-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 15 tail rows of the old head — the
+    # --- slots 38-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 16 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1718,9 +1731,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 102, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 103, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_clean_corpus", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_embed_lsh", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1729,10 +1742,11 @@ assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
 assert list(QUERIES)[22] == "x_psi_daily", "slot-23 drifted"
 assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
 assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
-assert list(QUERIES)[27] == "x_cohens_kappa", "slot-28 drifted"
-assert list(QUERIES)[28] == "tp_shard_manifest", "slot-29 drifted"
-assert list(QUERIES)[29] == "a15_mad_outliers", "slot-30 drifted"
-assert list(QUERIES)[36] == "a1_daily_market_summary", "slot-37 drifted"
+assert list(QUERIES)[27] == "ts_auc_by_source", "slot-28 drifted"
+assert list(QUERIES)[28] == "x_cohens_kappa", "slot-29 drifted"
+assert list(QUERIES)[29] == "tp_shard_manifest", "slot-30 drifted"
+assert list(QUERIES)[30] == "a15_mad_outliers", "slot-31 drifted"
+assert list(QUERIES)[37] == "a1_daily_market_summary", "slot-38 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2069,6 +2083,10 @@ ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
 ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
 ORACLES["ts_pr_summary_langid"] = mleval.pr_summary_sql(_langid_scored_cte())
+ORACLES["ts_auc_by_source"] = mleval.auc_by_group_sql(
+    _langid_scored_cte().replace("WITH scored AS", "WITH scored0 AS")
+    + ",\n  scored AS (SELECT source AS grp, score, label FROM scored0)"
+)
 ORACLES["x_cohens_kappa"] = mleval.cohens_kappa_sql(
     "WITH pairs AS (SELECT lang AS label_a, lang_pred AS label_b"
     f" FROM ({textstats.LANGID_SQL}))"

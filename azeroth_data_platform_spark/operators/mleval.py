@@ -121,6 +121,86 @@ SELECT n_pos, n_neg, CAST({u2} AS BIGINT) AS u2,
 FROM sums"""
 
 
+def auc_by_group(scored: DataFrame) -> DataFrame:
+    """Per-slice exact AUC: scored = (grp STRING, score BIGINT, label
+    INT 0/1) → one row per grp (grp, n_pos, n_neg, auc_ppm, auc) — the
+    slice-wise eval (per domain / per language) a classifier gate runs
+    before trusting a global number that can hide a broken slice.
+
+    Same rank-sum identity as :func:`auc_exact`, but every window is
+    PARTITIONED on grp — the scaffold becomes embarrassingly parallel:
+    one map-combinable groupBy to (grp, distinct score), one partitioned
+    window, one grp groupBy. No unpartitioned window anywhere, so this
+    form scales to any number of slices at 100 TB (the global auc_exact
+    is the degenerate single-slice case and keeps its value-domain-sized
+    single-partition window by design)."""
+    counts = scored.groupBy("grp", "score").agg(
+        F.sum("label").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "grp",
+        "c1",
+        "ct",
+        (2 * F.sum("ct").over(wcum) - F.col("ct") + 1).alias("r2"),
+    )
+    sums = ranked.groupBy("grp").agg(
+        F.sum("c1").cast("bigint").alias("n_pos"),
+        F.sum(F.col("ct") - F.col("c1")).cast("bigint").alias("n_neg"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * r2")).alias("r2pos"),
+    )
+    u2 = "(r2pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+    auc_ppm = (
+        f"CAST(CAST(1000000 AS DECIMAL(38,0)) * {u2}"
+        f" DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"
+    )
+    guard = "n_pos > 0 AND n_neg > 0"
+    return sums.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        F.expr(f"CASE WHEN {guard} THEN {auc_ppm} END").alias("auc_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST({auc_ppm} AS DOUBLE) / 1e6 END"
+        ).alias("auc"),
+    ).orderBy("grp")
+
+
+def auc_by_group_sql(scored_cte: str) -> str:
+    """DuckDB twin; `scored_cte` must define `scored(grp, score, label)`."""
+    u2 = "(r2pos - CAST(n_pos AS HUGEINT) * (n_pos + 1))"
+    auc_ppm = (
+        f"CAST(CAST(1000000 AS HUGEINT) * {u2}"
+        f" // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT)"
+    )
+    guard = "n_pos > 0 AND n_neg > 0"
+    return f"""{scored_cte},
+  counts AS (
+    SELECT grp, score, CAST(SUM(label) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS ct
+    FROM scored GROUP BY grp, score),
+  ranked AS (
+    SELECT grp, c1, ct,
+           CAST(2 * SUM(ct) OVER (PARTITION BY grp ORDER BY score
+                                  ROWS UNBOUNDED PRECEDING)
+                - ct + 1 AS BIGINT) AS r2
+    FROM counts),
+  sums AS (
+    SELECT grp, CAST(SUM(c1) AS BIGINT) AS n_pos,
+           CAST(SUM(ct - c1) AS BIGINT) AS n_neg,
+           SUM(CAST(c1 AS HUGEINT) * r2) AS r2pos
+    FROM ranked GROUP BY grp)
+SELECT grp, n_pos, n_neg,
+       CASE WHEN {guard} THEN {auc_ppm} END AS auc_ppm,
+       CASE WHEN {guard} THEN CAST({auc_ppm} AS DOUBLE) / 1e6 END AS auc
+FROM sums ORDER BY grp"""
+
+
 N_DECILES = 10
 
 

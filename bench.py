@@ -188,6 +188,7 @@ def main() -> int:
             "ts_lift_langid",
             "ts_pr_curve_langid",
             "ts_pr_summary_langid",
+            "ts_auc_by_source",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",

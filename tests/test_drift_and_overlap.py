@@ -543,3 +543,21 @@ def test_kappa_matches_hand_formula(spark):
     sign = -1 if num < 0 else 1
     assert r["kappa_ppm"] == sign * (1_000_000 * abs(num) // den)
     assert r["n"] == n and r["n_agree"] == diag
+
+
+def test_auc_by_group_matches_per_group_auc_exact(spark):
+    """The partitioned scaffold must equal the global scaffold run on
+    each slice separately — same rank-sum, same truncation."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = [
+        (f"g{i % 3}", (i * 7) % 23, 1 if (i * 13) % 4 == 0 else 0)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "grp string, score long, label int")
+    got = {r["grp"]: r for r in mleval.auc_by_group(df).collect()}
+    assert set(got) == {"g0", "g1", "g2"}
+    for g in got:
+        solo = mleval.auc_exact(df.where(F.col("grp") == g).drop("grp")).collect()[0]
+        assert got[g]["auc_ppm"] == solo["auc_ppm"], g
+        assert got[g]["n_pos"] == solo["n_pos"] and got[g]["n_neg"] == solo["n_neg"]
