@@ -64,8 +64,10 @@ def auc_from_counts(counts: DataFrame) -> DataFrame:
         (2 * F.sum("ct").over(wcum) - F.col("ct") + 1).alias("r2"),
     )
     sums = ranked.agg(
-        F.sum("c1").cast("bigint").alias("n_pos"),
-        F.sum(F.col("ct") - F.col("c1")).cast("bigint").alias("n_neg"),
+        F.coalesce(F.sum("c1").cast("bigint"), F.lit(0)).alias("n_pos"),
+        F.coalesce(
+            F.sum(F.col("ct") - F.col("c1")).cast("bigint"), F.lit(0)
+        ).alias("n_neg"),
         F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * r2")).alias("r2pos"),
     )
     u2 = "(r2pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
@@ -109,8 +111,8 @@ def auc_exact_sql(scored_cte: str) -> str:
                 - ct + 1 AS BIGINT) AS r2
     FROM counts),
   sums AS (
-    SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
-           CAST(SUM(ct - c1) AS BIGINT) AS n_neg,
+    SELECT COALESCE(CAST(SUM(c1) AS BIGINT), 0) AS n_pos,
+           COALESCE(CAST(SUM(ct - c1) AS BIGINT), 0) AS n_neg,
            SUM(CAST(c1 AS HUGEINT) * r2) AS r2pos
     FROM ranked)
 SELECT n_pos, n_neg, CAST({u2} AS BIGINT) AS u2,

@@ -561,3 +561,23 @@ def test_auc_by_group_matches_per_group_auc_exact(spark):
         solo = mleval.auc_exact(df.where(F.col("grp") == g).drop("grp")).collect()[0]
         assert got[g]["auc_ppm"] == solo["auc_ppm"], g
         assert got[g]["n_pos"] == solo["n_pos"] and got[g]["n_neg"] == solo["n_neg"]
+
+
+def test_eval_ops_on_empty_and_degenerate_input(spark):
+    """Empty scored frame: every eval op returns a well-typed result
+    (aggregates one NULL-ish row, curves zero rows) — no analysis error,
+    no division blow-up. Single-distinct-score frame: PR curve is one
+    row with recall 1."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    empty = spark.createDataFrame([], "score long, label int")
+    r = mleval.auc_exact(empty).collect()[0]
+    assert r["auc_ppm"] is None and r["n_pos"] == 0
+    assert mleval.pr_curve(empty).collect() == []
+    s = mleval.pr_summary(empty).collect()[0]
+    assert s["n_thresholds"] == 0 and s["best_f1_ppm"] is None
+    assert mleval.decile_lift(empty).collect() == []
+    one = _scored(spark, [(42, 1)] * 3 + [(42, 0)] * 2)
+    curve = mleval.pr_curve(one).collect()
+    assert len(curve) == 1 and curve[0]["recall_ppm"] == 1_000_000
+    assert curve[0]["tp"] == 3 and curve[0]["fp"] == 2
