@@ -715,3 +715,123 @@ SELECT n, n_rows, n_cols, CAST(phi2_q15 AS BIGINT) AS phi2_q15,
        CAST(phi2_q15 AS DOUBLE) / 1e15 * CAST(n AS DOUBLE) AS chi2,
        {v} AS cramers_v
 FROM summed"""
+
+
+# --- winsorized statistics ----------------------------------------------------
+
+WINSOR_LO_PCT = 1  # clip below the exact discrete p01
+WINSOR_HI_PCT = 99  # and above the exact discrete p99
+
+
+def winsorized_stats(events: DataFrame) -> DataFrame:
+    """Per event_type winsorized profile of `value`: EXACT discrete
+    p01/p99 (the smallest value whose cumulative count reaches
+    ceil(q·n/100) — percentile_disc semantics, no interpolation), clip
+    counts on each side, and the winsorized mean as an exact integer
+    quantization (1e4·Σclamp DIV n, value in cents → mean_q4 is
+    cent·1e-4 units). The outlier clamp every stats/training stage runs
+    before trusting a mean — and because the quantiles are DISCRETE
+    ranks over integer units, the whole report is engine- and
+    partitioning-identical (no double percentile interpolation).
+
+    Scale shape: one map-combinable groupBy to (type, distinct cents),
+    one per-type window over the distinct-value frame (value-domain-
+    sized, NOT row-sized), a type-domain quantile read-off broadcast
+    back, one final groupBy. Headroom: 1e4·Σclamp in DECIMAL(38,0) to
+    ~1e34 cent-rows."""
+    from ..functions.numerics import int_units
+
+    counts = events.select(
+        "event_type", int_units("value").cast("bigint").alias("xu")
+    ).groupBy("event_type", "xu").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wtyp = Window.partitionBy("event_type")
+    wcum = wtyp.orderBy("xu").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = counts.select(
+        "event_type",
+        "xu",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtyp).alias("n"),
+    )
+    lo = f"(n * {WINSOR_LO_PCT} + 99) DIV 100"
+    hi = f"(n * {WINSOR_HI_PCT} + 99) DIV 100"
+    qs = staged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min(F.expr(f"CASE WHEN cum >= {lo} THEN xu END")).alias("p01_units"),
+        F.min(F.expr(f"CASE WHEN cum >= {hi} THEN xu END")).alias("p99_units"),
+    )
+    joined = counts.join(F.broadcast(qs), "event_type")
+    clamp = "LEAST(GREATEST(xu, p01_units), p99_units)"
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.max("p01_units").alias("p01_units"),
+            F.max("p99_units").alias("p99_units"),
+            F.sum(F.expr("CASE WHEN xu < p01_units THEN c ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.expr("CASE WHEN xu > p99_units THEN c ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.sum(F.expr(f"CAST({clamp} AS DECIMAL(38,0)) * c")).alias("_s"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_distinct",
+            "p01_units",
+            "p99_units",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * _s DIV n AS BIGINT)"
+            ).alias("winsorized_mean_q4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def winsorized_stats_sql(xu_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`winsorized_stats`."""
+    from ..functions.numerics import int_units_sql
+
+    xu = xu_sql or int_units_sql("value")
+    lo = f"(n * {WINSOR_LO_PCT} + 99) // 100"
+    hi = f"(n * {WINSOR_HI_PCT} + 99) // 100"
+    return f"""
+  WITH counts AS (
+    SELECT event_type, CAST({xu} AS BIGINT) AS xu,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+  staged AS (
+    SELECT event_type, xu, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY xu
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM counts),
+  qs AS (
+    SELECT event_type, MAX(n) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MIN(CASE WHEN cum >= {lo} THEN xu END) AS p01_units,
+           MIN(CASE WHEN cum >= {hi} THEN xu END) AS p99_units
+    FROM staged GROUP BY event_type)
+SELECT c.event_type, MAX(q.n) AS n, MAX(q.n_distinct) AS n_distinct,
+       MAX(q.p01_units) AS p01_units, MAX(q.p99_units) AS p99_units,
+       CAST(SUM(CASE WHEN c.xu < q.p01_units THEN c.c ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN c.xu > q.p99_units THEN c.c ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(CAST(10000 AS HUGEINT)
+            * SUM(CAST(LEAST(GREATEST(c.xu, q.p01_units), q.p99_units)
+                       AS HUGEINT) * c.c)
+            // MAX(q.n) AS BIGINT) AS winsorized_mean_q4
+FROM counts c JOIN qs q USING (event_type)
+GROUP BY c.event_type
+ORDER BY c.event_type"""

@@ -189,6 +189,7 @@ def main() -> int:
             "ts_pr_curve_langid",
             "ts_pr_summary_langid",
             "ts_auc_by_source",
+            "x_winsorized_stats",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",

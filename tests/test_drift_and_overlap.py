@@ -581,3 +581,32 @@ def test_eval_ops_on_empty_and_degenerate_input(spark):
     curve = mleval.pr_curve(one).collect()
     assert len(curve) == 1 and curve[0]["recall_ppm"] == 1_000_000
     assert curve[0]["tp"] == 3 and curve[0]["fp"] == 2
+
+
+def test_winsorized_stats_hand_check(spark):
+    """100 values 1..100 cents in one type: exact discrete p01=1, p99=99,
+    one row clipped high, winsorized mean checks by hand."""
+    from azeroth_data_platform_spark.operators import profiling
+
+    rows = [("a", float(i) / 100.0) for i in range(1, 101)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = profiling.winsorized_stats(ev).collect()[0]
+    assert r["n"] == 100 and r["n_distinct"] == 100
+    # lo rank = ceil(100/100) = 1 -> value 1; hi rank = ceil(99) = 99
+    assert r["p01_units"] == 1 and r["p99_units"] == 99
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    # clamped sum = (1+..+99) + 99 = 4950 + 99 = 5049
+    assert r["winsorized_mean_q4"] == 10000 * 5049 // 100
+
+
+def test_winsorized_stats_clips_planted_outlier(spark):
+    """A 1e6-cent spike in a 10-cent-ish series must not move the
+    winsorized mean by more than the clamp allows."""
+    from azeroth_data_platform_spark.operators import profiling
+
+    rows = [("a", 0.10)] * 199 + [("a", 10000.0)]
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    r = profiling.winsorized_stats(ev).collect()[0]
+    assert r["p99_units"] == 10  # the spike is past the p99 rank
+    assert r["n_clipped_high"] == 1
+    assert r["winsorized_mean_q4"] == 10000 * (10 * 200) // 200  # = 1e5
