@@ -87,6 +87,17 @@ FUZZ_QUERIES = [
     # cohorts
     "w_user_paths",
     "x_abtest_welch",
+    # round 8 (cont.): classifier-eval on tie-heavy scores, manifest and
+    # MAD/winsorize on gap days, floor ties, and planted spikes
+    "ts_auc_langid",
+    "ts_lift_langid",
+    "ts_pr_curve_langid",
+    "ts_pr_summary_langid",
+    "ts_auc_by_source",
+    "x_cohens_kappa",
+    "tp_shard_manifest",
+    "a15_mad_outliers",
+    "x_winsorized_stats",
 ]
 
 VOCAB = (
