@@ -1539,6 +1539,16 @@ def q_x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.winsorized_stats(_events_ts(spark, sf_dir))
 
 
+def q_x_selfjoin_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-self-join cardinality pre-check on the hot key: Σc²
+    from the count table alone (operators/profiling.py selfjoin_density)
+    — the number a dedup verify join reads before trusting sample-SF
+    linearity."""
+    from .operators import profiling
+
+    return profiling.selfjoin_density(_silver(spark, sf_dir))
+
+
 def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class Cohen's kappa of the language-ID prediction against
     the gold lang label (operators/mleval.py cohens_kappa) — the
@@ -1590,15 +1600,15 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          its streaming state twin — and the classifier-eval block
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
 #          ts_pr_summary_langid / ts_auc_by_source / x_winsorized_stats /
-#          x_cohens_kappa / tp_shard_manifest / a15_mad_outliers)
-#          insert at slots 16-32
+#          x_selfjoin_density / x_cohens_kappa / tp_shard_manifest /
+#          a15_mad_outliers) insert at slots 16-33
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
 #          tp_decontaminate / tp_train_sample / tp_clean_corpus /
-#          dd_embed_lsh (driver-green r1-r7) past the cap.
+#          dd_embed_lsh / dd_semantic (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1650,10 +1660,11 @@ QUERIES: dict[str, QueryFn] = {
     "ts_pr_summary_langid": q_ts_pr_summary_langid,
     "ts_auc_by_source": q_ts_auc_by_source,
     "x_winsorized_stats": q_x_winsorized_stats,
+    "x_selfjoin_density": q_x_selfjoin_density,
     "x_cohens_kappa": q_x_cohens_kappa,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 33-38: shape-diverse canaries from the r4/5 promotion
+    # --- slots 34-39: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1662,8 +1673,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 39-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 17 tail rows of the old head — the
+    # --- slots 40-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 18 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1743,9 +1754,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 104, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 105, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_semantic", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_keep_best", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1756,10 +1767,11 @@ assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
 assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
 assert list(QUERIES)[27] == "ts_auc_by_source", "slot-28 drifted"
 assert list(QUERIES)[28] == "x_winsorized_stats", "slot-29 drifted"
-assert list(QUERIES)[29] == "x_cohens_kappa", "slot-30 drifted"
-assert list(QUERIES)[30] == "tp_shard_manifest", "slot-31 drifted"
-assert list(QUERIES)[31] == "a15_mad_outliers", "slot-32 drifted"
-assert list(QUERIES)[38] == "a1_daily_market_summary", "slot-39 drifted"
+assert list(QUERIES)[29] == "x_selfjoin_density", "slot-30 drifted"
+assert list(QUERIES)[30] == "x_cohens_kappa", "slot-31 drifted"
+assert list(QUERIES)[31] == "tp_shard_manifest", "slot-32 drifted"
+assert list(QUERIES)[32] == "a15_mad_outliers", "slot-33 drifted"
+assert list(QUERIES)[39] == "a1_daily_market_summary", "slot-40 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2107,6 +2119,7 @@ ORACLES["x_cohens_kappa"] = mleval.cohens_kappa_sql(
 ORACLES["tp_shard_manifest"] = corpus.shard_manifest_sql()
 ORACLES["a15_mad_outliers"] = _timeseries.mad_outliers_sql(_W_SILVER)
 ORACLES["x_winsorized_stats"] = profiling.winsorized_stats_sql()
+ORACLES["x_selfjoin_density"] = profiling.selfjoin_density_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

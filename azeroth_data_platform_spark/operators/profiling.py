@@ -835,3 +835,81 @@ SELECT c.event_type, MAX(q.n) AS n, MAX(q.n_distinct) AS n_distinct,
 FROM counts c JOIN qs q USING (event_type)
 GROUP BY c.event_type
 ORDER BY c.event_type"""
+
+
+# --- self-join density probe ---------------------------------------------------
+
+DENSITY_TOP_K = 10
+
+
+def selfjoin_density(silver: DataFrame, k: int = DENSITY_TOP_K) -> DataFrame:
+    """EXACT equi-self-join cardinality on the hot key BEFORE running the
+    join: a key with c rows contributes c² output pairs (c·(c−1)/2
+    unordered distinct pairs), so the pre-flight number every dedup
+    verify join / similarity bucket join needs is Σc² — computed from
+    the count table alone, never by joining. The 100 TB failure this
+    catches: a verify join that looks linear at sample SF but whose Σc²
+    is 1000× n at production skew.
+
+    Output per top-k key (by pair mass): n_rows, pairs (= c·(c−1)/2,
+    exact BIGINT), pair_share_ppm of the total pair mass, plus the same
+    total per key carried on every row (total_pairs, expansion_q4 =
+    1e4·Σc² DIV n — output rows per input row if you self-join,
+    in 1e-4 units). One map-combinable groupBy + a broadcast scalar +
+    TakeOrderedAndProject. Headroom: Σc² ≤ 1e38 via 128-bit staging
+    (c ≤ 1e19-row keys)."""
+    counts = silver.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_c2"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1) DIV 2")
+        ).alias("total_pairs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "item_id",
+            F.col("c").alias("n_rows"),
+            F.expr("CAST(CAST(c AS DECIMAL(38,0)) * (c - 1) DIV 2 AS BIGINT)").alias(
+                "pairs"
+            ),
+            F.expr(
+                "CASE WHEN total_pairs > 0 THEN"
+                " CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(c AS DECIMAL(38,0)) * (c - 1) DIV 2)"
+                " DIV total_pairs AS BIGINT) END"
+            ).alias("pair_share_ppm"),
+            F.expr("CAST(total_pairs AS BIGINT)").alias("total_pairs"),
+            F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0)) * sum_c2 DIV n AS BIGINT)"
+            ).alias("expansion_q4"),
+        )
+        .orderBy(F.col("pairs").desc(), F.col("item_id").asc())
+        .limit(k)
+    )
+
+
+def selfjoin_density_sql(silver_sql_cte: str, k: int = DENSITY_TOP_K) -> str:
+    """DuckDB twin of :func:`selfjoin_density`."""
+    return f"""{silver_sql_cte},
+  counts AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS c
+             FROM silver GROUP BY item_id),
+  totals AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           SUM(CAST(c AS HUGEINT) * c) AS sum_c2,
+           SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS total_pairs
+    FROM counts)
+SELECT item_id, c AS n_rows,
+       CAST(CAST(c AS HUGEINT) * (c - 1) // 2 AS BIGINT) AS pairs,
+       CASE WHEN total_pairs > 0 THEN
+         CAST(CAST(1000000 AS HUGEINT)
+              * (CAST(c AS HUGEINT) * (c - 1) // 2)
+              // total_pairs AS BIGINT) END AS pair_share_ppm,
+       CAST(total_pairs AS BIGINT) AS total_pairs,
+       CAST(CAST(10000 AS HUGEINT) * sum_c2 // n AS BIGINT) AS expansion_q4
+FROM counts, totals
+ORDER BY pairs DESC, item_id ASC
+LIMIT {k}"""

@@ -190,6 +190,7 @@ def main() -> int:
             "ts_pr_summary_langid",
             "ts_auc_by_source",
             "x_winsorized_stats",
+            "x_selfjoin_density",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",

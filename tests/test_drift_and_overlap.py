@@ -610,3 +610,23 @@ def test_winsorized_stats_clips_planted_outlier(spark):
     assert r["p99_units"] == 10  # the spike is past the p99 rank
     assert r["n_clipped_high"] == 1
     assert r["winsorized_mean_q4"] == 10000 * (10 * 200) // 200  # = 1e5
+
+
+def test_selfjoin_density_hand_check(spark):
+    """Counts {a:4, b:2, c:1}: pairs 6/1/0, total 7, Σc² = 21,
+    expansion = 21/7 = 3.0."""
+    from azeroth_data_platform_spark.operators import profiling
+
+    rows = (
+        [(1, "2024-06-01", 1.0)] * 4
+        + [(2, "2024-06-01", 1.0)] * 2
+        + [(3, "2024-06-01", 1.0)]
+    )
+    silver = spark.createDataFrame(
+        rows, "item_id int, snapshot_date string, unit_price double"
+    )
+    out = {r["item_id"]: r for r in profiling.selfjoin_density(silver).collect()}
+    assert out[1]["pairs"] == 6 and out[2]["pairs"] == 1 and out[3]["pairs"] == 0
+    assert out[1]["total_pairs"] == 7
+    assert out[1]["pair_share_ppm"] == 1_000_000 * 6 // 7
+    assert out[1]["expansion_q4"] == 10000 * 21 // 7  # 3.0 in q4
