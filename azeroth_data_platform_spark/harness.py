@@ -1549,6 +1549,16 @@ def q_x_selfjoin_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.selfjoin_density(_silver(spark, sf_dir))
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the LSH index vs brute-force truth, exact
+    ppm (operators/similarity.py recall_report) — the index eval as an
+    operator, cost bounded by the query sample."""
+    embs = _embs(spark, sf_dir)
+    return similarity.recall_report(
+        embs, embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    )
+
+
 def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class Cohen's kappa of the language-ID prediction against
     the gold lang label (operators/mleval.py cohens_kappa) — the
@@ -1600,15 +1610,16 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          its streaming state twin — and the classifier-eval block
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
 #          ts_pr_summary_langid / ts_auc_by_source / x_winsorized_stats /
-#          x_selfjoin_density / x_cohens_kappa / tp_shard_manifest /
-#          a15_mad_outliers) insert at slots 16-33
+#          x_selfjoin_density / ann_recall_report / x_cohens_kappa /
+#          tp_shard_manifest / a15_mad_outliers) insert at slots 16-34
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
 #          tp_decontaminate / tp_train_sample / tp_clean_corpus /
-#          dd_embed_lsh / dd_semantic (driver-green r1-r7) past the cap.
+#          dd_embed_lsh / dd_semantic / tp_keep_best (driver-green
+#          r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1661,10 +1672,11 @@ QUERIES: dict[str, QueryFn] = {
     "ts_auc_by_source": q_ts_auc_by_source,
     "x_winsorized_stats": q_x_winsorized_stats,
     "x_selfjoin_density": q_x_selfjoin_density,
+    "ann_recall_report": q_ann_recall_report,
     "x_cohens_kappa": q_x_cohens_kappa,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 34-39: shape-diverse canaries from the r4/5 promotion
+    # --- slots 35-40: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1673,8 +1685,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 40-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 18 tail rows of the old head — the
+    # --- slots 41-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 19 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1754,9 +1766,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 105, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 106, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_keep_best", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_simhash_banded", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1768,10 +1780,11 @@ assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
 assert list(QUERIES)[27] == "ts_auc_by_source", "slot-28 drifted"
 assert list(QUERIES)[28] == "x_winsorized_stats", "slot-29 drifted"
 assert list(QUERIES)[29] == "x_selfjoin_density", "slot-30 drifted"
-assert list(QUERIES)[30] == "x_cohens_kappa", "slot-31 drifted"
-assert list(QUERIES)[31] == "tp_shard_manifest", "slot-32 drifted"
-assert list(QUERIES)[32] == "a15_mad_outliers", "slot-33 drifted"
-assert list(QUERIES)[39] == "a1_daily_market_summary", "slot-40 drifted"
+assert list(QUERIES)[30] == "ann_recall_report", "slot-31 drifted"
+assert list(QUERIES)[31] == "x_cohens_kappa", "slot-32 drifted"
+assert list(QUERIES)[32] == "tp_shard_manifest", "slot-33 drifted"
+assert list(QUERIES)[33] == "a15_mad_outliers", "slot-34 drifted"
+assert list(QUERIES)[40] == "a1_daily_market_summary", "slot-41 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2120,6 +2133,7 @@ ORACLES["tp_shard_manifest"] = corpus.shard_manifest_sql()
 ORACLES["a15_mad_outliers"] = _timeseries.mad_outliers_sql(_W_SILVER)
 ORACLES["x_winsorized_stats"] = profiling.winsorized_stats_sql()
 ORACLES["x_selfjoin_density"] = profiling.selfjoin_density_sql(_W_SILVER)
+ORACLES["ann_recall_report"] = similarity.recall_report_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

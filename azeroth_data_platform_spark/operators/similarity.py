@@ -1535,3 +1535,59 @@ def filtered_lsh_topk_sql(
                                  ORDER BY cosine DESC, c_vec_id ASC) AS rank
     FROM scored)
   SELECT q_vec_id, c_vec_id, cosine, rank FROM ranked WHERE rank <= {k}"""
+
+
+# --- recall report -------------------------------------------------------------
+
+
+def recall_report(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Per-query recall@k of the LSH index against brute-force truth —
+    the eval an ANN index ships with, AS AN OPERATOR: (q_vec_id, k_eff,
+    n_matched, recall_ppm), recall in exact integer ppm of the truth
+    list size (k_eff ≤ k on small corpora). Both sides are this module's
+    own oracled top-k operators, so the report is engine-identical by
+    construction; the join is a (q,c)-key equi-join over two k·|Q|-row
+    frames — eval cost is bounded by the query SAMPLE size, never the
+    corpus (run it on the |Q| queries you can afford brute force for).
+    """
+    truth = brute_force_topk(embeddings, queries, k).select(
+        "q_vec_id", "c_vec_id"
+    )
+    approx = lsh_bucketed_topk(embeddings, queries, k).select(
+        "q_vec_id", "c_vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(approx, ["q_vec_id", "c_vec_id"], "left")
+        .groupBy("q_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+            F.count("_hit").cast("bigint").alias("n_matched"),
+        )
+        .select(
+            "q_vec_id",
+            "k_eff",
+            "n_matched",
+            F.expr("CAST(1000000 * n_matched DIV k_eff AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("q_vec_id")
+    )
+
+
+def recall_report_sql(k: int = TOP_K) -> str:
+    """DuckDB twin of :func:`recall_report` (CTE bodies carry their own
+    WITH clauses — standard subquery scoping)."""
+    return f"""
+  WITH truth AS ({BRUTE_FORCE_TOPK_SQL}),
+  approx AS ({lsh_bucketed_topk_sql()})
+SELECT t.q_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS k_eff,
+       CAST(COUNT(a.c_vec_id) AS BIGINT) AS n_matched,
+       CAST(1000000 * COUNT(a.c_vec_id) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN approx a ON t.q_vec_id = a.q_vec_id AND t.c_vec_id = a.c_vec_id
+GROUP BY t.q_vec_id
+ORDER BY t.q_vec_id"""

@@ -191,6 +191,7 @@ def main() -> int:
             "ts_auc_by_source",
             "x_winsorized_stats",
             "x_selfjoin_density",
+            "ann_recall_report",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",

@@ -415,3 +415,26 @@ def test_embed_lsh_auto_candidates_grow_linearly_not_quadratically(spark):
     assert auto_growth < 8, (counts, auto_growth)
     # and the auto geometry actually saves work at the larger size
     assert counts[2048]["auto"] < counts[2048]["fixed"] / 2, counts
+
+
+def test_recall_report_consistent_with_direct_overlap(spark, sf_dir):
+    """The operator's per-query recall must equal the overlap computed
+    directly from the two top-k frames it wraps."""
+    from azeroth_data_platform_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.where(F.col("vec_id") < similarity.N_QUERIES)
+    rep = {r["q_vec_id"]: r for r in similarity.recall_report(embs, qs).collect()}
+    truth = similarity.brute_force_topk(embs, qs).collect()
+    approx = similarity.lsh_bucketed_topk(embs, qs).collect()
+    t, a = {}, set()
+    for r in truth:
+        t.setdefault(r["q_vec_id"], set()).add(r["c_vec_id"])
+    for r in approx:
+        a.add((r["q_vec_id"], r["c_vec_id"]))
+    assert set(rep) == set(t)
+    for q, ts in t.items():
+        matched = sum(1 for c in ts if (q, c) in a)
+        assert rep[q]["n_matched"] == matched, q
+        assert rep[q]["k_eff"] == len(ts)
+        assert rep[q]["recall_ppm"] == 1_000_000 * matched // len(ts)
