@@ -1559,15 +1559,26 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir)).select(
+        F.col("lang").alias("label_a"), F.col("lang_pred").alias("label_b")
+    )
+
+
 def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-class Cohen's kappa of the language-ID prediction against
     the gold lang label (operators/mleval.py cohens_kappa) — the
     chance-corrected agreement number a labeling pipeline reports
     alongside raw accuracy."""
-    pairs = textstats.language_id(_docs(spark, sf_dir)).select(
-        F.col("lang").alias("label_a"), F.col("lang_pred").alias("label_b")
-    )
-    return mleval.cohens_kappa(pairs)
+    return mleval.cohens_kappa(_langid_pairs(spark, sf_dir))
+
+
+def q_ts_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 (+macro F1) of the language-ID
+    prediction over the union of gold and predicted label sets
+    (operators/mleval.py multiclass_prf) — the per-class table next to
+    the kappa scalar and the confusion matrix."""
+    return mleval.multiclass_prf(_langid_pairs(spark, sf_dir))
 
 
 def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,15 +1622,16 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
 #          ts_pr_summary_langid / ts_auc_by_source / x_winsorized_stats /
 #          x_selfjoin_density / ann_recall_report / x_cohens_kappa /
-#          tp_shard_manifest / a15_mad_outliers) insert at slots 16-34
+#          ts_langid_prf / tp_shard_manifest / a15_mad_outliers) insert
+#          at slots 16-35
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
 #          tp_decontaminate / tp_train_sample / tp_clean_corpus /
-#          dd_embed_lsh / dd_semantic / tp_keep_best (driver-green
-#          r1-r7) past the cap.
+#          dd_embed_lsh / dd_semantic / tp_keep_best / dd_simhash_banded
+#          (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1674,9 +1686,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_selfjoin_density": q_x_selfjoin_density,
     "ann_recall_report": q_ann_recall_report,
     "x_cohens_kappa": q_x_cohens_kappa,
+    "ts_langid_prf": q_ts_langid_prf,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 35-40: shape-diverse canaries from the r4/5 promotion
+    # --- slots 36-41: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1685,8 +1698,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 41-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 19 tail rows of the old head — the
+    # --- slots 42-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 20 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1766,9 +1779,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 106, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 107, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_simhash_banded", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_minhash_lsh", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1782,9 +1795,10 @@ assert list(QUERIES)[28] == "x_winsorized_stats", "slot-29 drifted"
 assert list(QUERIES)[29] == "x_selfjoin_density", "slot-30 drifted"
 assert list(QUERIES)[30] == "ann_recall_report", "slot-31 drifted"
 assert list(QUERIES)[31] == "x_cohens_kappa", "slot-32 drifted"
-assert list(QUERIES)[32] == "tp_shard_manifest", "slot-33 drifted"
-assert list(QUERIES)[33] == "a15_mad_outliers", "slot-34 drifted"
-assert list(QUERIES)[40] == "a1_daily_market_summary", "slot-41 drifted"
+assert list(QUERIES)[32] == "ts_langid_prf", "slot-33 drifted"
+assert list(QUERIES)[33] == "tp_shard_manifest", "slot-34 drifted"
+assert list(QUERIES)[34] == "a15_mad_outliers", "slot-35 drifted"
+assert list(QUERIES)[41] == "a1_daily_market_summary", "slot-42 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2134,6 +2148,10 @@ ORACLES["a15_mad_outliers"] = _timeseries.mad_outliers_sql(_W_SILVER)
 ORACLES["x_winsorized_stats"] = profiling.winsorized_stats_sql()
 ORACLES["x_selfjoin_density"] = profiling.selfjoin_density_sql(_W_SILVER)
 ORACLES["ann_recall_report"] = similarity.recall_report_sql()
+ORACLES["ts_langid_prf"] = mleval.multiclass_prf_sql(
+    "WITH pairs AS (SELECT lang AS label_a, lang_pred AS label_b"
+    f" FROM ({textstats.LANGID_SQL}))"
+)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -457,6 +457,105 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_thresholds,
 FROM scoredrows"""
 
 
+def multiclass_prf(pairs: DataFrame) -> DataFrame:
+    """pairs: (label_a STRING gold, label_b STRING predicted) → one row
+    per class over the UNION of gold and predicted label sets:
+    (cls, n_true, n_pred, tp, precision_ppm, recall_ppm, f1_ppm,
+    macro_f1_ppm) — the per-class eval table next to the kappa scalar.
+    All exact integer ppm; precision NULL when the class is never
+    predicted, recall NULL when it never occurs in gold (the honest
+    NULLs — sklearn's zero_division warning as a type). f1 uses the
+    margin identity 2·tp/(n_true+n_pred), defined for every class in the
+    union. macro_f1_ppm = Σf1 DIV n_classes (absent-side classes
+    contribute their true f1 of 0) carried on every row.
+
+    Scale shape: one map-combinable groupBy to the |A|×|B| cells, margin
+    groupBys + a full outer join over class-domain-sized frames, a
+    window over the class table. Nothing row-sized past the first
+    aggregate."""
+    cells = pairs.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    gold = cells.groupBy(F.col("label_a").alias("cls")).agg(
+        F.sum("n_ab").cast("bigint").alias("n_true")
+    )
+    pred = cells.groupBy(F.col("label_b").alias("cls")).agg(
+        F.sum("n_ab").cast("bigint").alias("n_pred")
+    )
+    diag = cells.where(F.col("label_a") == F.col("label_b")).select(
+        F.col("label_a").alias("cls"), F.col("n_ab").alias("tp")
+    )
+    per = (
+        gold.join(pred, "cls", "full_outer")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .select(
+            "cls",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN"
+                " CAST(1000000 * tp DIV n_pred AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN n_true > 0 THEN"
+                " CAST(1000000 * tp DIV n_true AS BIGINT) END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(1000000 * 2 * tp DIV (n_true + n_pred) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+    )
+    return (
+        per.withColumn(
+            "macro_f1_ppm",
+            F.expr(
+                "CAST(SUM(f1_ppm) OVER () DIV COUNT(1) OVER () AS BIGINT)"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+def multiclass_prf_sql(pairs_cte: str) -> str:
+    """DuckDB twin; `pairs_cte` must define `pairs(label_a, label_b)`."""
+    return f"""{pairs_cte},
+  cells AS (
+    SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+    FROM pairs GROUP BY label_a, label_b),
+  gold AS (SELECT label_a AS cls, CAST(SUM(n_ab) AS BIGINT) AS n_true
+           FROM cells GROUP BY label_a),
+  pred AS (SELECT label_b AS cls, CAST(SUM(n_ab) AS BIGINT) AS n_pred
+           FROM cells GROUP BY label_b),
+  diag AS (SELECT label_a AS cls, n_ab AS tp FROM cells
+           WHERE label_a = label_b),
+  per AS (
+    SELECT COALESCE(g.cls, p.cls) AS cls,
+           COALESCE(g.n_true, 0) AS n_true,
+           COALESCE(p.n_pred, 0) AS n_pred,
+           CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp
+    FROM gold g
+    FULL OUTER JOIN pred p ON g.cls = p.cls
+    LEFT JOIN diag d ON COALESCE(g.cls, p.cls) = d.cls),
+  scored AS (
+    SELECT cls, n_true, n_pred, tp,
+           CASE WHEN n_pred > 0 THEN
+             CAST(1000000 * tp // n_pred AS BIGINT) END AS precision_ppm,
+           CASE WHEN n_true > 0 THEN
+             CAST(1000000 * tp // n_true AS BIGINT) END AS recall_ppm,
+           CAST(1000000 * 2 * tp // (n_true + n_pred) AS BIGINT) AS f1_ppm
+    FROM per)
+SELECT *, CAST(SUM(f1_ppm) OVER () // COUNT(*) OVER () AS BIGINT)
+            AS macro_f1_ppm
+FROM scored ORDER BY cls"""
+
+
 def cohens_kappa(pairs: DataFrame) -> DataFrame:
     """pairs: (label_a STRING, label_b STRING) — two labelings of the
     same rows (e.g. gold lang vs predicted lang) → single row

@@ -192,6 +192,7 @@ def main() -> int:
             "x_winsorized_stats",
             "x_selfjoin_density",
             "ann_recall_report",
+            "ts_langid_prf",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",

@@ -630,3 +630,30 @@ def test_selfjoin_density_hand_check(spark):
     assert out[1]["total_pairs"] == 7
     assert out[1]["pair_share_ppm"] == 1_000_000 * 6 // 7
     assert out[1]["expansion_q4"] == 10000 * 21 // 7  # 3.0 in q4
+
+
+def test_multiclass_prf_hand_check(spark):
+    """3-class case with an absent-in-gold prediction and an
+    absent-in-pred gold class: margins, NULLs, and macro F1 by hand."""
+    from azeroth_data_platform_spark.operators import mleval
+
+    rows = (
+        [("a", "a")] * 6 + [("a", "b")] * 2
+        + [("b", "b")] * 3 + [("b", "d")] * 1
+        + [("c", "a")] * 2  # gold class c never predicted
+    )  # predicted class d never in gold
+    out = {r["cls"]: r for r in mleval.multiclass_prf(_pairs(spark, rows)).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    a = out["a"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (8, 8, 6)
+    assert a["precision_ppm"] == a["recall_ppm"] == 750_000
+    assert a["f1_ppm"] == 1_000_000 * 12 // 16
+    c = out["c"]
+    assert c["n_pred"] == 0 and c["precision_ppm"] is None
+    assert c["recall_ppm"] == 0 and c["f1_ppm"] == 0
+    d = out["d"]
+    assert d["n_true"] == 0 and d["recall_ppm"] is None and d["f1_ppm"] == 0
+    b = out["b"]
+    assert b["f1_ppm"] == 1_000_000 * 6 // 9
+    macro = (a["f1_ppm"] + b["f1_ppm"] + 0 + 0) // 4
+    assert all(r["macro_f1_ppm"] == macro for r in out.values())
