@@ -1573,6 +1573,21 @@ def q_x_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mleval.cohens_kappa(_langid_pairs(spark, sf_dir))
 
 
+def q_ts_auc_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-baseline AUC: word count as the score against the en label —
+    the number every trained classifier must beat, and the scaffold's
+    tie-heavy stress (hundreds of docs per distinct length; midranks
+    carry the whole statistic). Same rank-sum operator as ts_auc_langid."""
+    from .operators import textstats as _ts
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.where(F.length("text") > 0).select(
+        F.size(_ts._words("text")).cast("bigint").alias("score"),
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
+    )
+    return mleval.auc_exact(scored)
+
+
 def q_ts_langid_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 (+macro F1) of the language-ID
     prediction over the union of gold and predicted label sets
@@ -1622,16 +1637,16 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
 #          ts_pr_summary_langid / ts_auc_by_source / x_winsorized_stats /
 #          x_selfjoin_density / ann_recall_report / x_cohens_kappa /
-#          ts_langid_prf / tp_shard_manifest / a15_mad_outliers) insert
-#          at slots 16-35
+#          ts_langid_prf / ts_auc_doclen / tp_shard_manifest /
+#          a15_mad_outliers) insert at slots 16-36
 #          at authoring time, displacing ann_topk_bruteforce /
 #          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
 #          tp_quality_prune / ts_language_id / ts_fingerprint /
 #          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
 #          tp_pack_contents / ts_repetition / tp_pack_sequences /
 #          tp_decontaminate / tp_train_sample / tp_clean_corpus /
-#          dd_embed_lsh / dd_semantic / tp_keep_best / dd_simhash_banded
-#          (driver-green r1-r7) past the cap.
+#          dd_embed_lsh / dd_semantic / tp_keep_best / dd_simhash_banded /
+#          dd_minhash_lsh (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1687,9 +1702,10 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall_report": q_ann_recall_report,
     "x_cohens_kappa": q_x_cohens_kappa,
     "ts_langid_prf": q_ts_langid_prf,
+    "ts_auc_doclen": q_ts_auc_doclen,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 36-41: shape-diverse canaries from the r4/5 promotion
+    # --- slots 37-42: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1698,8 +1714,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 42-50: the heavier operator families keep their rows
-    # (the r8 insertions push the 20 tail rows of the old head — the
+    # --- slots 43-50: the heavier operator families keep their rows
+    # (the r8 insertions push the 21 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
     # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
@@ -1779,9 +1795,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 107, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 108, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_minhash_lsh", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_exact", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1796,9 +1812,10 @@ assert list(QUERIES)[29] == "x_selfjoin_density", "slot-30 drifted"
 assert list(QUERIES)[30] == "ann_recall_report", "slot-31 drifted"
 assert list(QUERIES)[31] == "x_cohens_kappa", "slot-32 drifted"
 assert list(QUERIES)[32] == "ts_langid_prf", "slot-33 drifted"
-assert list(QUERIES)[33] == "tp_shard_manifest", "slot-34 drifted"
-assert list(QUERIES)[34] == "a15_mad_outliers", "slot-35 drifted"
-assert list(QUERIES)[41] == "a1_daily_market_summary", "slot-42 drifted"
+assert list(QUERIES)[33] == "ts_auc_doclen", "slot-34 drifted"
+assert list(QUERIES)[34] == "tp_shard_manifest", "slot-35 drifted"
+assert list(QUERIES)[35] == "a15_mad_outliers", "slot-36 drifted"
+assert list(QUERIES)[42] == "a1_daily_market_summary", "slot-43 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2148,6 +2165,14 @@ ORACLES["a15_mad_outliers"] = _timeseries.mad_outliers_sql(_W_SILVER)
 ORACLES["x_winsorized_stats"] = profiling.winsorized_stats_sql()
 ORACLES["x_selfjoin_density"] = profiling.selfjoin_density_sql(_W_SILVER)
 ORACLES["ann_recall_report"] = similarity.recall_report_sql()
+ORACLES["ts_auc_doclen"] = mleval.auc_exact_sql(
+    """
+  WITH scored AS (
+    SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS BIGINT) AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents WHERE length(text) > 0)"""
+)
 ORACLES["ts_langid_prf"] = mleval.multiclass_prf_sql(
     "WITH pairs AS (SELECT lang AS label_a, lang_pred AS label_b"
     f" FROM ({textstats.LANGID_SQL}))"

@@ -193,6 +193,7 @@ def main() -> int:
             "x_selfjoin_density",
             "ann_recall_report",
             "ts_langid_prf",
+            "ts_auc_doclen",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
