@@ -500,3 +500,24 @@ def test_shard_manifest_map_side_combine(spark, sf_dir):
     assert "partial_" in plan
     assert plan.count("Exchange hashpartitioning(shard") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_selfjoin_density_never_joins_rows(spark, sf_dir):
+    """x_selfjoin_density computes pair mass from the count table alone:
+    partial aggregation before one exchange, top-k via
+    TakeOrderedAndProject, and — the point of the operator — NO
+    row-level self-join anywhere in the plan."""
+    df = harness.QUERIES["x_selfjoin_density"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_recall_report_joins_stay_keyed(spark, sf_dir):
+    """ann_recall_report: the truth/approx overlap is a keyed equi-join
+    (never a cartesian); both top-k branches broadcast the query side."""
+    df = harness.QUERIES["ann_recall_report"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
