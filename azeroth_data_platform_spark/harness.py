@@ -1371,6 +1371,32 @@ def q_a15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.mad_outliers(_silver(spark, sf_dir))
 
 
+def q_w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: purchases credited to the latest preceding
+    non-purchase event within 7 days, per-channel conversions / users /
+    revenue / exact-ppm share (operators/windows.py
+    last_touch_attribution)."""
+    return windows.last_touch_attribution(_events_ts(spark, sf_dir))
+
+
+def q_a16_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 ACF of each item's trailing daily price series, exact to
+    1e-6 via 128-bit integer cross-multiplication (operators/
+    timeseries.py autocorrelation)."""
+    from .operators import timeseries
+
+    return timeseries.autocorrelation(_silver(spark, sf_dir))
+
+
+def q_x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report over (item_id, snapshot_date):
+    per-shard row volume, key rectangles, and curve ranges — the
+    OPTIMIZE ZORDER planning table (operators/layout.py zorder_layout)."""
+    from .operators import layout
+
+    return layout.zorder_layout(_silver(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1647,6 +1673,10 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          tp_decontaminate / tp_train_sample / tp_clean_corpus /
 #          dd_embed_lsh / dd_semantic / tp_keep_best / dd_simhash_banded /
 #          dd_minhash_lsh (driver-green r1-r7) past the cap.
+#   r8 (3rd session): w_attribution / a16_autocorrelation /
+#          x_zorder_layout insert at slots 37-39 at authoring time,
+#          displacing x_multiway_star_join / x_price_iqr_outliers /
+#          dd_exact (driver-green r1-r7) past the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1705,7 +1735,14 @@ QUERIES: dict[str, QueryFn] = {
     "ts_auc_doclen": q_ts_auc_doclen,
     "tp_shard_manifest": q_tp_shard_manifest,
     "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 37-42: shape-diverse canaries from the r4/5 promotion
+    # --- slots 37-39: the round-8 third-session additions (attribution,
+    # ACF, z-order layout) — same authoring-time head placement; they
+    # push x_multiway_star_join / x_price_iqr_outliers / dd_exact (all
+    # driver-green r1-r7) past the 50-slot cap ---
+    "w_attribution": q_w_attribution,
+    "a16_autocorrelation": q_a16_autocorrelation,
+    "x_zorder_layout": q_x_zorder_layout,
+    # --- slots 40-45: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1714,7 +1751,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 43-50: the heavier operator families keep their rows
+    # --- slots 46-50: the heavier operator families keep their rows
     # (the r8 insertions push the 21 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
@@ -1795,9 +1832,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 108, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 111, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_exact", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "x_range_join", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1815,7 +1852,9 @@ assert list(QUERIES)[32] == "ts_langid_prf", "slot-33 drifted"
 assert list(QUERIES)[33] == "ts_auc_doclen", "slot-34 drifted"
 assert list(QUERIES)[34] == "tp_shard_manifest", "slot-35 drifted"
 assert list(QUERIES)[35] == "a15_mad_outliers", "slot-36 drifted"
-assert list(QUERIES)[42] == "a1_daily_market_summary", "slot-43 drifted"
+assert list(QUERIES)[36] == "w_attribution", "slot-37 drifted"
+assert list(QUERIES)[38] == "x_zorder_layout", "slot-39 drifted"
+assert list(QUERIES)[45] == "a1_daily_market_summary", "slot-46 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2177,6 +2216,12 @@ ORACLES["ts_langid_prf"] = mleval.multiclass_prf_sql(
     "WITH pairs AS (SELECT lang AS label_a, lang_pred AS label_b"
     f" FROM ({textstats.LANGID_SQL}))"
 )
+
+ORACLES["w_attribution"] = windows.last_touch_attribution_sql()
+ORACLES["a16_autocorrelation"] = _timeseries.autocorrelation_sql(_W_SILVER)
+from .operators import layout as _layout  # noqa: E402
+
+ORACLES["x_zorder_layout"] = _layout.zorder_layout_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -564,3 +564,156 @@ SELECT item_id, snapshot_date,
          AS dev_over_mad_ppm
 FROM md WHERE dev > {k} * mad
 ORDER BY item_id, snapshot_date"""
+
+
+# --- autocorrelation (exact-ppm ACF) ------------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def autocorrelation(
+    silver: DataFrame, days: int = GAPFILL_WINDOW_DAYS, max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Lag-1..`max_lag` autocorrelation of each item's trailing daily price
+    series — the "is yesterday informative about today" diagnostic that
+    decides whether a forecast (a14) or a smoother (a11) is even worth
+    running, and the standard residual check after either.
+
+    Definition: the textbook sample ACF r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)²
+    with μ over the FULL window and the numerator over the n−k observed
+    row-lag pairs (gaps are skipped, not imputed — compose with
+    gapfill_forward when calendar-lag semantics are wanted).
+
+    EXACT in integer arithmetic: with x in int_units and S = Σx, multiply
+    through by n² so every term is an integer —
+        num_k = n²·Σx_t·x_{t+k} − n·S·(Σ'x_t + Σ'x_{t+k}) + (n−k)·S²
+        den   = n²·Σx² − n·S²
+    (Σ' over the pair range). acf_ppm is the exact rational 1e6·num/den
+    truncated toward zero via |num| DIV den with the sign reapplied —
+    Spark DIV truncates toward zero but DuckDB // floors, so the sign
+    split keeps the engines identical on anticorrelated series.
+    Headroom: n ≤ 10⁴ days and x ≤ 10⁸ units put 1e6·|num| ≤ ~1e34,
+    inside DECIMAL(38,0) (Spark) and HUGEINT (DuckDB).
+
+    Scale: one (item, day) map-combinable pre-aggregation, then the lead
+    windows AND the per-item aggregate ride ONE item_id exchange (the
+    groupBy key equals the window partition key, so the hash partitioning
+    is reused). State per item is bounded by the calendar span."""
+    daily = _window_anchor(_daily(silver), days)
+    w = Window.partitionBy("item_id").orderBy("snapshot_date")
+    base = daily.select(
+        "item_id",
+        "snapshot_date",
+        int_units("price").cast("bigint").alias("x"),
+    )
+    for k in range(1, max_lag + 1):
+        base = base.withColumn(f"x{k}", F.lead("x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+    ]
+    for k in range(1, max_lag + 1):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x").cast("decimal(38,0)") * xk.cast("decimal(38,0)")).alias(
+                f"p{k}"
+            ),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).cast("bigint").alias(f"sa{k}"),
+            F.sum(xk).cast("bigint").alias(f"sb{k}"),
+            F.count(xk).cast("bigint").alias(f"c{k}"),
+        ]
+    g = base.groupBy("item_id").agg(*aggs)
+    g = g.withColumn(
+        "den",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n * sxx - CAST(n AS DECIMAL(38,0)) * s * s"
+        ),
+    )
+    for k in range(1, max_lag + 1):
+        g = g.withColumn(
+            f"num{k}",
+            F.expr(
+                f"CAST(n AS DECIMAL(38,0)) * n * p{k}"
+                f" - CAST(n AS DECIMAL(38,0)) * s"
+                f"   * (CAST(sa{k} AS DECIMAL(38,0)) + sb{k})"
+                f" + CAST(c{k} AS DECIMAL(38,0)) * s * s"
+            ),
+        )
+    stack_args = ", ".join(f"{k}, num{k}, c{k}" for k in range(1, max_lag + 1))
+    return (
+        g.select(
+            "item_id",
+            F.col("n").alias("n_days"),
+            "den",
+            F.expr(f"stack({max_lag}, {stack_args}) AS (lag, num, n_pairs)"),
+        )
+        .where((F.col("n_pairs") >= 2) & (F.col("den") > 0))
+        .select(
+            "item_id",
+            F.col("lag").cast("int").alias("lag"),
+            "n_days",
+            "n_pairs",
+            F.expr(
+                "CASE WHEN num >= 0 THEN"
+                " CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV den AS BIGINT)"
+                " ELSE -CAST(CAST(1000000 AS DECIMAL(38,0)) * (-num) DIV den"
+                " AS BIGINT) END"
+            ).alias("acf_ppm"),
+        )
+        .orderBy("item_id", "lag")
+    )
+
+
+def autocorrelation_sql(
+    silver_sql_cte: str, days: int = GAPFILL_WINDOW_DAYS, max_lag: int = ACF_MAX_LAG
+) -> str:
+    """DuckDB twin of :func:`autocorrelation` (expects `silver` CTE)."""
+    lag_aggs = ",\n               ".join(
+        f"SUM(CAST(x AS HUGEINT) * x{k}) AS p{k},"
+        f" SUM(CASE WHEN x{k} IS NOT NULL THEN x END) AS sa{k},"
+        f" SUM(x{k}) AS sb{k}, COUNT(x{k}) AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    leads = ", ".join(
+        f"lead(x, {k}) OVER (PARTITION BY item_id ORDER BY snapshot_date) AS x{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ",\n             ".join(
+        f"CAST(n AS HUGEINT) * n * p{k}"
+        f" - CAST(n AS HUGEINT) * s * (CAST(sa{k} AS HUGEINT) + sb{k})"
+        f" + CAST(c{k} AS HUGEINT) * s * s AS num{k}"
+        for k in range(1, max_lag + 1)
+    )
+    per_lag = "\n  UNION ALL\n".join(
+        f"""  SELECT item_id, CAST({k} AS INT) AS lag, n_days, c{k} AS n_pairs,
+         CASE WHEN num{k} >= 0
+              THEN CAST(CAST(1000000 AS HUGEINT) * num{k} // den AS BIGINT)
+              ELSE -CAST(CAST(1000000 AS HUGEINT) * (-num{k}) // den AS BIGINT)
+         END AS acf_ppm
+  FROM nums WHERE c{k} >= 2 AND den > 0"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""{silver_sql_cte},
+  daily AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+            FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.item_id, d.snapshot_date,
+               CAST({int_units_sql('d.price')} AS BIGINT) AS x
+        FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  led AS (SELECT item_id, snapshot_date, x, {leads} FROM w),
+  agg AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               {lag_aggs}
+        FROM led GROUP BY item_id),
+  nums AS (SELECT item_id, n AS n_days,
+             {", ".join(f"c{k}" for k in range(1, max_lag + 1))},
+             CAST(n AS HUGEINT) * n * sxx - CAST(n AS HUGEINT) * s * s AS den,
+             {nums}
+      FROM agg)
+{per_lag}
+ORDER BY item_id, lag"""

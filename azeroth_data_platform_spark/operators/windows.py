@@ -717,3 +717,146 @@ SELECT a.event_type, n_a, n_b,
        AS DECIMAL(18,12)) AS DOUBLE)) > {ABTEST_T_CRIT} AS significant
 FROM a JOIN b ON a.event_type = b.event_type
 WHERE n_a >= 2 AND n_b >= 2"""
+
+
+# --- last-touch attribution ---------------------------------------------------
+
+ATTRIBUTION_LOOKBACK_DAYS = 7
+CONVERSION_EVENT = "purchase"
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> DataFrame:
+    """Last-touch attribution: every `conversion` event is credited to the
+    LATEST preceding non-conversion event of the same user within a
+    `lookback_days` window ("which touch drove the purchase"), or to the
+    synthetic 'direct' channel when no touch qualifies. Output is the
+    per-channel report: conversion count, distinct converting users,
+    attributed revenue, and each channel's exact-ppm share of
+    conversions.
+
+    The attribution pass is ONE user_id window exchange: two
+    IGNORE-NULLS `last` frames (touch type + touch microsecond) over the
+    repo's (ts, event_id) total order, frame UNBOUNDED PRECEDING..1
+    PRECEDING so a purchase can never attribute to itself or to a later
+    event, and ties at the same microsecond resolve by event_id in both
+    engines. The channel report is a map-combinable groupBy over at most
+    |event_type| + 1 keys.
+
+    Exactness: revenue accumulates as int_units (2-decimal integers) in
+    BIGINT — the final /100.0 is one exact int→double conversion (sums
+    < 2^53) plus one correctly-rounded division. share_ppm is the exact
+    rational 1e6·n/total truncated via integer DIV (DECIMAL(38,0) in
+    Spark, HUGEINT in the DuckDB twin) — all operands non-negative, so
+    Spark's truncate-toward-zero and DuckDB's floor agree.
+
+    Scale (100 TB): the window state per user is O(1) (two running
+    lasts); the exact COUNT(DISTINCT user_id) adds the usual two-phase
+    distinct exchange on (channel, user) — swap for the HLL sketch
+    (sketches.py) when converting-user cardinality makes exact counting
+    the bottleneck. The grand total is a partition-less window over the
+    channel aggregate (tiny by then), so the events scan and the
+    attribution window run exactly ONCE — a crossJoin against a separate
+    total aggregate would re-execute the whole pipeline for the second
+    DAG reference. Streaming twin: the two `last` frames are exactly the
+    applyInPandasWithState "latest touch per user" state shape."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != conversion
+    touch = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    touch_us = F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True).over(w)
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    conv = (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            int_units("value").cast("bigint").alias("xu"),
+            touch.alias("_touch"),
+            touch_us.alias("_touch_us"),
+        )
+        .where(F.col("event_type") == conversion)
+        .select(
+            "user_id",
+            "xu",
+            F.when(
+                F.col("_touch_us").isNotNull()
+                & (F.unix_micros("ts") - F.col("_touch_us") <= lookback_us),
+                F.col("_touch"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+    )
+    per = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("xu").cast("bigint").alias("_sxu"),
+    )
+    # grand total as a partition-less window over the <=|channels|-row
+    # aggregate — one single-partition exchange of a tiny frame, instead
+    # of a crossJoin against a re-computed aggregate subtree (Spark does
+    # not share the scan+window pipeline between two DAG references)
+    return (
+        per.withColumn(
+            "_tot", F.sum("n_conversions").over(Window.partitionBy())
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            "n_users",
+            (F.col("_sxu").cast("double") / F.lit(100.0)).alias("attributed_value"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_conversions DIV _tot"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def last_touch_attribution_sql(
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> str:
+    """DuckDB twin of :func:`last_touch_attribution` (reads `events`)."""
+    from ..functions.numerics import int_units_sql
+
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    return f"""
+  WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     event_type, value FROM events),
+  t AS (
+    SELECT user_id, event_type, ts, value,
+           last_value(CASE WHEN event_type <> '{conversion}'
+                           THEN event_type END IGNORE NULLS) OVER w AS touch,
+           last_value(CASE WHEN event_type <> '{conversion}'
+                           THEN epoch_us(ts) END IGNORE NULLS) OVER w AS touch_us
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+  conv AS (
+    SELECT user_id,
+           CASE WHEN touch_us IS NOT NULL
+                 AND epoch_us(ts) - touch_us <= {lookback_us}
+                THEN touch ELSE 'direct' END AS channel,
+           CAST({int_units_sql("value")} AS BIGINT) AS xu
+    FROM t WHERE event_type = '{conversion}'),
+  per AS (
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(xu) AS BIGINT) AS sxu
+    FROM conv GROUP BY channel),
+  tot AS (SELECT *, SUM(n_conversions) OVER () AS tot FROM per)
+SELECT channel, n_conversions, n_users,
+       CAST(sxu AS DOUBLE) / 100.0 AS attributed_value,
+       CAST(CAST(1000000 AS HUGEINT) * n_conversions // tot AS BIGINT)
+         AS share_ppm
+FROM tot ORDER BY channel"""

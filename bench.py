@@ -197,6 +197,9 @@ def main() -> int:
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
+            "w_attribution",
+            "a16_autocorrelation",
+            "x_zorder_layout",
         )
         if q in harness.ALL_QUERIES
     ]

@@ -98,6 +98,11 @@ FUZZ_QUERIES = [
     "tp_shard_manifest",
     "a15_mad_outliers",
     "x_winsorized_stats",
+    # round 8 (3rd session): attribution on tie/boundary timestamps, ACF
+    # on gap days and constant series, z-order on wide key ranges
+    "w_attribution",
+    "a16_autocorrelation",
+    "x_zorder_layout",
 ]
 
 VOCAB = (

@@ -1,0 +1,257 @@
+"""Unit/property tests for the round-8 third-session operators:
+last-touch attribution (windows.py), exact-ppm autocorrelation
+(timeseries.py), and the z-order layout report (layout.py) — each checked
+against a pure-Python reference on inputs the fixed corpus cannot
+produce (same-microsecond ties, lookback boundaries, anticorrelated
+series, single-pair lags), plus the plan shapes we rely on at scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from azeroth_data_platform_spark import harness
+from azeroth_data_platform_spark.operators import layout, timeseries, windows
+
+D0 = dt.date(1992, 1, 1)
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- last-touch attribution ---------------------------------------------------
+
+
+def _ev(eid, uid, ts, etype, value=10.0):
+    return (eid, uid, ts, etype, float(value))
+
+
+EV_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def test_attribution_semantics(spark):
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    rows = [
+        # user 1: view -> purchase (attributes to view)
+        _ev(1, 1, T0, "view"),
+        _ev(2, 1, T0 + h, "purchase", 5.0),
+        # user 2: purchase with no prior event at all -> direct
+        _ev(3, 2, T0, "purchase", 7.0),
+        # user 3: click 8 days before purchase -> outside lookback -> direct
+        _ev(4, 3, T0, "click"),
+        _ev(5, 3, T0 + 8 * d, "purchase", 1.0),
+        # user 4: click then purchase then ANOTHER purchase 1h later —
+        # both attribute to the click (a purchase is never a touch)
+        _ev(6, 4, T0, "click"),
+        _ev(7, 4, T0 + h, "purchase", 2.0),
+        _ev(8, 4, T0 + 2 * h, "purchase", 3.0),
+        # user 5: same-microsecond view(9) and click(10) — event_id
+        # breaks the tie, so the later event_id (click) is the last touch
+        _ev(9, 5, T0, "view"),
+        _ev(10, 5, T0, "click"),
+        _ev(11, 5, T0 + h, "purchase", 4.0),
+        # user 6: touch exactly AT the lookback boundary still attributes
+        _ev(12, 6, T0, "signup"),
+        _ev(13, 6, T0 + 7 * d, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        r["channel"]: r
+        for r in windows.last_touch_attribution(df).collect()
+    }
+    assert set(out) == {"view", "direct", "click", "signup"}
+    assert out["view"]["n_conversions"] == 1
+    assert out["view"]["attributed_value"] == 5.0
+    assert out["direct"]["n_conversions"] == 2
+    assert out["direct"]["attributed_value"] == 8.0
+    assert out["direct"]["n_users"] == 2
+    assert out["click"]["n_conversions"] == 3  # users 4 (2x) and 5
+    assert out["click"]["n_users"] == 2
+    assert out["click"]["attributed_value"] == 9.0
+    assert out["signup"]["n_conversions"] == 1
+    # exact-ppm shares over 7 total conversions (truncated rationals)
+    assert out["view"]["share_ppm"] == 1_000_000 * 1 // 7
+    assert out["click"]["share_ppm"] == 1_000_000 * 3 // 7
+    assert out["direct"]["share_ppm"] == 1_000_000 * 2 // 7
+
+
+def test_attribution_plan_single_user_exchange(spark, sf_dir):
+    """ONE user_id exchange hosts both IGNORE-NULLS frames, the events
+    parquet is scanned exactly once (the grand total is a window over
+    the channel aggregate, not a second aggregate subtree), and no join
+    appears anywhere."""
+    import re
+
+    df = harness.QUERIES["w_attribution"](spark, sf_dir)
+    plan = _plan(df)
+    user_ex = re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(user_ex) <= 1
+    assert plan.count("events.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+# --- autocorrelation ----------------------------------------------------------
+
+
+def _ref_acf(prices_by_item, max_lag=3):
+    """Pure-Python ACF in exact integer arithmetic (prices in cents,
+    ordered by date), mirroring the operator's truncation contract."""
+    expected = {}
+    for item, series in prices_by_item.items():
+        xs = [x for _, x in sorted(series)]
+        n = len(xs)
+        s = sum(xs)
+        den = n * n * sum(x * x for x in xs) - n * s * s
+        for k in range(1, max_lag + 1):
+            pairs = list(zip(xs, xs[k:]))
+            c = len(pairs)
+            if c < 2 or den <= 0:
+                continue
+            p = sum(a * b for a, b in pairs)
+            sa = sum(a for a, _ in pairs)
+            sb = sum(b for _, b in pairs)
+            num = n * n * p - n * s * (sa + sb) + c * s * s
+            ppm = (
+                1_000_000 * num // den
+                if num >= 0
+                else -((1_000_000 * -num) // den)
+            )
+            expected[(item, k)] = (n, c, ppm)
+    return expected
+
+
+acf_series = st.dictionaries(
+    st.integers(1, 3),  # item ids
+    st.lists(
+        st.tuples(st.integers(0, 59), st.integers(1, 10_000)),  # (day, cents)
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(acf_series)
+def test_acf_matches_reference(spark, by_item):
+    rows = [
+        (item, D0 + dt.timedelta(days=day), cents / 100.0, 1)
+        for item, series in by_item.items()
+        for day, cents in series
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {
+        (r["item_id"], r["lag"]): (r["n_days"], r["n_pairs"], r["acf_ppm"])
+        for r in timeseries.autocorrelation(df).collect()
+    }
+    assert got == _ref_acf(by_item)
+
+
+def test_acf_constant_series_has_zero_denominator(spark):
+    rows = [(1, D0 + dt.timedelta(days=i), 5.0, 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    assert timeseries.autocorrelation(df).count() == 0
+
+
+def test_acf_anticorrelated_series_is_negative(spark):
+    # strict alternation -> lag-1 ACF close to -1, lag-2 close to +1
+    rows = [
+        (1, D0 + dt.timedelta(days=i), 10.0 if i % 2 == 0 else 20.0, 1)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {r["lag"]: r["acf_ppm"] for r in timeseries.autocorrelation(df).collect()}
+    assert got[1] < -900_000
+    assert got[2] > 900_000
+
+
+def test_acf_plan_single_item_exchange(spark, sf_dir):
+    """The lead windows and the per-item aggregate share ONE item_id
+    exchange (groupBy key == window partition key)."""
+    import re
+
+    df = harness.QUERIES["a16_autocorrelation"](spark, sf_dir)
+    plan = _plan(df)
+    item_only = re.findall(r"Exchange hashpartitioning\(item_id#\d+L?, \d+\)", plan)
+    assert len(item_only) <= 1
+    assert "CartesianProduct" not in plan
+
+
+# --- z-order layout -----------------------------------------------------------
+
+
+def _morton(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [
+        (item, D0 + dt.timedelta(days=day), 1.0, 1)
+        for item in (0, 1, 7, 255, 256, 65535, 65536, 123456)
+        for day in (0, 1, 63, 64, 4095)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {
+        r["zorder_shard"]: (r["n_rows"], r["item_lo"], r["item_hi"], r["z_lo"], r["z_hi"])
+        for r in layout.zorder_layout(df).collect()
+    }
+    ref = defaultdict(list)
+    for item, date, _, _ in rows:
+        day = (date - D0).days
+        z = _morton(item & 0xFFFF, day & 0xFFFF)
+        ref[z >> 16].append((item, z))
+    exp = {
+        shard: (
+            len(vals),
+            min(i for i, _ in vals),
+            max(i for i, _ in vals),
+            min(z for _, z in vals),
+            max(z for _, z in vals),
+        )
+        for shard, vals in ref.items()
+    }
+    assert got == exp
+
+
+def test_zorder_curve_is_injective(spark):
+    """Distinct (item16, day16) pairs map to distinct curve values —
+    pinned over a small exhaustive grid through the SQL expression
+    itself (not the Python mirror)."""
+    df = spark.range(0, 1024).selectExpr(
+        "CAST(id DIV 32 AS BIGINT) AS item16", "CAST(id % 32 AS BIGINT) AS day16"
+    )
+    z = df.selectExpr(f"{layout.morton_expr('item16', 'day16')} AS z")
+    assert z.distinct().count() == 1024
+
+
+def test_zorder_plan_single_aggregate_exchange(spark, sf_dir):
+    """The curve is a row-local projection: one map-combinable shard
+    aggregate, no joins, no windows."""
+    df = harness.QUERIES["x_zorder_layout"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
