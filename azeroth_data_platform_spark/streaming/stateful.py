@@ -326,3 +326,83 @@ def streaming_transitions(events: DataFrame) -> DataFrame:
         "append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution ON A STREAM — the live twin of
+# windows.last_touch_attribution. Batch uses two IGNORE-NULLS window
+# frames; on a stream the same semantics is exactly ONE (touch_type,
+# touch_us) tuple per user, updated by every non-conversion event and
+# read by every conversion — including the conversion that arrives in a
+# LATER micro-batch than its touch, the case a per-batch window cannot
+# see. State scales with distinct users, never volume. The channel
+# report (groupBy channel) stays a downstream declarative aggregate.
+
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("xu", T.LongType()),  # conversion value in int units
+    ]
+)
+
+_ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("touch_us", T.LongType()),
+    ]
+)
+
+ATTR_CONVERSION = "purchase"
+ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000
+
+
+def _attribution_state(
+    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    touch_type, touch_us = state.get if state.exists else (None, None)
+    rows = []
+    # Concat-then-sort across Arrow chunks (the _transition_state lesson:
+    # per-chunk sorting can interleave the group and persist a non-latest
+    # touch). Order is the repo's (us, event_id) event total order.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
+        for eid, us, et, xu in zip(
+            pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
+        ):
+            if et == ATTR_CONVERSION:
+                channel = (
+                    touch_type
+                    if touch_type is not None
+                    and int(us) - int(touch_us) <= ATTR_LOOKBACK_US
+                    else "direct"
+                )
+                rows.append((key[0], int(eid), channel, int(xu)))
+            else:
+                touch_type, touch_us = et, int(us)
+    if touch_type is not None:
+        state.update((touch_type, touch_us))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "channel", "xu"])
+
+
+def streaming_attribution(events: DataFrame) -> DataFrame:
+    """Per-conversion attributed rows ON A STREAM: each purchase credited
+    to the user's latest prior touch within the 7-day lookback (state:
+    one tuple per user), 'direct' otherwise — feed the declarative
+    channel aggregate downstream for the live report. Within-batch order
+    is (us, event_id); across batches assumes per-user in-order arrival
+    (the dedup-ingest watermark upstream provides it). Batch bit-parity
+    pinned in tests/test_stateful_streaming.py.
+
+    Expects columns (user_id, event_id, event_type, us, xu) — `us` the
+    microsecond epoch, `xu` the value in int units."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_state,
+        ATTRIBUTION_SCHEMA,
+        _ATTR_STATE_SCHEMA,
+        "append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -162,3 +162,91 @@ def test_streaming_pack_continues_layout_across_batches(spark, tmp_path):
         10,
         True,
     )
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Last-touch attribution on a stream is bit-equal to the batch
+    window operator, with the decisive touch and its conversion split
+    ACROSS micro-batches (the case a per-batch window cannot see), a
+    same-microsecond tie, and an out-of-lookback purchase."""
+    import pandas as pd
+
+    from azeroth_data_platform_spark.operators.windows import (
+        last_touch_attribution,
+    )
+    from azeroth_data_platform_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    b1 = [
+        (1, 1, T0, "view", 1.0),            # user 1 touch (batch 1)...
+        (2, 2, T0, "click", 1.0),
+        (3, 2, T0 + h, "purchase", 7.5),    # same-batch attribution
+        (4, 3, T0, "signup", 1.0),          # will fall out of lookback
+        (5, 4, T0, "view", 1.0),
+        (6, 4, T0, "click", 1.0),           # same-us tie -> event_id wins
+    ]
+    b2 = [
+        (7, 1, T0 + 2 * h, "purchase", 5.0),   # ...conversion in batch 2
+        (8, 3, T0 + 8 * d, "purchase", 2.0),   # > 7 days -> direct
+        (9, 4, T0 + h, "purchase", 3.25),      # tie resolved to click
+        (10, 5, T0, "purchase", 1.0),          # no touch ever -> direct
+    ]
+    src = tmp_path / "attr_events"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "unix_micros(ts) AS us",
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS xu",
+        )
+    )
+    q = (
+        streaming_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM attr").toPandas()
+    finally:
+        q.stop()
+
+    # fold the per-conversion stream rows into the channel report and
+    # compare against the batch operator over the union of both batches
+    stream_report = (
+        got.groupby("channel")
+        .agg(
+            n_conversions=("event_id", "size"),
+            n_users=("user_id", "nunique"),
+            value_units=("xu", "sum"),
+        )
+        .sort_index()
+    )
+    batch = (
+        last_touch_attribution(spark.createDataFrame(b1 + b2, schema))
+        .toPandas()
+        .set_index("channel")
+        .sort_index()
+    )
+    assert list(stream_report.index) == list(batch.index)
+    assert (stream_report["n_conversions"] == batch["n_conversions"]).all()
+    assert (stream_report["n_users"] == batch["n_users"]).all()
+    got_value = stream_report["value_units"].astype("int64") / 100.0
+    assert (got_value == batch["attributed_value"]).all()
+    # and the semantic pins themselves
+    per_event = got.set_index("event_id")["channel"].to_dict()
+    assert per_event == {3: "click", 7: "view", 8: "direct", 9: "click", 10: "direct"}
