@@ -717,3 +717,120 @@ def autocorrelation_sql(
       FROM agg)
 {per_lag}
 ORDER BY item_id, lag"""
+
+
+# --- day-of-week seasonal baseline --------------------------------------------
+
+DOW_EPOCH_MONDAY = "1992-01-06"  # a Monday: dow 0=Mon..6=Sun in both engines
+DOW_MIN_SAMPLES = 4
+DOW_FLAG_QUARTER = 4  # flag |x - dow_mean| > dow_mean / 4 (25%)
+
+
+def dow_baseline(
+    silver: DataFrame, dim_items: DataFrame, days: int = GAPFILL_WINDOW_DAYS
+) -> DataFrame:
+    """Day-of-week seasonal outliers per SECTOR: each day's sector floor
+    price judged against that sector's OWN weekday baseline — the
+    seasonality a3's global z-score and a15's global median both wash out
+    (a market that is always 20% hotter on Saturdays flags every Saturday
+    under a global baseline and no Saturday under this one). Sector grain
+    (item_class via the broadcast dim) rather than item grain because a
+    weekday baseline needs several same-weekday samples per key — a
+    90-day window gives ≤13 per sector-weekday but at most ~2 per
+    item-weekday on sparse items (measured on the test corpus: max
+    per-(item, dow) count 4), so the per-item variant is data-starved by
+    construction.
+
+    dow is computed as days-since-a-known-Monday mod 7 — pure date
+    arithmetic, immune to the engines' conflicting dayofweek()
+    conventions (Spark 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat).
+
+    EXACT in BIGINT end-to-end: x in int_units, per-(sector, dow) count
+    and sum from one window pass, deviation as the cross-multiplied
+    integer num = n_d·x − s_d (never a mean-of-double), flag rule
+    4·|num| > s_d in pure integers, dev_ppm the sign-split truncated
+    rational 1e6·num/s_d. BIGINT headroom: 1e6·|num| ≤ 1e6·n_d·x_max
+    needs n_d·x_max < 9.2e12 — at x ≤ 10⁸ units that is >1700 years of
+    one weekday's samples. BIGINT (not DECIMAL) from stage 1 is
+    deliberate: DuckDB executes DECIMAL `//` as DOUBLE (the ADVICE-r7
+    class). Unmatched items drop at the inner broadcast join (a floor
+    price needs a sector to baseline against).
+
+    Scale: broadcast dim join, one (sector, day) map-combinable
+    pre-aggregation, one (sector, dow) window exchange; state bounded by
+    sectors × calendar span."""
+    joined = silver.join(
+        F.broadcast(dim_items.select("item_id", "item_class")), "item_id"
+    )
+    daily = joined.groupBy("item_class", "snapshot_date").agg(
+        F.min("unit_price").alias("price")
+    )
+    anchor = daily.agg(F.max("snapshot_date").alias("d1"))
+    windowed = daily.crossJoin(F.broadcast(anchor)).where(
+        F.col("snapshot_date") >= F.expr(f"date_sub(d1, {days})")
+    )
+    base = windowed.select(
+        "item_class",
+        "snapshot_date",
+        int_units("price").cast("bigint").alias("x"),
+    ).withColumn(
+        "dow",
+        F.expr(
+            f"CAST(pmod(datediff(snapshot_date, DATE\'{DOW_EPOCH_MONDAY}\'), 7) AS INT)"
+        ),
+    )
+    w = Window.partitionBy("item_class", "dow")
+    st = (
+        base.withColumn("n_d", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("s_d", F.sum("x").over(w).cast("bigint"))
+        .withColumn("num", F.expr("n_d * x - s_d"))
+    )
+    return (
+        st.where(
+            (F.col("n_d") >= DOW_MIN_SAMPLES)
+            & F.expr(f"{DOW_FLAG_QUARTER} * abs(num) > s_d")
+        )
+        .select(
+            "item_class",
+            "snapshot_date",
+            "dow",
+            F.col("x").alias("price_units"),
+            F.col("n_d").alias("dow_n"),
+            F.expr("s_d DIV n_d").alias("dow_mean_units"),
+            F.expr(
+                "CASE WHEN num >= 0 THEN (1000000 * num) DIV s_d"
+                " ELSE -((1000000 * -num) DIV s_d) END"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("item_class", "snapshot_date")
+    )
+
+
+def dow_baseline_sql(
+    silver_dim_cte: str, days: int = GAPFILL_WINDOW_DAYS
+) -> str:
+    """DuckDB twin of :func:`dow_baseline` (expects `silver` + `dim` CTEs)."""
+    return f"""{silver_dim_cte},
+  daily AS (SELECT dim.item_class, s.snapshot_date,
+                   MIN(s.unit_price) AS price
+            FROM silver s JOIN dim ON s.item_id = dim.item_id
+            GROUP BY dim.item_class, s.snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily),
+  w AS (SELECT d.item_class, d.snapshot_date,
+               CAST({int_units_sql('d.price')} AS BIGINT) AS x,
+               CAST(((d.snapshot_date - DATE '{DOW_EPOCH_MONDAY}') % 7 + 7) % 7
+                    AS INT) AS dow
+        FROM daily d, anchor
+        WHERE d.snapshot_date >= anchor.d1 - INTERVAL {days} DAY),
+  st AS (SELECT *,
+                CAST(COUNT(*) OVER (PARTITION BY item_class, dow) AS BIGINT) AS n_d,
+                CAST(SUM(x) OVER (PARTITION BY item_class, dow) AS BIGINT) AS s_d
+         FROM w)
+SELECT item_class, snapshot_date, dow,
+       x AS price_units, n_d AS dow_n,
+       s_d // n_d AS dow_mean_units,
+       CASE WHEN (n_d * x - s_d) >= 0 THEN (1000000 * (n_d * x - s_d)) // s_d
+            ELSE -((1000000 * (s_d - n_d * x)) // s_d) END AS dev_ppm
+FROM st
+WHERE n_d >= {DOW_MIN_SAMPLES} AND {DOW_FLAG_QUARTER} * abs(n_d * x - s_d) > s_d
+ORDER BY item_class, snapshot_date"""

@@ -200,6 +200,8 @@ def main() -> int:
             "w_attribution",
             "a16_autocorrelation",
             "x_zorder_layout",
+            "a17_dow_baseline",
+            "x_activity_bitmap",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -307,6 +309,14 @@ def main() -> int:
             "ts_auc_langid",
             "ts_pr_summary_langid",
             "a15_mad_outliers",
+            # round-8 third-session trio: attribution is one user window
+            # (linear), ACF one item exchange (linear in days), z-order a
+            # pure projection + shard aggregate (linear, zero joins)
+            "w_attribution",
+            "a16_autocorrelation",
+            "x_zorder_layout",
+            "a17_dow_baseline",
+            "x_activity_bitmap",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

@@ -103,6 +103,8 @@ FUZZ_QUERIES = [
     "w_attribution",
     "a16_autocorrelation",
     "x_zorder_layout",
+    "a17_dow_baseline",
+    "x_activity_bitmap",
 ]
 
 VOCAB = (

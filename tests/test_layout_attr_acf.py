@@ -255,3 +255,110 @@ def test_zorder_plan_single_aggregate_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+# --- activity bitmap ----------------------------------------------------------
+
+
+def test_activity_bitmap_semantics(spark):
+    """Masks, popcounts, and both streak extractions against hand-built
+    expectations, including anchor-day activity, a gap pattern, and
+    out-of-window rows."""
+    from azeroth_data_platform_spark.operators import bitmaps
+
+    anchor = dt.date(1992, 6, 1)
+    # item 1: active on idx {0,1,2,5} -> mask 0b100111 = 39
+    # item 2: active on idx {3} only -> no current streak
+    # item 3: active on idx {1,2,3,4} -> longest 4, current 0
+    # item 4: active 40 days ago -> out of window, absent
+    days = {1: (0, 1, 2, 5), 2: (3,), 3: (1, 2, 3, 4), 4: (40,)}
+    rows = [
+        (item, anchor - dt.timedelta(days=i), 1.0, 1)
+        for item, idxs in days.items()
+        for i in idxs
+    ] + [(1, anchor, 2.0, 1)]  # duplicate day: bit_or must be idempotent
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {r["item_id"]: r for r in bitmaps.activity_bitmap(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["mask"] == 0b100111
+    assert (got[1]["days_active"], got[1]["active_last7"]) == (4, 4)
+    assert (got[1]["current_streak"], got[1]["longest_streak"]) == (3, 3)
+    assert got[2]["mask"] == 0b1000
+    assert (got[2]["current_streak"], got[2]["longest_streak"]) == (0, 1)
+    assert got[3]["mask"] == 0b11110
+    assert (got[3]["current_streak"], got[3]["longest_streak"]) == (0, 4)
+
+
+def test_activity_bitmap_full_window_streak(spark):
+    """A fully-active window must report streak 28 of 28 (the chain's
+    last link) and survive the bit-63-free contract."""
+    from azeroth_data_platform_spark.operators import bitmaps
+
+    anchor = dt.date(1992, 6, 1)
+    rows = [(9, anchor - dt.timedelta(days=i), 1.0, 1) for i in range(28)]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    [r] = bitmaps.activity_bitmap(df).collect()
+    assert r["mask"] == (1 << 28) - 1
+    assert r["days_active"] == 28
+    assert r["current_streak"] == 28
+    assert r["longest_streak"] == 28
+
+
+def test_activity_bitmap_plan_map_combinable(spark, sf_dir):
+    """bit_or partial-aggregates before its single item exchange; the
+    anchor stays a broadcast, the streak chain stays a projection."""
+    df = harness.QUERIES["x_activity_bitmap"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --- day-of-week seasonal baseline ---------------------------------------------
+
+
+def test_dow_baseline_semantics(spark):
+    """A sector that is reliably more expensive on one weekday must flag
+    exactly the day that breaks ITS OWN weekday pattern — not the merely
+    expensive weekday itself."""
+    from azeroth_data_platform_spark.operators import timeseries
+
+    monday = dt.date(1992, 1, 6)
+    rows = []
+    # sector A floor price: 100 on Mondays, 200 on Tuesdays, 6 weeks —
+    # then week 7 has a 500 Tuesday (the true seasonal outlier) and a
+    # perfectly normal 200 Tuesday would NOT flag
+    for wk in range(6):
+        rows.append((1, monday + dt.timedelta(weeks=wk), 1.00, 1))
+        rows.append((2, monday + dt.timedelta(weeks=wk, days=1), 2.00, 1))
+    rows.append((1, monday + dt.timedelta(weeks=6), 1.00, 1))
+    rows.append((2, monday + dt.timedelta(weeks=6, days=1), 5.00, 1))
+    silver = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    dim = spark.createDataFrame([(1, "A"), (2, "A")], "item_id long, item_class string")
+    out = timeseries.dow_baseline(silver, dim).collect()
+    [flagged] = out
+    assert flagged["snapshot_date"] == monday + dt.timedelta(weeks=6, days=1)
+    assert flagged["dow"] == 1  # Tuesday
+    assert flagged["price_units"] == 500
+    # weekday baseline: 7 Tuesdays summing to 6*200 + 500 = 1700
+    assert flagged["dow_n"] == 7
+    assert flagged["dow_mean_units"] == 1700 // 7
+    # dev_ppm = 1e6 * (7*500 - 1700) / 1700, truncated
+    assert flagged["dev_ppm"] == 1_000_000 * (7 * 500 - 1700) // 1700
+
+
+def test_dow_baseline_plan_shapes(spark, sf_dir):
+    """Broadcast dim join, map-combinable sector-day pre-aggregation,
+    one (sector, dow) window exchange, no sort-merge join."""
+    df = harness.QUERIES["a17_dow_baseline"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
