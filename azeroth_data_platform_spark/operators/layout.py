@@ -111,3 +111,168 @@ SELECT (z >> {shard_shift}) AS zorder_shard,
        CAST(MAX(snapshot_date) - MIN(snapshot_date) AS BIGINT) AS day_span,
        MIN(z) AS z_lo, MAX(z) AS z_hi
 FROM curved GROUP BY 1 ORDER BY 1"""
+
+
+# --- data-skipping effectiveness report ---------------------------------------
+
+SKIP_ITEM_SAMPLE_MOD = 53  # deterministic probe sample: item_id % MOD == 1
+LINEAR_DAYS_PER_SHARD = 7  # the date-partitioned ingestion layout: weekly files
+
+
+def skipping_report(silver: DataFrame) -> DataFrame:
+    """Quantifies what the z-order layout BUYS: for two candidate file
+    layouts — `linear` (weekly date-partitioned files, the natural
+    ingestion order) and `zorder` (top Morton-curve bits, as
+    zorder_layout) — replay a probe workload of point-item lookups and
+    week-range scans against the per-shard min/max statistics and report
+    the exact fraction of shards each layout fails to prune. This is the
+    Delta/Iceberg file-skipping computation run as a query: a shard must
+    be scanned iff its [lo, hi] key rectangle intersects the predicate.
+
+    Expected shape of the answer (and the reason z-order exists): under
+    `linear`, every weekly file spans the full item range, so item-point
+    probes scan ~100% of shards while week probes scan ~1/n_shards;
+    `zorder` trades a small regression on week probes for a large win on
+    item probes — both predicate families prune.
+
+    Scale (100 TB): the base pass is one row-local projection + ONE
+    map-combinable (layout, shard) aggregate (the two layouts ride one
+    exchange via a stack generator); probes and shard stats are
+    METADATA-sized (file count, not row count), so the intersect join is
+    a broadcast nested-loop over thousands of rows — the same
+    driver-side work a lakehouse planner does per query, here costed
+    exactly and in parallel. Output is 4 rows, all integers exact:
+    scan_ppm = 1e6·scanned_pairs DIV (n_probes·n_shards)."""
+    mask = (1 << Z_BITS) - 1
+    z = morton_expr("item16", "day16", Z_BITS)
+    base = silver.select(
+        "item_id",
+        F.expr(f"CAST(datediff(snapshot_date, DATE'{Z_EPOCH}') AS BIGINT)").alias(
+            "day_idx"
+        ),
+        F.expr(f"CAST(item_id & {mask} AS BIGINT)").alias("item16"),
+        F.expr(
+            f"CAST(datediff(snapshot_date, DATE'{Z_EPOCH}') & {mask} AS BIGINT)"
+        ).alias("day16"),
+    ).withColumn("z", F.expr(z))
+    tagged = base.select(
+        "item_id",
+        "day_idx",
+        F.expr(
+            f"stack(2, 'linear', day_idx DIV {LINEAR_DAYS_PER_SHARD},"
+            f" 'zorder', shiftright(z, {Z_SHARD_SHIFT})) AS (layout, shard)"
+        ),
+    )
+    stats = tagged.groupBy("layout", "shard").agg(
+        F.min("item_id").alias("item_lo"),
+        F.max("item_id").alias("item_hi"),
+        F.min("day_idx").alias("day_lo"),
+        F.max("day_idx").alias("day_hi"),
+    )
+    item_probes = (
+        base.select("item_id")
+        .where(F.expr(f"item_id % {SKIP_ITEM_SAMPLE_MOD} = 1"))
+        .distinct()
+        .select(
+            F.lit("item_point").alias("workload"),
+            F.col("item_id").alias("lo"),
+            F.col("item_id").alias("hi"),
+            F.lit("item").alias("dim"),
+        )
+    )
+    week_probes = (
+        base.select(
+            (F.col("day_idx") - F.col("day_idx") % LINEAR_DAYS_PER_SHARD).alias("lo")
+        )
+        .distinct()
+        .select(
+            F.lit("week_range").alias("workload"),
+            "lo",
+            (F.col("lo") + LINEAR_DAYS_PER_SHARD - 1).alias("hi"),
+            F.lit("day").alias("dim"),
+        )
+    )
+    probes = item_probes.unionByName(week_probes)
+    hits = stats.join(
+        F.broadcast(probes),
+        F.expr(
+            "CASE WHEN dim = 'item'"
+            " THEN item_lo <= hi AND item_hi >= lo"
+            " ELSE day_lo <= hi AND day_hi >= lo END"
+        ),
+    )
+    shard_counts = stats.groupBy("layout").agg(F.count(F.lit(1)).alias("n_shards"))
+    probe_counts = probes.groupBy("workload").agg(F.count(F.lit(1)).alias("n_probes"))
+    return (
+        hits.groupBy("layout", "workload")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("scanned_pairs"))
+        .join(F.broadcast(shard_counts), "layout")
+        .join(F.broadcast(probe_counts), "workload")
+        .select(
+            "layout",
+            "workload",
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.col("n_shards").cast("bigint").alias("n_shards"),
+            "scanned_pairs",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * scanned_pairs"
+                " DIV (n_probes * n_shards) AS BIGINT)"
+            ).alias("scan_ppm"),
+        )
+        .orderBy("layout", "workload")
+    )
+
+
+def skipping_report_sql(silver_sql_cte: str) -> str:
+    """DuckDB twin of :func:`skipping_report` (expects `silver` CTE)."""
+    mask = (1 << Z_BITS) - 1
+    z = morton_expr("item16", "day16", Z_BITS, duck=True)
+    return f"""{silver_sql_cte},
+  base AS (SELECT item_id,
+                  CAST(snapshot_date - DATE '{Z_EPOCH}' AS BIGINT) AS day_idx,
+                  CAST(item_id & {mask} AS BIGINT) AS item16,
+                  CAST((snapshot_date - DATE '{Z_EPOCH}') & {mask} AS BIGINT)
+                    AS day16
+           FROM silver),
+  curved AS (SELECT item_id, day_idx, {z} AS z FROM base),
+  tagged AS (
+    SELECT item_id, day_idx, 'linear' AS layout,
+           day_idx // {LINEAR_DAYS_PER_SHARD} AS shard FROM curved
+    UNION ALL
+    SELECT item_id, day_idx, 'zorder' AS layout,
+           (z >> {Z_SHARD_SHIFT}) AS shard FROM curved),
+  stats AS (SELECT layout, shard,
+                   MIN(item_id) AS item_lo, MAX(item_id) AS item_hi,
+                   MIN(day_idx) AS day_lo, MAX(day_idx) AS day_hi
+            FROM tagged GROUP BY layout, shard),
+  item_probes AS (
+    SELECT DISTINCT 'item_point' AS workload, item_id AS lo, item_id AS hi,
+           'item' AS dim
+    FROM base WHERE item_id % {SKIP_ITEM_SAMPLE_MOD} = 1),
+  week_probes AS (
+    SELECT DISTINCT 'week_range' AS workload,
+           day_idx - day_idx % {LINEAR_DAYS_PER_SHARD} AS lo,
+           day_idx - day_idx % {LINEAR_DAYS_PER_SHARD}
+             + {LINEAR_DAYS_PER_SHARD - 1} AS hi,
+           'day' AS dim
+    FROM base),
+  probes AS (SELECT * FROM item_probes UNION ALL SELECT * FROM week_probes),
+  hits AS (
+    SELECT s.layout, p.workload
+    FROM stats s JOIN probes p
+      ON CASE WHEN p.dim = 'item'
+              THEN s.item_lo <= p.hi AND s.item_hi >= p.lo
+              ELSE s.day_lo <= p.hi AND s.day_hi >= p.lo END),
+  shard_counts AS (SELECT layout, COUNT(*) AS n_shards FROM stats GROUP BY layout),
+  probe_counts AS (SELECT workload, COUNT(*) AS n_probes FROM probes GROUP BY workload)
+SELECT h.layout, h.workload,
+       CAST(pc.n_probes AS BIGINT) AS n_probes,
+       CAST(sc.n_shards AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS scanned_pairs,
+       CAST(CAST(1000000 AS HUGEINT) * COUNT(*)
+            // (pc.n_probes * sc.n_shards) AS BIGINT) AS scan_ppm
+FROM hits h
+JOIN shard_counts sc ON h.layout = sc.layout
+JOIN probe_counts pc ON h.workload = pc.workload
+GROUP BY h.layout, h.workload, pc.n_probes, sc.n_shards
+ORDER BY h.layout, h.workload"""

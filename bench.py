@@ -202,6 +202,7 @@ def main() -> int:
             "x_zorder_layout",
             "a17_dow_baseline",
             "x_activity_bitmap",
+            "x_skipping_report",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -317,6 +318,7 @@ def main() -> int:
             "x_zorder_layout",
             "a17_dow_baseline",
             "x_activity_bitmap",
+            "x_skipping_report",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

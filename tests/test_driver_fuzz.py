@@ -105,6 +105,7 @@ FUZZ_QUERIES = [
     "x_zorder_layout",
     "a17_dow_baseline",
     "x_activity_bitmap",
+    "x_skipping_report",
 ]
 
 VOCAB = (

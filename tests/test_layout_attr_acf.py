@@ -362,3 +362,86 @@ def test_dow_baseline_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_skipping_report_matches_python_reference(spark):
+    """Shard stats, probe replay, and exact ppm vs a pure-Python mirror
+    on a grid where z-order and linear layouts differ materially."""
+    from azeroth_data_platform_spark.operators.layout import (
+        LINEAR_DAYS_PER_SHARD,
+        SKIP_ITEM_SAMPLE_MOD,
+        Z_SHARD_SHIFT,
+        skipping_report,
+    )
+
+    rows = [
+        (item, D0 + dt.timedelta(days=day), 1.0, 1)
+        for item in range(1, 400, 7)
+        for day in range(0, 200, 3)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {
+        (r["layout"], r["workload"]): (
+            r["n_probes"],
+            r["n_shards"],
+            r["scanned_pairs"],
+            r["scan_ppm"],
+        )
+        for r in skipping_report(df).collect()
+    }
+
+    pts = {(item, (date - D0).days) for item, date, _, _ in rows}
+    shards = {"linear": defaultdict(list), "zorder": defaultdict(list)}
+    for item, day in pts:
+        shards["linear"][day // LINEAR_DAYS_PER_SHARD].append((item, day))
+        z = _morton(item & 0xFFFF, day & 0xFFFF)
+        shards["zorder"][z >> Z_SHARD_SHIFT].append((item, day))
+    probes = {
+        "item_point": [
+            (i, i, "item")
+            for i in sorted({p[0] for p in pts if p[0] % SKIP_ITEM_SAMPLE_MOD == 1})
+        ],
+        "week_range": [
+            (w, w + LINEAR_DAYS_PER_SHARD - 1, "day")
+            for w in sorted({d - d % LINEAR_DAYS_PER_SHARD for _, d in pts})
+        ],
+    }
+    for layout_name, by_shard in shards.items():
+        stats = [
+            (
+                min(i for i, _ in v),
+                max(i for i, _ in v),
+                min(d for _, d in v),
+                max(d for _, d in v),
+            )
+            for v in by_shard.values()
+        ]
+        for workload, plist in probes.items():
+            scanned = 0
+            for ilo, ihi, dlo, dhi in stats:
+                for lo, hi, dim in plist:
+                    if dim == "item":
+                        scanned += int(ilo <= hi and ihi >= lo)
+                    else:
+                        scanned += int(dlo <= hi and dhi >= lo)
+            exp = (
+                len(plist),
+                len(stats),
+                scanned,
+                1_000_000 * scanned // (len(plist) * len(stats)),
+            )
+            assert got[(layout_name, workload)] == exp, (layout_name, workload)
+
+
+def test_skipping_report_plan_metadata_joins_only(spark, sf_dir):
+    """The fact scan feeds ONE (layout, shard) aggregate; every join in
+    the plan is between metadata-sized aggregates (broadcast), never a
+    row-level self-join."""
+    df = harness.QUERIES["x_skipping_report"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
