@@ -1425,6 +1425,15 @@ def q_x_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.skipping_report(_silver(spark, sf_dir))
 
 
+def q_x_zorder_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-normalized z-order (the production variant): exact ntile per
+    dimension over distinct values, then the same interleave/shard
+    report as x_zorder_layout (operators/layout.py zorder_ranked)."""
+    from .operators import layout
+
+    return layout.zorder_ranked(_silver(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1703,10 +1712,11 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          dd_minhash_lsh (driver-green r1-r7) past the cap.
 #   r8 (3rd session): w_attribution / a16_autocorrelation /
 #          x_zorder_layout / a17_dow_baseline / x_activity_bitmap insert
-#          at slots 37-41 (x_skipping_report at 42) at authoring time,
-#          displacing x_multiway_star_join / x_price_iqr_outliers /
-#          dd_exact / x_asof_join / x_range_join / a6_market_index
-#          (driver-green r1-r7) past the cap.
+#          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43) at
+#          authoring time, displacing x_multiway_star_join /
+#          x_price_iqr_outliers / dd_exact / x_asof_join / x_range_join /
+#          a6_market_index / a3_rolling_zscore (driver-green r1-r7) past
+#          the cap.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1775,7 +1785,8 @@ QUERIES: dict[str, QueryFn] = {
     "a17_dow_baseline": q_a17_dow_baseline,
     "x_activity_bitmap": q_x_activity_bitmap,
     "x_skipping_report": q_x_skipping_report,
-    # --- slots 43-48: shape-diverse canaries from the r4/5 promotion
+    "x_zorder_ranked": q_x_zorder_ranked,
+    # --- slots 44-49: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1784,7 +1795,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slots 49-50: the heavier operator families keep their rows
+    # --- slot 50: the heavier operator families keep their rows
     # (the r8 insertions push the 21 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
@@ -1865,9 +1876,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 114, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 115, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "a3_rolling_zscore", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "a1_daily_market_summary", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1890,7 +1901,7 @@ assert list(QUERIES)[38] == "x_zorder_layout", "slot-39 drifted"
 assert list(QUERIES)[39] == "a17_dow_baseline", "slot-40 drifted"
 assert list(QUERIES)[40] == "x_activity_bitmap", "slot-41 drifted"
 assert list(QUERIES)[41] == "x_skipping_report", "slot-42 drifted"
-assert list(QUERIES)[48] == "a1_daily_market_summary", "slot-49 drifted"
+assert list(QUERIES)[42] == "x_zorder_ranked", "slot-43 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2265,6 +2276,7 @@ from .operators import bitmaps as _bitmaps  # noqa: E402
 
 ORACLES["x_activity_bitmap"] = _bitmaps.activity_bitmap_sql(_W_SILVER)
 ORACLES["x_skipping_report"] = _layout.skipping_report_sql(_W_SILVER)
+ORACLES["x_zorder_ranked"] = _layout.zorder_ranked_sql(_W_SILVER)
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -203,6 +203,7 @@ def main() -> int:
             "a17_dow_baseline",
             "x_activity_bitmap",
             "x_skipping_report",
+            "x_zorder_ranked",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -319,6 +320,7 @@ def main() -> int:
             "a17_dow_baseline",
             "x_activity_bitmap",
             "x_skipping_report",
+            "x_zorder_ranked",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

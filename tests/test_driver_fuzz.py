@@ -106,6 +106,7 @@ FUZZ_QUERIES = [
     "a17_dow_baseline",
     "x_activity_bitmap",
     "x_skipping_report",
+    "x_zorder_ranked",
 ]
 
 VOCAB = (

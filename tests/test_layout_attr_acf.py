@@ -445,3 +445,47 @@ def test_skipping_report_plan_metadata_joins_only(spark, sf_dir):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_ranked_balances_clustered_keys(spark):
+    """The regime the fixed-mask variant cannot handle: all item ids
+    inside one 65536-range and all dates inside one quarter. The
+    rank-normalized curve must still spread rows over many shards with
+    near-balanced occupancy, and ntile must agree with the exact
+    floor-balanced reference."""
+    from azeroth_data_platform_spark.operators.layout import (
+        zorder_layout,
+        zorder_ranked,
+    )
+
+    rows = [
+        (1_000_000 + item * 3, D0 + dt.timedelta(days=day), 1.0, 1)
+        for item in range(64)
+        for day in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    ranked = zorder_ranked(df).collect()
+    fixed = zorder_layout(df).collect()
+    # 64 distinct values per dim -> ntile(256) gives one rank per value
+    # (a 12-bit curve), so the top-8-bit shard key yields 16 shards of
+    # exactly 256 rows each; the fixed-mask variant sees the clustered
+    # raw ids (1e6-range) and collapses to fewer, unbalanced shards
+    assert len(ranked) == 16
+    assert len(fixed) < len(ranked)
+    sizes = [r["n_rows"] for r in ranked]
+    assert max(sizes) == min(sizes) == 256  # 64*64 rows / 16 shards, exact
+    # every shard is a small rectangle in BOTH dimensions: 16 consecutive
+    # ranks per dim -> item span 15*3, day span 15
+    assert max(r["day_span"] for r in ranked) <= 15
+    assert max(r["item_span"] for r in ranked) <= 45
+
+
+def test_zorder_ranked_plan_broadcast_rank_dims(spark, sf_dir):
+    """Both rank dims join back as broadcasts; the fact side never
+    shuffles for the join; one hash exchange for the shard aggregate."""
+    df = harness.QUERIES["x_zorder_ranked"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
