@@ -1434,6 +1434,22 @@ def q_x_zorder_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_ranked(_silver(spark, sf_dir))
 
 
+def q_x_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over the z-order shard stats: curve-adjacent
+    shards packed into ~4096-row output files by exclusive-prefix
+    running total (operators/layout.py compaction_plan)."""
+    from .operators import layout
+
+    return layout.compaction_plan(_silver(spark, sf_dir))
+
+
+def q_tp_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton (largest-remainder) allocation of a 10k-doc budget across
+    sources: integer quotas summing EXACTLY to min(budget, total)
+    (operators/corpus.py sample_allocation)."""
+    return corpus.sample_allocation(_docs(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1712,11 +1728,14 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          dd_minhash_lsh (driver-green r1-r7) past the cap.
 #   r8 (3rd session): w_attribution / a16_autocorrelation /
 #          x_zorder_layout / a17_dow_baseline / x_activity_bitmap insert
-#          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43) at
-#          authoring time, displacing x_multiway_star_join /
-#          x_price_iqr_outliers / dd_exact / x_asof_join / x_range_join /
-#          a6_market_index / a3_rolling_zscore (driver-green r1-r7) past
-#          the cap.
+#          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43,
+#          x_compaction_plan 44, tp_sample_allocation 45) at authoring
+#          time, displacing x_multiway_star_join / x_price_iqr_outliers /
+#          dd_exact / x_asof_join / x_range_join / a6_market_index /
+#          a3_rolling_zscore / tp_bpe_encode / a1_daily_market_summary
+#          (all driver-green r1-r7; a1 keeps per-round external evidence
+#          via the driver's entry() smoke) past the cap — staleness-based
+#          rotation: the most-evidenced rows go first.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1786,7 +1805,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_activity_bitmap": q_x_activity_bitmap,
     "x_skipping_report": q_x_skipping_report,
     "x_zorder_ranked": q_x_zorder_ranked,
-    # --- slots 44-49: shape-diverse canaries from the r4/5 promotion
+    "x_compaction_plan": q_x_compaction_plan,
+    "tp_sample_allocation": q_tp_sample_allocation,
+    # --- slots 46-50: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1795,7 +1816,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- slot 50: the heavier operator families keep their rows
+    # --- past the cap from here down: the heavier operator families
     # (the r8 insertions push the 21 tail rows of the old head — the
     # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
     # ts_language_id, ts_fingerprint, mm_binary_stats,
@@ -1876,9 +1897,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 115, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 117, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "a1_daily_market_summary", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_cdc_segments", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1902,6 +1923,8 @@ assert list(QUERIES)[39] == "a17_dow_baseline", "slot-40 drifted"
 assert list(QUERIES)[40] == "x_activity_bitmap", "slot-41 drifted"
 assert list(QUERIES)[41] == "x_skipping_report", "slot-42 drifted"
 assert list(QUERIES)[42] == "x_zorder_ranked", "slot-43 drifted"
+assert list(QUERIES)[43] == "x_compaction_plan", "slot-44 drifted"
+assert list(QUERIES)[44] == "tp_sample_allocation", "slot-45 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2277,6 +2300,8 @@ from .operators import bitmaps as _bitmaps  # noqa: E402
 ORACLES["x_activity_bitmap"] = _bitmaps.activity_bitmap_sql(_W_SILVER)
 ORACLES["x_skipping_report"] = _layout.skipping_report_sql(_W_SILVER)
 ORACLES["x_zorder_ranked"] = _layout.zorder_ranked_sql(_W_SILVER)
+ORACLES["x_compaction_plan"] = _layout.compaction_plan_sql(_W_SILVER)
+ORACLES["tp_sample_allocation"] = corpus.sample_allocation_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

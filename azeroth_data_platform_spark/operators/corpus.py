@@ -2013,3 +2013,87 @@ FROM exploded"""
 
 
 CHUNK_DOCUMENTS_SQL = chunk_documents_sql()
+
+
+# --- exact sample allocation (Hamilton / largest remainder) --------------------
+
+ALLOC_BUDGET_DOCS = 10_000
+
+
+def sample_allocation(
+    documents: DataFrame, budget: int = ALLOC_BUDGET_DOCS
+) -> DataFrame:
+    """Exact integer allocation of a document budget across sources by the
+    Hamilton (largest-remainder) method: every source gets
+    floor(B·n_i/T), then the B − Σfloors leftover seats go to the
+    largest remainders (source name breaks ties). The invariant a
+    rate-based plan (mix_rebalance) cannot give you: quotas are INTEGERS
+    that sum to EXACTLY min(budget, total) — what a sampler that must
+    emit a fixed-size training set actually needs, with no stochastic
+    rounding drift across runs or engines.
+
+    Cap-safety: with effective budget B = min(budget, T), every quota
+    f_i + 1 ≤ ceil(B·n_i/T) ≤ n_i, so no source is ever asked for more
+    docs than it has; at B = T the remainders are all zero and the
+    allocation degenerates to n_i exactly.
+
+    Exact in BIGINT: B·n_i needs B·n_i < 2^63 — at B = 10⁴ that is
+    ~9·10¹⁴ docs per source. One map-combinable source rollup, a
+    broadcast grand total, and rank/sum windows over the
+    value-domain-sized source table."""
+    from pyspark.sql import Window
+
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    grand = per_src.agg(F.sum("n_docs").cast("bigint").alias("_total"))
+    based = (
+        per_src.crossJoin(F.broadcast(grand))
+        .withColumn("_b", F.expr(f"least(CAST({budget} AS BIGINT), _total)"))
+        .withColumn("floor_quota", F.expr("_b * n_docs DIV _total"))
+        .withColumn("remainder", F.expr("_b * n_docs - floor_quota * _total"))
+    )
+    w_rank = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    w_all = Window.partitionBy()
+    ranked = based.withColumn("_rk", F.row_number().over(w_rank)).withColumn(
+        "_leftover", F.expr("_b - sum(floor_quota) OVER ()")
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_docs",
+            "floor_quota",
+            "remainder",
+            (F.col("_rk") <= F.col("_leftover")).alias("plus_one"),
+            F.expr(
+                "floor_quota + CASE WHEN _rk <= _leftover THEN 1 ELSE 0 END"
+            ).alias("allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+def sample_allocation_sql(budget: int = ALLOC_BUDGET_DOCS) -> str:
+    """DuckDB twin of :func:`sample_allocation` (reads `documents`)."""
+    return f"""
+  WITH per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY source),
+  g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_src),
+  based AS (
+    SELECT source, n_docs, total,
+           LEAST(CAST({budget} AS BIGINT), total) AS b,
+           LEAST(CAST({budget} AS BIGINT), total) * n_docs // total
+             AS floor_quota,
+           LEAST(CAST({budget} AS BIGINT), total) * n_docs
+             - (LEAST(CAST({budget} AS BIGINT), total) * n_docs // total)
+               * total AS remainder
+    FROM per_src CROSS JOIN g),
+  ranked AS (
+    SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk,
+           b - SUM(floor_quota) OVER () AS leftover
+    FROM based)
+SELECT source, n_docs, floor_quota, remainder,
+       rk <= leftover AS plus_one,
+       CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS allocation
+FROM ranked ORDER BY source"""

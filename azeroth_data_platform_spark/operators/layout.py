@@ -386,3 +386,88 @@ SELECT (z >> {shard_shift}) AS zorder_shard,
        CAST(MAX(snapshot_date) - MIN(snapshot_date) AS BIGINT) AS day_span,
        MIN(z) AS z_lo, MAX(z) AS z_hi
 FROM base GROUP BY 1 ORDER BY 1"""
+
+
+# --- compaction planning -------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4096  # target rows per output file
+
+
+def compaction_plan(
+    silver: DataFrame, target_rows: int = COMPACT_TARGET_ROWS
+) -> DataFrame:
+    """Small-file compaction plan over the z-order shard stats: pack
+    curve-adjacent shards into output files of ~`target_rows` rows by
+    exclusive-prefix running total (out_file = prefix_rows DIV target —
+    the same streaming pack as tp_pack_sequences, here over FILE
+    METADATA). Curve adjacency is the point: merging shards that are
+    neighbors ON THE CURVE preserves the clustering the z-order bought,
+    so the compacted files keep their small (item, day) rectangles and
+    the skipping_report numbers survive compaction.
+
+    Output per planned file: shard range, shard count, row volume, curve
+    range, and fill_ppm (1e6·n_rows DIV target — how full the file is;
+    >1e6 means one oversized shard straddles, the standard streaming-pack
+    semantics). The defining invariant Σ n_rows = total input rows is
+    pinned in tests.
+
+    Scale: the input is the shard-stats aggregate (file count, not row
+    count); the single-partition prefix window over it is the same
+    metadata-sized work a lakehouse OPTIMIZE planner does on the driver —
+    at 1e6+ files, range-partition by a shard prefix and run the same
+    plan per partition."""
+    from pyspark.sql import Window
+
+    stats = zorder_layout(silver)
+    w = Window.orderBy("zorder_shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = stats.withColumn(
+        "_prefix_rows", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    ).withColumn("out_file", F.expr(f"_prefix_rows DIV {target_rows}"))
+    return (
+        packed.groupBy("out_file")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.min("zorder_shard").alias("shard_lo"),
+            F.max("zorder_shard").alias("shard_hi"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.min("z_lo").alias("z_lo"),
+            F.max("z_hi").alias("z_hi"),
+        )
+        .select(
+            "out_file",
+            "n_shards",
+            "shard_lo",
+            "shard_hi",
+            "n_rows",
+            "z_lo",
+            "z_hi",
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * n_rows"
+                f" DIV {target_rows} AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("out_file")
+    )
+
+
+def compaction_plan_sql(
+    silver_sql_cte: str, target_rows: int = COMPACT_TARGET_ROWS
+) -> str:
+    """DuckDB twin of :func:`compaction_plan` (expects `silver` CTE)."""
+    inner = zorder_layout_sql(silver_sql_cte)
+    return f"""WITH stats AS ({inner}),
+  packed AS (
+    SELECT *, CAST(COALESCE(SUM(n_rows) OVER (ORDER BY zorder_shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {target_rows} AS BIGINT) AS out_file
+    FROM stats)
+SELECT out_file,
+       CAST(COUNT(*) AS BIGINT) AS n_shards,
+       MIN(zorder_shard) AS shard_lo, MAX(zorder_shard) AS shard_hi,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(z_lo) AS z_lo, MAX(z_hi) AS z_hi,
+       CAST(CAST(1000000 AS HUGEINT) * SUM(n_rows) // {target_rows} AS BIGINT)
+         AS fill_ppm
+FROM packed GROUP BY out_file ORDER BY out_file"""

@@ -204,6 +204,8 @@ def main() -> int:
             "x_activity_bitmap",
             "x_skipping_report",
             "x_zorder_ranked",
+            "x_compaction_plan",
+            "tp_sample_allocation",
         )
         if q in harness.ALL_QUERIES
     ]

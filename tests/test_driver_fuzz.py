@@ -107,6 +107,8 @@ FUZZ_QUERIES = [
     "x_activity_bitmap",
     "x_skipping_report",
     "x_zorder_ranked",
+    "x_compaction_plan",
+    "tp_sample_allocation",
 ]
 
 VOCAB = (

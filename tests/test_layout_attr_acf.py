@@ -489,3 +489,92 @@ def test_zorder_ranked_plan_broadcast_rank_dims(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_compaction_plan_conserves_rows_and_order(spark):
+    """The defining invariants: Σ n_rows over planned files equals the
+    input row count, files partition the shard sequence in curve order
+    (no overlap, no gap), and every file except possibly the last is at
+    least target-full once its first shard lands."""
+    from azeroth_data_platform_spark.operators.layout import (
+        COMPACT_TARGET_ROWS,
+        compaction_plan,
+    )
+
+    rows = [
+        (item, D0 + dt.timedelta(days=day), 1.0, 1)
+        for item in range(1, 300, 2)
+        for day in range(0, 120, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    plan = compaction_plan(df).collect()
+    assert sum(r["n_rows"] for r in plan) == len(rows)
+    # files cover the shard range in order without overlap
+    for prev, cur in zip(plan, plan[1:]):
+        assert prev["shard_hi"] < cur["shard_lo"]
+        assert prev["out_file"] < cur["out_file"]
+    # exclusive-prefix packing: every file but the last closes at or
+    # past the target (its last shard straddles the boundary)
+    for r in plan[:-1]:
+        assert r["n_rows"] >= 1
+        assert r["fill_ppm"] == 1_000_000 * r["n_rows"] // COMPACT_TARGET_ROWS
+
+
+def test_sample_allocation_hamilton_invariants(spark):
+    """Hamilton apportionment: integer quotas sum EXACTLY to
+    min(budget, total), no source exceeds its own doc count, and the
+    leftover seats go to the largest remainders with the source-name
+    tiebreak."""
+    from azeroth_data_platform_spark.operators.corpus import sample_allocation
+
+    counts = {"a": 7, "b": 11, "c": 3, "d": 23, "e": 1}
+    rows = [
+        (i, f"doc {i}", "en", src, 5)
+        for i, src in enumerate(
+            [s for s, n in counts.items() for _ in range(n)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for budget in (1, 5, 17, 44, 45, 100):  # 45 = total, 100 > total
+        out = {r["source"]: r for r in sample_allocation(df, budget).collect()}
+        total = sum(counts.values())
+        b = min(budget, total)
+        assert sum(r["allocation"] for r in out.values()) == b, budget
+        for src, n in counts.items():
+            r = out[src]
+            assert 0 <= r["allocation"] <= n, (budget, src)
+            assert r["floor_quota"] == b * n // total
+            assert r["remainder"] == b * n - (b * n // total) * total
+        # reference Hamilton: floors + largest remainders (source tiebreak)
+        floors = {s: b * n // total for s, n in counts.items()}
+        rema = sorted(
+            counts, key=lambda s: (-(b * counts[s] - floors[s] * total), s)
+        )
+        left = b - sum(floors.values())
+        expect = {
+            s: floors[s] + (1 if s in set(rema[:left]) else 0) for s in counts
+        }
+        assert {s: out[s]["allocation"] for s in counts} == expect, budget
+
+
+def test_compaction_plan_shapes(spark, sf_dir):
+    """Metadata-sized: the fact scan ends at the shard aggregate; the
+    pack window and file aggregate run over file-count rows."""
+    df = harness.QUERIES["x_compaction_plan"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_sample_allocation_plan_shapes(spark, sf_dir):
+    """One map-combinable source rollup + broadcast grand total; the
+    rank/sum windows run over the value-domain-sized source table."""
+    df = harness.QUERIES["tp_sample_allocation"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
