@@ -1450,6 +1450,13 @@ def q_tp_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.sample_allocation(_docs(spark, sf_dir))
 
 
+def q_w_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's 1e6 ppm of credit
+    split equally over its lookback touches, remainder to the most
+    recent (operators/windows.py multitouch_attribution)."""
+    return windows.multitouch_attribution(_events_ts(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1729,10 +1736,12 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r8 (3rd session): w_attribution / a16_autocorrelation /
 #          x_zorder_layout / a17_dow_baseline / x_activity_bitmap insert
 #          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43,
-#          x_compaction_plan 44, tp_sample_allocation 45) at authoring
+#          x_compaction_plan 44, tp_sample_allocation 45,
+#          w_attribution_multitouch 46) at authoring
 #          time, displacing x_multiway_star_join / x_price_iqr_outliers /
 #          dd_exact / x_asof_join / x_range_join / a6_market_index /
-#          a3_rolling_zscore / tp_bpe_encode / a1_daily_market_summary
+#          a3_rolling_zscore / tp_bpe_encode / a1_daily_market_summary /
+#          dd_cdc_segments
 #          (all driver-green r1-r7; a1 keeps per-round external evidence
 #          via the driver's entry() smoke) past the cap — staleness-based
 #          rotation: the most-evidenced rows go first.
@@ -1807,7 +1816,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_zorder_ranked": q_x_zorder_ranked,
     "x_compaction_plan": q_x_compaction_plan,
     "tp_sample_allocation": q_tp_sample_allocation,
-    # --- slots 46-50: shape-diverse canaries from the r4/5 promotion
+    "w_attribution_multitouch": q_w_attribution_multitouch,
+    # --- slots 47-50: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1897,9 +1907,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 117, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 118, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_cdc_segments", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "x_pagerank", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1925,6 +1935,7 @@ assert list(QUERIES)[41] == "x_skipping_report", "slot-42 drifted"
 assert list(QUERIES)[42] == "x_zorder_ranked", "slot-43 drifted"
 assert list(QUERIES)[43] == "x_compaction_plan", "slot-44 drifted"
 assert list(QUERIES)[44] == "tp_sample_allocation", "slot-45 drifted"
+assert list(QUERIES)[45] == "w_attribution_multitouch", "slot-46 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2302,6 +2313,7 @@ ORACLES["x_skipping_report"] = _layout.skipping_report_sql(_W_SILVER)
 ORACLES["x_zorder_ranked"] = _layout.zorder_ranked_sql(_W_SILVER)
 ORACLES["x_compaction_plan"] = _layout.compaction_plan_sql(_W_SILVER)
 ORACLES["tp_sample_allocation"] = corpus.sample_allocation_sql()
+ORACLES["w_attribution_multitouch"] = windows.multitouch_attribution_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

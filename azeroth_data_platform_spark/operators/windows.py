@@ -860,3 +860,152 @@ SELECT channel, n_conversions, n_users,
        CAST(CAST(1000000 AS HUGEINT) * n_conversions // tot AS BIGINT)
          AS share_ppm
 FROM tot ORDER BY channel"""
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> DataFrame:
+    """Linear multi-touch attribution: every `conversion` splits its
+    credit EQUALLY across all of the user's preceding touches within the
+    lookback (last-touch gives the whole sale to the final click; this
+    answers "which channels participated"). Credit is integer-exact by
+    the largest-remainder rule: each conversion carries exactly
+    1,000,000 ppm, each of its k touches gets 1e6 DIV k, and the
+    1e6 % k leftover goes to the MOST RECENT touches ((us, event_id)
+    recency order) — so per-conversion credit sums to exactly 1e6 with
+    no rational arithmetic, and the channel report's grand invariant
+    Σ credit_sum_ppm = 1e6 · total conversions holds as pure integers
+    (pinned in tests). Touchless conversions credit 'direct' in full.
+
+    A touch qualifies exactly as in last_touch_attribution: strictly
+    before the conversion in the (ts, event_id) total order and within
+    `lookback_days`; conversions are never touches.
+
+    Shape: ONE user-keyed equi-join from conversions to touches with the
+    recency/lookback residual (bounded by per-user event counts — the
+    same bound sessionization lives with), then per-conversion
+    rank/count windows and a map-combinable channel rollup.
+    value_credit_units = Σ xu·credit_ppm DIV 1e6 stays in DECIMAL(38,0)/
+    HUGEINT until the single final DIV."""
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        int_units("value").cast("bigint").alias("xu"),
+    )
+    conv = ev.where(F.col("event_type") == conversion).select(
+        "user_id",
+        F.col("event_id").alias("conv_eid"),
+        F.col("us").alias("conv_us"),
+        "xu",
+    )
+    touch = ev.where(F.col("event_type") != conversion).select(
+        "user_id",
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("t_channel"),
+        F.col("us").alias("t_us"),
+    )
+    pairs = conv.join(
+        touch,
+        on=[
+            conv["user_id"] == touch["user_id"],
+            (touch["t_us"] < conv["conv_us"])
+            | (
+                (touch["t_us"] == conv["conv_us"])
+                & (touch["t_eid"] < conv["conv_eid"])
+            ),
+            conv["conv_us"] - touch["t_us"] <= lookback_us,
+        ],
+        how="left",
+    ).select(
+        conv["user_id"], "conv_eid", "conv_us", "xu", "t_eid", "t_channel", "t_us"
+    )
+    w = Window.partitionBy("user_id", "conv_eid")
+    wr = w.orderBy(F.col("t_us").desc(), F.col("t_eid").desc())
+    credited = (
+        pairs.withColumn("k", F.count("t_eid").over(w).cast("bigint"))
+        .withColumn("r", F.row_number().over(wr).cast("bigint"))
+        .withColumn(
+            "credit_ppm",
+            F.expr(
+                "CASE WHEN k = 0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE 1000000 DIV k"
+                "      + CASE WHEN r <= 1000000 % k THEN 1 ELSE 0 END END"
+            ),
+        )
+        .withColumn("channel", F.coalesce(F.col("t_channel"), F.lit("direct")))
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+            F.countDistinct("conv_eid").cast("bigint").alias("n_conversions"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_sum_ppm"),
+            F.sum(
+                F.col("xu").cast("decimal(38,0)") * F.col("credit_ppm")
+            ).alias("_vc"),
+        )
+        .select(
+            "channel",
+            "n_touchpoints",
+            "n_conversions",
+            "credit_sum_ppm",
+            F.expr("CAST(_vc DIV 1000000 AS BIGINT)").alias("value_credit_units"),
+        )
+        .orderBy("channel")
+    )
+
+
+def multitouch_attribution_sql(
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> str:
+    """DuckDB twin of :func:`multitouch_attribution` (reads `events`)."""
+    from ..functions.numerics import int_units_sql
+
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    return f"""
+  WITH ev AS (SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                     CAST({int_units_sql("value")} AS BIGINT) AS xu
+              FROM events),
+  conv AS (SELECT user_id, event_id AS conv_eid, us AS conv_us, xu
+           FROM ev WHERE event_type = '{conversion}'),
+  touch AS (SELECT user_id, event_id AS t_eid, event_type AS t_channel,
+                   us AS t_us
+            FROM ev WHERE event_type <> '{conversion}'),
+  pairs AS (
+    SELECT c.user_id, c.conv_eid, c.conv_us, c.xu,
+           t.t_eid, t.t_channel, t.t_us
+    FROM conv c LEFT JOIN touch t
+      ON c.user_id = t.user_id
+     AND (t.t_us < c.conv_us
+          OR (t.t_us = c.conv_us AND t.t_eid < c.conv_eid))
+     AND c.conv_us - t.t_us <= {lookback_us}),
+  credited AS (
+    SELECT *,
+           CAST(COUNT(t_eid) OVER (PARTITION BY user_id, conv_eid)
+                AS BIGINT) AS k,
+           CAST(row_number() OVER (PARTITION BY user_id, conv_eid
+                                   ORDER BY t_us DESC, t_eid DESC)
+                AS BIGINT) AS r,
+           COALESCE(t_channel, 'direct') AS channel
+    FROM pairs),
+  scored AS (
+    SELECT *,
+           CASE WHEN k = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE 1000000 // k
+                     + CASE WHEN r <= 1000000 % k THEN 1 ELSE 0 END END
+             AS credit_ppm
+    FROM credited)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_ppm) AS BIGINT) AS credit_sum_ppm,
+       CAST(SUM(CAST(xu AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
+         AS value_credit_units
+FROM scored GROUP BY channel ORDER BY channel"""

@@ -206,6 +206,7 @@ def main() -> int:
             "x_zorder_ranked",
             "x_compaction_plan",
             "tp_sample_allocation",
+            "w_attribution_multitouch",
         )
         if q in harness.ALL_QUERIES
     ]

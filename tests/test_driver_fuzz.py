@@ -109,6 +109,7 @@ FUZZ_QUERIES = [
     "x_zorder_ranked",
     "x_compaction_plan",
     "tp_sample_allocation",
+    "w_attribution_multitouch",
 ]
 
 VOCAB = (

@@ -578,3 +578,69 @@ def test_sample_allocation_plan_shapes(spark, sf_dir):
     assert "partial_" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_multitouch_attribution_semantics(spark):
+    """Hamilton credit split per conversion: equal shares, remainder to
+    the most recent touches, credit conservation, and the same qualify
+    rule as last-touch (strict (ts, event_id) precedence, 7-day
+    lookback, 'direct' when touchless)."""
+    from azeroth_data_platform_spark.operators.windows import (
+        multitouch_attribution,
+    )
+
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    rows = [
+        # user 1: view, click, signup -> purchase: 1e6 split 3 ways =
+        # 333333 each + 1 leftover to the MOST RECENT touch (signup)
+        _ev(1, 1, T0, "view"),
+        _ev(2, 1, T0 + h, "click"),
+        _ev(3, 1, T0 + 2 * h, "signup"),
+        _ev(4, 1, T0 + 3 * h, "purchase", 9.0),
+        # user 2: no touches -> direct gets the full 1e6
+        _ev(5, 2, T0, "purchase", 4.0),
+        # user 3: one touch outside lookback, one inside -> only the
+        # inside one credits (in full)
+        _ev(6, 3, T0 - 8 * d, "view"),
+        _ev(7, 3, T0, "click"),
+        _ev(8, 3, T0 + h, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["channel"]: r for r in multitouch_attribution(df).collect()}
+    assert set(out) == {"view", "click", "signup", "direct"}
+    assert out["view"]["credit_sum_ppm"] == 333_333
+    assert out["click"]["credit_sum_ppm"] == 333_333 + 1_000_000
+    assert out["signup"]["credit_sum_ppm"] == 333_334  # leftover seat
+    assert out["direct"]["credit_sum_ppm"] == 1_000_000
+    # conservation: one million ppm per conversion, three conversions
+    assert sum(r["credit_sum_ppm"] for r in out.values()) == 3_000_000
+    # value credit: user 1's 9.00 -> 900 units split 299.9997/...: floor
+    assert out["signup"]["value_credit_units"] == 900 * 333_334 // 1_000_000
+    assert out["direct"]["value_credit_units"] == 400
+    assert out["click"]["n_conversions"] == 2
+    assert out["click"]["n_touchpoints"] == 2
+
+
+def test_multitouch_credit_conservation_on_corpus(spark, sf_dir):
+    """Grand invariant on real data: Σ credit_sum_ppm = 1e6 · total
+    conversions, engine-exact by construction."""
+    import pyspark.sql.functions as SF
+
+    df = harness.QUERIES["w_attribution_multitouch"](spark, sf_dir)
+    total_credit = df.agg(SF.sum("credit_sum_ppm")).collect()[0][0]
+    n_conv = (
+        harness._events_ts(spark, sf_dir)
+        .where(SF.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_credit == 1_000_000 * n_conv
+
+
+def test_multitouch_plan_single_keyed_join(spark, sf_dir):
+    """The conversion->touch pairing is ONE user-keyed equi-join with a
+    residual (never a cartesian); rollup is map-combinable."""
+    df = harness.QUERIES["w_attribution_multitouch"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
