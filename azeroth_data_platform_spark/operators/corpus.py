@@ -2054,7 +2054,6 @@ def sample_allocation(
         .withColumn("remainder", F.expr("_b * n_docs - floor_quota * _total"))
     )
     w_rank = Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
-    w_all = Window.partitionBy()
     ranked = based.withColumn("_rk", F.row_number().over(w_rank)).withColumn(
         "_leftover", F.expr("_b - sum(floor_quota) OVER ()")
     )

@@ -324,6 +324,9 @@ def main() -> int:
             "x_activity_bitmap",
             "x_skipping_report",
             "x_zorder_ranked",
+            "x_compaction_plan",
+            "tp_sample_allocation",
+            "w_attribution_multitouch",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

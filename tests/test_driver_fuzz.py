@@ -254,7 +254,12 @@ def test_hostile_session_timezone_is_repaired(spark, sf_dir):
     con = duck_connection(sf_dir)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        for name in ("a1_daily_market_summary", "a3e_rolling_zscore_dense"):
+        for name in (
+            "a1_daily_market_summary",
+            "a3e_rolling_zscore_dense",
+            "w_attribution",
+            "a17_dow_baseline",
+        ):
             sdf = harness.ALL_QUERIES[name](spark, sf_dir).toPandas()
             ddf = con.execute(harness.ALL_ORACLES[name]).df()
             problems = compare(name, sdf, ddf)
