@@ -406,3 +406,101 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
         "append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution ON A STREAM — the live twin of
+# windows.multitouch_attribution. State per user is the touch list
+# PRUNED TO THE LOOKBACK (bounded by lookback window × touch rate, the
+# classic bounded-state argument — an unpruned list would grow with
+# lifetime volume). Each conversion replays the Hamilton split against
+# the pruned list: 1e6 DIV k per touch, the 1e6 % k leftover to the most
+# recent — per-conversion credit conservation holds on the stream exactly
+# as in batch.
+
+MT_ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("conv_eid", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("credit_ppm", T.LongType()),
+        T.StructField("xu", T.LongType()),
+    ]
+)
+
+_MT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("channels", T.ArrayType(T.StringType())),
+        T.StructField("uss", T.ArrayType(T.LongType())),
+        T.StructField("eids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _multitouch_state(
+    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    channels, uss, eids = state.get if state.exists else ([], [], [])
+    channels, uss, eids = list(channels), list(uss), list(eids)
+    rows = []
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
+        for eid, us, et, xu in zip(
+            pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
+        ):
+            eid, us = int(eid), int(us)
+            if et == ATTR_CONVERSION:
+                # state holds only earlier (us, event_id) touches, so the
+                # strict-precedence rule is the processing order itself;
+                # only the lookback needs checking
+                q = [
+                    (c, u, e)
+                    for c, u, e in zip(channels, uss, eids)
+                    if us - u <= ATTR_LOOKBACK_US
+                ]
+                if not q:
+                    rows.append((key[0], eid, "direct", 1_000_000, int(xu)))
+                else:
+                    k = len(q)
+                    base, rem = divmod(1_000_000, k)
+                    for r, (c, _, _) in enumerate(
+                        sorted(q, key=lambda t: (-t[1], -t[2])), start=1
+                    ):
+                        rows.append(
+                            (key[0], eid, c, base + (1 if r <= rem else 0), int(xu))
+                        )
+            else:
+                channels.append(et)
+                uss.append(us)
+                eids.append(eid)
+                # prune to the lookback relative to the newest event —
+                # the state-boundedness contract
+                cutoff = us - ATTR_LOOKBACK_US
+                if uss and uss[0] < cutoff:
+                    keep = [i for i, u in enumerate(uss) if u >= cutoff]
+                    channels = [channels[i] for i in keep]
+                    uss = [uss[i] for i in keep]
+                    eids = [eids[i] for i in keep]
+    state.update((channels, uss, eids))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "conv_eid", "channel", "credit_ppm", "xu"]
+        )
+
+
+def streaming_multitouch(events: DataFrame) -> DataFrame:
+    """Per-(conversion, touch) credit rows ON A STREAM: the Hamilton
+    multi-touch split replayed against the lookback-pruned per-user touch
+    list — attributes conversions whose touches arrived in earlier
+    micro-batches. Fold by channel downstream for the live report; batch
+    bit-parity pinned in tests/test_stateful_streaming.py.
+
+    Expects columns (user_id, event_id, event_type, us, xu)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _multitouch_state,
+        MT_ATTRIBUTION_SCHEMA,
+        _MT_STATE_SCHEMA,
+        "append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -250,3 +250,85 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     # and the semantic pins themselves
     per_event = got.set_index("event_id")["channel"].to_dict()
     assert per_event == {3: "click", 7: "view", 8: "direct", 9: "click", 10: "direct"}
+
+
+def test_streaming_multitouch_matches_batch(spark, tmp_path):
+    """Multi-touch Hamilton credit on a stream is bit-equal to the batch
+    operator, with touches and their conversion split ACROSS
+    micro-batches and a touch pruned by the lookback."""
+    from azeroth_data_platform_spark.operators.windows import (
+        multitouch_attribution,
+    )
+    from azeroth_data_platform_spark.streaming.stateful import (
+        streaming_multitouch,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    b1 = [
+        (1, 1, T0, "view", 1.0),
+        (2, 1, T0 + h, "click", 1.0),
+        (3, 1, T0 + 2 * h, "signup", 1.0),  # three touches in batch 1
+        (4, 2, T0 - 8 * d, "view", 1.0),    # will be out of lookback
+        (5, 2, T0, "click", 1.0),
+    ]
+    b2 = [
+        (6, 1, T0 + 3 * h, "purchase", 9.0),   # 3-way split across batches
+        (7, 2, T0 + h, "purchase", 2.0),       # old view pruned -> click only
+        (8, 3, T0, "purchase", 4.0),           # never any touch -> direct
+    ]
+    src = tmp_path / "mt_events"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "unix_micros(ts) AS us",
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS xu",
+        )
+    )
+    q = (
+        streaming_multitouch(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mt_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM mt_attr").toPandas()
+    finally:
+        q.stop()
+
+    stream_report = (
+        got.assign(vc=lambda f: f["xu"] * f["credit_ppm"])
+        .groupby("channel")
+        .agg(
+            n_touchpoints=("conv_eid", "size"),
+            n_conversions=("conv_eid", "nunique"),
+            credit_sum_ppm=("credit_ppm", "sum"),
+            vc=("vc", "sum"),
+        )
+        .assign(value_credit_units=lambda f: f["vc"] // 1_000_000)
+        .drop(columns="vc")
+        .sort_index()
+    )
+    batch = (
+        multitouch_attribution(spark.createDataFrame(b1 + b2, schema))
+        .toPandas()
+        .set_index("channel")
+        .sort_index()
+    )
+    assert list(stream_report.index) == list(batch.index)
+    for col in ("n_touchpoints", "n_conversions", "credit_sum_ppm", "value_credit_units"):
+        assert (stream_report[col].astype("int64") == batch[col]).all(), col
+    # credit conservation on the stream: 1e6 per conversion, 3 conversions
+    assert int(got["credit_ppm"].sum()) == 3_000_000
