@@ -862,6 +862,50 @@ SELECT channel, n_conversions, n_users,
 FROM tot ORDER BY channel"""
 
 
+def _touch_pairs(
+    events: DataFrame, lookback_days: int, conversion: str
+) -> DataFrame:
+    """Conversion→touch candidate pairs shared by the multi-touch and
+    time-decay attributions: LEFT join (touchless conversions keep one
+    null-touch row), strict (us, event_id) precedence, lookback residual
+    on the user-keyed equi-join."""
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        int_units("value").cast("bigint").alias("xu"),
+    )
+    conv = ev.where(F.col("event_type") == conversion).select(
+        "user_id",
+        F.col("event_id").alias("conv_eid"),
+        F.col("us").alias("conv_us"),
+        "xu",
+    )
+    touch = ev.where(F.col("event_type") != conversion).select(
+        "user_id",
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("t_channel"),
+        F.col("us").alias("t_us"),
+    )
+    return conv.join(
+        touch,
+        on=[
+            conv["user_id"] == touch["user_id"],
+            (touch["t_us"] < conv["conv_us"])
+            | (
+                (touch["t_us"] == conv["conv_us"])
+                & (touch["t_eid"] < conv["conv_eid"])
+            ),
+            conv["conv_us"] - touch["t_us"] <= lookback_us,
+        ],
+        how="left",
+    ).select(
+        conv["user_id"], "conv_eid", "conv_us", "xu", "t_eid", "t_channel", "t_us"
+    )
+
+
 def multitouch_attribution(
     events: DataFrame,
     lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
@@ -889,41 +933,7 @@ def multitouch_attribution(
     rank/count windows and a map-combinable channel rollup.
     value_credit_units = Σ xu·credit_ppm DIV 1e6 stays in DECIMAL(38,0)/
     HUGEINT until the single final DIV."""
-    lookback_us = lookback_days * 86_400 * 1_000_000
-    ev = events.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        int_units("value").cast("bigint").alias("xu"),
-    )
-    conv = ev.where(F.col("event_type") == conversion).select(
-        "user_id",
-        F.col("event_id").alias("conv_eid"),
-        F.col("us").alias("conv_us"),
-        "xu",
-    )
-    touch = ev.where(F.col("event_type") != conversion).select(
-        "user_id",
-        F.col("event_id").alias("t_eid"),
-        F.col("event_type").alias("t_channel"),
-        F.col("us").alias("t_us"),
-    )
-    pairs = conv.join(
-        touch,
-        on=[
-            conv["user_id"] == touch["user_id"],
-            (touch["t_us"] < conv["conv_us"])
-            | (
-                (touch["t_us"] == conv["conv_us"])
-                & (touch["t_eid"] < conv["conv_eid"])
-            ),
-            conv["conv_us"] - touch["t_us"] <= lookback_us,
-        ],
-        how="left",
-    ).select(
-        conv["user_id"], "conv_eid", "conv_us", "xu", "t_eid", "t_channel", "t_us"
-    )
+    pairs = _touch_pairs(events, lookback_days, conversion)
     w = Window.partitionBy("user_id", "conv_eid")
     wr = w.orderBy(F.col("t_us").desc(), F.col("t_eid").desc())
     credited = (
@@ -1002,6 +1012,145 @@ def multitouch_attribution_sql(
                      + CASE WHEN r <= 1000000 % k THEN 1 ELSE 0 END END
              AS credit_ppm
     FROM credited)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_ppm) AS BIGINT) AS credit_sum_ppm,
+       CAST(SUM(CAST(xu AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
+         AS value_credit_units
+FROM scored GROUP BY channel ORDER BY channel"""
+
+
+def decay_attribution(
+    events: DataFrame,
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> DataFrame:
+    """Time-decay attribution: a touch's share of a conversion's credit
+    halves for every full day of age — the middle ground between
+    last-touch (all credit to the final click) and linear (age-blind).
+    The half-life-one-day choice is what keeps it EXACT: the weight
+    w = 2^(L − age_days) is an integer in [1, 2^L] (L = lookback days),
+    so each conversion's 1e6 ppm splits by the largest-remainder rule
+    over integer weights — base_i = 1e6·w_i DIV W, the 1e6 − Σbase
+    leftover to the largest remainders (recency, then event_id,
+    descending) — and per-conversion credit sums to exactly 1e6 with no
+    rational arithmetic. Conservation Σ credit_sum_ppm =
+    1e6 · conversions is the same integer identity the linear variant
+    pins. Touchless conversions credit 'direct' in full.
+
+    Same qualify rule and ONE user-keyed equi-join as
+    multitouch_attribution (shared _touch_pairs); two window passes per
+    conversion (weight total, remainder rank) ride one
+    (user, conversion) partition."""
+    pairs = _touch_pairs(events, lookback_days, conversion)
+    w = Window.partitionBy("user_id", "conv_eid")
+    wr = w.orderBy(
+        F.col("_rem").desc(), F.col("t_us").desc(), F.col("t_eid").desc()
+    )
+    weighted = pairs.withColumn(
+        "_w",
+        F.expr(
+            f"CASE WHEN t_eid IS NULL THEN CAST(0 AS BIGINT)"
+            f" ELSE shiftleft(CAST(1 AS BIGINT),"
+            f"   {lookback_days} - CAST((conv_us - t_us)"
+            f"     DIV {86_400 * 1_000_000} AS INT)) END"
+        ),
+    ).withColumn("_wsum", F.sum("_w").over(w).cast("bigint"))
+    based = (
+        weighted.withColumn(
+            "_base",
+            F.expr("CASE WHEN _wsum > 0 THEN 1000000 * _w DIV _wsum"
+                   " ELSE CAST(1000000 AS BIGINT) END"),
+        )
+        .withColumn("_rem", F.expr("1000000 * _w - _base * _wsum"))
+        .withColumn("_leftover", F.expr("1000000 - sum(_base) OVER"
+                                        " (PARTITION BY user_id, conv_eid)"))
+        .withColumn("_r", F.row_number().over(wr).cast("bigint"))
+    )
+    credited = based.withColumn(
+        "credit_ppm",
+        F.expr("_base + CASE WHEN t_eid IS NOT NULL AND _r <= _leftover"
+               " THEN 1 ELSE 0 END"),
+    ).withColumn("channel", F.coalesce(F.col("t_channel"), F.lit("direct")))
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+            F.countDistinct("conv_eid").cast("bigint").alias("n_conversions"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_sum_ppm"),
+            F.sum(
+                F.col("xu").cast("decimal(38,0)") * F.col("credit_ppm")
+            ).alias("_vc"),
+        )
+        .select(
+            "channel",
+            "n_touchpoints",
+            "n_conversions",
+            "credit_sum_ppm",
+            F.expr("CAST(_vc DIV 1000000 AS BIGINT)").alias("value_credit_units"),
+        )
+        .orderBy("channel")
+    )
+
+
+def decay_attribution_sql(
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> str:
+    """DuckDB twin of :func:`decay_attribution` (reads `events`)."""
+    from ..functions.numerics import int_units_sql
+
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    return f"""
+  WITH ev AS (SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                     CAST({int_units_sql("value")} AS BIGINT) AS xu
+              FROM events),
+  conv AS (SELECT user_id, event_id AS conv_eid, us AS conv_us, xu
+           FROM ev WHERE event_type = '{conversion}'),
+  touch AS (SELECT user_id, event_id AS t_eid, event_type AS t_channel,
+                   us AS t_us
+            FROM ev WHERE event_type <> '{conversion}'),
+  pairs AS (
+    SELECT c.user_id, c.conv_eid, c.conv_us, c.xu,
+           t.t_eid, t.t_channel, t.t_us
+    FROM conv c LEFT JOIN touch t
+      ON c.user_id = t.user_id
+     AND (t.t_us < c.conv_us
+          OR (t.t_us = c.conv_us AND t.t_eid < c.conv_eid))
+     AND c.conv_us - t.t_us <= {lookback_us}),
+  weighted AS (
+    SELECT *,
+           CASE WHEN t_eid IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(1 AS BIGINT)
+                     << ({lookback_days} - CAST((conv_us - t_us)
+                          // {86_400 * 1_000_000} AS INT)) END AS w
+    FROM pairs),
+  summed AS (
+    SELECT *, CAST(SUM(w) OVER (PARTITION BY user_id, conv_eid)
+                   AS BIGINT) AS wsum
+    FROM weighted),
+  based AS (
+    SELECT *,
+           CASE WHEN wsum > 0 THEN 1000000 * w // wsum
+                ELSE CAST(1000000 AS BIGINT) END AS base,
+           CASE WHEN wsum > 0 THEN 1000000 * w - (1000000 * w // wsum) * wsum
+                ELSE CAST(0 AS BIGINT) END AS rem
+    FROM summed),
+  ranked AS (
+    SELECT *,
+           CAST(1000000 - SUM(base) OVER (PARTITION BY user_id, conv_eid)
+                AS BIGINT) AS leftover,
+           CAST(row_number() OVER (PARTITION BY user_id, conv_eid
+                                   ORDER BY rem DESC, t_us DESC, t_eid DESC)
+                AS BIGINT) AS r,
+           COALESCE(t_channel, 'direct') AS channel
+    FROM based),
+  scored AS (
+    SELECT *, CAST(base + CASE WHEN t_eid IS NOT NULL AND r <= leftover
+                               THEN 1 ELSE 0 END AS BIGINT) AS credit_ppm
+    FROM ranked)
 SELECT channel,
        CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
        CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,

@@ -207,6 +207,7 @@ def main() -> int:
             "x_compaction_plan",
             "tp_sample_allocation",
             "w_attribution_multitouch",
+            "w_attribution_decay",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -327,6 +328,7 @@ def main() -> int:
             "x_compaction_plan",
             "tp_sample_allocation",
             "w_attribution_multitouch",
+            "w_attribution_decay",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

@@ -110,6 +110,7 @@ FUZZ_QUERIES = [
     "x_compaction_plan",
     "tp_sample_allocation",
     "w_attribution_multitouch",
+    "w_attribution_decay",
 ]
 
 VOCAB = (

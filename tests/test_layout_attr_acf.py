@@ -644,3 +644,48 @@ def test_multitouch_plan_single_keyed_join(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_decay_attribution_semantics(spark):
+    """Power-of-two decay weights with the Hamilton remainder rule: a
+    same-day touch outweighs a 3-day-old one 8:1, credit conserves
+    exactly, and touchless conversions stay 'direct'."""
+    from azeroth_data_platform_spark.operators.windows import decay_attribution
+
+    h = dt.timedelta(hours=1)
+    d = dt.timedelta(days=1)
+    rows = [
+        # user 1: view 3 days before, click 1h before -> weights
+        # 2^(7-3)=16 vs 2^(7-0)=128; W=144
+        _ev(1, 1, T0 - 3 * d, "view"),
+        _ev(2, 1, T0 - h, "click"),
+        _ev(3, 1, T0, "purchase", 9.0),
+        # user 2: touchless -> direct 1e6
+        _ev(4, 2, T0, "purchase", 4.0),
+        # user 3: touch exactly at the lookback boundary -> weight 2^0=1
+        _ev(5, 3, T0 - 7 * d, "signup"),
+        _ev(6, 3, T0, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["channel"]: r for r in decay_attribution(df).collect()}
+    # user 1: base view = 1e6*16//144 = 111111 (rem 16), click =
+    # 1e6*128//144 = 888888 (rem 128); leftover 1, larger rem -> click
+    assert out["view"]["credit_sum_ppm"] == 111_111
+    assert out["click"]["credit_sum_ppm"] == 888_889
+    assert out["direct"]["credit_sum_ppm"] == 1_000_000
+    assert out["signup"]["credit_sum_ppm"] == 1_000_000
+    assert sum(r["credit_sum_ppm"] for r in out.values()) == 3_000_000
+    assert out["click"]["value_credit_units"] == 900 * 888_889 // 1_000_000
+
+
+def test_decay_attribution_conservation_on_corpus(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    df = harness.QUERIES["w_attribution_decay"](spark, sf_dir)
+    total_credit = df.agg(SF.sum("credit_sum_ppm")).collect()[0][0]
+    n_conv = (
+        harness._events_ts(spark, sf_dir)
+        .where(SF.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_credit == 1_000_000 * n_conv
