@@ -1464,6 +1464,13 @@ def q_w_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.decay_attribution(_events_ts(spark, sf_dir))
 
 
+def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano) of daily event counts per type —
+    Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
+    rationals (operators/profiling.py fano_burstiness)."""
+    return profiling.fano_burstiness(_events_ts(spark, sf_dir))
+
+
 def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN — metadata predicate (lang/min-length) semi-joined
     BEFORE the LSH bucket fan-out, exact cosine rank on the filtered
@@ -1719,7 +1726,7 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r8 (NOW): the 15 round-6 additions (never driver-recorded) take slots
 #          1-15; slots 16-21 keep six shape-diverse r4/5 canaries
 #          (x_incremental_gold, x_hll_distinct, w_funnel, x_pagerank,
-#          dd_cdc_segments / x_pagerank, tp_bpe_encode — driver-green r6+r7); slots
+#          dd_cdc_segments / x_pagerank / w_funnel, tp_bpe_encode — driver-green r6+r7); slots
 #          22-50 are unchanged (a1/a3/a6 + one query per heavy family);
 #          the other 15 r4/5 promotions (driver-green r6 AND r7) rotate
 #          to the tail, still parity-checked locally every round.
@@ -1744,12 +1751,13 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          x_zorder_layout / a17_dow_baseline / x_activity_bitmap insert
 #          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43,
 #          x_compaction_plan 44, tp_sample_allocation 45,
-#          w_attribution_multitouch 46, w_attribution_decay 47) at
+#          w_attribution_multitouch 46, w_attribution_decay 47,
+#          x_fano_burstiness 48) at
 #          authoring
 #          time, displacing x_multiway_star_join / x_price_iqr_outliers /
 #          dd_exact / x_asof_join / x_range_join / a6_market_index /
 #          a3_rolling_zscore / tp_bpe_encode / a1_daily_market_summary /
-#          dd_cdc_segments / x_pagerank
+#          dd_cdc_segments / x_pagerank / w_funnel
 #          (all driver-green r1-r7; a1 keeps per-round external evidence
 #          via the driver's entry() smoke) past the cap — staleness-based
 #          rotation: the most-evidenced rows go first.
@@ -1826,7 +1834,8 @@ QUERIES: dict[str, QueryFn] = {
     "tp_sample_allocation": q_tp_sample_allocation,
     "w_attribution_multitouch": q_w_attribution_multitouch,
     "w_attribution_decay": q_w_attribution_decay,
-    # --- slots 48-50: shape-diverse canaries from the r4/5 promotion
+    "x_fano_burstiness": q_x_fano_burstiness,
+    # --- slots 49-50: shape-diverse canaries from the r4/5 promotion
     # block (incremental, sketch, funnel, iterative-graph, substring-
     # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
     "x_incremental_gold": q_x_incremental_gold,
@@ -1916,9 +1925,9 @@ QUERIES: dict[str, QueryFn] = {
     "tp_chunk_documents": q_tp_chunk_documents,
 }
 
-assert len(QUERIES) == 119, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 120, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "w_funnel", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "x_hll_distinct", "slot-50 boundary drifted"
 # r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
 # (their first external driver rows), canaries 16-21, heavy families 22-50.
 assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
@@ -1946,6 +1955,7 @@ assert list(QUERIES)[43] == "x_compaction_plan", "slot-44 drifted"
 assert list(QUERIES)[44] == "tp_sample_allocation", "slot-45 drifted"
 assert list(QUERIES)[45] == "w_attribution_multitouch", "slot-46 drifted"
 assert list(QUERIES)[46] == "w_attribution_decay", "slot-47 drifted"
+assert list(QUERIES)[47] == "x_fano_burstiness", "slot-48 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2325,6 +2335,7 @@ ORACLES["x_compaction_plan"] = _layout.compaction_plan_sql(_W_SILVER)
 ORACLES["tp_sample_allocation"] = corpus.sample_allocation_sql()
 ORACLES["w_attribution_multitouch"] = windows.multitouch_attribution_sql()
 ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
+ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"

@@ -913,3 +913,78 @@ SELECT item_id, c AS n_rows,
 FROM counts, totals
 ORDER BY pairs DESC, item_id ASC
 LIMIT {k}"""
+
+
+# --- burstiness (Fano factor / index of dispersion) ---------------------------
+
+
+def fano_burstiness(events: DataFrame) -> DataFrame:
+    """Index of dispersion of the daily event-count series per event_type:
+    Fano = sample variance / mean of counts over OBSERVED days (a type
+    absent a whole day contributes no row — compose with a calendar
+    gapfill for include-zero semantics). Fano ≈ 1 is Poisson arrival,
+    > 1 is bursty (clumped traffic — the thing a rate limiter or an
+    ingest autoscaler needs to know), < 1 is more regular than chance.
+
+    EXACT: with n observed days, S = Σc, Q = Σc², the dispersion is the
+    rational (n·Q − S²) / ((n−1)·S) — non-negative by Cauchy-Schwarz, so
+    one unsigned truncating division suffices. Staged in DECIMAL(38,0) /
+    HUGEINT: 1e6·n·Q overflows BIGINT already at ~30 days × 100k-event
+    days. mean_per_day_milli is the exact 1e3-truncated mean.
+
+    Shape: one (event_type, day) map-combinable pre-aggregation, one
+    |event_type|-key rollup; both exchanges tiny after map-side combine."""
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")).alias(
+            "q"
+        ),
+        F.max("c").cast("bigint").alias("max_day"),
+    )
+    return (
+        g.where(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s").alias("n_events"),
+            "max_day",
+            F.expr(
+                "CAST(CAST(1000 AS DECIMAL(38,0)) * s DIV n_days AS BIGINT)"
+            ).alias("mean_per_day_milli"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(n_days AS DECIMAL(38,0)) * q"
+                "    - CAST(s AS DECIMAL(38,0)) * s)"
+                " DIV (CAST(n_days - 1 AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def fano_burstiness_sql() -> str:
+    """DuckDB twin of :func:`fano_burstiness` (reads `events`)."""
+    return """
+  WITH daily AS (
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+  g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS s,
+           SUM(CAST(c AS HUGEINT) * c) AS q,
+           CAST(MAX(c) AS BIGINT) AS max_day
+    FROM daily GROUP BY event_type)
+SELECT event_type, n_days, s AS n_events, max_day,
+       CAST(CAST(1000 AS HUGEINT) * s // n_days AS BIGINT)
+         AS mean_per_day_milli,
+       CAST(CAST(1000000 AS HUGEINT)
+            * (CAST(n_days AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+            // (CAST(n_days - 1 AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+FROM g WHERE n_days >= 2 ORDER BY event_type"""

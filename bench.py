@@ -208,6 +208,7 @@ def main() -> int:
             "tp_sample_allocation",
             "w_attribution_multitouch",
             "w_attribution_decay",
+            "x_fano_burstiness",
         )
         if q in harness.ALL_QUERIES
     ]
@@ -329,6 +330,7 @@ def main() -> int:
             "tp_sample_allocation",
             "w_attribution_multitouch",
             "w_attribution_decay",
+            "x_fano_burstiness",
             # round-8 drift/overlap family: distinct-value scaffolds should
             # grow SUBLINEARLY (window input is value-domain-sized); the
             # KMV sketch stage is top-k-capped so only the distinct scan

@@ -111,6 +111,7 @@ FUZZ_QUERIES = [
     "tp_sample_allocation",
     "w_attribution_multitouch",
     "w_attribution_decay",
+    "x_fano_burstiness",
 ]
 
 VOCAB = (

@@ -689,3 +689,44 @@ def test_decay_attribution_conservation_on_corpus(spark, sf_dir):
         .count()
     )
     assert total_credit == 1_000_000 * n_conv
+
+
+def test_fano_burstiness_matches_reference(spark):
+    """Dispersion against hand-computed rationals: a constant series has
+    Fano 0, a Poisson-ish mixed one lands at the exact truncated ppm, a
+    single-day type is excluded (n < 2)."""
+    from azeroth_data_platform_spark.operators.profiling import fano_burstiness
+
+    d = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    # 'steady': 5 events/day for 4 days -> variance 0 -> fano 0
+    for day in range(4):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, 1, T0 + day * d, "steady", 1.0))
+    # 'bursty': day counts 1, 9 -> n=2, S=10, Q=82;
+    # fano = (2*82 - 100) / (1*10) = 6.4 -> 6_400_000 ppm
+    eid += 1
+    rows.append((eid, 2, T0, "bursty", 1.0))
+    for _ in range(9):
+        eid += 1
+        rows.append((eid, 2, T0 + d, "bursty", 1.0))
+    # 'single': one day only -> excluded
+    eid += 1
+    rows.append((eid, 3, T0, "single", 1.0))
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["event_type"]: r for r in fano_burstiness(df).collect()}
+    assert set(out) == {"steady", "bursty"}
+    assert out["steady"]["fano_ppm"] == 0
+    assert out["steady"]["mean_per_day_milli"] == 5_000
+    assert out["bursty"]["fano_ppm"] == 6_400_000
+    assert out["bursty"]["n_days"] == 2 and out["bursty"]["n_events"] == 10
+    assert out["bursty"]["max_day"] == 9
+
+
+def test_fano_plan_two_small_aggregates(spark, sf_dir):
+    df = harness.QUERIES["x_fano_burstiness"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
