@@ -1710,57 +1710,33 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50 entries (verified round 1: CORRECTNESS_r01.json held exactly the first
 # 50 dict keys while 58 were registered). Entries PAST slot 50 rely solely
 # on the in-repo parity suite (tools/parity.py --all + pytest), so the
-# FIRST 50 slots rotate each round toward whatever has not yet had a driver
-# row.
+# FIRST 50 slots rotate each round toward whatever driver row is OLDEST.
 #
 # ROTATION LEDGER (which slots carry external driver rows, by round):
-#   r1-r3: original 50-entry head (a*/o*/j*/f*/p*/w*/dd*/ann*/ts_token_stats
-#          ...) — CORRECTNESS_r01..r03 rows.
-#   r4-r5: same head (round 4-5 additions appended past slot 50, local
-#          parity only — the gap round 5 exposed).
-#   r6-r7: 21 round-4/5 promotions moved into slots 1-21 (CORRECTNESS_r06/
-#          r07 rows), displacing 21 long-stable serving/gold rows
-#          (a2/a4/a5/a7/a9/j1/j2/o1/o2/o3/o5/o6/o7/o9/o10/f4/p11/pj/
-#          w_sessionize/x_pivot/x_sector_rollup — driver-green r1-r3) to
-#          the tail. Round-6's own 15 additions appended past slot 50.
-#   r8 (NOW): the 15 round-6 additions (never driver-recorded) take slots
-#          1-15; slots 16-21 keep six shape-diverse r4/5 canaries
-#          (x_incremental_gold, x_hll_distinct, w_funnel, x_pagerank,
-#          dd_cdc_segments / x_pagerank / w_funnel, tp_bpe_encode — driver-green r6+r7); slots
-#          22-50 are unchanged (a1/a3/a6 + one query per heavy family);
-#          the other 15 r4/5 promotions (driver-green r6 AND r7) rotate
-#          to the tail, still parity-checked locally every round.
-#   r8 (cont.): the seven NEW round-8 operators (x_ks_drift, x_psi_drift,
-#          x_kmv_overlap, x_spearman, x_emd_drift, x_mannwhitney,
-#          x_cramers_v, x_psi_daily — the day-over-day PSI monitor with
-#          its streaming state twin — and the classifier-eval block
-#          ts_auc_langid / ts_lift_langid / ts_pr_curve_langid /
-#          ts_pr_summary_langid / ts_auc_by_source / x_winsorized_stats /
-#          x_selfjoin_density / ann_recall_report / x_cohens_kappa /
-#          ts_langid_prf / ts_auc_doclen / tp_shard_manifest /
-#          a15_mad_outliers) insert at slots 16-36
-#          at authoring time, displacing ann_topk_bruteforce /
-#          ann_topk_lsh / ann_topk_ivf / ts_token_stats /
-#          tp_quality_prune / ts_language_id / ts_fingerprint /
-#          mm_binary_stats / ann_topk_ivf_trained / mm_feature_extract /
-#          tp_pack_contents / ts_repetition / tp_pack_sequences /
-#          tp_decontaminate / tp_train_sample / tp_clean_corpus /
-#          dd_embed_lsh / dd_semantic / tp_keep_best / dd_simhash_banded /
-#          dd_minhash_lsh (driver-green r1-r7) past the cap.
-#   r8 (3rd session): w_attribution / a16_autocorrelation /
-#          x_zorder_layout / a17_dow_baseline / x_activity_bitmap insert
-#          at slots 37-41 (x_skipping_report 42, x_zorder_ranked 43,
-#          x_compaction_plan 44, tp_sample_allocation 45,
-#          w_attribution_multitouch 46, w_attribution_decay 47,
-#          x_fano_burstiness 48) at
-#          authoring
-#          time, displacing x_multiway_star_join / x_price_iqr_outliers /
-#          dd_exact / x_asof_join / x_range_join / a6_market_index /
-#          a3_rolling_zscore / tp_bpe_encode / a1_daily_market_summary /
-#          dd_cdc_segments / x_pagerank / w_funnel
-#          (all driver-green r1-r7; a1 keeps per-round external evidence
-#          via the driver's entry() smoke) past the cap — staleness-based
-#          rotation: the most-evidenced rows go first.
+#   r1-r3: original 50-entry head — CORRECTNESS_r01..r03 rows.
+#   r4-r5: same head (round 4-5 additions appended past slot 50 — the gap
+#          round 5 exposed; new ops have entered the head at authoring
+#          time ever since).
+#   r6-r7: 21 round-4/5 promotions took slots 1-21 (CORRECTNESS_r06/r07
+#          rows), displacing 21 r1-r3-row serving/gold queries to the tail.
+#   r8: the 15 round-6 additions took slots 1-15 (first driver rows);
+#          canaries x_incremental_gold + x_hll_distinct held slots 49-50;
+#          all 35 round-8 operators entered the head at authoring time,
+#          each earning its first driver row in CORRECTNESS_r08.
+#   r9 (NOW): pure STALENESS rotation — after r8, 119/120 registry queries
+#          had at least one driver row, so the head is simply the 50
+#          OLDEST rows: slot 1 = tp_chunk_documents (promoted late in r8,
+#          zero rows ever), slot 2 = o11_keyset_page (promoted from the
+#          legacy registry THIS round — the keyset twin is the documented
+#          100TB-scale serving default, so it earns external evidence),
+#          slots 3-23 = the 21 queries whose newest row is r5
+#          (the rotated-out serving/gold block), slots 24-50 = the 27
+#          oldest r7-row queries in prior slot order. The remaining 21
+#          r7-row queries sit at 51-71 (next round's head), the 50 r8-row
+#          queries at 72-121. Max staleness after this round's rows: r7,
+#          within the <=2-round target. Round-9 additions enter the head
+#          at authoring time after slot 2, displacing from slot 50 down
+#          (the displaced queries all hold r7 rows).
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1774,82 +1750,40 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   o1/o6 cover o4's date-desc-limit shape; x_sector_rollup covers the
 #   grouping-sets family (cube twin stays in the legacy registry);
 #   dd_simhash_banded covers SimHash (pairwise twin in legacy registry).
-# Rows-only queries (no SQL oracle, by design) sit LAST so every
-# hash-checked family stays inside the cap even if it tightens.
 QUERIES: dict[str, QueryFn] = {
-    # --- head slots 1-15: the round-6 additions, rotated in for their
-    # first driver correctness row (see rotation ledger above) ---
-    "ts_pmi_collocations": q_ts_pmi_collocations,
-    "tp_global_shuffle": q_tp_global_shuffle,
-    "ann_filtered_topk": q_ann_filtered_topk,
-    "mm_resize": q_mm_resize,
-    "a13_cusum_changepoint": q_a13_cusum,
-    "w_user_paths": q_w_user_paths,
-    "tp_seqlen_histogram": q_tp_seqlen_histogram,
-    "ts_zipf_fit": q_ts_zipf_fit,
-    "x_abtest_welch": q_x_abtest_welch,
-    "dd_jaccard_histogram": q_dd_jaccard_histogram,
-    "a14_forecast_backtest": q_a14_forecast_backtest,
-    "x_skew_report": q_x_skew_report,
-    "x_benford_check": q_x_benford_check,
-    "dd_cluster_sizes": q_dd_cluster_sizes,
-    "ts_langid_confusion": q_ts_langid_confusion,
-    # --- slots 16-19: the round-8 additions (KS drift, PSI drift, KMV
-    # overlap, Spearman) — new ops enter the head IMMEDIATELY so their
-    # first driver row lands the same round they are born (the round-5
-    # lesson applied at authoring time, not two rounds later) ---
-    "x_ks_drift": q_x_ks_drift,
-    "x_psi_drift": q_x_psi_drift,
-    "x_kmv_overlap": q_x_kmv_overlap,
-    "x_spearman": q_x_spearman,
-    "x_emd_drift": q_x_emd_drift,
-    "x_mannwhitney": q_x_mannwhitney,
-    "x_cramers_v": q_x_cramers_v,
-    "x_psi_daily": q_x_psi_daily,
-    "ts_auc_langid": q_ts_auc_langid,
-    "ts_lift_langid": q_ts_lift_langid,
-    "ts_pr_curve_langid": q_ts_pr_curve_langid,
-    "ts_pr_summary_langid": q_ts_pr_summary_langid,
-    "ts_auc_by_source": q_ts_auc_by_source,
-    "x_winsorized_stats": q_x_winsorized_stats,
-    "x_selfjoin_density": q_x_selfjoin_density,
-    "ann_recall_report": q_ann_recall_report,
-    "x_cohens_kappa": q_x_cohens_kappa,
-    "ts_langid_prf": q_ts_langid_prf,
-    "ts_auc_doclen": q_ts_auc_doclen,
-    "tp_shard_manifest": q_tp_shard_manifest,
-    "a15_mad_outliers": q_a15_mad_outliers,
-    # --- slots 37-39: the round-8 third-session additions (attribution,
-    # ACF, z-order layout) — same authoring-time head placement; they
-    # push x_multiway_star_join / x_price_iqr_outliers / dd_exact (all
-    # driver-green r1-r7) past the 50-slot cap ---
-    "w_attribution": q_w_attribution,
-    "a16_autocorrelation": q_a16_autocorrelation,
-    "x_zorder_layout": q_x_zorder_layout,
-    "a17_dow_baseline": q_a17_dow_baseline,
-    "x_activity_bitmap": q_x_activity_bitmap,
-    "x_skipping_report": q_x_skipping_report,
-    "x_zorder_ranked": q_x_zorder_ranked,
-    "x_compaction_plan": q_x_compaction_plan,
-    "tp_sample_allocation": q_tp_sample_allocation,
-    "w_attribution_multitouch": q_w_attribution_multitouch,
-    "w_attribution_decay": q_w_attribution_decay,
-    "x_fano_burstiness": q_x_fano_burstiness,
-    # --- slots 49-50: shape-diverse canaries from the r4/5 promotion
-    # block (incremental, sketch, funnel, iterative-graph, substring-
-    # dedup, BPE) — driver-green r6+r7, kept in head as drift canaries ---
-    "x_incremental_gold": q_x_incremental_gold,
-    "x_hll_distinct": q_x_hll_distinct,
+    # --- head slots 1-2: never driver-recorded (tp_chunk_documents was
+    # promoted into the registry after the r8 head was set; o11 promoted
+    # from legacy this round) ---
+    "tp_chunk_documents": q_tp_chunk_documents,
+    "o11_keyset_page": q_o11_keyset_page,
+    # --- head slots 3-23: newest driver row r5 (the serving/gold block
+    # rotated out in r6; every other registry query has an r7/r8 row) ---
+    "a2_hourly_ohlc": q_a2,
+    "a4_sales_velocity": q_a4,
+    "a5_market_concentration": q_a5,
+    "a7_sector_trends": q_a7,
+    "a9_kpi_counts": q_a9,
+    "j1_missing_items": q_j1,
+    "j2_dim_enrichment": q_j2,
+    "o1_latest_daily_summaries": q_o1,
+    "o2_item_price_history": q_o2,
+    "o3_sell_opportunities": q_o3,
+    "o5_top_concentration": q_o5,
+    "o6_latest_index": q_o6,
+    "o7_items_page": q_o7,
+    "o9_best_opportunity": q_o9,
+    "o10_topk_per_group": q_o10_topk_per_group,
+    "f4_retention_candidates": q_f4,
+    "p11_format_gold": q_p11,
+    "pj_json_kpis": q_pjson,
+    "w_sessionize": q_w_sessionize,
+    "x_pivot_event_counts": q_x_pivot,
+    "x_sector_rollup": q_x_rollup,
+    # --- head slots 24-50: the 27 oldest r7-row queries ---
     "w_funnel": q_w_funnel,
     "x_pagerank": q_x_pagerank,
     "dd_cdc_segments": q_dd_cdc_segments,
     "tp_bpe_encode": q_tp_bpe_encode,
-    # --- past the cap from here down: the heavier operator families
-    # (the r8 insertions push the 21 tail rows of the old head — the
-    # three ann_topk_* batch variants, ts_token_stats, tp_quality_prune,
-    # ts_language_id, ts_fingerprint, mm_binary_stats,
-    # ann_topk_ivf_trained, mm_feature_extract, tp_pack_contents,
-    # ts_repetition, all driver-green r1-r7 — past the cap) ---
     "a1_daily_market_summary": q_a1,
     "a3_rolling_zscore": q_a3,
     "a6_market_index": q_a6,
@@ -1873,16 +1807,13 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
     "ts_token_stats": q_ts_tokens,
+    # --- slots 51-71: the remaining r7-row queries (next round's head) ---
     "tp_quality_prune": q_tp_quality_prune,
     "ts_language_id": q_ts_langid,
     "ts_fingerprint": q_ts_fingerprint,
     "mm_binary_stats": q_mm_binary_stats,
     "ann_topk_ivf_trained": q_ann_ivf_trained,
     "mm_feature_extract": q_mm_features,
-    # --- tail (51+, not driver-recorded this round): rotated-out rows —
-    # driver-green in earlier rounds (r1-r3 for the serving/gold block,
-    # r6+r7 for the r4/5 promotions) with frozen semantics, still
-    # parity-checked locally every round ---
     "ts_hash_classifier": q_ts_hash_classifier,
     "ts_char_entropy": q_ts_char_entropy,
     "tp_cluster_sample": q_tp_cluster_sample,
@@ -1898,64 +1829,74 @@ QUERIES: dict[str, QueryFn] = {
     "x_assoc_rules": q_x_assoc_rules,
     "ts_bm25": q_ts_bm25,
     "tp_weighted_sample": q_tp_weighted_sample,
-    "a2_hourly_ohlc": q_a2,
-    "a4_sales_velocity": q_a4,
-    "a5_market_concentration": q_a5,
-    "a7_sector_trends": q_a7,
-    "a9_kpi_counts": q_a9,
-    "j1_missing_items": q_j1,
-    "j2_dim_enrichment": q_j2,
-    "o1_latest_daily_summaries": q_o1,
-    "o2_item_price_history": q_o2,
-    "o3_sell_opportunities": q_o3,
-    "o5_top_concentration": q_o5,
-    "o6_latest_index": q_o6,
-    "o7_items_page": q_o7,
-    "o9_best_opportunity": q_o9,
-    "o10_topk_per_group": q_o10_topk_per_group,
-    "f4_retention_candidates": q_f4,
-    "p11_format_gold": q_p11,
-    "pj_json_kpis": q_pjson,
-    "w_sessionize": q_w_sessionize,
-    "x_pivot_event_counts": q_x_pivot,
-    "x_sector_rollup": q_x_rollup,
-    # --- round-8 addition (appended past the recorded head; parity-green
-    # at sf0.001 + sf0.01 BEFORE registration, per the r5 placement rule):
-    # sliding-window chunking, the embedding/RAG corpus-prep stage.
-    "tp_chunk_documents": q_tp_chunk_documents,
+    # --- slots 72-121: r8-row queries (the newest external evidence; the
+    # 15 round-6 additions, the 35 round-8 operators, and the two r8 head
+    # canaries) — still parity-checked locally every round ---
+    "ts_pmi_collocations": q_ts_pmi_collocations,
+    "tp_global_shuffle": q_tp_global_shuffle,
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "mm_resize": q_mm_resize,
+    "a13_cusum_changepoint": q_a13_cusum,
+    "w_user_paths": q_w_user_paths,
+    "tp_seqlen_histogram": q_tp_seqlen_histogram,
+    "ts_zipf_fit": q_ts_zipf_fit,
+    "x_abtest_welch": q_x_abtest_welch,
+    "dd_jaccard_histogram": q_dd_jaccard_histogram,
+    "a14_forecast_backtest": q_a14_forecast_backtest,
+    "x_skew_report": q_x_skew_report,
+    "x_benford_check": q_x_benford_check,
+    "dd_cluster_sizes": q_dd_cluster_sizes,
+    "ts_langid_confusion": q_ts_langid_confusion,
+    "x_ks_drift": q_x_ks_drift,
+    "x_psi_drift": q_x_psi_drift,
+    "x_kmv_overlap": q_x_kmv_overlap,
+    "x_spearman": q_x_spearman,
+    "x_emd_drift": q_x_emd_drift,
+    "x_mannwhitney": q_x_mannwhitney,
+    "x_cramers_v": q_x_cramers_v,
+    "x_psi_daily": q_x_psi_daily,
+    "ts_auc_langid": q_ts_auc_langid,
+    "ts_lift_langid": q_ts_lift_langid,
+    "ts_pr_curve_langid": q_ts_pr_curve_langid,
+    "ts_pr_summary_langid": q_ts_pr_summary_langid,
+    "ts_auc_by_source": q_ts_auc_by_source,
+    "x_winsorized_stats": q_x_winsorized_stats,
+    "x_selfjoin_density": q_x_selfjoin_density,
+    "ann_recall_report": q_ann_recall_report,
+    "x_cohens_kappa": q_x_cohens_kappa,
+    "ts_langid_prf": q_ts_langid_prf,
+    "ts_auc_doclen": q_ts_auc_doclen,
+    "tp_shard_manifest": q_tp_shard_manifest,
+    "a15_mad_outliers": q_a15_mad_outliers,
+    "w_attribution": q_w_attribution,
+    "a16_autocorrelation": q_a16_autocorrelation,
+    "x_zorder_layout": q_x_zorder_layout,
+    "a17_dow_baseline": q_a17_dow_baseline,
+    "x_activity_bitmap": q_x_activity_bitmap,
+    "x_skipping_report": q_x_skipping_report,
+    "x_zorder_ranked": q_x_zorder_ranked,
+    "x_compaction_plan": q_x_compaction_plan,
+    "tp_sample_allocation": q_tp_sample_allocation,
+    "w_attribution_multitouch": q_w_attribution_multitouch,
+    "w_attribution_decay": q_w_attribution_decay,
+    "x_fano_burstiness": q_x_fano_burstiness,
+    "x_incremental_gold": q_x_incremental_gold,
+    "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 120, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 121, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "x_hll_distinct", "slot-50 boundary drifted"
-# r8 rotation invariants: the 15 round-6 additions occupy slots 1-15
-# (their first external driver rows), canaries 16-21, heavy families 22-50.
-assert list(QUERIES)[0] == "ts_pmi_collocations", "slot-1 drifted"
-assert list(QUERIES)[14] == "ts_langid_confusion", "slot-15 drifted"
-assert list(QUERIES)[15] == "x_ks_drift", "slot-16 drifted"
-assert list(QUERIES)[22] == "x_psi_daily", "slot-23 drifted"
-assert list(QUERIES)[24] == "ts_lift_langid", "slot-25 drifted"
-assert list(QUERIES)[26] == "ts_pr_summary_langid", "slot-27 drifted"
-assert list(QUERIES)[27] == "ts_auc_by_source", "slot-28 drifted"
-assert list(QUERIES)[28] == "x_winsorized_stats", "slot-29 drifted"
-assert list(QUERIES)[29] == "x_selfjoin_density", "slot-30 drifted"
-assert list(QUERIES)[30] == "ann_recall_report", "slot-31 drifted"
-assert list(QUERIES)[31] == "x_cohens_kappa", "slot-32 drifted"
-assert list(QUERIES)[32] == "ts_langid_prf", "slot-33 drifted"
-assert list(QUERIES)[33] == "ts_auc_doclen", "slot-34 drifted"
-assert list(QUERIES)[34] == "tp_shard_manifest", "slot-35 drifted"
-assert list(QUERIES)[35] == "a15_mad_outliers", "slot-36 drifted"
-assert list(QUERIES)[36] == "w_attribution", "slot-37 drifted"
-assert list(QUERIES)[38] == "x_zorder_layout", "slot-39 drifted"
-assert list(QUERIES)[39] == "a17_dow_baseline", "slot-40 drifted"
-assert list(QUERIES)[40] == "x_activity_bitmap", "slot-41 drifted"
-assert list(QUERIES)[41] == "x_skipping_report", "slot-42 drifted"
-assert list(QUERIES)[42] == "x_zorder_ranked", "slot-43 drifted"
-assert list(QUERIES)[43] == "x_compaction_plan", "slot-44 drifted"
-assert list(QUERIES)[44] == "tp_sample_allocation", "slot-45 drifted"
-assert list(QUERIES)[45] == "w_attribution_multitouch", "slot-46 drifted"
-assert list(QUERIES)[46] == "w_attribution_decay", "slot-47 drifted"
-assert list(QUERIES)[47] == "x_fano_burstiness", "slot-48 drifted"
+assert list(QUERIES)[49] == "ts_token_stats", "slot-50 boundary drifted"
+# r9 staleness-rotation invariants (see ledger above).
+assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
+assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
+assert list(QUERIES)[2] == "a2_hourly_ohlc", "slot-3 drifted"
+assert list(QUERIES)[22] == "x_sector_rollup", "slot-23 drifted"
+assert list(QUERIES)[23] == "w_funnel", "slot-24 drifted"
+assert list(QUERIES)[50] == "tp_quality_prune", "slot-51 drifted"
+assert list(QUERIES)[70] == "tp_weighted_sample", "slot-71 drifted"
+assert list(QUERIES)[71] == "ts_pmi_collocations", "slot-72 drifted"
+assert list(QUERIES)[120] == "x_hll_distinct", "slot-121 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2337,6 +2278,12 @@ ORACLES["w_attribution_multitouch"] = windows.multitouch_attribution_sql()
 ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
 
+# promoted from the legacy registry in r9 (keyset pagination — the
+# scale-correct serving default; VERDICT r8 #8)
+ORACLES["o11_keyset_page"] = (
+    f"{_W_DIM} SELECT * FROM dim WHERE item_id > 100 ORDER BY item_id LIMIT 50"
+)
+
 assert set(ORACLES) <= set(QUERIES), "oracle without a registered query"
 assert set(QUERIES) - set(ORACLES) == set(), "driver query without an oracle"
 
@@ -2463,8 +2410,6 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "ann_knn_graph": q_ann_knn_graph,
     # α=½ temperature mixture plan (XLM-R-style partial flattening)
     "tp_mix_temperature": q_tp_mix_temperature,
-    # keyset pagination (the scale-correct serving twin of o7's offset)
-    "o11_keyset_page": q_o11_keyset_page,
     # arbitrary GROUPING SETS (the general form rollup/cube specialize)
     "x_grouping_sets": q_x_grouping_sets,
 }
@@ -2659,6 +2604,5 @@ ALL_ORACLES: dict[str, str] = {
     "ann_range_search": similarity.lsh_range_search_sql(),
     "ann_knn_graph": similarity.knn_graph_sql(),
     "tp_mix_temperature": corpus.MIX_TEMPERATURE_SQL,
-    "o11_keyset_page": f"{_W_DIM} SELECT * FROM dim WHERE item_id > 100 ORDER BY item_id LIMIT 50",
     "x_grouping_sets": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.GROUPING_SETS_SQL}",
 }

@@ -54,21 +54,44 @@ def morton_expr(a: str, b: str, bits: int = Z_BITS, duck: bool = False) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def day16_expr(bits: int = Z_BITS) -> str:
+    """Spark SQL expression for the date dimension of the curve: days
+    since Z_EPOCH, valid ONLY on [Z_EPOCH, Z_EPOCH + 2^bits - 1 days]
+    (1992-01-01 .. 2171-06-06 at 16 bits). A date before the epoch would
+    two's-complement-wrap the & mask and a later one would alias onto an
+    earlier curve cell, silently corrupting the clustering — so
+    out-of-domain dates fail LOUDLY via raise_error instead of
+    interleaving a wrapped value. In-domain the guard is an identity, so
+    the DuckDB oracle twin (whose probe data is in-domain by
+    construction) needs no counterpart."""
+    mask = (1 << bits) - 1
+    d = f"datediff(snapshot_date, DATE'{Z_EPOCH}')"
+    return (
+        f"CAST(CASE WHEN {d} BETWEEN 0 AND {mask} THEN {d} "
+        f"ELSE raise_error(concat('z-order day16 domain violation: ', "
+        f"CAST(snapshot_date AS STRING), "
+        f"' outside [{Z_EPOCH}, {Z_EPOCH} + {mask} days]')) END AS BIGINT)"
+    )
+
+
 def zorder_layout(
     silver: DataFrame, bits: int = Z_BITS, shard_shift: int = Z_SHARD_SHIFT
 ) -> DataFrame:
     """Per-shard clustering report of the (item_id, snapshot_date) z-order
     layout: row volume, both key rectangles (lo/hi/span), and the curve
-    range each shard owns. See module docstring for the 100 TB story."""
+    range each shard owns. See module docstring for the 100 TB story.
+
+    Key domains: item_id is masked to the low `bits` bits (documented
+    fixed-mask caveat — the rank-normalized production variant is
+    zorder_ranked); snapshot_date must lie in [Z_EPOCH, Z_EPOCH +
+    2^bits - 1 days] and FAILS LOUDLY outside it (see day16_expr)."""
     mask = (1 << bits) - 1
     z = morton_expr("item16", "day16", bits)
     base = silver.select(
         "item_id",
         "snapshot_date",
         F.expr(f"CAST(item_id & {mask} AS BIGINT)").alias("item16"),
-        F.expr(
-            f"CAST(datediff(snapshot_date, DATE'{Z_EPOCH}') & {mask} AS BIGINT)"
-        ).alias("day16"),
+        F.expr(day16_expr(bits)).alias("day16"),
     ).withColumn("z", F.expr(z))
     return (
         base.withColumn("zorder_shard", F.expr(f"shiftright(z, {shard_shift})"))
@@ -151,9 +174,7 @@ def skipping_report(silver: DataFrame) -> DataFrame:
             "day_idx"
         ),
         F.expr(f"CAST(item_id & {mask} AS BIGINT)").alias("item16"),
-        F.expr(
-            f"CAST(datediff(snapshot_date, DATE'{Z_EPOCH}') & {mask} AS BIGINT)"
-        ).alias("day16"),
+        F.expr(day16_expr(Z_BITS)).alias("day16"),
     ).withColumn("z", F.expr(z))
     tagged = base.select(
         "item_id",

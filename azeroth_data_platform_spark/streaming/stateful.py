@@ -18,6 +18,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -356,39 +357,80 @@ _ATTR_STATE_SCHEMA = T.StructType(
 
 ATTR_CONVERSION = "purchase"
 ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000
+# State-eviction horizon (EVENT time): a user idle longer than this is
+# dropped from the store. 2x the lookback so no evictable touch could
+# still be credited — eviction is a pure state-size optimization,
+# semantics unchanged. MEASURED (this sandbox, r9): ProcessingTimeTimeout
+# was tried first and rejected — registered processing-time timers make
+# the streaming engine fire continuous "no new data but cleaning up
+# state" micro-batches (~2/s at the default trigger), burning CPU and
+# keeping processAllAvailable() from ever settling. Event-time timeouts
+# piggyback on watermark advancement (data-driven), so idle streams stay
+# idle.
+ATTR_IDLE_TIMEOUT_US = 2 * ATTR_LOOKBACK_US
 
 
-def _attribution_state(
-    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    touch_type, touch_us = state.get if state.exists else (None, None)
-    rows = []
-    # Concat-then-sort across Arrow chunks (the _transition_state lesson:
-    # per-chunk sorting can interleave the group and persist a non-latest
-    # touch). Order is the repo's (us, event_id) event total order.
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
-        for eid, us, et, xu in zip(
-            pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
-        ):
-            if et == ATTR_CONVERSION:
-                channel = (
-                    touch_type
-                    if touch_type is not None
-                    and int(us) - int(touch_us) <= ATTR_LOOKBACK_US
-                    else "direct"
-                )
-                rows.append((key[0], int(eid), channel, int(xu)))
-            else:
-                touch_type, touch_us = et, int(us)
-    if touch_type is not None:
-        state.update((touch_type, touch_us))
-    if rows:
-        yield pd.DataFrame(rows, columns=["user_id", "event_id", "channel", "xu"])
+def _set_event_timeout(state: GroupState, last_us: int) -> None:
+    """Register eviction at last-event-time + 2x lookback, clamped above
+    the current watermark (Spark rejects a timeout at-or-below it — a
+    user whose horizon already passed gets evicted at the next batch)."""
+    state.setTimeoutTimestamp(
+        max(
+            (last_us + ATTR_IDLE_TIMEOUT_US) // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+    )
 
 
-def streaming_attribution(events: DataFrame) -> DataFrame:
+def _make_attribution_state(evict: bool):
+    def _attribution_state(
+        key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # user idle past the horizon: their retained touch is older
+            # than the lookback, so it can never be credited — drop it
+            state.remove()
+            return
+        touch_type, touch_us = state.get if state.exists else (None, None)
+        rows = []
+        last_us = None
+        # Concat-then-sort across Arrow chunks (the _transition_state lesson:
+        # per-chunk sorting can interleave the group and persist a non-latest
+        # touch). Order is the repo's (us, event_id) event total order.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
+            for eid, us, et, xu in zip(
+                pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
+            ):
+                if et == ATTR_CONVERSION:
+                    channel = (
+                        touch_type
+                        if touch_type is not None
+                        and int(us) - int(touch_us) <= ATTR_LOOKBACK_US
+                        else "direct"
+                    )
+                    rows.append((key[0], int(eid), channel, int(xu)))
+                else:
+                    touch_type, touch_us = et, int(us)
+                last_us = int(us)
+        if touch_type is not None:
+            state.update((touch_type, touch_us))
+            if evict and last_us is not None:
+                _set_event_timeout(state, last_us)
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "event_id", "channel", "xu"])
+
+    return _attribution_state
+
+
+# default (no-eviction) instance, kept importable for unit probes
+_attribution_state = _make_attribution_state(evict=False)
+
+
+def streaming_attribution(
+    events: DataFrame, evict_watermark: str | None = None
+) -> DataFrame:
     """Per-conversion attributed rows ON A STREAM: each purchase credited
     to the user's latest prior touch within the 7-day lookback (state:
     one tuple per user), 'direct' otherwise — feed the declarative
@@ -397,14 +439,31 @@ def streaming_attribution(events: DataFrame) -> DataFrame:
     (the dedup-ingest watermark upstream provides it). Batch bit-parity
     pinned in tests/test_stateful_streaming.py.
 
+    With `evict_watermark` set (a delay string, e.g. "1 hour"), state is
+    bounded by ACTIVE users rather than lifetime distinct users: an
+    event-time watermark is declared on timestamp_micros(us) and each
+    user is evicted once the watermark passes last-event + 2x lookback —
+    by then their retained touch can no longer qualify for any future
+    conversion, so semantics are unchanged. The delay bounds input
+    disorder as usual (rows older than the watermark are dropped), so
+    callers pick it to cover their late-data contract; None (default)
+    keeps the unbounded-store behavior for disorder-tolerant replays.
+
     Expects columns (user_id, event_id, event_type, us, xu) — `us` the
     microsecond epoch, `xu` the value in int units."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _attribution_state,
+    if evict_watermark is None:
+        src, conf = events, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withColumn(
+            "event_ts", F.timestamp_micros(F.col("us"))
+        ).withWatermark("event_ts", evict_watermark)
+        conf = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_attribution_state(evict=evict_watermark is not None),
         ATTRIBUTION_SCHEMA,
         _ATTR_STATE_SCHEMA,
         "append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
 
 
@@ -437,70 +496,114 @@ _MT_STATE_SCHEMA = T.StructType(
 )
 
 
-def _multitouch_state(
-    key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    channels, uss, eids = state.get if state.exists else ([], [], [])
-    channels, uss, eids = list(channels), list(uss), list(eids)
-    rows = []
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
-        for eid, us, et, xu in zip(
-            pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
-        ):
-            eid, us = int(eid), int(us)
-            if et == ATTR_CONVERSION:
-                # state holds only earlier (us, event_id) touches, so the
-                # strict-precedence rule is the processing order itself;
-                # only the lookback needs checking
-                q = [
-                    (c, u, e)
-                    for c, u, e in zip(channels, uss, eids)
-                    if us - u <= ATTR_LOOKBACK_US
-                ]
-                if not q:
-                    rows.append((key[0], eid, "direct", 1_000_000, int(xu)))
+def _make_multitouch_state(evict: bool):
+    def _multitouch_state(
+        key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # user idle past the horizon: every retained touch is older
+            # than the lookback and can never earn credit — drop them
+            state.remove()
+            return
+        channels, uss, eids = state.get if state.exists else ([], [], [])
+        channels, uss, eids = list(channels), list(uss), list(eids)
+        rows = []
+        last_us = None
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["us", "event_id"])
+            for eid, us, et, xu in zip(
+                pdf["event_id"], pdf["us"], pdf["event_type"], pdf["xu"]
+            ):
+                eid, us = int(eid), int(us)
+                last_us = us
+                if et == ATTR_CONVERSION:
+                    # prune on conversions too, not just touch arrivals —
+                    # a burst of touches followed by only conversions must
+                    # not pin up-to-lookback stale touches in state
+                    # forever (the read below filters them out anyway, so
+                    # this is the boundedness contract made per-event, not
+                    # a semantic change)
+                    cutoff = us - ATTR_LOOKBACK_US
+                    if uss and uss[0] < cutoff:
+                        keep = [i for i, u in enumerate(uss) if u >= cutoff]
+                        channels = [channels[i] for i in keep]
+                        uss = [uss[i] for i in keep]
+                        eids = [eids[i] for i in keep]
+                    # state holds only earlier (us, event_id) touches, so
+                    # the strict-precedence rule is the processing order
+                    # itself; only the lookback needs checking
+                    q = [
+                        (c, u, e)
+                        for c, u, e in zip(channels, uss, eids)
+                        if us - u <= ATTR_LOOKBACK_US
+                    ]
+                    if not q:
+                        rows.append((key[0], eid, "direct", 1_000_000, int(xu)))
+                    else:
+                        k = len(q)
+                        base, rem = divmod(1_000_000, k)
+                        for r, (c, _, _) in enumerate(
+                            sorted(q, key=lambda t: (-t[1], -t[2])), start=1
+                        ):
+                            rows.append(
+                                (key[0], eid, c, base + (1 if r <= rem else 0), int(xu))
+                            )
                 else:
-                    k = len(q)
-                    base, rem = divmod(1_000_000, k)
-                    for r, (c, _, _) in enumerate(
-                        sorted(q, key=lambda t: (-t[1], -t[2])), start=1
-                    ):
-                        rows.append(
-                            (key[0], eid, c, base + (1 if r <= rem else 0), int(xu))
-                        )
-            else:
-                channels.append(et)
-                uss.append(us)
-                eids.append(eid)
-                # prune to the lookback relative to the newest event —
-                # the state-boundedness contract
-                cutoff = us - ATTR_LOOKBACK_US
-                if uss and uss[0] < cutoff:
-                    keep = [i for i, u in enumerate(uss) if u >= cutoff]
-                    channels = [channels[i] for i in keep]
-                    uss = [uss[i] for i in keep]
-                    eids = [eids[i] for i in keep]
-    state.update((channels, uss, eids))
-    if rows:
-        yield pd.DataFrame(
-            rows, columns=["user_id", "conv_eid", "channel", "credit_ppm", "xu"]
-        )
+                    channels.append(et)
+                    uss.append(us)
+                    eids.append(eid)
+                    # prune to the lookback relative to the newest event —
+                    # the state-boundedness contract
+                    cutoff = us - ATTR_LOOKBACK_US
+                    if uss and uss[0] < cutoff:
+                        keep = [i for i, u in enumerate(uss) if u >= cutoff]
+                        channels = [channels[i] for i in keep]
+                        uss = [uss[i] for i in keep]
+                        eids = [eids[i] for i in keep]
+        state.update((channels, uss, eids))
+        if evict and last_us is not None:
+            _set_event_timeout(state, last_us)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "conv_eid", "channel", "credit_ppm", "xu"]
+            )
+
+    return _multitouch_state
 
 
-def streaming_multitouch(events: DataFrame) -> DataFrame:
+# default (no-eviction) instance, kept importable for unit probes
+_multitouch_state = _make_multitouch_state(evict=False)
+
+
+def streaming_multitouch(
+    events: DataFrame, evict_watermark: str | None = None
+) -> DataFrame:
     """Per-(conversion, touch) credit rows ON A STREAM: the Hamilton
     multi-touch split replayed against the lookback-pruned per-user touch
     list — attributes conversions whose touches arrived in earlier
     micro-batches. Fold by channel downstream for the live report; batch
     bit-parity pinned in tests/test_stateful_streaming.py.
 
+    Boundedness: the touch list is pruned to the lookback on EVERY event
+    (touch or conversion), and with `evict_watermark` set an EVENT-TIME
+    idle timeout of 2x the lookback evicts users with no events at all —
+    so state scales with active users x touch rate, never lifetime
+    cardinality. See streaming_attribution for the watermark contract and
+    why the timeout is event-time, not processing-time.
+
     Expects columns (user_id, event_id, event_type, us, xu)."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _multitouch_state,
+    if evict_watermark is None:
+        src, conf = events, GroupStateTimeout.NoTimeout
+    else:
+        src = events.withColumn(
+            "event_ts", F.timestamp_micros(F.col("us"))
+        ).withWatermark("event_ts", evict_watermark)
+        conf = GroupStateTimeout.EventTimeTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_multitouch_state(evict=evict_watermark is not None),
         MT_ATTRIBUTION_SCHEMA,
         _MT_STATE_SCHEMA,
         "append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

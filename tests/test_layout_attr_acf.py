@@ -246,6 +246,21 @@ def test_zorder_curve_is_injective(spark):
     assert z.distinct().count() == 1024
 
 
+def test_zorder_out_of_domain_date_fails_loudly(spark):
+    """A snapshot_date before Z_EPOCH (or past the 16-bit day range) must
+    raise, not silently wrap through the & mask onto another curve cell
+    (two's-complement aliasing)."""
+    import pytest
+
+    for bad_day in (-1, 65536):
+        df = spark.createDataFrame(
+            [(7, D0 + dt.timedelta(days=bad_day), 1.0, 1)],
+            "item_id long, snapshot_date date, unit_price double, quantity long",
+        )
+        with pytest.raises(Exception, match="day16 domain violation"):
+            layout.zorder_layout(df).collect()
+
+
 def test_zorder_plan_single_aggregate_exchange(spark, sf_dir):
     """The curve is a row-local projection: one map-combinable shard
     aggregate, no joins, no windows."""

@@ -332,3 +332,131 @@ def test_streaming_multitouch_matches_batch(spark, tmp_path):
         assert (stream_report[col].astype("int64") == batch[col]).all(), col
     # credit conservation on the stream: 1e6 per conversion, 3 conversions
     assert int(got["credit_ppm"].sum()) == 3_000_000
+
+
+def test_multitouch_state_pruned_on_conversions_and_timeout():
+    """ADVICE r8: (a) a burst of touches followed by ONLY conversions must
+    still shrink state to the lookback (prune fires on conversion arrival,
+    not just touch arrival); (b) a timed-out idle user's state is removed.
+    Pure-Python probe of the state function — no stream needed."""
+    import pandas as pd
+
+    from azeroth_data_platform_spark.streaming.stateful import (
+        ATTR_IDLE_TIMEOUT_US,
+        ATTR_LOOKBACK_US,
+        _make_attribution_state,
+        _make_multitouch_state,
+    )
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_ts_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ts_ms = ms
+
+    _multitouch_state = _make_multitouch_state(evict=True)
+    _attribution_state = _make_attribution_state(evict=True)
+
+    day_us = 86_400 * 1_000_000
+    # 3 touches on days 0-2, then conversions only on days 1 and 12: the
+    # day-12 conversion must prune all three stale touches from state
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "us": [0, day_us, 2 * day_us, 1 * day_us + 1, 12 * day_us],
+            "event_type": ["view", "click", "view", "purchase", "purchase"],
+            "xu": [0, 0, 0, 500, 700],
+        }
+    )
+    st = FakeState()
+    out = list(_multitouch_state((1,), iter([events]), st))
+    rows = pd.concat(out, ignore_index=True)
+    # day-1 conversion splits over the 2 touches seen so far; day-12 is direct
+    assert int(rows["credit_ppm"].sum()) == 2_000_000
+    assert set(rows.loc[rows["conv_eid"] == 5, "channel"]) == {"direct"}
+    channels, uss, eids = st.get
+    assert uss == [], "conversion-side prune must empty the stale touch list"
+    # eviction registered at last-event-time + 2x lookback (event-time ms)
+    assert st.timeout_ts_ms == (12 * day_us + ATTR_IDLE_TIMEOUT_US) // 1000
+    assert ATTR_IDLE_TIMEOUT_US == 2 * ATTR_LOOKBACK_US
+
+    # timed-out invocation: state dropped, nothing emitted
+    st2 = FakeState(value=(["view"], [0], [1]), timed_out=True)
+    assert list(_multitouch_state((1,), iter([]), st2)) == []
+    assert st2.removed
+
+    st3 = FakeState(value=("view", 0), timed_out=True)
+    assert list(_attribution_state((1,), iter([]), st3)) == []
+    assert st3.removed
+
+
+def test_streaming_attribution_event_time_eviction(spark, tmp_path):
+    """With evict_watermark set, a user idle past 2x the lookback is
+    dropped from the state store once the watermark passes their horizon
+    (state scales with ACTIVE users); results are unaffected because an
+    expired touch could never be credited anyway."""
+    from azeroth_data_platform_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    d = dt.timedelta(days=1)
+    batches = [
+        [(1, 1, T0, "view", 1.0)],
+        [(2, 2, T0 + 40 * d, "click", 1.0)],
+        # third batch: watermark is now ~T0+40d, far past user 1's
+        # T0+14d horizon -> user 1 evicted during this batch
+        [(3, 3, T0 + 41 * d, "view", 1.0)],
+    ]
+    src = tmp_path / "evict_events"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "event_type",
+            "unix_micros(ts) AS us",
+            "CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS xu",
+        )
+    )
+    q = (
+        streaming_attribution(stream, evict_watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    # users 2 and 3 remain; user 1 (idle > 14 days of event time) evicted
+    assert state_rows == 2
+    assert spark.sql("SELECT * FROM evict_attr").count() == 0  # no conversions
