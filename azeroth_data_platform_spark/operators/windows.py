@@ -574,7 +574,116 @@ USER_PATHS_SQL = f"""
 
 # --- A/B test summary (Welch's t) -------------------------------------------
 
-ABTEST_T_CRIT = 1.96
+ABTEST_T_CRIT = 1.96  # = 49/25 exactly: c^2 = 2401/625, the rational the
+# integer-space comparison below cross-multiplies against
+
+
+def welch_t_raw_sql() -> str:
+    """The IEEE-double Welch t expression over columns (n_a, n_b, sx_a,
+    sx_b, sxx_a, sxx_b) — IDENTICAL text in both dialects on purpose:
+    +,-,*,/ and sqrt are correctly rounded per IEEE-754, so the same
+    expression tree over the same integers yields bit-identical doubles
+    in Spark and DuckDB. Used for the welch_t DISPLAY column (q12) and
+    as the significance fallback outside the integer guards."""
+    mean = lambda sx, n: f"(CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE) / 100.0)"  # noqa: E731
+    var = (
+        lambda sxx, sx, n: f"(CAST(CAST({n} AS DECIMAL(38,0)) * {sxx}"
+        f" - CAST({sx} AS DECIMAL(38,0)) * CAST({sx} AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / (CAST({n} AS DOUBLE) * CAST({n} - 1 AS DOUBLE)) / 10000.0)"
+    )  # noqa: E731
+    return (
+        f"(({mean('sx_a', 'n_a')}) - ({mean('sx_b', 'n_b')}))"
+        f" / sqrt(({var('sxx_a', 'sx_a', 'n_a')}) / n_a"
+        f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b)"
+    )
+
+
+def welch_significant_sql(duck: bool = False) -> str:
+    """INTEGER-EXACT significance verdict |t| > 49/25 over columns
+    (n_a, n_b, sx_a, sx_b, sxx_a, sxx_b) — the r8 verdict's
+    cross-multiplied t^2 bound, made 128-bit-feasible by DIVISION
+    STAGING so no intermediate exceeds DECIMAL(38,0)/HUGEINT range and
+    no Spark `DIV` quotient exceeds BIGINT.
+
+    Algebra (c = 49/25, all integers; D = sx_a*n_b - sx_b*n_a,
+    V_i = n_i*sxx_i - sx_i^2 >= 0, P = (n_a-1)(n_b-1)):
+
+        t^2 > c^2  <=>  625*D^2 > 2401*( V_a*n_b^2/(n_a-1)
+                                        + V_b*n_a^2/(n_b-1) )
+
+    Split each V by its cohort divisor: V_a = (n_a-1)*va1 + ua with
+    va1 = V_a DIV (n_a-1), 0 <= ua < n_a-1 (likewise vb1/ub). Then with
+
+        M  = 625*D^2 - 2401*(va1*n_b^2 + vb1*n_a^2)
+        R3 = 2401*(ua*n_b^2*(n_b-1) + ub*n_a^2*(n_a-1))   [>= 0]
+
+    the condition is exactly M*P > R3, decided in three branches:
+    M < 0 -> false; M >= 2401*(n_a^2+n_b^2) -> true (since
+    R3 < 2401*P*(n_a^2+n_b^2), because ua < n_a-1 and ub < n_b-1);
+    else M is small enough that M*P fits 128 bits -> compare directly.
+
+    Guards (data-dependent, identical decisions in both engines) keep
+    every intermediate under ~9.2e37 and every Spark DIV quotient under
+    BIGINT: n <= 3e8 per cohort, sxx <= 1e28, |D| <= 3.8e17,
+    V_i <= (n_i-1)*9.2e18 (va1 fits BIGINT), and the M terms
+    va1*n_b^2 / vb1*n_a^2 <= 1.9e34. Outside the guards the verdict
+    falls back to the q12 double comparison (identical expression trees
+    both engines — the pre-r9 behavior, with its documented sub-1e-12
+    boundary risk). Degenerate both-variances-zero rows now get a
+    DEFINED verdict: D != 0 -> true (infinite t), D = 0 -> false
+    (t = 0/0 — the pre-r9 double path produced NaN/NULL here).
+
+    Dialects differ only in spelling: 128-bit staging is
+    CAST(.. AS DECIMAL(38,0)) + `DIV` in Spark, HUGEINT + `//` in
+    DuckDB (all DIV operands non-negative, where truncate == floor).
+    Boundary pins: tests/test_skew_and_windows.py (exact t = 49/25 ->
+    false; sub-q12 margin t = 1.96 + 4e-13 -> true where q12 says
+    false, Fraction-verified)."""
+    if duck:
+        c = lambda e: f"CAST({e} AS HUGEINT)"  # noqa: E731
+        idiv = lambda a, b: f"({a} // ({b}))"  # noqa: E731
+    else:
+        c = lambda e: f"CAST({e} AS DECIMAL(38,0))"  # noqa: E731
+        idiv = lambda a, b: f"({a} DIV ({b}))"  # noqa: E731
+    D = f"({c('sx_a')} * n_b - {c('sx_b')} * n_a)"
+    VA = f"({c('n_a')} * {c('sxx_a')} - {c('sx_a')} * {c('sx_a')})"
+    VB = f"({c('n_b')} * {c('sxx_b')} - {c('sx_b')} * {c('sx_b')})"
+    VA1 = c(idiv(VA, "n_a - 1"))
+    VB1 = c(idiv(VB, "n_b - 1"))
+    UA = f"({VA} - {VA1} * (n_a - 1))"
+    UB = f"({VB} - {VB1} * (n_b - 1))"
+    T1 = f"({VA1} * n_b * n_b)"
+    T2 = f"({VB1} * n_a * n_a)"
+    M = f"(625 * {D} * {D} - 2401 * ({T1} + {T2}))"
+    P = f"({c('n_a - 1')} * (n_b - 1))"
+    R3 = (
+        f"(2401 * ({UA} * n_b * n_b * (n_b - 1)"
+        f" + {UB} * n_a * n_a * (n_a - 1)))"
+    )
+    exact = (
+        f"CASE WHEN {M} < 0 THEN FALSE"
+        f" WHEN {M} >= 2401 * ({c('n_a')} * n_a + {c('n_b')} * n_b) THEN TRUE"
+        f" ELSE {M} * {P} > {R3} END"
+    )
+    fallback = (
+        f"abs(CAST(CAST({welch_t_raw_sql()} AS DECIMAL(18,12)) AS DOUBLE))"
+        f" > {ABTEST_T_CRIT}"
+    )
+    return (
+        f"CASE WHEN NOT (n_a BETWEEN 2 AND 300000000"
+        f" AND n_b BETWEEN 2 AND 300000000"
+        f" AND {c('sxx_a')} <= {c('10000000000000000000000000000')}"
+        f" AND {c('sxx_b')} <= {c('10000000000000000000000000000')})"
+        f" THEN {fallback}"
+        f" WHEN NOT (abs({D}) <= 380000000000000000"
+        f" AND {VA} <= {c('n_a - 1')} * 9200000000000000000"
+        f" AND {VB} <= {c('n_b - 1')} * 9200000000000000000)"
+        f" THEN {fallback}"
+        f" WHEN NOT ({T1} <= {c('19000000000000000000000000000000000')}"
+        f" AND {T2} <= {c('19000000000000000000000000000000000')})"
+        f" THEN {fallback}"
+        f" ELSE {exact} END"
+    )
 
 
 def abtest_welch(events: DataFrame) -> DataFrame:
@@ -602,18 +711,19 @@ def abtest_welch(events: DataFrame) -> DataFrame:
     expansion (…527) while DuckDB rounds the shortest repr half-even
     (…526) — the q12 device itself diverges. Requires value ≥ 0 (true
     for prices; integer DIV truncates toward zero in Spark but floors in
-    DuckDB, divergent on negatives). welch_t keeps the q12 quantizer:
-    its sqrt-derived doubles have ~17-significant-digit shortest reprs,
-    so the 13-digit-trailing-5 boundary is not reachable from a 4-row
-    output in practice (residual risk documented here).
+    DuckDB, divergent on negatives).
 
-    Considered and REJECTED (round 8): an all-integer `significant` flag
-    via cross-multiplied t² > crit² — with D = sx_a·n_b − sx_b·n_a the
-    comparison needs D²·(n_a−1)(n_b−1)·10⁴ on one side; |D| ≤ 2n²·X
-    (X = max integer units ≈ 1e8) puts the product at ~4e20·n⁶, which
-    exceeds 128-bit range beyond n ≈ 800 rows per cohort — strictly worse
-    than the double path it would replace. The q12 double comparison with
-    identical expression trees in both engines stays the design."""
+    The `significant` flag is INTEGER-EXACT (r9, closing the r8
+    verdict's task): |t| > 49/25 is decided by the division-staged
+    cross-multiplied t² comparison in welch_significant_sql — the naive
+    cross-multiplication needs ~4e20·n⁶ (past 128 bits at n ≈ 800, the
+    documented r8 rejection); splitting each variance by its cohort
+    divisor first (V = (n−1)·q + r) keeps every intermediate inside
+    DECIMAL(38,0)/HUGEINT up to 3e8 rows per cohort, with a guarded
+    fallback to the q12 double comparison beyond. welch_t (display)
+    keeps the q12 quantizer: its sqrt-derived doubles have ~17-sig-digit
+    shortest reprs except on rational-t degenerate inputs (residual risk
+    documented here); the DECISION no longer routes through it."""
     x = F.col("xu")
     g = (
         events.select(
@@ -640,19 +750,7 @@ def abtest_welch(events: DataFrame) -> DataFrame:
         F.col("sx").alias("sx_b"),
         F.col("sxx").alias("sxx_b"),
     )
-    mean = lambda sx, n: f"(CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE) / 100.0)"  # noqa: E731
-    # unbiased variance in units^2: (n*Sxx - Sx^2) / (n*(n-1)), exact in
-    # DECIMAL(38,0) until the single DOUBLE conversion
-    var = (
-        lambda sxx, sx, n: f"(CAST(CAST({n} AS DECIMAL(38,0)) * {sxx}"
-        f" - CAST({sx} AS DECIMAL(38,0)) * CAST({sx} AS DECIMAL(38,0)) AS DOUBLE)"
-        f" / (CAST({n} AS DOUBLE) * CAST({n} - 1 AS DOUBLE)) / 10000.0)"
-    )  # noqa: E731
-    t_raw = (
-        f"(({mean('sx_a', 'n_a')}) - ({mean('sx_b', 'n_b')}))"
-        f" / sqrt(({var('sxx_a', 'sx_a', 'n_a')}) / n_a"
-        f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b)"
-    )
+    t_raw = welch_t_raw_sql()
     q12 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,12)) AS DOUBLE)"  # noqa: E731
     # exact-rational mean at 1e-12: sx·10^10 DIV n in 128-bit integers,
     # ONE exact int→double conversion, ONE correctly-rounded division
@@ -670,7 +768,7 @@ def abtest_welch(events: DataFrame) -> DataFrame:
             F.expr(mean_exact("sx_a", "n_a")).alias("mean_a"),
             F.expr(mean_exact("sx_b", "n_b")).alias("mean_b"),
             F.expr(q12(t_raw)).alias("welch_t"),
-            F.expr(f"abs({q12(t_raw)}) > {ABTEST_T_CRIT}").alias("significant"),
+            F.expr(welch_significant_sql(duck=False)).alias("significant"),
         )
     )
 
@@ -689,32 +787,9 @@ SELECT a.event_type, n_a, n_b,
             AS DOUBLE) / 1e12 AS mean_a,
        CAST(CAST(CAST(10000000000 AS HUGEINT) * sx_b // n_b AS BIGINT)
             AS DOUBLE) / 1e12 AS mean_b,
-       CAST(CAST(
-         ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
-          - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0))
-         / sqrt(
-             (CAST(CAST(n_a AS DECIMAL(38,0)) * sxx_a
-                   - CAST(sx_a AS DECIMAL(38,0)) * CAST(sx_a AS DECIMAL(38,0))
-               AS DOUBLE)
-              / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / 10000.0) / n_a
-           + (CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b
-                   - CAST(sx_b AS DECIMAL(38,0)) * CAST(sx_b AS DECIMAL(38,0))
-               AS DOUBLE)
-              / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / 10000.0) / n_b)
+       CAST(CAST({welch_t_raw_sql()}
        AS DECIMAL(18,12)) AS DOUBLE) AS welch_t,
-       abs(CAST(CAST(
-         ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0)
-          - (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0))
-         / sqrt(
-             (CAST(CAST(n_a AS DECIMAL(38,0)) * sxx_a
-                   - CAST(sx_a AS DECIMAL(38,0)) * CAST(sx_a AS DECIMAL(38,0))
-               AS DOUBLE)
-              / (CAST(n_a AS DOUBLE) * CAST(n_a - 1 AS DOUBLE)) / 10000.0) / n_a
-           + (CAST(CAST(n_b AS DECIMAL(38,0)) * sxx_b
-                   - CAST(sx_b AS DECIMAL(38,0)) * CAST(sx_b AS DECIMAL(38,0))
-               AS DOUBLE)
-              / (CAST(n_b AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) / 10000.0) / n_b)
-       AS DECIMAL(18,12)) AS DOUBLE)) > {ABTEST_T_CRIT} AS significant
+       {welch_significant_sql(duck=True)} AS significant
 FROM a JOIN b ON a.event_type = b.event_type
 WHERE n_a >= 2 AND n_b >= 2"""
 

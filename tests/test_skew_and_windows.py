@@ -214,3 +214,63 @@ def test_zipf_fit_expressions_exact_in_100tb_regime(spark):
     den = n * sxx - sx * sx
     want_slope_e12 = (abs(num) * 10**12 // den) * (1 if num >= 0 else -1)
     assert got_s.s == want_slope_e12 / 1e12
+
+
+def test_welch_significant_integer_exact_at_boundary(spark):
+    """r9: the `significant` flag is decided by the division-staged
+    integer t² comparison (welch_significant_sql), not the q12 double.
+    Pin the literal expressions both engines use on aggregate probes at
+    the decision boundary:
+
+    - probe 1: t = 49/25 EXACTLY (cohorts {0,50} vs {74,74} cents) —
+      strict > must say False.
+    - probe 2: t = 1.96 + 4.3e-13, BELOW the q12 quantum — the q12
+      device rounds the double to 1.960000000000 and answers False; the
+      integer comparison answers True (Fraction-verified below).
+    - probe 3/4: both variances zero — defined verdicts now (D=0 →
+      False, D≠0 → True; the old NaN path was engine-dependent).
+    - probe 5: guard-tripping sxx (> 1e28) falls back to q12 without
+      error, identically in both engines."""
+    import duckdb
+    from fractions import Fraction
+
+    from azeroth_data_platform_spark.operators.windows import (
+        welch_significant_sql,
+    )
+
+    probes = [
+        # (n_a, n_b, sx_a, sx_b, sxx_a, sxx_b, expected)
+        (2, 2, 50, 148, 2500, 10952, False),                      # t == 49/25
+        (10001, 10001, 32624, 3126, 113346348, 113240903, True),  # t = 1.96+4e-13
+        (3, 3, 300, 300, 30000, 30000, False),                    # 0/0 -> False
+        (3, 3, 600, 300, 120000, 30000, True),                    # inf t -> True
+        (2, 2, 50, 148, 10**30, 10952, None),                     # guard trip
+    ]
+    # independent truth for the first four: exact rational t^2 vs (49/25)^2
+    for n_a, n_b, sx_a, sx_b, sxx_a, sxx_b, want in probes[:4]:
+        D = sx_a * n_b - sx_b * n_a
+        Va = n_a * sxx_a - sx_a * sx_a
+        Vb = n_b * sxx_b - sx_b * sx_b
+        denom = Va * n_b * n_b * (n_b - 1) + Vb * n_a * n_a * (n_a - 1)
+        lhs = Fraction(625 * D * D * (n_a - 1) * (n_b - 1), 1)
+        assert (lhs > 2401 * denom) == want, (n_a, sx_a, "truth mismatch")
+
+    for n_a, n_b, sx_a, sx_b, sxx_a, sxx_b, want in probes:
+        lit_s = (
+            f"SELECT {welch_significant_sql(duck=False)} AS s FROM VALUES"
+            f" (CAST({n_a} AS BIGINT), CAST({n_b} AS BIGINT),"
+            f" CAST({sx_a} AS BIGINT), CAST({sx_b} AS BIGINT),"
+            f" CAST({sxx_a} AS DECIMAL(38,0)), CAST({sxx_b} AS DECIMAL(38,0)))"
+            " AS t(n_a, n_b, sx_a, sx_b, sxx_a, sxx_b)"
+        )
+        lit_d = (
+            f"SELECT {welch_significant_sql(duck=True)} AS s FROM (SELECT"
+            f" CAST({n_a} AS BIGINT) n_a, CAST({n_b} AS BIGINT) n_b,"
+            f" CAST({sx_a} AS BIGINT) sx_a, CAST({sx_b} AS BIGINT) sx_b,"
+            f" CAST({sxx_a} AS HUGEINT) sxx_a, CAST({sxx_b} AS HUGEINT) sxx_b)"
+        )
+        got_s = spark.sql(lit_s).collect()[0].s
+        got_d = duckdb.sql(lit_d).fetchone()[0]
+        assert got_s == got_d, (n_a, sx_a, got_s, got_d)
+        if want is not None:
+            assert got_s == want, (n_a, sx_a, got_s)
