@@ -1587,6 +1587,20 @@ def _langid_scored_cte() -> str:
     FROM documents WHERE length(text) > 0)"""
 
 
+def q_ts_auc_hashclf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the hash classifier's ACTUAL gate score — the
+    logit exported as an order- and tie-faithful integer
+    (corpus.hash_classifier_scores: score = floor(SW·nmax²/n), injective
+    on distinct logit rationals) against the en label. Closes the r8
+    verdict's loop: the classifier the corpus pipeline gates on is now
+    evaluated through the same exact rank-sum scaffold as the langid
+    instances, with no double anywhere in the decision path."""
+    _prep(spark)
+    return mleval.auc_exact(
+        corpus.hash_classifier_scores(_docs(spark, sf_dir))
+    )
+
+
 def q_ts_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the en-trigram-rate score against the lang label
     via the rank-sum identity with midrank ties (operators/mleval.py
@@ -1756,7 +1770,10 @@ QUERIES: dict[str, QueryFn] = {
     # from legacy this round) ---
     "tp_chunk_documents": q_tp_chunk_documents,
     "o11_keyset_page": q_o11_keyset_page,
-    # --- head slots 3-23: newest driver row r5 (the serving/gold block
+    # --- r9 additions enter the head at authoring time (displacing the
+    # newest tail of the head, which holds r7 rows) ---
+    "ts_auc_hashclf": q_ts_auc_hashclf,
+    # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
     "a4_sales_velocity": q_a4,
@@ -1884,19 +1901,20 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 121, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 122, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "ts_token_stats", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "ann_topk_ivf", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
-assert list(QUERIES)[2] == "a2_hourly_ohlc", "slot-3 drifted"
-assert list(QUERIES)[22] == "x_sector_rollup", "slot-23 drifted"
-assert list(QUERIES)[23] == "w_funnel", "slot-24 drifted"
-assert list(QUERIES)[50] == "tp_quality_prune", "slot-51 drifted"
-assert list(QUERIES)[70] == "tp_weighted_sample", "slot-71 drifted"
-assert list(QUERIES)[71] == "ts_pmi_collocations", "slot-72 drifted"
-assert list(QUERIES)[120] == "x_hll_distinct", "slot-121 drifted"
+assert list(QUERIES)[2] == "ts_auc_hashclf", "slot-3 drifted"
+assert list(QUERIES)[3] == "a2_hourly_ohlc", "slot-4 drifted"
+assert list(QUERIES)[23] == "x_sector_rollup", "slot-24 drifted"
+assert list(QUERIES)[24] == "w_funnel", "slot-25 drifted"
+assert list(QUERIES)[50] == "ts_token_stats", "slot-51 drifted"
+assert list(QUERIES)[71] == "tp_weighted_sample", "slot-72 drifted"
+assert list(QUERIES)[72] == "ts_pmi_collocations", "slot-73 drifted"
+assert list(QUERIES)[121] == "x_hll_distinct", "slot-122 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2229,6 +2247,9 @@ ORACLES["x_emd_drift"] = drift.emd_drift_sql()
 ORACLES["x_mannwhitney"] = drift.mannwhitney_u_sql()
 ORACLES["x_cramers_v"] = profiling.cramers_v_sql()
 ORACLES["x_psi_daily"] = drift.psi_day_over_day_sql()
+ORACLES["ts_auc_hashclf"] = mleval.auc_exact_sql(
+    corpus.hash_classifier_scores_cte()
+)
 ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
 ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())

@@ -1312,6 +1312,135 @@ def _hash_classifier_sql() -> str:
 HASH_CLASSIFIER_SQL = _hash_classifier_sql()
 
 
+# The hash classifier's logit is the exact rational (SW − 16n)/(1024n)
+# with SW = Σ(h mod 2001 − 1000) an integer and n the bigram count —
+# weights are n/1024 by construction, so 1024·Σw is integer. Its ORDER
+# (what AUC/PR consume) is the order of SW/n.
+FT_SCORE_NMAX_LIMIT = 96_000_000  # keeps |score| ≤ 1000·nmax² inside BIGINT
+
+
+def hash_classifier_scores(documents: DataFrame) -> DataFrame:
+    """(score BIGINT, label INT): the classifier's logit exported as an
+    ORDER- AND TIE-FAITHFUL integer for the mleval BIGINT scaffold
+    (r8 verdict #4 — the double logit kept the gate score out of the
+    exact AUC/PR instances).
+
+    Encoding: score = floor(SW·nmax²/n). Distinct rationals SW₁/n₁ ≠
+    SW₂/n₂ differ by at least 1/(n₁n₂) ≥ 1/nmax², so flooring at nmax²
+    granularity is INJECTIVE on distinct logits and exact on ties —
+    order-isomorphic to the true logit, no quantization collisions (the
+    device the doc-novelty/containment rationals cannot use because
+    their denominators are unbounded; here n ≤ nmax by definition).
+    floor (not truncate) so negative scores stay order-consistent:
+    Spark spells it sign-split (DIV truncates toward zero), DuckDB's
+    `//` floors natively.
+
+    nmax comes from a WORDS-ONLY scan (no md5 work) broadcast onto the
+    scored rows — not a partition-less window over the md5-scored
+    subtree (that would single-partition the expensive pass) and not a
+    crossJoin of an aggregate of the SAME subtree (that would re-execute
+    the md5 scan — the measured w_attribution lesson). Guard: nmax ≤
+    9.6e7 (a ~100M-word document) keeps SW·nmax² inside DECIMAL(38,0)
+    and the quotient inside BIGINT; beyond it the operator raises
+    loudly (layout.day16_expr convention) rather than wrap.
+
+    Label: lang = 'en', the same truth as ts_auc_langid/ts_auc_doclen —
+    the frozen random-projection gate should sit near AUC 0.5; the point
+    is measuring the ACTUAL gate score through the exact scaffold.
+    Cites reference transformation.py:17-84 (the quality-gate stage this
+    classifier stands in for)."""
+    import hashlib
+
+    from .dedup import MINHASH_P
+
+    wmap_int: dict[int, int] = {}
+    for f in range(FT_BUCKETS):
+        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        wmap_int[f] = h % 2001 - 1000
+    map_lit = F.expr(
+        "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
+    )
+    nib = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    bgs = F.expr(
+        "transform(sequence(0, size(_ws) - 2),"
+        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
+    )
+    hx = F.expr("transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))")
+    sw_expr = (
+        "aggregate(_hx, CAST(0 AS BIGINT),"
+        " (acc, h) -> acc + CAST(element_at(_wmapi,"
+        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT)) AS BIGINT))"
+    )
+    from .textstats import _words
+
+    nmax = (
+        documents.select(F.size(_words()).alias("_nw"))
+        .where(F.col("_nw") >= 2)
+        .agg((F.max("_nw") - 1).cast("bigint").alias("nmax"))
+    )
+    k2 = (
+        f"CASE WHEN nmax <= {FT_SCORE_NMAX_LIMIT}"
+        " THEN CAST(nmax AS DECIMAL(38,0)) * nmax"
+        " ELSE CAST(raise_error(concat('hash_classifier_scores: nmax ',"
+        " CAST(nmax AS STRING),"
+        f" ' exceeds the exact-score domain {FT_SCORE_NMAX_LIMIT}'))"
+        " AS DECIMAL(38,0)) END"
+    )
+    score = (
+        f"CASE WHEN sw >= 0 THEN CAST(CAST(sw AS DECIMAL(38,0)) * _k2 DIV _n"
+        " AS BIGINT)"
+        f" ELSE -CAST((CAST(-sw AS DECIMAL(38,0)) * _k2 + _n - 1) DIV _n"
+        " AS BIGINT) END"
+    )
+    return (
+        documents.withColumn("_ws", _words())
+        .where(F.size("_ws") >= 2)
+        .withColumn("_bgs", bgs)
+        .withColumn("_hx", hx)
+        .withColumn("_wmapi", map_lit)
+        .select(
+            F.expr(sw_expr).alias("sw"),
+            F.size("_bgs").cast("bigint").alias("_n"),
+            F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
+        )
+        .crossJoin(F.broadcast(nmax.selectExpr(f"{k2} AS _k2")))
+        .select(F.expr(score).alias("score"), "label")
+    )
+
+
+def hash_classifier_scores_cte() -> str:
+    """DuckDB `scored(score, label)` CTE twin — weights RE-DERIVED in SQL
+    (independent implementation of the model fold, as for
+    HASH_CLASSIFIER_SQL); `//` on HUGEINT floors natively, matching the
+    Spark sign-split floor."""
+    from .dedup import _hex_int_sql
+    from .textstats import WORDS_SQL
+
+    feat = _ft_feature_sql(duck=True)
+    md5w = "md5('ftw:' || CAST(f AS VARCHAR))"
+    w_int = f"(({_hex_int_sql(md5w, True)} % 2001) - 1000)"
+    return f"""
+  WITH wd AS (SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents
+              WHERE len({WORDS_SQL}) >= 2),
+  nm AS (SELECT CAST(MAX(len(ws) - 1) AS BIGINT) AS nmax FROM wd),
+  feats AS (SELECT doc_id, {feat} AS f FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM wd)),
+  sw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM({w_int}) AS BIGINT) AS sw
+         FROM feats GROUP BY doc_id),
+  scored AS (SELECT CAST(CAST(sw.sw AS HUGEINT) * (CAST(nmax AS HUGEINT) * nmax)
+                         // sw.n AS BIGINT) AS score,
+                    CASE WHEN wd.lang = 'en' THEN 1 ELSE 0 END AS label
+             FROM sw JOIN wd USING (doc_id) CROSS JOIN nm)"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus-wide line-level dedup — the CCNet/C4 paragraph-dedup stage: exact
 # duplicate LINES (boilerplate headers, nav bars, license blurbs) are

@@ -194,6 +194,7 @@ def main() -> int:
             "ann_recall_report",
             "ts_langid_prf",
             "ts_auc_doclen",
+            "ts_auc_hashclf",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -315,6 +316,7 @@ def main() -> int:
             "tp_shard_manifest",
             "ts_auc_langid",
             "ts_pr_summary_langid",
+            "ts_auc_hashclf",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

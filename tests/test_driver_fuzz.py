@@ -90,6 +90,9 @@ FUZZ_QUERIES = [
     # round 8 (cont.): classifier-eval on tie-heavy scores, manifest and
     # MAD/winsorize on gap days, floor ties, and planted spikes
     "ts_auc_langid",
+    # round 9: the gate classifier's integer score export (hostile docs:
+    # repeated bigrams, exact logit ties across different denominators)
+    "ts_auc_hashclf",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",

@@ -172,3 +172,86 @@ def test_winsorized_stats_matches_reference(spark, rows):
         assert r["n_clipped_low"] == sum(1 for v in vs if v < lo)
         assert r["n_clipped_high"] == sum(1 for v in vs if v > hi)
         assert r["winsorized_mean_q4"] == 10000 * sum(clamped) // n
+
+
+def test_hash_classifier_scores_integer_export(spark):
+    """r9: the gate classifier's integer score export is ORDER- and
+    TIE-faithful to the exact logit rational SW/n (floor at nmax²
+    granularity is injective on distinct rationals), and the AUC read
+    off it matches a pure-Python rank-sum recompute — all re-derived
+    here from hashlib, independent of the SQL md5 chain."""
+    import hashlib
+    from fractions import Fraction
+
+    from azeroth_data_platform_spark.operators import corpus as C
+
+    docs = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "le renard brun rapide saute", "fr"),
+        (3, "a b", "en"),                      # minimal 1-bigram doc
+        (4, "a b", "fr"),                      # exact tie with doc 3
+        (5, "x y z w v u t s r q p o", "en"),
+        (6, "solo", "en"),                     # < 2 words: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = sorted(
+        (r.score, r.label)
+        for r in C.hash_classifier_scores(df).collect()
+    )
+
+    def sw_n(text):
+        ws = [w for w in text.split(" ") if w]
+        sw = 0
+        for a, b in zip(ws, ws[1:]):
+            h = int(hashlib.md5(f"ftq:{a} {b}".encode()).hexdigest()[:8], 16)
+            f = (h % 2_147_483_647) % C.FT_BUCKETS
+            hw = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % 2_147_483_647
+            sw += hw % 2001 - 1000
+        return sw, len(ws) - 1
+
+    kept = [(d, t, lang) for d, t, lang in docs if len(t.split()) >= 2]
+    pairs = [sw_n(t) for _, t, lang in kept]
+    nmax = max(n for _, n in pairs)
+    import math
+
+    exp = sorted(
+        (math.floor(Fraction(sw * nmax * nmax, n)), 1 if lang == "en" else 0)
+        for (sw, n), (_, _, lang) in zip(pairs, kept)
+    )
+    assert got == exp
+    # injectivity on distinct rationals; exact ties preserved
+    rat = sorted(Fraction(sw, n) for sw, n in pairs)
+    scores = sorted(s for s, _ in exp)
+    for (r1, s1), (r2, s2) in zip(zip(rat, scores), zip(rat[1:], scores[1:])):
+        assert (r1 == r2) == (s1 == s2)
+        assert (r1 < r2) == (s1 < s2)
+    # AUC through the operator == pure-python rank-sum with midranks
+    row = mleval.auc_exact(
+        spark.createDataFrame(
+            [(int(s), int(lb)) for s, lb in exp], "score long, label int"
+        )
+    ).collect()[0]
+    ranks = {}
+    allsc = sorted(s for s, _ in exp)
+    for s in set(allsc):
+        idx = [i + 1 for i, v in enumerate(allsc) if v == s]
+        ranks[s] = sum(idx) / len(idx)
+    pos = [s for s, lb in exp if lb == 1]
+    neg = [s for s, lb in exp if lb == 0]
+    u = sum(ranks[s] for s in pos) - len(pos) * (len(pos) + 1) / 2
+    want_ppm = int(Fraction(int(2 * u) * 1_000_000, 2 * len(pos) * len(neg)))
+    assert row.auc_ppm == want_ppm
+
+
+def test_hash_classifier_scores_plan_rowlocal_broadcast(spark, sf_dir):
+    """Plan pin: the scoring pass is a row-local HOF projection (no
+    explode, no pre-scaffold shuffle); nmax arrives via a broadcast
+    1-row join of the cheap words-only scan, never a CartesianProduct;
+    the only hash exchange is the mleval distinct-score groupBy."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.QUERIES["ts_auc_hashclf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Generate" not in plan  # no explode: bigrams stay in-row
