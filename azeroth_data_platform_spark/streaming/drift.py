@@ -10,6 +10,15 @@ read-off (psi_day_over_day's paired groupBy) runs over the materialized
 state table on whatever cadence the monitor wants — never re-scanning
 raw events.
 
+Day alignment contract (r9): F.window(ts, "1 day") is UTC-EPOCH-
+aligned regardless of session timezone — deterministic across sessions,
+the right call for a shared monitor state; the batch operator labels
+days by session-local calendar date, and the two coincide under the UTC
+production session. Late-row admission uses the previous batch's
+committed watermark while eviction uses the updated one (measured), so
+drops are guaranteed only from the batch after next — both pinned in
+tests/test_streaming.py test_streaming_psi_histogram_hostile_conditions.
+
 State scale: one aggregation row per (type, day, bin) ≤ #types × 64 per
 day, pruned by the watermark — independent of event volume. Batch/stream
 bit-equality is pinned in tests/test_streaming.py (same bin expression,

@@ -12,6 +12,16 @@ re-scanning raw scored events. Day-sliced state also gives the monitor
 per-day AUC and day-over-day score drift for free (the PSI pattern,
 streaming/drift.py).
 
+Day alignment contract: the stream buckets by F.window(ts, "1 day"),
+which is UTC-EPOCH-aligned regardless of session timezone — the
+deterministic choice for a multi-session 100 TB monitor (two clusters in
+different zones materialize identical state). The batch operator labels
+days by session-local calendar date; the two coincide under the UTC
+production session (harness._prep). Late-row admission uses the PREVIOUS
+batch's committed watermark while eviction uses the updated one
+(measured), so a drop is only guaranteed one batch after the watermark
+passes — both pinned in tests/test_streaming.py hostile-condition tests.
+
 State scale: one row per (day, distinct score, label) — for a ppm-scaled
 integer score that is value-domain-bounded, independent of event volume,
 and pruned by the watermark. Batch/stream bit-equality is pinned in
