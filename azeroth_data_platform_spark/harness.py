@@ -1464,6 +1464,40 @@ def q_w_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.decay_attribution(_events_ts(spark, sf_dir))
 
 
+def q_w_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution: first and last
+    touch take 400,000 ppm each, middles split the 200,000 pool by the
+    largest-remainder rule (operators/windows.py ushape_attribution) —
+    the fourth model on the shared _touch_pairs join."""
+    return windows.ushape_attribution(_events_ts(spark, sf_dir))
+
+
+def q_x_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-date exact Gini coefficient of per-item revenue via the
+    sorted-rank identity, all-integer with ppm truncation
+    (operators/gold.py gini_concentration) — the distributional partner
+    of a5's floor-share and the HHI."""
+    _prep(spark)
+    return gold.gini_concentration(_silver(spark, sf_dir))
+
+
+def q_x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full first-order Markov transition matrix (src, dst, count, exact
+    row-conditional p_ppm) — user_paths' flow feed generalized to the
+    complete row-stochastic matrix (operators/windows.py
+    markov_transitions)."""
+    return windows.markov_transitions(_events_ts(spark, sf_dir))
+
+
+def q_dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bands, rows) sweep over the observed candidate-jaccard histogram
+    with EXACT 128-bit S-curve probabilities at bucket midpoints
+    (operators/dedup.py lsh_tuning_curve) — the dedup threshold-tuning
+    report, costing one histogram instead of one run per config."""
+    _prep(spark)
+    return dedup.lsh_tuning_curve(_docs(spark, sf_dir))
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1773,6 +1807,10 @@ QUERIES: dict[str, QueryFn] = {
     # --- r9 additions enter the head at authoring time (displacing the
     # newest tail of the head, which holds r7 rows) ---
     "ts_auc_hashclf": q_ts_auc_hashclf,
+    "w_attribution_ushape": q_w_attribution_ushape,
+    "x_gini_concentration": q_x_gini_concentration,
+    "x_markov_transitions": q_x_markov_transitions,
+    "dd_lsh_tuning": q_dd_lsh_tuning,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1901,20 +1939,24 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 122, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 126, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "ann_topk_ivf", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_pack_contents", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
 assert list(QUERIES)[2] == "ts_auc_hashclf", "slot-3 drifted"
-assert list(QUERIES)[3] == "a2_hourly_ohlc", "slot-4 drifted"
-assert list(QUERIES)[23] == "x_sector_rollup", "slot-24 drifted"
-assert list(QUERIES)[24] == "w_funnel", "slot-25 drifted"
-assert list(QUERIES)[50] == "ts_token_stats", "slot-51 drifted"
-assert list(QUERIES)[71] == "tp_weighted_sample", "slot-72 drifted"
-assert list(QUERIES)[72] == "ts_pmi_collocations", "slot-73 drifted"
-assert list(QUERIES)[121] == "x_hll_distinct", "slot-122 drifted"
+assert list(QUERIES)[3] == "w_attribution_ushape", "slot-4 drifted"
+assert list(QUERIES)[4] == "x_gini_concentration", "slot-5 drifted"
+assert list(QUERIES)[5] == "x_markov_transitions", "slot-6 drifted"
+assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
+assert list(QUERIES)[7] == "a2_hourly_ohlc", "slot-8 drifted"
+assert list(QUERIES)[27] == "x_sector_rollup", "slot-28 drifted"
+assert list(QUERIES)[28] == "w_funnel", "slot-29 drifted"
+assert list(QUERIES)[50] == "ts_repetition", "slot-51 drifted"
+assert list(QUERIES)[75] == "tp_weighted_sample", "slot-76 drifted"
+assert list(QUERIES)[76] == "ts_pmi_collocations", "slot-77 drifted"
+assert list(QUERIES)[125] == "x_hll_distinct", "slot-126 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2296,6 +2338,10 @@ ORACLES["x_zorder_ranked"] = _layout.zorder_ranked_sql(_W_SILVER)
 ORACLES["x_compaction_plan"] = _layout.compaction_plan_sql(_W_SILVER)
 ORACLES["tp_sample_allocation"] = corpus.sample_allocation_sql()
 ORACLES["w_attribution_multitouch"] = windows.multitouch_attribution_sql()
+ORACLES["w_attribution_ushape"] = windows.ushape_attribution_sql()
+ORACLES["x_gini_concentration"] = gold.gini_concentration_sql(_W_SILVER)
+ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
+ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
 ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
 

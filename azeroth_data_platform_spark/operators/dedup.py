@@ -1633,3 +1633,110 @@ SELECT CAST(size AS INTEGER) AS size, n_clusters,
        CAST(size * n_clusters AS BIGINT) AS n_docs,
        CAST(1000000 * size * n_clusters // total AS BIGINT) AS doc_share_ppm
 FROM hist, nd ORDER BY size"""
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning curve — the (bands, rows) sweep as a query. The MinHash
+# S-curve P(candidate | j) = 1 − (1 − j^r)^b is usually eyeballed from a
+# matplotlib plot; here it is EXACT arithmetic: at bucket midpoints
+# j = (2k+1)/20 every power has denominator 20^seeds, so
+# p = (D − (20^r − (2k+1)^r)^b) / D with D = 20^16 ≈ 6.6e20 is an exact
+# 128-bit rational, precomputed in Python (frozen constants, the
+# hash_classifier weight-map device) and joined onto the OBSERVED
+# candidate-jaccard histogram.
+
+LSH_SWEEP_CONFIGS = ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+_SCURVE_D = 20**MINHASH_SEEDS
+
+
+def _scurve_rows() -> list[tuple[int, int, int, int]]:
+    """(bands, rows, jband, p_num) with P(candidate|j_mid) = p_num/D —
+    exact integers; jband 10 (j = 1.0 exactly) clamps the midpoint to 1."""
+    out = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        assert b * r == MINHASH_SEEDS
+        for k in range(11):
+            num = min(2 * k + 1, 20)
+            u = 20**r - num**r
+            out.append((b, r, k, _SCURVE_D - u**b))
+    return out
+
+
+def lsh_tuning_curve(documents: DataFrame) -> DataFrame:
+    """Per (bands, rows, jband): the observed candidate-pair count at
+    that jaccard bucket, the EXACT collision probability the alternative
+    (bands, rows) config would give pairs at the bucket midpoint
+    (p_ppm = 1e6·p_num DIV D), and the expected surviving pairs in
+    milli-pairs (expected_pairs_q3 = 1000·n_pairs·p_num DIV D) — the
+    threshold-sweep a dedup operator reads before re-running at a new
+    config.
+
+    Scope (documented, honest): the histogram rows are pairs observed as
+    candidates under the PRODUCTION config (4 bands × 4 rows), so the
+    sweep measures each alternative's RETENTION of the current candidate
+    population — the tightening curve. Estimating NEW candidates for
+    looser configs would need all-pairs jaccard (quadratic; exactly what
+    LSH exists to avoid).
+
+    Scale shape: jaccard_histogram's existing banded-candidate pipeline
+    plus one broadcast join against a 55-row constant table and a
+    metadata-sized projection — the sweep costs one histogram, not one
+    dedup run per config."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    hist = jaccard_histogram(documents)
+    spark = documents.sparkSession
+    curve = spark.createDataFrame(
+        [
+            (b, r, k, decimal.Decimal(p))
+            for b, r, k, p in _scurve_rows()
+        ],
+        T.StructType(
+            [
+                T.StructField("bands", T.LongType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("jband", T.LongType()),
+                T.StructField("p_num", T.DecimalType(38, 0)),
+            ]
+        ),
+    )
+    return (
+        hist.withColumn("jband", F.col("jband").cast("bigint"))
+        .join(F.broadcast(curve), "jband")
+        .select(
+            "bands",
+            "rows",
+            "jband",
+            "n_pairs",
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * p_num"
+                f" DIV {_SCURVE_D} AS BIGINT)"
+            ).alias("p_ppm"),
+            F.expr(
+                f"CAST(CAST(1000 AS DECIMAL(38,0)) * n_pairs * p_num"
+                f" DIV {_SCURVE_D} AS BIGINT)"
+            ).alias("expected_pairs_q3"),
+        )
+        .orderBy("bands", "rows", "jband")
+    )
+
+
+def lsh_tuning_curve_sql() -> str:
+    """DuckDB twin of :func:`lsh_tuning_curve` (reads `documents`)."""
+    values = ",\n    ".join(
+        f"({b}, {r}, {k}, CAST('{p}' AS HUGEINT))"
+        for b, r, k, p in _scurve_rows()
+    )
+    return f"""
+  WITH hist AS ({JACCARD_HISTOGRAM_SQL}),
+  curve(bands, rows, jband, p_num) AS (VALUES
+    {values})
+SELECT bands, rows, CAST(h.jband AS BIGINT) AS jband, n_pairs,
+       CAST(CAST(1000000 AS HUGEINT) * p_num // {_SCURVE_D} AS BIGINT)
+         AS p_ppm,
+       CAST(CAST(1000 AS HUGEINT) * n_pairs * p_num // {_SCURVE_D} AS BIGINT)
+         AS expected_pairs_q3
+FROM hist h JOIN curve c ON CAST(h.jband AS BIGINT) = c.jband
+ORDER BY bands, rows, jband"""

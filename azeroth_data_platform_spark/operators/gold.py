@@ -395,3 +395,104 @@ def sector_trends(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("auction_count"),
         F.countDistinct("item_id").alias("distinct_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration — the distributional partner of A5's floor-share and
+# the per-date HHI: "how unequal is revenue across items today?"
+
+
+def gini_concentration(silver: DataFrame) -> DataFrame:
+    """Per snapshot_date: exact Gini coefficient of per-item revenue.
+
+    G = Σ_i (2i − n − 1)·x_i / (n·Σx) over items sorted ascending by
+    revenue — the sorted-rank identity, computed entirely in integers:
+    x_i is revenue in cent-units (int_units(price)·quantity, BIGINT),
+    ranks come from one per-date window, the weighted sum accumulates in
+    DECIMAL(38,0), and gini_ppm is the exact truncated rational
+    1e6·NUM DIV (n·TOT). The (revenue, item_id) tiebreak pins a total
+    order for engine determinism; the Σ over a tie block is
+    x·Σ(2i−n−1), independent of intra-block order, so the tiebreak
+    never changes the value. n = 1 → NUM = 0 → gini 0; all-zero revenue
+    days → NULL (0/0).
+
+    Scale shape: one map-combinable (date, item) revenue aggregate, one
+    window PARTITIONED BY date (parallel across dates; width = items per
+    day, the same bound a5/a6 live with), one date rollup. NUM headroom:
+    2n·x·n ≤ 2·(1e6)²·1e12 = 2e24 « 1e38."""
+    rev = (
+        silver.select(
+            "snapshot_date",
+            "item_id",
+            (int_units("unit_price") * F.col("quantity"))
+            .cast("bigint")
+            .alias("xu"),
+        )
+        .groupBy("snapshot_date", "item_id")
+        .agg(F.sum("xu").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("snapshot_date").orderBy(
+        F.col("x").asc(), F.col("item_id").asc()
+    )
+    wn = Window.partitionBy("snapshot_date")
+    ranked = rev.select(
+        "snapshot_date",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    agg = ranked.groupBy("snapshot_date").agg(
+        F.max("n").alias("n_items"),
+        F.sum("x").cast("bigint").alias("total_units"),
+        F.sum(
+            F.expr("CAST(2 * i - n - 1 AS DECIMAL(38,0)) * x")
+        ).alias("_num"),
+    )
+    gini_ppm = (
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * _num"
+        " DIV (CAST(n_items AS DECIMAL(38,0)) * total_units) AS BIGINT)"
+    )
+    return agg.select(
+        "snapshot_date",
+        "n_items",
+        "total_units",
+        F.expr(
+            f"CASE WHEN total_units > 0 THEN {gini_ppm} END"
+        ).alias("gini_ppm"),
+        F.expr(
+            f"CASE WHEN total_units > 0"
+            f" THEN CAST({gini_ppm} AS DOUBLE) / 1e6 END"
+        ).alias("gini"),
+    ).orderBy("snapshot_date")
+
+
+def gini_concentration_sql(silver_cte: str) -> str:
+    """DuckDB twin of :func:`gini_concentration` (expects `silver`)."""
+    from ..functions.numerics import int_units_sql
+
+    gini_ppm = (
+        "CAST(CAST(1000000 AS HUGEINT) * _num"
+        " // (CAST(n_items AS HUGEINT) * total_units) AS BIGINT)"
+    )
+    return f"""{silver_cte},
+  rev AS (SELECT snapshot_date, item_id,
+                 CAST(SUM(CAST({int_units_sql("unit_price")} AS BIGINT)
+                          * quantity) AS BIGINT) AS x
+          FROM silver GROUP BY snapshot_date, item_id),
+  ranked AS (SELECT snapshot_date, x,
+                    CAST(row_number() OVER (PARTITION BY snapshot_date
+                                            ORDER BY x ASC, item_id ASC)
+                         AS BIGINT) AS i,
+                    CAST(COUNT(*) OVER (PARTITION BY snapshot_date)
+                         AS BIGINT) AS n
+             FROM rev),
+  agg AS (SELECT snapshot_date,
+                 CAST(MAX(n) AS BIGINT) AS n_items,
+                 CAST(SUM(x) AS BIGINT) AS total_units,
+                 SUM(CAST(2 * i - n - 1 AS HUGEINT) * x) AS _num
+          FROM ranked GROUP BY snapshot_date)
+SELECT snapshot_date, n_items, total_units,
+       CASE WHEN total_units > 0 THEN {gini_ppm} END AS gini_ppm,
+       CASE WHEN total_units > 0
+            THEN CAST({gini_ppm} AS DOUBLE) / 1e6 END AS gini
+FROM agg ORDER BY snapshot_date"""

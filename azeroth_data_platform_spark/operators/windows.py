@@ -557,6 +557,64 @@ def user_paths(events: DataFrame, k: int = PATHS_TOP_K) -> DataFrame:
     )
 
 
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """Full first-order Markov transition matrix over event types: per
+    (src, dst) the transition count and the exact row-conditional
+    probability p_ppm = 1e6·c DIV Σ_dst c — user_paths' top-k flow feed
+    generalized to the complete row-stochastic matrix a
+    simulation/next-event model consumes. Row-stochasticity is an
+    integer identity up to truncation: Σ_dst p_ppm ∈
+    (1e6 − n_dst, 1e6] per src (each term floors away < 1), pinned in
+    tests.
+
+    Shape: the same one-window-per-user transition extraction, one
+    map-combinable (src, dst) groupBy, then the row totals via a window
+    PARTITIONED BY src over the |types|²-sized aggregate — metadata
+    cost, no second scan (the w_attribution grand-total lesson)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    counts = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "src_total", F.sum("n_transitions").over(wsrc).cast("bigint")
+        )
+        .withColumn(
+            "p_ppm",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_transitions"
+                " DIV src_total AS BIGINT)"
+            ),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+  WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM events),
+  trans AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev),
+  counts AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM trans WHERE dst IS NOT NULL GROUP BY src, dst)
+  SELECT src, dst, n_transitions,
+         CAST(SUM(n_transitions) OVER (PARTITION BY src) AS BIGINT) AS src_total,
+         CAST(CAST(1000000 AS HUGEINT) * n_transitions
+              // SUM(n_transitions) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+  FROM counts
+  ORDER BY src, dst"""
+
+
 USER_PATHS_SQL = f"""
   WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
               FROM events),
@@ -1086,6 +1144,128 @@ def multitouch_attribution_sql(
                 ELSE 1000000 // k
                      + CASE WHEN r <= 1000000 % k THEN 1 ELSE 0 END END
              AS credit_ppm
+    FROM credited)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+       CAST(COUNT(DISTINCT conv_eid) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_ppm) AS BIGINT) AS credit_sum_ppm,
+       CAST(SUM(CAST(xu AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
+         AS value_credit_units
+FROM scored GROUP BY channel ORDER BY channel"""
+
+
+def ushape_attribution(
+    events: DataFrame,
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution: the FIRST touch
+    and the LAST touch each take 40% of a conversion's credit and the
+    middle touches split the remaining 20% — the standard model for
+    "discovery and closing matter most". Integer-exact throughout: 40% of
+    1e6 ppm is exactly 400,000; the 200,000 middle pool splits by the
+    same largest-remainder rule as the linear variant (base =
+    200000 DIV (k−2), leftover to the MOST RECENT middles), so
+    per-conversion credit sums to exactly 1e6 — conservation
+    Σ credit_sum_ppm = 1e6·conversions stays a pure integer identity.
+    Degenerate positions follow the standard convention: one touch takes
+    1e6, two touches split 500,000/500,000, touchless conversions credit
+    'direct' in full.
+
+    Same qualify rule, shared _touch_pairs equi-join, and the same
+    (user, conversion) window partition as the linear/decay variants —
+    adding a model to the family costs one more CASE projection, not a
+    new shuffle."""
+    pairs = _touch_pairs(events, lookback_days, conversion)
+    w = Window.partitionBy("user_id", "conv_eid")
+    wdesc = w.orderBy(F.col("t_us").desc(), F.col("t_eid").desc())
+    wasc = w.orderBy(F.col("t_us").asc(), F.col("t_eid").asc())
+    credited = (
+        pairs.withColumn("k", F.count("t_eid").over(w).cast("bigint"))
+        .withColumn("r_last", F.row_number().over(wdesc).cast("bigint"))
+        .withColumn("r_first", F.row_number().over(wasc).cast("bigint"))
+        .withColumn(
+            "credit_ppm",
+            F.expr(
+                "CASE WHEN k <= 1 THEN CAST(1000000 AS BIGINT)"
+                " WHEN k = 2 THEN CAST(500000 AS BIGINT)"
+                " WHEN r_first = 1 THEN CAST(400000 AS BIGINT)"
+                " WHEN r_last = 1 THEN CAST(400000 AS BIGINT)"
+                " ELSE 200000 DIV (k - 2)"
+                "      + CASE WHEN r_last - 1 <= 200000 % (k - 2)"
+                "             THEN 1 ELSE 0 END END"
+            ),
+        )
+        .withColumn("channel", F.coalesce(F.col("t_channel"), F.lit("direct")))
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+            F.countDistinct("conv_eid").cast("bigint").alias("n_conversions"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_sum_ppm"),
+            F.sum(
+                F.col("xu").cast("decimal(38,0)") * F.col("credit_ppm")
+            ).alias("_vc"),
+        )
+        .select(
+            "channel",
+            "n_touchpoints",
+            "n_conversions",
+            "credit_sum_ppm",
+            F.expr("CAST(_vc DIV 1000000 AS BIGINT)").alias("value_credit_units"),
+        )
+        .orderBy("channel")
+    )
+
+
+def ushape_attribution_sql(
+    lookback_days: int = ATTRIBUTION_LOOKBACK_DAYS,
+    conversion: str = CONVERSION_EVENT,
+) -> str:
+    """DuckDB twin of :func:`ushape_attribution` (reads `events`)."""
+    from ..functions.numerics import int_units_sql
+
+    lookback_us = lookback_days * 86_400 * 1_000_000
+    return f"""
+  WITH ev AS (SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                     CAST({int_units_sql("value")} AS BIGINT) AS xu
+              FROM events),
+  conv AS (SELECT user_id, event_id AS conv_eid, us AS conv_us, xu
+           FROM ev WHERE event_type = '{conversion}'),
+  touch AS (SELECT user_id, event_id AS t_eid, event_type AS t_channel,
+                   us AS t_us
+            FROM ev WHERE event_type <> '{conversion}'),
+  pairs AS (
+    SELECT c.user_id, c.conv_eid, c.conv_us, c.xu,
+           t.t_eid, t.t_channel, t.t_us
+    FROM conv c LEFT JOIN touch t
+      ON c.user_id = t.user_id
+     AND (t.t_us < c.conv_us
+          OR (t.t_us = c.conv_us AND t.t_eid < c.conv_eid))
+     AND c.conv_us - t.t_us <= {lookback_us}),
+  credited AS (
+    SELECT *,
+           CAST(COUNT(t_eid) OVER (PARTITION BY user_id, conv_eid)
+                AS BIGINT) AS k,
+           CAST(row_number() OVER (PARTITION BY user_id, conv_eid
+                                   ORDER BY t_us DESC, t_eid DESC)
+                AS BIGINT) AS r_last,
+           CAST(row_number() OVER (PARTITION BY user_id, conv_eid
+                                   ORDER BY t_us ASC, t_eid ASC)
+                AS BIGINT) AS r_first,
+           COALESCE(t_channel, 'direct') AS channel
+    FROM pairs),
+  scored AS (
+    SELECT *,
+           CASE WHEN k <= 1 THEN CAST(1000000 AS BIGINT)
+                WHEN k = 2 THEN CAST(500000 AS BIGINT)
+                WHEN r_first = 1 THEN CAST(400000 AS BIGINT)
+                WHEN r_last = 1 THEN CAST(400000 AS BIGINT)
+                ELSE 200000 // (k - 2)
+                     + CASE WHEN r_last - 1 <= 200000 % (k - 2)
+                            THEN 1 ELSE 0 END END AS credit_ppm
     FROM credited)
 SELECT channel,
        CAST(COUNT(*) AS BIGINT) AS n_touchpoints,

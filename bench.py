@@ -195,6 +195,10 @@ def main() -> int:
             "ts_langid_prf",
             "ts_auc_doclen",
             "ts_auc_hashclf",
+            "w_attribution_ushape",
+            "x_gini_concentration",
+            "x_markov_transitions",
+            "dd_lsh_tuning",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -333,6 +337,10 @@ def main() -> int:
             "ts_auc_langid",
             "ts_pr_summary_langid",
             "ts_auc_hashclf",
+            "w_attribution_ushape",
+            "x_gini_concentration",
+            "x_markov_transitions",
+            "dd_lsh_tuning",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

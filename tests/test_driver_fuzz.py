@@ -104,6 +104,11 @@ FUZZ_QUERIES = [
     # round 8 (3rd session): attribution on tie/boundary timestamps, ACF
     # on gap days and constant series, z-order on wide key ranges
     "w_attribution",
+    # round 9: fourth attribution model, Gini/Markov on the same hostile
+    # events (ties, single-event users), the LSH sweep on hostile docs
+    "w_attribution_ushape",
+    "x_gini_concentration",
+    "x_markov_transitions",
     "a16_autocorrelation",
     "x_zorder_layout",
     "a17_dow_baseline",

@@ -745,3 +745,193 @@ def test_fano_plan_two_small_aggregates(spark, sf_dir):
     plan = _plan(df)
     assert "partial_" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_ushape_attribution_semantics(spark):
+    """Position-based 40/20/40: first and last touch take 400k ppm each,
+    middles split the 200k pool by largest remainder (most recent
+    middles seat the leftover); k=1 -> 1e6, k=2 -> 500k each, touchless
+    -> direct in full; conservation holds."""
+    from azeroth_data_platform_spark.operators.windows import (
+        ushape_attribution,
+    )
+
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: FIVE touches -> purchase: first(view)=400k,
+        # last(error)=400k, middles click/signup/view split 200000:
+        # base 66666, leftover 2 to the two most recent middles
+        _ev(1, 1, T0, "view"),
+        _ev(2, 1, T0 + h, "click"),
+        _ev(3, 1, T0 + 2 * h, "signup"),
+        _ev(4, 1, T0 + 3 * h, "view"),
+        _ev(5, 1, T0 + 4 * h, "error"),
+        _ev(6, 1, T0 + 5 * h, "purchase", 9.0),
+        # user 2: two touches -> 500k each
+        _ev(7, 2, T0, "click"),
+        _ev(8, 2, T0 + h, "signup"),
+        _ev(9, 2, T0 + 2 * h, "purchase", 4.0),
+        # user 3: one touch -> full million; user 4: touchless -> direct
+        _ev(10, 3, T0, "click"),
+        _ev(11, 3, T0 + h, "purchase", 2.0),
+        _ev(12, 4, T0, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r["channel"]: r for r in ushape_attribution(df).collect()}
+    # user 1: view gets first (400000) + middle seat (66666+1 for the
+    # most recent middle = the T0+3h view); click middle base 66666;
+    # signup middle 66666+1 (second most recent middle)
+    assert out["error"]["credit_sum_ppm"] == 400_000
+    assert out["view"]["credit_sum_ppm"] == 400_000 + 66_667
+    assert out["signup"]["credit_sum_ppm"] == 66_667 + 500_000
+    assert out["click"]["credit_sum_ppm"] == 66_666 + 500_000 + 1_000_000
+    assert out["direct"]["credit_sum_ppm"] == 1_000_000
+    assert sum(r["credit_sum_ppm"] for r in out.values()) == 4_000_000
+
+
+def test_ushape_credit_conservation_on_corpus(spark, sf_dir):
+    """Σ credit_sum_ppm = 1e6 · conversions on real data — the integer
+    identity all four attribution variants share."""
+    import pyspark.sql.functions as SF
+
+    from azeroth_data_platform_spark import harness
+
+    out = harness.QUERIES["w_attribution_ushape"](spark, sf_dir)
+    total = out.agg(SF.sum("credit_sum_ppm")).collect()[0][0]
+    convs = (
+        harness._events_ts(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert total == 1_000_000 * convs
+
+
+def test_gini_concentration_matches_reference(spark):
+    """Exact Gini vs a pure-Python recompute on constructed days: all
+    equal -> 0; one item holds everything -> (n-1)/n; a mixed day."""
+    from fractions import Fraction
+
+    from azeroth_data_platform_spark.operators.gold import gini_concentration
+
+    rows = []
+    # day 1: four items, equal revenue 10.00 x 1
+    for i in range(4):
+        rows.append((i, dt.date(2024, 1, 1), 10.0, 1))
+    # day 2: item 0 has all the revenue; three zero-revenue items need
+    # price 0 — skip zeros, use 3 items: 0.01, 0.01, 99.98
+    rows += [
+        (0, dt.date(2024, 1, 2), 0.01, 1),
+        (1, dt.date(2024, 1, 2), 0.01, 1),
+        (2, dt.date(2024, 1, 2), 99.98, 1),
+    ]
+    # day 3: mixed with quantity weighting and two lots per item
+    rows += [
+        (0, dt.date(2024, 1, 3), 3.0, 2),
+        (0, dt.date(2024, 1, 3), 1.0, 1),
+        (1, dt.date(2024, 1, 3), 5.0, 4),
+        (2, dt.date(2024, 1, 3), 0.5, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, snapshot_date date, unit_price double, quantity long"
+    )
+    got = {str(r.snapshot_date): r for r in gini_concentration(df).collect()}
+
+    def ref(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        return Fraction(num, n * sum(xs))
+
+    assert got["2024-01-01"].gini_ppm == 0
+    d2 = ref([1, 1, 9998])
+    assert got["2024-01-02"].gini_ppm == (d2.numerator * 10**6) // d2.denominator
+    d3 = ref([700, 2000, 500])
+    assert got["2024-01-03"].gini_ppm == (d3.numerator * 10**6) // d3.denominator
+    assert got["2024-01-03"].total_units == 3200
+
+
+def test_gini_plan_date_partitioned_window(spark, sf_dir):
+    """Plan pin: the rank window is PARTITIONED BY snapshot_date (never
+    a partition-less window over the fact table); no joins."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.QUERIES["x_gini_concentration"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "snapshot_date" in m.group(1)
+
+
+def test_markov_transitions_row_stochastic(spark, sf_dir):
+    """Per src: Σ p_ppm ∈ (1e6 − n_dst, 1e6] (each term floors away
+    < 1); counts match user_paths' extraction; known toy chain exact."""
+    import pyspark.sql.functions as SF
+
+    from azeroth_data_platform_spark import harness
+    from azeroth_data_platform_spark.operators.windows import (
+        markov_transitions,
+    )
+
+    h = dt.timedelta(hours=1)
+    rows = [
+        _ev(1, 1, T0, "view"),
+        _ev(2, 1, T0 + h, "click"),
+        _ev(3, 1, T0 + 2 * h, "view"),
+        _ev(4, 1, T0 + 3 * h, "click"),
+        _ev(5, 1, T0 + 4 * h, "purchase", 1.0),
+        _ev(6, 2, T0, "view"),
+        _ev(7, 2, T0 + h, "view"),
+    ]
+    toy = {
+        (r.src, r.dst): (r.n_transitions, r.src_total, r.p_ppm)
+        for r in markov_transitions(
+            spark.createDataFrame(rows, EV_SCHEMA)
+        ).collect()
+    }
+    # src=view rows: view->click x2 (user 1), view->view x1 (user 2)
+    assert toy[("view", "click")] == (2, 3, 666_666)
+    assert toy[("view", "view")] == (1, 3, 333_333)
+    assert toy[("click", "view")] == (1, 2, 500_000)
+    assert toy[("click", "purchase")] == (1, 2, 500_000)
+
+    out = harness.QUERIES["x_markov_transitions"](spark, sf_dir)
+    rowsum = (
+        out.groupBy("src")
+        .agg(
+            SF.sum("p_ppm").alias("s"),
+            SF.count(SF.lit(1)).alias("k"),
+        )
+        .collect()
+    )
+    assert rowsum
+    for r in rowsum:
+        assert 1_000_000 - r.k < r.s <= 1_000_000, (r.src, r.s, r.k)
+
+
+def test_lsh_tuning_curve_exact_probabilities(spark):
+    """The frozen S-curve constants are the exact rationals
+    1 − (1−j^r)^b at bucket midpoints: recompute with Fraction; p is
+    monotone in j for every config, 0 at j-bucket 0 for the loosest-row
+    config only in the tiny sense, and exactly 1e6 ppm at j = 1."""
+    from fractions import Fraction
+
+    from azeroth_data_platform_spark.operators.dedup import (
+        _SCURVE_D,
+        LSH_SWEEP_CONFIGS,
+        _scurve_rows,
+    )
+
+    rows = _scurve_rows()
+    by_cfg = {}
+    for b, r, k, p_num in rows:
+        j = Fraction(min(2 * k + 1, 20), 20)
+        want = 1 - (1 - j**r) ** b
+        assert Fraction(p_num, _SCURVE_D) == want, (b, r, k)
+        by_cfg.setdefault((b, r), []).append(p_num)
+    for cfg, ps in by_cfg.items():
+        assert ps == sorted(ps), cfg  # monotone in j
+        assert ps[-1] == _SCURVE_D  # j = 1 -> probability 1
+    assert set(by_cfg) == set(LSH_SWEEP_CONFIGS)
