@@ -1498,6 +1498,16 @@ def q_dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_tuning_curve(_docs(spark, sf_dir))
 
 
+def q_tp_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination DEPTH per corpus doc: positional benchmark n-gram
+    hits, longest consecutive run (gaps-and-islands in integers), the
+    contiguous token overlap it implies, and a verbatim/scattered/clean
+    severity verdict (operators/corpus.py contamination_report) — the
+    distinction decontamination policy acts on."""
+    _prep(spark)
+    return corpus.contamination_report(_docs(spark, sf_dir))
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1811,6 +1821,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_gini_concentration": q_x_gini_concentration,
     "x_markov_transitions": q_x_markov_transitions,
     "dd_lsh_tuning": q_dd_lsh_tuning,
+    "tp_contamination_report": q_tp_contamination_report,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1939,9 +1950,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 126, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 127, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_pack_contents", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_pack_sequences", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
@@ -1950,13 +1961,14 @@ assert list(QUERIES)[3] == "w_attribution_ushape", "slot-4 drifted"
 assert list(QUERIES)[4] == "x_gini_concentration", "slot-5 drifted"
 assert list(QUERIES)[5] == "x_markov_transitions", "slot-6 drifted"
 assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
-assert list(QUERIES)[7] == "a2_hourly_ohlc", "slot-8 drifted"
-assert list(QUERIES)[27] == "x_sector_rollup", "slot-28 drifted"
-assert list(QUERIES)[28] == "w_funnel", "slot-29 drifted"
-assert list(QUERIES)[50] == "ts_repetition", "slot-51 drifted"
-assert list(QUERIES)[75] == "tp_weighted_sample", "slot-76 drifted"
-assert list(QUERIES)[76] == "ts_pmi_collocations", "slot-77 drifted"
-assert list(QUERIES)[125] == "x_hll_distinct", "slot-126 drifted"
+assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
+assert list(QUERIES)[8] == "a2_hourly_ohlc", "slot-9 drifted"
+assert list(QUERIES)[28] == "x_sector_rollup", "slot-29 drifted"
+assert list(QUERIES)[29] == "w_funnel", "slot-30 drifted"
+assert list(QUERIES)[50] == "tp_pack_contents", "slot-51 drifted"
+assert list(QUERIES)[76] == "tp_weighted_sample", "slot-77 drifted"
+assert list(QUERIES)[77] == "ts_pmi_collocations", "slot-78 drifted"
+assert list(QUERIES)[126] == "x_hll_distinct", "slot-127 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2342,6 +2354,7 @@ ORACLES["w_attribution_ushape"] = windows.ushape_attribution_sql()
 ORACLES["x_gini_concentration"] = gold.gini_concentration_sql(_W_SILVER)
 ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
 ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
+ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
 ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
 

@@ -15,7 +15,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, textstats
@@ -158,6 +158,140 @@ def _decontaminate_sql() -> str:
 
 
 DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+# Verbatim-overlap severity: a run of >= this many consecutive
+# contaminated 8-gram positions means a contiguous token overlap of
+# run + 7 >= 15 tokens — the GPT-3/BigBench-style "substring leak"
+# regime, vs scattered single n-gram hits (common phrases).
+DECON_VERBATIM_RUN = 8
+
+
+def contamination_report(documents: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Per corpus doc: contamination DEPTH, not just the boolean —
+    positional n-gram hits against the benchmark shingle set, the
+    longest CONSECUTIVE run of contaminated positions (gaps-and-islands
+    in pure integers: island id = pos − running hit count), the
+    contiguous token overlap it implies (run + n − 1), and a severity
+    verdict ('verbatim' for runs >= DECON_VERBATIM_RUN, 'scattered' for
+    any other hit, 'clean'). Scattered hits are common phrases; long
+    runs are copied eval text — the distinction decontamination policy
+    actually acts on (decontaminate's boolean treats both alike).
+
+    Scale shape: same asymmetric design as decontaminate — the tiny
+    benchmark shingle set broadcasts; the corpus side is ONE positional
+    explode → broadcast left join → one doc-keyed window (running hit
+    count) → two groupBys on the SAME doc key (island sizes, then doc
+    rollup). No corpus self-join, no second scan of the corpus.
+
+    Cites reference transformation.py:17-84 (the cleaning stage this
+    extends) — run-length semantics from the public GPT-3/PaLM
+    decontamination descriptions (13-gram / contiguous-overlap
+    removal)."""
+    from .dedup import shingles
+    from .textstats import _words
+
+    terms = ", ' ', ".join(f"element_at(ws, i + {k + 1})" for k in range(n))
+    pos_sh = F.expr(
+        f"posexplode(transform(sequence(0, size(ws) - {n}),"
+        f" i -> concat({terms}))) AS (pos, sh)"
+    )
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = F.broadcast(
+        shingles(documents, n)
+        .where(is_bench)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus = (
+        documents.where(~is_bench)
+        .select("doc_id", _words().alias("ws"))
+        .where(F.size("ws") >= n)
+        .select("doc_id", pos_sh)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = (
+        corpus.join(bench, "sh", "left")
+        .withColumn("_h", F.coalesce(F.col("_hit"), F.lit(0)))
+        .withColumn("_hrn", F.sum("_h").over(w))
+        .withColumn(
+            "island",
+            F.expr("CASE WHEN _h = 1 THEN pos - _hrn END"),
+        )
+    )
+    per_island = flagged.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_shingles"),
+        F.sum(F.expr("CASE WHEN island IS NOT NULL THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hit_positions"),
+        F.max(F.expr("CASE WHEN island IS NOT NULL THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("longest_run"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit_positions",
+        "longest_run",
+        F.expr(
+            f"CAST(CASE WHEN longest_run > 0 THEN longest_run + {n - 1}"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("longest_overlap_tokens"),
+        F.expr(
+            f"CASE WHEN longest_run >= {DECON_VERBATIM_RUN} THEN 'verbatim'"
+            " WHEN n_hit_positions > 0 THEN 'scattered'"
+            " ELSE 'clean' END"
+        ).alias("severity"),
+    )
+
+
+def contamination_report_sql(n: int = DECON_N) -> str:
+    """DuckDB twin of :func:`contamination_report` (reads `documents`)."""
+    from .textstats import WORDS_SQL
+
+    terms = " || ' ' || ".join(f"ws[i + {k}]" for k in range(n))
+    return f"""
+  WITH w AS (SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+             WHERE len({WORDS_SQL}) >= {n}),
+  pos_sh AS (SELECT doc_id,
+                    CAST(i - 1 AS BIGINT) AS pos,
+                    {terms.replace('ws[i +', 'ws[i +')} AS sh
+             FROM w, unnest(range(1, len(ws) - {n - 2})) AS u(i)),
+  bench AS (SELECT DISTINCT sh FROM pos_sh WHERE doc_id % {DECON_MOD} = 0),
+  flagged AS (
+    SELECT c.doc_id, c.pos,
+           CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END AS h
+    FROM pos_sh c LEFT JOIN bench b ON c.sh = b.sh
+    WHERE c.doc_id % {DECON_MOD} <> 0),
+  runs AS (
+    SELECT doc_id, pos, h,
+           CASE WHEN h = 1 THEN pos - SUM(h) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS UNBOUNDED PRECEDING) END AS island
+    FROM flagged),
+  per_island AS (
+    SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS c
+    FROM runs GROUP BY doc_id, island),
+  per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN island IS NOT NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_hit_positions,
+           CAST(MAX(CASE WHEN island IS NOT NULL THEN c ELSE 0 END)
+                AS BIGINT) AS longest_run
+    FROM per_island GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_hit_positions, longest_run,
+       CAST(CASE WHEN longest_run > 0 THEN longest_run + {n - 1}
+            ELSE 0 END AS BIGINT) AS longest_overlap_tokens,
+       CASE WHEN longest_run >= {DECON_VERBATIM_RUN} THEN 'verbatim'
+            WHEN n_hit_positions > 0 THEN 'scattered'
+            ELSE 'clean' END AS severity
+FROM per_doc"""
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,7 @@ def main() -> int:
             "x_gini_concentration",
             "x_markov_transitions",
             "dd_lsh_tuning",
+            "tp_contamination_report",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -341,6 +342,7 @@ def main() -> int:
             "x_gini_concentration",
             "x_markov_transitions",
             "dd_lsh_tuning",
+            "tp_contamination_report",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

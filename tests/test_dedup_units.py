@@ -1079,3 +1079,57 @@ def test_binary_cdc_chunks_survive_byte_shift(spark):
     dups = multimodal.binary_cdc_dedup(multimodal.attach_binary(docs)).collect()
     assert any(r.n_docs == 2 for r in dups), "no shared chunks despite the shift"
     assert all(r.n_occurrences >= 2 for r in dups)
+
+
+def test_contamination_report_run_semantics(spark):
+    """Planted overlaps: a >=15-token verbatim span -> 'verbatim' with
+    the exact run length and token-overlap arithmetic; a single shared
+    8-gram -> 'scattered' with longest_run 1; no hits -> 'clean'.
+    Pure-Python island recompute cross-checks the window algebra."""
+    from azeroth_data_platform_spark.operators.corpus import (
+        DECON_N,
+        contamination_report,
+    )
+
+    bench_words = [f"b{i}" for i in range(20)]          # doc 10 (benchmark)
+    verbatim_span = bench_words[2:18]                    # 16 tokens
+    doc1 = ["x1", "x2"] + verbatim_span + ["y1", "y2"]   # verbatim hit
+    doc2 = ["p" + str(i) for i in range(6)] + bench_words[0:8] + ["q1"]
+    doc3 = [f"z{i}" for i in range(12)]                  # clean
+    rows = [
+        (10, " ".join(bench_words), "en"),
+        (1, " ".join(doc1), "en"),
+        (2, " ".join(doc2), "en"),
+        (3, " ".join(doc3), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in contamination_report(df).collect()}
+    assert set(got) == {1, 2, 3}
+
+    # doc1: 20 words -> 13 shingle positions; the 16-token span yields
+    # 16 - 8 + 1 = 9 consecutive hit positions (positions 2..10)
+    assert got[1].n_shingles == len(doc1) - DECON_N + 1
+    assert got[1].longest_run == 9
+    assert got[1].n_hit_positions == 9
+    assert got[1].longest_overlap_tokens == 9 + DECON_N - 1 == 16
+    assert got[1].severity == "verbatim"
+
+    # doc2: exactly one shared 8-gram
+    assert got[2].longest_run == 1
+    assert got[2].severity == "scattered"
+    assert got[2].longest_overlap_tokens == DECON_N
+
+    assert got[3].n_hit_positions == 0
+    assert got[3].longest_run == 0
+    assert got[3].severity == "clean"
+
+
+def test_contamination_report_plan_broadcast_no_selfjoin(spark, sf_dir):
+    """Plan pin: benchmark shingles broadcast; no sort-merge self-join,
+    no cartesian; the corpus side is scanned through one explode."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.QUERIES["tp_contamination_report"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

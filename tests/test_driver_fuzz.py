@@ -93,6 +93,7 @@ FUZZ_QUERIES = [
     # round 9: the gate classifier's integer score export (hostile docs:
     # repeated bigrams, exact logit ties across different denominators)
     "ts_auc_hashclf",
+    "tp_contamination_report",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",
