@@ -1508,6 +1508,17 @@ def q_tp_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_report(_docs(spark, sf_dir))
 
 
+def q_o12_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-cursor keyset page over (o_orderdate DESC, o_orderkey
+    ASC) — the two-key continuation every date-desc feed needs once a
+    day outgrows a page; the whole cursor predicate reaches the parquet
+    scan (operators/serving.py search_after_page)."""
+    _prep(spark)
+    return serving.search_after_page(
+        adapters.read_table(spark, sf_dir, "orders")
+    )
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1822,6 +1833,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_markov_transitions": q_x_markov_transitions,
     "dd_lsh_tuning": q_dd_lsh_tuning,
     "tp_contamination_report": q_tp_contamination_report,
+    "o12_search_after": q_o12_search_after,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1950,9 +1962,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 127, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 128, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_pack_sequences", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_decontaminate", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
@@ -1962,13 +1974,14 @@ assert list(QUERIES)[4] == "x_gini_concentration", "slot-5 drifted"
 assert list(QUERIES)[5] == "x_markov_transitions", "slot-6 drifted"
 assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
 assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
-assert list(QUERIES)[8] == "a2_hourly_ohlc", "slot-9 drifted"
-assert list(QUERIES)[28] == "x_sector_rollup", "slot-29 drifted"
-assert list(QUERIES)[29] == "w_funnel", "slot-30 drifted"
-assert list(QUERIES)[50] == "tp_pack_contents", "slot-51 drifted"
-assert list(QUERIES)[76] == "tp_weighted_sample", "slot-77 drifted"
-assert list(QUERIES)[77] == "ts_pmi_collocations", "slot-78 drifted"
-assert list(QUERIES)[126] == "x_hll_distinct", "slot-127 drifted"
+assert list(QUERIES)[8] == "o12_search_after", "slot-9 drifted"
+assert list(QUERIES)[9] == "a2_hourly_ohlc", "slot-10 drifted"
+assert list(QUERIES)[29] == "x_sector_rollup", "slot-30 drifted"
+assert list(QUERIES)[30] == "w_funnel", "slot-31 drifted"
+assert list(QUERIES)[50] == "tp_pack_sequences", "slot-51 drifted"
+assert list(QUERIES)[77] == "tp_weighted_sample", "slot-78 drifted"
+assert list(QUERIES)[78] == "ts_pmi_collocations", "slot-79 drifted"
+assert list(QUERIES)[127] == "x_hll_distinct", "slot-128 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2355,6 +2368,12 @@ ORACLES["x_gini_concentration"] = gold.gini_concentration_sql(_W_SILVER)
 ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
 ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
 ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
+ORACLES["o12_search_after"] = (
+    "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
+    " WHERE o_orderdate < DATE '1995-06-15'"
+    " OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 0)"
+    " ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100"
+)
 ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
 

@@ -111,3 +111,37 @@ def keyset_paginate_items(
         .orderBy("item_id")
         .limit(limit)
     )
+
+
+def search_after_page(
+    orders: DataFrame,
+    after_date: str = "1995-06-15",
+    after_key: int = 0,
+    limit: int = 100,
+) -> DataFrame:
+    """Composite-cursor keyset page over a TWO-key sort order — the form
+    every date-desc feed (o1/o4/o6's shape) needs once a single day
+    holds more rows than a page: ORDER BY (o_orderdate DESC, o_orderkey
+    ASC) continued from the cursor (after_date, after_key), i.e. rows
+    with date < cursor_date OR (date = cursor_date AND key >
+    cursor_key). The whole continuation predicate is scan-pushable
+    (PushedFilters shows the Or(LessThan, And(EqualTo, GreaterThan))
+    tree — pinned), so a deep page reads only the cursor's date
+    neighborhood plus `limit` rows instead of re-sorting the prefix —
+    the elasticsearch `search_after` / Postgres row-comparison
+    `(o_orderdate, o_orderkey) < (d, k)` idiom, spelled as the boolean
+    expansion because row-value comparison pushdown is not a Parquet
+    filter. Cursor for the next page = (last row's date, last row's
+    key); the (date, key) pair is unique, so pages never skip or repeat
+    under concurrent appends of NEWER dates (the offset-pagination
+    failure mode)."""
+    d = F.to_date(F.lit(after_date))
+    return (
+        orders.where(
+            (F.col("o_orderdate") < d)
+            | ((F.col("o_orderdate") == d) & (F.col("o_orderkey") > F.lit(after_key)))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(limit)
+    )

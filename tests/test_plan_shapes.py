@@ -346,6 +346,33 @@ def test_keyset_pagination_pushes_cursor_to_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_search_after_composite_cursor_pushed_and_paged(spark, sf_dir):
+    """o12: the COMPOSITE continuation predicate — date < d OR (date = d
+    AND key > k) — reaches the parquet scan as one Or tree, the page
+    collapses to TakeOrderedAndProject, and consecutive pages partition
+    the full sort order exactly (no skip, no repeat)."""
+    from azeroth_data_platform_spark.operators import adapters, serving
+
+    df = harness.ALL_QUERIES["o12_search_after"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "Or(LessThan(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+    orders = adapters.read_table(spark, sf_dir, "orders")
+    p1 = serving.search_after_page(orders, "1995-06-15", 0, 50).collect()
+    cursor = p1[-1]
+    p2 = serving.search_after_page(
+        orders, str(cursor.o_orderdate), int(cursor.o_orderkey), 50
+    ).collect()
+    both = [(r.o_orderdate, r.o_orderkey) for r in p1 + p2]
+    assert len(set(both)) == len(both) == 100
+    assert both == sorted(both, key=lambda t: (t[0].toordinal() * -1, t[1]))
+    top = (
+        serving.search_after_page(orders, "1995-06-15", 0, 100).collect()
+    )
+    assert [(r.o_orderdate, r.o_orderkey) for r in top] == both
+
+
 def test_grouping_sets_is_one_scan_expand(spark, sf_dir):
     """x_grouping_sets: the three grouping sets ride ONE scan through an
     Expand (no per-set re-aggregation union)."""
