@@ -1519,6 +1519,14 @@ def q_o12_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session PATHS (first-5-event prefixes per gap-session,
+    counted with distinct-user support) — funnel discovery on the same
+    one-exchange session machinery (operators/windows.py
+    top_session_paths)."""
+    return windows.top_session_paths(_events_ts(spark, sf_dir))
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1834,6 +1842,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_lsh_tuning": q_dd_lsh_tuning,
     "tp_contamination_report": q_tp_contamination_report,
     "o12_search_after": q_o12_search_after,
+    "w_top_paths": q_w_top_paths,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1962,9 +1971,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 128, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 129, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_decontaminate", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_train_sample", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
@@ -1975,13 +1984,14 @@ assert list(QUERIES)[5] == "x_markov_transitions", "slot-6 drifted"
 assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
 assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
 assert list(QUERIES)[8] == "o12_search_after", "slot-9 drifted"
-assert list(QUERIES)[9] == "a2_hourly_ohlc", "slot-10 drifted"
-assert list(QUERIES)[29] == "x_sector_rollup", "slot-30 drifted"
-assert list(QUERIES)[30] == "w_funnel", "slot-31 drifted"
-assert list(QUERIES)[50] == "tp_pack_sequences", "slot-51 drifted"
-assert list(QUERIES)[77] == "tp_weighted_sample", "slot-78 drifted"
-assert list(QUERIES)[78] == "ts_pmi_collocations", "slot-79 drifted"
-assert list(QUERIES)[127] == "x_hll_distinct", "slot-128 drifted"
+assert list(QUERIES)[9] == "w_top_paths", "slot-10 drifted"
+assert list(QUERIES)[10] == "a2_hourly_ohlc", "slot-11 drifted"
+assert list(QUERIES)[30] == "x_sector_rollup", "slot-31 drifted"
+assert list(QUERIES)[31] == "w_funnel", "slot-32 drifted"
+assert list(QUERIES)[50] == "tp_decontaminate", "slot-51 drifted"
+assert list(QUERIES)[78] == "tp_weighted_sample", "slot-79 drifted"
+assert list(QUERIES)[79] == "ts_pmi_collocations", "slot-80 drifted"
+assert list(QUERIES)[128] == "x_hll_distinct", "slot-129 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2368,6 +2378,7 @@ ORACLES["x_gini_concentration"] = gold.gini_concentration_sql(_W_SILVER)
 ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
 ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
 ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
+ORACLES["w_top_paths"] = windows.top_session_paths_sql()
 ORACLES["o12_search_after"] = (
     "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
     " WHERE o_orderdate < DATE '1995-06-15'"

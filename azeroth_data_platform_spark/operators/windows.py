@@ -557,6 +557,100 @@ def user_paths(events: DataFrame, k: int = PATHS_TOP_K) -> DataFrame:
     )
 
 
+PATH_PREFIX_LEN = 5
+PATHS_TOP_SESSIONS = 20
+
+
+def top_session_paths(
+    events: DataFrame,
+    prefix_len: int = PATH_PREFIX_LEN,
+    k: int = PATHS_TOP_SESSIONS,
+) -> DataFrame:
+    """Top-k SESSION PATHS — the funnel-discovery complement of
+    user_paths' pairwise transitions: each gap-session's first
+    `prefix_len` event types joined into one path string
+    ('view>click>purchase'), counted across sessions with distinct-user
+    support. Prefix truncation (not whole-path) keeps the value domain
+    bounded at |types|^prefix_len regardless of session length — the
+    reason this aggregates safely at 100 TB where full-path grouping
+    would key on unbounded strings; `truncated_sessions` counts how
+    many sessions had more events than the prefix shows.
+
+    Shape: session_tagged's ONE user-keyed window, a second window on
+    (user, session) for the in-session rank (same exchange — finer key
+    prefix), one map-combinable path groupBy, TakeOrderedAndProject
+    top-k on the (count desc, path asc) total order. Deterministic path
+    strings: the (ts, event_id) event total order, materialized via
+    sort_array over (rank, type) structs — no collect-order reliance."""
+    tagged = session_tagged(events)
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    ranked = tagged.withColumn("rn", F.row_number().over(ws)).withColumn(
+        "n_ev", F.count(F.lit(1)).over(Window.partitionBy("user_id", "session_seq"))
+    )
+    per_session = (
+        ranked.where(F.col("rn") <= prefix_len)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "struct(rn, event_type))), s -> s.event_type), '>')"
+            ).alias("path"),
+            F.max("n_ev").alias("n_ev"),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.expr(f"CASE WHEN n_ev > {prefix_len} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("truncated_sessions"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def top_session_paths_sql(
+    prefix_len: int = PATH_PREFIX_LEN, k: int = PATHS_TOP_SESSIONS
+) -> str:
+    """DuckDB twin of :func:`top_session_paths` (reads `events`)."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return f"""
+  WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     event_type FROM events),
+  flagged AS (
+    SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                   THEN 1 ELSE 0 END AS new_session
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  ided AS (
+    SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_seq
+    FROM flagged),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                                 ORDER BY ts, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n_ev
+    FROM ided),
+  per_session AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           MAX(n_ev) AS n_ev
+    FROM ranked WHERE rn <= {prefix_len}
+    GROUP BY user_id, session_seq)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_ev > {prefix_len} THEN 1 ELSE 0 END) AS BIGINT)
+         AS truncated_sessions
+FROM per_session
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {k}"""
+
+
 def markov_transitions(events: DataFrame) -> DataFrame:
     """Full first-order Markov transition matrix over event types: per
     (src, dst) the transition count and the exact row-conditional

@@ -200,6 +200,7 @@ def main() -> int:
             "x_markov_transitions",
             "dd_lsh_tuning",
             "tp_contamination_report",
+            "w_top_paths",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -343,6 +344,7 @@ def main() -> int:
             "x_markov_transitions",
             "dd_lsh_tuning",
             "tp_contamination_report",
+            "w_top_paths",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

@@ -110,6 +110,7 @@ FUZZ_QUERIES = [
     "w_attribution_ushape",
     "x_gini_concentration",
     "x_markov_transitions",
+    "w_top_paths",
     "a16_autocorrelation",
     "x_zorder_layout",
     "a17_dow_baseline",

@@ -935,3 +935,57 @@ def test_lsh_tuning_curve_exact_probabilities(spark):
         assert ps == sorted(ps), cfg  # monotone in j
         assert ps[-1] == _SCURVE_D  # j = 1 -> probability 1
     assert set(by_cfg) == set(LSH_SWEEP_CONFIGS)
+
+
+def test_top_session_paths_semantics(spark):
+    """Known sessions: path strings follow the (ts, event_id) order,
+    prefix truncation flags long sessions, counts/users exact."""
+    from azeroth_data_platform_spark.operators.windows import (
+        top_session_paths,
+    )
+
+    m = dt.timedelta(minutes=1)
+    hr = dt.timedelta(hours=2)  # > 30-min gap -> new session
+    rows = [
+        # user 1, session A: view>click>purchase
+        _ev(1, 1, T0, "view"),
+        _ev(2, 1, T0 + m, "click"),
+        _ev(3, 1, T0 + 2 * m, "purchase"),
+        # user 1, session B (2h later): view>click>purchase again
+        _ev(4, 1, T0 + hr, "view"),
+        _ev(5, 1, T0 + hr + m, "click"),
+        _ev(6, 1, T0 + hr + 2 * m, "purchase"),
+        # user 2: same path once
+        _ev(7, 2, T0, "view"),
+        _ev(8, 2, T0 + m, "click"),
+        _ev(9, 2, T0 + 2 * m, "purchase"),
+        # user 3: 7-event session -> truncated prefix of 5
+        *[_ev(10 + i, 3, T0 + i * m, "view") for i in range(7)],
+        # user 4: same-us tie resolved by event_id: 17 before 18
+        _ev(17, 4, T0, "signup"),
+        _ev(18, 4, T0, "error"),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {r.path: r for r in top_session_paths(df).collect()}
+    assert got["view>click>purchase"].n_sessions == 3
+    assert got["view>click>purchase"].n_users == 2
+    assert got["view>click>purchase"].truncated_sessions == 0
+    assert got["view>view>view>view>view"].n_sessions == 1
+    assert got["view>view>view>view>view"].truncated_sessions == 1
+    assert got["signup>error"].n_sessions == 1
+
+
+def test_top_paths_plan_single_user_exchange(spark, sf_dir):
+    """Both session windows and the in-session rank ride the user_id
+    exchange; the path groupBy is the only other shuffle; top-k
+    collapses to TakeOrderedAndProject."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.QUERIES["w_top_paths"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    import re
+
+    user_ex = re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(user_ex) <= 1
