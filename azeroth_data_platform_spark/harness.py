@@ -1527,6 +1527,16 @@ def q_w_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.top_session_paths(_events_ts(spark, sf_dir))
 
 
+def q_ts_hashclf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the q6-bucketed gate score vs the rest of the
+    corpus — slice-wise classifier-gate health on a value-domain-BOUNDED
+    score (128 buckets by contract), the monitor-friendly instance next
+    to ts_auc_hashclf's exact global AUC (operators/corpus.py
+    hashclf_drift_by_source)."""
+    _prep(spark)
+    return corpus.hashclf_drift_by_source(_docs(spark, sf_dir))
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1843,6 +1853,7 @@ QUERIES: dict[str, QueryFn] = {
     "tp_contamination_report": q_tp_contamination_report,
     "o12_search_after": q_o12_search_after,
     "w_top_paths": q_w_top_paths,
+    "ts_hashclf_drift": q_ts_hashclf_drift,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1971,9 +1982,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 129, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 130, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_train_sample", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "tp_clean_corpus", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
@@ -1985,13 +1996,14 @@ assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
 assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
 assert list(QUERIES)[8] == "o12_search_after", "slot-9 drifted"
 assert list(QUERIES)[9] == "w_top_paths", "slot-10 drifted"
-assert list(QUERIES)[10] == "a2_hourly_ohlc", "slot-11 drifted"
-assert list(QUERIES)[30] == "x_sector_rollup", "slot-31 drifted"
-assert list(QUERIES)[31] == "w_funnel", "slot-32 drifted"
-assert list(QUERIES)[50] == "tp_decontaminate", "slot-51 drifted"
-assert list(QUERIES)[78] == "tp_weighted_sample", "slot-79 drifted"
-assert list(QUERIES)[79] == "ts_pmi_collocations", "slot-80 drifted"
-assert list(QUERIES)[128] == "x_hll_distinct", "slot-129 drifted"
+assert list(QUERIES)[10] == "ts_hashclf_drift", "slot-11 drifted"
+assert list(QUERIES)[11] == "a2_hourly_ohlc", "slot-12 drifted"
+assert list(QUERIES)[31] == "x_sector_rollup", "slot-32 drifted"
+assert list(QUERIES)[32] == "w_funnel", "slot-33 drifted"
+assert list(QUERIES)[50] == "tp_train_sample", "slot-51 drifted"
+assert list(QUERIES)[79] == "tp_weighted_sample", "slot-80 drifted"
+assert list(QUERIES)[80] == "ts_pmi_collocations", "slot-81 drifted"
+assert list(QUERIES)[129] == "x_hll_distinct", "slot-130 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2379,6 +2391,7 @@ ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
 ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
 ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
 ORACLES["w_top_paths"] = windows.top_session_paths_sql()
+ORACLES["ts_hashclf_drift"] = corpus.hashclf_drift_by_source_sql()
 ORACLES["o12_search_after"] = (
     "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
     " WHERE o_orderdate < DATE '1995-06-15'"

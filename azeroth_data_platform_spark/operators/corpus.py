@@ -1465,9 +1465,10 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     order-isomorphic to the true logit, no quantization collisions (the
     device the doc-novelty/containment rationals cannot use because
     their denominators are unbounded; here n ≤ nmax by definition).
-    floor (not truncate) so negative scores stay order-consistent:
-    Spark spells it sign-split (DIV truncates toward zero), DuckDB's
-    `//` floors natively.
+    floor (not truncate) so negative scores match the Python-reference
+    convention: BOTH engines' integer division truncates toward zero
+    (measured r9 — DuckDB's `//` does NOT floor on integers, despite
+    its name), so both twins spell floor as the same sign-split CASE.
 
     nmax comes from a WORDS-ONLY scan (no md5 work) broadcast onto the
     scored rows — not a partition-less window over the md5-scored
@@ -1546,11 +1547,203 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+HASHCLF_BUCKET_LO, HASHCLF_BUCKET_HI = -64, 63  # clamped q6 score domain
+
+
+def _hashclf_bucket_frame(documents: DataFrame) -> DataFrame:
+    """(source, bucket): every scored doc's gate logit quantized to the
+    FIXED q6 domain — bucket = clamp(floor(64·logit)) =
+    clamp(floor((SW − 16n)/(16n))), a pure-integer sign-split floor.
+    Value-domain-bounded by CONTRACT (128 buckets), which is what makes
+    the per-source drift monitor's state constant-size at any corpus
+    volume — the bounded-score instance the ts_auc_hashclf 100×-probe
+    note calls for."""
+    import hashlib
+
+    from .dedup import MINHASH_P
+    from .textstats import _words
+
+    wmap_int: dict[int, int] = {}
+    for f in range(FT_BUCKETS):
+        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        wmap_int[f] = h % 2001 - 1000
+    map_lit = F.expr(
+        "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
+    )
+    nib = " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    bgs = F.expr(
+        "transform(sequence(0, size(_ws) - 2),"
+        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
+    )
+    hx = F.expr("transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))")
+    sw_expr = (
+        "aggregate(_hx, CAST(0 AS BIGINT),"
+        " (acc, h) -> acc + CAST(element_at(_wmapi,"
+        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT)) AS BIGINT))"
+    )
+    bucket = (
+        f"LEAST(CAST({HASHCLF_BUCKET_HI} AS BIGINT),"
+        f" GREATEST(CAST({HASHCLF_BUCKET_LO} AS BIGINT),"
+        " CASE WHEN sw - 16 * _n >= 0 THEN (sw - 16 * _n) DIV (16 * _n)"
+        " ELSE -((-(sw - 16 * _n) + 16 * _n - 1) DIV (16 * _n)) END))"
+    )
+    return (
+        documents.withColumn("_ws", _words())
+        .where(F.size("_ws") >= 2)
+        .withColumn("_bgs", bgs)
+        .withColumn("_hx", hx)
+        .withColumn("_wmapi", map_lit)
+        .select(
+            "source",
+            F.expr(sw_expr).alias("sw"),
+            F.size("_bgs").cast("bigint").alias("_n"),
+        )
+        .select("source", F.expr(bucket).alias("bucket"))
+    )
+
+
+def hashclf_drift_by_source(documents: DataFrame) -> DataFrame:
+    """Per source: PSI of the q6-bucketed gate score against the REST of
+    the corpus — "is the quality gate scoring this domain systematically
+    differently?", the slice-wise gate-health check next to
+    ts_auc_hashclf's global number. Same _psi_term_q15 arithmetic tree
+    as every other PSI instance (Laplace-smoothed, floored at 1e-15,
+    exact integer sum) over the FIXED 128-bucket domain, so zero bins
+    contribute their smoothing terms and the monitor state is
+    constant-size regardless of corpus volume.
+
+    Scale shape: ONE md5-scoring pass feeds one (source, bucket)
+    groupBy, referenced exactly once; zero-completion comes from a CHEAP
+    source-only scan (column-pruned, no md5 — the
+    hash_classifier_scores nmax pattern) crossed with the LITERAL
+    128-value bucket domain, never from a second reference to the
+    scored subtree (the w_attribution re-execution lesson). The
+    completed frame is |sources|×128 rows — metadata-sized — so its
+    windows (rest counts per bucket, grand total) are free.
+
+    Output per source: (source, n_source, n_rest, psi_q15, psi_bits,
+    warn_010, drift_025), ordered by source."""
+    from .drift import PSI_DRIFT_Q15, PSI_WARN_Q15, _psi_term_q15
+
+    spark = documents.sparkSession
+    counts = _hashclf_bucket_frame(documents).groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    domain = spark.range(HASHCLF_BUCKET_LO, HASHCLF_BUCKET_HI + 1).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    sources = documents.select("source").distinct()
+    completed = (
+        sources.crossJoin(F.broadcast(domain))
+        .join(counts, ["source", "bucket"], "left")
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)).cast("bigint"))
+    )
+    wsrc = Window.partitionBy("source")
+    wb = Window.partitionBy("bucket")
+    wall = Window.partitionBy(F.lit(1))
+    nb = HASHCLF_BUCKET_HI - HASHCLF_BUCKET_LO + 1
+    staged = (
+        completed.withColumn("n0", F.sum("c0").over(wsrc).cast("bigint"))
+        .withColumn(
+            "c1", (F.sum("c0").over(wb) - F.col("c0")).cast("bigint")
+        )
+        .withColumn(
+            "n1", (F.sum("c0").over(wall) - F.col("n0")).cast("bigint")
+        )
+        .withColumn("nb", F.lit(nb).cast("bigint"))
+    )
+    term_q = _psi_term_q15(duck=False)
+    return (
+        staged.select("source", "n0", "n1", F.expr(term_q).alias("tq"))
+        .groupBy("source")
+        .agg(
+            F.max("n0").alias("n_source"),
+            F.max("n1").alias("n_rest"),
+            F.sum("tq").alias("psi_q15"),
+        )
+        .select(
+            "source",
+            "n_source",
+            "n_rest",
+            "psi_q15",
+            F.expr("CAST(psi_q15 AS DOUBLE) / 1e15").alias("psi_bits"),
+            F.expr(f"psi_q15 > {PSI_WARN_Q15}").alias("warn_010"),
+            F.expr(f"psi_q15 > {PSI_DRIFT_Q15}").alias("drift_025"),
+        )
+        .orderBy("source")
+    )
+
+
+def hashclf_drift_by_source_sql() -> str:
+    """DuckDB twin of :func:`hashclf_drift_by_source` (reads
+    `documents`) — weights and the bucket floor re-derived in SQL."""
+    from .dedup import _hex_int_sql
+    from .drift import PSI_DRIFT_Q15, PSI_WARN_Q15, _psi_term_q15
+    from .textstats import WORDS_SQL
+
+    feat = _ft_feature_sql(duck=True)
+    md5w = "md5('ftw:' || CAST(f AS VARCHAR))"
+    w_int = f"(({_hex_int_sql(md5w, True)} % 2001) - 1000)"
+    nb = HASHCLF_BUCKET_HI - HASHCLF_BUCKET_LO + 1
+    term_q = _psi_term_q15(duck=True)
+    return f"""
+  WITH wd AS (SELECT doc_id, source, {WORDS_SQL} AS ws FROM documents
+              WHERE len({WORDS_SQL}) >= 2),
+  feats AS (SELECT doc_id, {feat} AS f FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM wd)),
+  sw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM({w_int}) AS BIGINT) AS sw
+         FROM feats GROUP BY doc_id),
+  bucketed AS (
+    SELECT wd.source,
+           LEAST(CAST({HASHCLF_BUCKET_HI} AS BIGINT),
+                 GREATEST(CAST({HASHCLF_BUCKET_LO} AS BIGINT),
+                   CASE WHEN sw.sw - 16 * sw.n >= 0
+                        THEN CAST((sw.sw - 16 * sw.n) // (16 * sw.n) AS BIGINT)
+                        ELSE -CAST((-(sw.sw - 16 * sw.n) + 16 * sw.n - 1)
+                                   // (16 * sw.n) AS BIGINT) END)) AS bucket
+    FROM sw JOIN wd USING (doc_id)),
+  counts AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+             FROM bucketed GROUP BY source, bucket),
+  srcs AS (SELECT DISTINCT source FROM documents),
+  domain AS (SELECT CAST(b AS BIGINT) AS bucket
+             FROM generate_series({HASHCLF_BUCKET_LO},
+                                  {HASHCLF_BUCKET_HI}) AS t(b)),
+  completed AS (
+    SELECT s.source, d.bucket, COALESCE(c.c, 0) AS c0
+    FROM srcs s CROSS JOIN domain d
+    LEFT JOIN counts c ON c.source = s.source AND c.bucket = d.bucket),
+  staged AS (
+    SELECT source, c0,
+           CAST(SUM(c0) OVER (PARTITION BY source) AS BIGINT) AS n0,
+           CAST(SUM(c0) OVER (PARTITION BY bucket) - c0 AS BIGINT) AS c1,
+           CAST(SUM(c0) OVER ()
+                - SUM(c0) OVER (PARTITION BY source) AS BIGINT) AS n1,
+           CAST({nb} AS BIGINT) AS nb
+    FROM completed)
+SELECT source,
+       CAST(MAX(n0) AS BIGINT) AS n_source,
+       CAST(MAX(n1) AS BIGINT) AS n_rest,
+       CAST(SUM({term_q}) AS BIGINT) AS psi_q15,
+       CAST(CAST(SUM({term_q}) AS BIGINT) AS DOUBLE) / 1e15 AS psi_bits,
+       CAST(SUM({term_q}) AS BIGINT) > {PSI_WARN_Q15} AS warn_010,
+       CAST(SUM({term_q}) AS BIGINT) > {PSI_DRIFT_Q15} AS drift_025
+FROM staged GROUP BY source ORDER BY source"""
+
+
 def hash_classifier_scores_cte() -> str:
     """DuckDB `scored(score, label)` CTE twin — weights RE-DERIVED in SQL
     (independent implementation of the model fold, as for
-    HASH_CLASSIFIER_SQL); `//` on HUGEINT floors natively, matching the
-    Spark sign-split floor."""
+    HASH_CLASSIFIER_SQL); DuckDB integer `//` truncates toward zero
+    exactly like Spark DIV (measured r9), so floor is the same
+    sign-split CASE in both dialects."""
     from .dedup import _hex_int_sql
     from .textstats import WORDS_SQL
 
@@ -1569,8 +1762,13 @@ def hash_classifier_scores_cte() -> str:
   sw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM({w_int}) AS BIGINT) AS sw
          FROM feats GROUP BY doc_id),
-  scored AS (SELECT CAST(CAST(sw.sw AS HUGEINT) * (CAST(nmax AS HUGEINT) * nmax)
-                         // sw.n AS BIGINT) AS score,
+  scored AS (SELECT CASE WHEN sw.sw >= 0
+                    THEN CAST(CAST(sw.sw AS HUGEINT)
+                              * (CAST(nmax AS HUGEINT) * nmax)
+                              // sw.n AS BIGINT)
+                    ELSE -CAST((CAST(-sw.sw AS HUGEINT)
+                                * (CAST(nmax AS HUGEINT) * nmax)
+                                + sw.n - 1) // sw.n AS BIGINT) END AS score,
                     CASE WHEN wd.lang = 'en' THEN 1 ELSE 0 END AS label
              FROM sw JOIN wd USING (doc_id) CROSS JOIN nm)"""
 

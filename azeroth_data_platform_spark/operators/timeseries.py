@@ -590,8 +590,10 @@ def autocorrelation(
         den   = n²·Σx² − n·S²
     (Σ' over the pair range). acf_ppm is the exact rational 1e6·num/den
     truncated toward zero via |num| DIV den with the sign reapplied —
-    Spark DIV truncates toward zero but DuckDB // floors, so the sign
-    split keeps the engines identical on anticorrelated series.
+    the sign split keeps the convention explicit and both divisions on
+    non-negative operands (r9 correction: DuckDB integer // actually
+    truncates toward zero like Spark DIV — measured — so the split is
+    convention-pinning, not a divergence fix).
     Headroom: n ≤ 10⁴ days and x ≤ 10⁸ units put 1e6·|num| ≤ ~1e34,
     inside DECIMAL(38,0) (Spark) and HUGEINT (DuckDB).
 

@@ -201,6 +201,7 @@ def main() -> int:
             "dd_lsh_tuning",
             "tp_contamination_report",
             "w_top_paths",
+            "ts_hashclf_drift",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -345,6 +346,7 @@ def main() -> int:
             "dd_lsh_tuning",
             "tp_contamination_report",
             "w_top_paths",
+            "ts_hashclf_drift",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

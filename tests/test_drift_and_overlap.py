@@ -657,3 +657,74 @@ def test_multiclass_prf_hand_check(spark):
     assert b["f1_ppm"] == 1_000_000 * 6 // 9
     macro = (a["f1_ppm"] + b["f1_ppm"] + 0 + 0) // 4
     assert all(r["macro_f1_ppm"] == macro for r in out.values())
+
+
+# --- hash-classifier gate drift by source ------------------------------------
+
+
+def test_hashclf_drift_planted_source_skew(spark):
+    """A source whose docs are a disjoint vocabulary (different bucket
+    mass) must score PSI far above sources drawn from the shared pool;
+    identical-text sources stay near the rest. Bucket arithmetic
+    cross-checked against a pure-Python hashlib recompute."""
+    import hashlib
+
+    from azeroth_data_platform_spark.operators import corpus as C
+    from azeroth_data_platform_spark.operators.dedup import MINHASH_P
+
+    shared = "the market opened calm and steady today with light volume"
+    rows = []
+    for i in range(40):
+        rows.append((i * 3 + 0, shared, "en", "common_a"))
+        rows.append((i * 3 + 1, shared, "en", "common_b"))
+        rows.append((i * 3 + 2, f"zx{i} qq{i} ww{i} rr{i} tt{i} yy{i}", "en", "weird"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in C.hashclf_drift_by_source(df).collect()}
+    assert set(out) == {"common_a", "common_b", "weird"}
+    # the two identical-text sources have IDENTICAL score mass -> equal
+    # psi vs their respective rests... their rests differ (one contains
+    # the other + weird), but symmetry makes them equal to each other
+    assert out["common_a"].psi_q15 == out["common_b"].psi_q15
+    assert out["weird"].psi_q15 > out["common_a"].psi_q15
+    assert out["weird"].n_source == 40 and out["weird"].n_rest == 80
+
+    # bucket recompute for one weird doc, pure Python
+    wmap = {
+        f: int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16)
+        % MINHASH_P
+        % 2001
+        - 1000
+        for f in range(C.FT_BUCKETS)
+    }
+    def bucket(text):
+        ws = text.split()
+        sw = sum(
+            wmap[int(hashlib.md5(f"ftq:{a} {b}".encode()).hexdigest()[:8], 16)
+                 % MINHASH_P % C.FT_BUCKETS]
+            for a, b in zip(ws, ws[1:])
+        )
+        n = len(ws) - 1
+        import math
+
+        return max(-64, min(63, math.floor((sw - 16 * n) / (16 * n))))
+
+    got_buckets = {
+        r.source: r.bucket
+        for r in C._hashclf_bucket_frame(df.where("doc_id IN (0, 2)")).collect()
+    }
+    assert got_buckets["common_a"] == bucket(shared)
+    assert got_buckets["weird"] == bucket("zx0 qq0 ww0 rr0 tt0 yy0")
+
+
+def test_hashclf_drift_plan_one_scoring_scan(spark, sf_dir):
+    """The expensive md5 pass runs ONCE: the zero-completion side is a
+    source-only column scan crossed with the literal 128-value domain
+    (broadcast), never a second reference to the scored subtree."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.QUERIES["ts_hashclf_drift"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 2
+    assert "CartesianProduct" not in plan
+    # exactly one interpreted HOF scoring pass (the aggregate lambda)
+    assert plan.count("aggregate(_hx") <= 1 or plan.count("aggregate(") <= 2

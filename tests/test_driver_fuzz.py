@@ -94,6 +94,7 @@ FUZZ_QUERIES = [
     # repeated bigrams, exact logit ties across different denominators)
     "ts_auc_hashclf",
     "tp_contamination_report",
+    "ts_hashclf_drift",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",
