@@ -1537,6 +1537,16 @@ def q_ts_hashclf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hashclf_drift_by_source(_docs(spark, sf_dir))
 
 
+def q_tp_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation frontier: per occupied quality level, the doc and
+    TOKEN share a quality >= q keep-policy retains — exact truncated ppm
+    over the fixed q3 score grid (operators/corpus.py
+    quality_token_curve); the curve that tunes tp_quality_prune's
+    threshold."""
+    _prep(spark)
+    return corpus.quality_token_curve(_docs(spark, sf_dir))
+
+
 def q_x_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index of dispersion (Fano) of daily event counts per type —
     Poisson-vs-bursty arrival diagnostic, exact cross-multiplied
@@ -1854,6 +1864,7 @@ QUERIES: dict[str, QueryFn] = {
     "o12_search_after": q_o12_search_after,
     "w_top_paths": q_w_top_paths,
     "ts_hashclf_drift": q_ts_hashclf_drift,
+    "tp_quality_curve": q_tp_quality_curve,
     # --- head slots 4-24: newest driver row r5 (the serving/gold block
     # rotated out in r6; every other registry query has an r7/r8 row) ---
     "a2_hourly_ohlc": q_a2,
@@ -1982,9 +1993,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_distinct": q_x_hll_distinct,
 }
 
-assert len(QUERIES) == 130, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 131, f"driver registry drifted: got {len(QUERIES)}"
 # The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "tp_clean_corpus", "slot-50 boundary drifted"
+assert list(QUERIES)[49] == "dd_embed_lsh", "slot-50 boundary drifted"
 # r9 staleness-rotation invariants (see ledger above).
 assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
 assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
@@ -1997,13 +2008,14 @@ assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
 assert list(QUERIES)[8] == "o12_search_after", "slot-9 drifted"
 assert list(QUERIES)[9] == "w_top_paths", "slot-10 drifted"
 assert list(QUERIES)[10] == "ts_hashclf_drift", "slot-11 drifted"
-assert list(QUERIES)[11] == "a2_hourly_ohlc", "slot-12 drifted"
-assert list(QUERIES)[31] == "x_sector_rollup", "slot-32 drifted"
-assert list(QUERIES)[32] == "w_funnel", "slot-33 drifted"
-assert list(QUERIES)[50] == "tp_train_sample", "slot-51 drifted"
-assert list(QUERIES)[79] == "tp_weighted_sample", "slot-80 drifted"
-assert list(QUERIES)[80] == "ts_pmi_collocations", "slot-81 drifted"
-assert list(QUERIES)[129] == "x_hll_distinct", "slot-130 drifted"
+assert list(QUERIES)[11] == "tp_quality_curve", "slot-12 drifted"
+assert list(QUERIES)[12] == "a2_hourly_ohlc", "slot-13 drifted"
+assert list(QUERIES)[32] == "x_sector_rollup", "slot-33 drifted"
+assert list(QUERIES)[33] == "w_funnel", "slot-34 drifted"
+assert list(QUERIES)[50] == "tp_clean_corpus", "slot-51 drifted"
+assert list(QUERIES)[80] == "tp_weighted_sample", "slot-81 drifted"
+assert list(QUERIES)[81] == "ts_pmi_collocations", "slot-82 drifted"
+assert list(QUERIES)[130] == "x_hll_distinct", "slot-131 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2392,6 +2404,7 @@ ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
 ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
 ORACLES["w_top_paths"] = windows.top_session_paths_sql()
 ORACLES["ts_hashclf_drift"] = corpus.hashclf_drift_by_source_sql()
+ORACLES["tp_quality_curve"] = corpus.quality_token_curve_sql()
 ORACLES["o12_search_after"] = (
     "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
     " WHERE o_orderdate < DATE '1995-06-15'"

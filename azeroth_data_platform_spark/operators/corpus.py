@@ -1547,6 +1547,101 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_token_curve(documents: DataFrame) -> DataFrame:
+    """The data-curation frontier as a query: for every occupied quality
+    level q (score floored to the FIXED q3 grid, 1001 buckets), the doc
+    and TOKEN share a 'keep everything with quality ≥ q' policy retains
+    — the Lorenz-style curve a corpus curator reads to pick the
+    threshold ('top 30% of docs by quality holds 45% of tokens'). Doc
+    counts and token counts answer different questions because doc
+    length correlates with quality; this surfaces both.
+
+    Exactness: the quality score double is bit-identical cross-engine by
+    construction (same expression tree — the parity-green QUALITY_SQL
+    twin), so floor(score·1000) is a deterministic integer bucket; from
+    there everything is integer arithmetic, with shares as exact
+    truncated ppm rationals. Score domain is provably [0, 1] so the
+    bucket grid is [0, 1000] by construction — value-domain-BOUNDED,
+    which is what keeps the cumulative windows metadata-sized.
+
+    Scale shape: one row-local scoring projection → one map-combinable
+    1001-key groupBy → cumulative/total windows over the ≤1001-row
+    aggregate (free). Cites reference transformation.py:17-84 (the
+    quality-gate stage whose threshold this curve tunes)."""
+    from .textstats import quality_score
+
+    scored = quality_score(documents).select(
+        F.expr("CAST(floor(quality_score * 1000) AS BIGINT)").alias("qb"),
+        F.col("n_tokens").cast("bigint").alias("nt"),
+    )
+    per_bucket = scored.groupBy("qb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        per_bucket.withColumn(
+            "cum_docs", F.sum("n_docs").over(wcum).cast("bigint")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wcum).cast("bigint"))
+        .withColumn("total_docs", F.sum("n_docs").over(wall).cast("bigint"))
+        .withColumn(
+            "total_tokens", F.sum("n_tokens").over(wall).cast("bigint")
+        )
+        .select(
+            "qb",
+            (F.col("qb") / F.lit(1000.0)).alias("q_threshold"),
+            "n_docs",
+            "n_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr(
+                "CAST(CAST(1000000 AS BIGINT) * cum_docs DIV total_docs"
+                " AS BIGINT)"
+            ).alias("doc_share_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_tokens"
+                " DIV total_tokens AS BIGINT)"
+            ).alias("token_share_ppm"),
+        )
+        .orderBy(F.col("qb").desc())
+    )
+
+
+def quality_token_curve_sql() -> str:
+    """DuckDB twin of :func:`quality_token_curve` (reads `documents`)."""
+    from .textstats import QUALITY_SQL
+
+    return f"""
+  WITH q AS (SELECT doc_id, n_tokens, quality_score FROM ({QUALITY_SQL})),
+  scored AS (SELECT CAST(floor(quality_score * 1000) AS BIGINT) AS qb,
+                    CAST(n_tokens AS BIGINT) AS nt FROM q),
+  per_bucket AS (SELECT qb, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(nt) AS BIGINT) AS n_tokens
+                 FROM scored GROUP BY qb),
+  cum AS (
+    SELECT qb, n_docs, n_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY qb DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+           CAST(SUM(n_tokens) OVER (ORDER BY qb DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+           CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+    FROM per_bucket)
+SELECT qb, qb / 1000.0 AS q_threshold, n_docs, n_tokens,
+       cum_docs, cum_tokens,
+       CAST(CAST(1000000 AS BIGINT) * cum_docs // total_docs AS BIGINT)
+         AS doc_share_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * cum_tokens // total_tokens AS BIGINT)
+         AS token_share_ppm
+FROM cum ORDER BY qb DESC"""
+
+
 HASHCLF_BUCKET_LO, HASHCLF_BUCKET_HI = -64, 63  # clamped q6 score domain
 
 

@@ -202,6 +202,7 @@ def main() -> int:
             "tp_contamination_report",
             "w_top_paths",
             "ts_hashclf_drift",
+            "tp_quality_curve",
             "x_cohens_kappa",
             "tp_shard_manifest",
             "a15_mad_outliers",
@@ -347,6 +348,7 @@ def main() -> int:
             "tp_contamination_report",
             "w_top_paths",
             "ts_hashclf_drift",
+            "tp_quality_curve",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

@@ -1133,3 +1133,61 @@ def test_contamination_report_plan_broadcast_no_selfjoin(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_token_curve_invariants(spark):
+    """Lorenz-curve invariants on a constructed corpus: monotone
+    cumulative shares, exact conservation at the lowest occupied bucket
+    (doc_share = token_share = 1e6), a planted long-high-quality doc
+    bends token share above doc share, and a pure-Python recompute of
+    the cumulative arithmetic matches."""
+    from azeroth_data_platform_spark.operators.corpus import (
+        quality_token_curve,
+    )
+    from azeroth_data_platform_spark.operators.textstats import quality_score
+
+    rows = [
+        # high-quality LONG docs: stopword-free, digit-free, in length band
+        (1, "market data quarterly report analysis segment " * 20, "en"),
+        (2, "market data quarterly report analysis segment " * 20, "en"),
+        # low-quality SHORT docs: digit-heavy and under the length band
+        (3, "123 456 789 000 111", "en"),
+        (4, "123 456 789 000 222", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_token_curve(df).collect()
+    # descending qb; shares monotone nondecreasing going down the list
+    qbs = [r.qb for r in out]
+    assert qbs == sorted(qbs, reverse=True)
+    for a, b in zip(out, out[1:]):
+        assert b.doc_share_ppm >= a.doc_share_ppm
+        assert b.token_share_ppm >= a.token_share_ppm
+    assert out[-1].doc_share_ppm == 1_000_000
+    assert out[-1].token_share_ppm == 1_000_000
+    assert out[-1].cum_docs == 4
+
+    # pure-Python recompute from the per-doc scores
+    scored = quality_score(df).collect()
+    buckets = {}
+    for r in scored:
+        qb = int(r.quality_score * 1000 // 1)
+        import math
+
+        qb = math.floor(r.quality_score * 1000)
+        d, t = buckets.get(qb, (0, 0))
+        buckets[qb] = (d + 1, t + r.n_tokens)
+    total_d = sum(d for d, _ in buckets.values())
+    total_t = sum(t for _, t in buckets.values())
+    cd = ct = 0
+    exp = {}
+    for qb in sorted(buckets, reverse=True):
+        d, t = buckets[qb]
+        cd, ct = cd + d, ct + t
+        exp[qb] = (cd, ct, 10**6 * cd // total_d, 10**6 * ct // total_t)
+    got = {r.qb: (r.cum_docs, r.cum_tokens, r.doc_share_ppm, r.token_share_ppm)
+           for r in out}
+    assert got == exp
+    # the high-quality bucket holds 2/4 docs but far more than half the
+    # tokens (long docs) -> token share leads doc share at the top
+    top = out[0]
+    assert top.token_share_ppm > top.doc_share_ppm

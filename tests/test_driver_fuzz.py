@@ -95,6 +95,7 @@ FUZZ_QUERIES = [
     "ts_auc_hashclf",
     "tp_contamination_report",
     "ts_hashclf_drift",
+    "tp_quality_curve",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",
