@@ -16,7 +16,8 @@ Scaling strategy per table (copy k = 0..9, copy 0 is the original):
   * embeddings: vec_id offset; each copy's vector is rotated k dims
     (norm-preserving, decorrelates LSH buckets across copies).
 
-Run: python tools/gen_scale.py [src_sf_dir] [out_dir] [factor]
+Run: python tools/gen_scale.py [src_sf_dir] [out_dir] [factor] [events_mode]
+events_mode: "keys" (default, denser days) or "ts" (calendar grows too)
 Defaults: /root/testdata/sf0.1 .scaledata/sf1 10
 """
 
@@ -99,15 +100,28 @@ def scale_tpch(src: str, out: str, factor: int) -> None:
         _write(_read(src, name), out, name, sch)
 
 
-def scale_events(src: str, out: str, factor: int) -> None:
+def scale_events(src: str, out: str, factor: int, ts_offset: bool = False) -> None:
+    """Key-offset copies by default (denser days — per-day volume grows
+    with the factor, the ingest-burst regime). With ts_offset=True each
+    copy is ALSO shifted forward by the full time range plus one day, so
+    the CALENDAR grows linearly like organic history — the regime that
+    actually stresses time-keyed state (attribution lookbacks, daily
+    PSI state, dow baselines, OHLC day counts). Both regimes are real;
+    the probe runner picks per question (PERF.md r9)."""
     ev = _read(src, "events")
     max_eid = int(ev["event_id"].max()) + 1
     max_uid = int(ev["user_id"].max()) + 1
+    span = ev["ts"].max() - ev["ts"].min()
+    import pandas as _pd
+
+    day = _pd.Timedelta(days=1)
     parts = []
     for k in range(factor):
         d = ev.copy()
         d["event_id"] += k * max_eid
         d["user_id"] += k * max_uid
+        if ts_offset:
+            d["ts"] = d["ts"] + k * (span + day)
         parts.append(d)
     sch = pq.read_schema(os.path.join(src, "events.parquet"))
     _write(pd.concat(parts, ignore_index=True), out, "events", sch)
@@ -222,6 +236,7 @@ def main() -> int:
     src = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     out = argv[1] if len(argv) > 1 else ".scaledata/sf1"
     factor = int(argv[2]) if len(argv) > 2 else 10
+    events_mode = argv[3] if len(argv) > 3 else "keys"
     if dup_heavy:
         gen_dup_heavy_documents(src, out, factor)
         gen_dup_heavy_embeddings(src, out, factor)
@@ -230,7 +245,7 @@ def main() -> int:
         return 0
     os.makedirs(out, exist_ok=True)
     scale_tpch(src, out, factor)
-    scale_events(src, out, factor)
+    scale_events(src, out, factor, ts_offset=(events_mode == "ts"))
     scale_documents(src, out, factor)
     scale_embeddings(src, out, factor)
     for t in sorted(os.listdir(out)):
