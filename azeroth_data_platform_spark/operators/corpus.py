@@ -2023,19 +2023,33 @@ MIX_ALPHA = 0.5  # fixed: sqrt is the portable power
 
 def mix_temperature(documents: DataFrame) -> DataFrame:
     """Per-source α=½ temperature sampling plan: (source, n_docs, tokens,
-    nat_share, temp_share, keep_rate, expected_tokens)."""
+    nat_share, temp_share, keep_rate, expected_tokens).
+
+    Exactness (r9 fix): √tokens is quantized per-row in INTEGER space —
+    rt_q9 = floor(sqrt(tokens)·1e9) as BIGINT — and Z = Σ rt_q9 is an
+    exact integer sum. The old form summed CAST(sqrt AS DECIMAL(28,12)),
+    and a double→decimal cast is engine-divergent on short-expansion
+    reprs (Spark rounds the exact binary, DuckDB the shortest repr — an
+    sf0.1 source hit the class). sqrt and the ·1e9 multiply are
+    correctly rounded identically per IEEE in both engines, floor is
+    exact, so every downstream double derives from identical integers
+    through identical expression trees — bit-identical by construction.
+    rt_q9 ≤ 1e16 at 100 TB token counts (√1e14·1e9), inside BIGINT."""
     per_src = (
         documents.select("source", F.size(textstats._words()).alias("_n"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("tokens"))
     )
-    rooted = per_src.withColumn("_rt", F.sqrt(F.col("tokens").cast("double")))
+    rooted = per_src.withColumn(
+        "_rtq",
+        F.expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e9) AS BIGINT)"),
+    )
     grand = rooted.agg(
         F.sum("tokens").alias("_total"),
-        F.sum(F.col("_rt").cast("decimal(28,12)")).cast("double").alias("_z"),
+        F.sum("_rtq").cast("bigint").alias("_zq"),
     )
     with_q = rooted.crossJoin(F.broadcast(grand)).withColumn(
-        "_q", F.col("_rt") / F.col("_z")
+        "_q", F.col("_rtq").cast("double") / F.col("_zq").cast("double")
     )
     budget = with_q.agg(
         F.min(F.col("tokens").cast("double") / F.col("_q")).alias("_budget")
@@ -2057,11 +2071,14 @@ MIX_TEMPERATURE_SQL = f"""
   WITH t AS (SELECT source, COUNT(*) AS n_docs,
                     CAST(SUM(len({textstats.WORDS_SQL})) AS BIGINT) AS tokens
              FROM documents GROUP BY source),
-  r AS (SELECT *, sqrt(CAST(tokens AS DOUBLE)) AS rt FROM t),
+  r AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e9) AS BIGINT)
+                    AS rtq FROM t),
   g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
-               CAST(SUM(CAST(rt AS DECIMAL(28,12))) AS DOUBLE) AS z
+               CAST(SUM(rtq) AS BIGINT) AS zq
         FROM r),
-  q AS (SELECT r.*, g.total, r.rt / g.z AS qs FROM r CROSS JOIN g),
+  q AS (SELECT r.*, g.total,
+               CAST(r.rtq AS DOUBLE) / CAST(g.zq AS DOUBLE) AS qs
+        FROM r CROSS JOIN g),
   b AS (SELECT MIN(CAST(tokens AS DOUBLE) / qs) AS budget FROM q)
   SELECT source, n_docs, tokens,
          CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS nat_share,

@@ -49,10 +49,27 @@ def copurchase_edges(baskets: DataFrame) -> DataFrame:
     )
 
 
+# q15 rank units: 1e15 ≤ 2^53, so the final int→double conversion is
+# EXACT; d = 0.85 = 17/20 exactly, so the damping step is pure integer
+# arithmetic (17·s DIV 20). The whole iteration is integers end-to-end —
+# the r9 fix for the old per-row CAST(r/deg AS DECIMAL(28,14)), whose
+# double→decimal rounding is engine-divergent on short-expansion reprs
+# (Spark rounds the exact binary, DuckDB the shortest repr; sf0.1 nodes
+# hit the class and the divergence compounded over iterations).
+PAGERANK_Q = 10**15
+assert PAGERANK_D == 0.85  # 17/20 — the integer damping step below
+
+
 def pagerank(
     edges: DataFrame, d: float = PAGERANK_D, iters: int = PAGERANK_ITERS
 ) -> DataFrame:
-    """(item_id, pagerank) after `iters` power iterations over `edges`."""
+    """(item_id, pagerank) after `iters` power iterations over `edges` —
+    deterministic INTEGER arithmetic throughout: ranks live in q15 units
+    (BIGINT), per-edge contributions are r_u DIV deg (truncated — the
+    documented quantization, identical in both engines on non-negative
+    operands), and the update is base_u + 17·s DIV 20. Truncation sheds
+    ≤ deg ulps of mass per node per iteration (≤ 1e-15·deg relative),
+    the price of a partition-count-independent, engine-exact result."""
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
@@ -62,18 +79,15 @@ def pagerank(
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr("CAST(1 AS DOUBLE) / n").alias("r")
+        "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV n").alias("ru")
     )
+    base_u = f"(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) DIV n)"  # 0.15/n in q15
     for _ in range(iters):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy("dst")
-            .agg(
-                F.sum(F.expr("CAST(r / deg AS DECIMAL(28,14))"))
-                .cast("double")
-                .alias("s")
-            )
+            .agg(F.sum(F.expr("ru DIV deg")).cast("bigint").alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
@@ -81,13 +95,16 @@ def pagerank(
             .select(
                 "node",
                 F.expr(
-                    f"CAST({_BASE_LIT} AS DOUBLE) / n"
-                    f" + CAST({_D_LIT} AS DOUBLE) * coalesce(s, CAST(0 AS DOUBLE))"
-                ).alias("r"),
+                    f"CAST({base_u}"
+                    " + 17 * coalesce(s, CAST(0 AS BIGINT)) DIV 20 AS BIGINT)"
+                ).alias("ru"),
             )
             .localCheckpoint()
         )
-    return ranks.select(F.col("node").alias("item_id"), F.col("r").alias("pagerank"))
+    return ranks.select(
+        F.col("node").alias("item_id"),
+        (F.col("ru").cast("double") / F.lit(float(PAGERANK_Q))).alias("pagerank"),
+    )
 
 
 def pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
@@ -100,22 +117,23 @@ def pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
         "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS r FROM nodes CROSS JOIN nn)",
+        f"r0 AS (SELECT node, CAST({PAGERANK_Q} AS BIGINT) // n AS ru"
+        " FROM nodes CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         ctes.append(f"""c{i} AS (
-        SELECT e.dst AS node,
-               CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(28,14))) AS DOUBLE) AS s
+        SELECT e.dst AS node, CAST(SUM(p.ru // deg.deg) AS BIGINT) AS s
         FROM e JOIN r{i - 1} p ON e.src = p.node JOIN deg ON e.src = deg.src
         GROUP BY e.dst)""")
         ctes.append(f"""r{i} AS (
         SELECT nodes.node,
-               CAST({_BASE_LIT} AS DOUBLE) / nn.n
-                 + CAST({_D_LIT} AS DOUBLE) * coalesce(c{i}.s, CAST(0 AS DOUBLE)) AS r
+               CAST(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) // nn.n
+                 + 17 * coalesce(c{i}.s, CAST(0 AS BIGINT)) // 20 AS BIGINT) AS ru
         FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
     return (
         f"WITH {', '.join(ctes)} "
-        f"SELECT node AS item_id, r AS pagerank FROM r{iters}"
+        f"SELECT node AS item_id, CAST(ru AS DOUBLE) / {float(PAGERANK_Q)!r}"
+        f" AS pagerank FROM r{iters}"
     )
 
 

@@ -1285,10 +1285,17 @@ def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame
     total = counts.agg((F.sum("c") + k + 1).cast("bigint").alias("_d"))
     bgc = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a"))
     ctx = bg.groupBy("v").agg(F.count(F.lit(1)).alias("_b"))
-    bits = F.expr(
+    bits = (
         f"{plog2_sql('2 * _b * _d')} - {plog2_sql('_a * _d + coalesce(_u, 1) * _b')}"
     )
-    dbits = bits.cast("decimal(28,12)")
+    # per-row q12 FLOOR into BIGINT (the PSI-term device), NOT a
+    # CAST(double AS DECIMAL): the decimal cast of a double is
+    # engine-divergent on short-expansion reprs (Spark rounds the exact
+    # binary, DuckDB the shortest repr — the r8 fuzz finding; an sf0.1
+    # doc hit the class in r9), while double multiply + floor are
+    # correctly rounded identically everywhere. Per-transition bits
+    # ≤ ~60, so q12 units ≤ 6e13 and per-doc sums stay inside BIGINT.
+    qbits = F.expr(f"CAST(floor(({bits}) * 1e12) AS BIGINT)")
     return (
         bg.join(bgc, ["v", "w"])
         .join(ctx, "v")
@@ -1297,8 +1304,12 @@ def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_transitions"),
-            F.sum(dbits).cast("double").alias("sum_nll_bits"),
-            (F.sum(dbits).cast("double") / F.count(F.lit(1))).alias("mean_nll_bits"),
+            (F.sum(qbits).cast("double") / F.lit(1e12)).alias("sum_nll_bits"),
+            (
+                F.sum(qbits).cast("double")
+                / F.lit(1e12)
+                / F.count(F.lit(1))
+            ).alias("mean_nll_bits"),
         )
     )
 
@@ -1323,8 +1334,10 @@ def _perplexity_bigram_sql(k: int = PPLX2_VOCAB_K) -> str:
   bgc AS (SELECT v, w, COUNT(*) AS _a FROM bg GROUP BY v, w),
   ctx AS (SELECT v, COUNT(*) AS _b FROM bg GROUP BY v)
   SELECT bg.doc_id, COUNT(*) AS n_transitions,
-         CAST(SUM(CAST({bits} AS DECIMAL(28,12))) AS DOUBLE) AS sum_nll_bits,
-         CAST(SUM(CAST({bits} AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_nll_bits
+         CAST(SUM(CAST(floor(({bits}) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+           AS sum_nll_bits,
+         CAST(SUM(CAST(floor(({bits}) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+           / COUNT(*) AS mean_nll_bits
   FROM bg
   JOIN bgc ON bg.v = bgc.v AND bg.w = bgc.w
   JOIN ctx ON bg.v = ctx.v
