@@ -1518,7 +1518,12 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
         .agg((F.max("_nw") - 1).cast("bigint").alias("nmax"))
     )
     k2 = (
-        f"CASE WHEN nmax <= {FT_SCORE_NMAX_LIMIT}"
+        # nmax is NULL when no document has >= 2 words; the scored side is
+        # empty then, so any constant works — but without this branch the
+        # NULL falls into the ELSE and raise_error(concat(.. NULL ..))
+        # null-propagates into a NULL-message failure (r9 ADVICE #1).
+        "CASE WHEN nmax IS NULL THEN CAST(0 AS DECIMAL(38,0))"
+        f" WHEN nmax <= {FT_SCORE_NMAX_LIMIT}"
         " THEN CAST(nmax AS DECIMAL(38,0)) * nmax"
         " ELSE CAST(raise_error(concat('hash_classifier_scores: nmax ',"
         " CAST(nmax AS STRING),"
@@ -1601,8 +1606,11 @@ def quality_token_curve(documents: DataFrame) -> DataFrame:
             "cum_docs",
             "cum_tokens",
             F.expr(
-                "CAST(CAST(1000000 AS BIGINT) * cum_docs DIV total_docs"
-                " AS BIGINT)"
+                # DECIMAL(38,0) staging like token_share_ppm: BIGINT
+                # 1000000*cum_docs overflows past ~9.2e12 docs, and
+                # DIVERGENTLY (Spark NULL, DuckDB error) — r9 ADVICE #2.
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_docs"
+                " DIV total_docs AS BIGINT)"
             ).alias("doc_share_ppm"),
             F.expr(
                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_tokens"
@@ -1635,7 +1643,7 @@ def quality_token_curve_sql() -> str:
     FROM per_bucket)
 SELECT qb, qb / 1000.0 AS q_threshold, n_docs, n_tokens,
        cum_docs, cum_tokens,
-       CAST(CAST(1000000 AS BIGINT) * cum_docs // total_docs AS BIGINT)
+       CAST(CAST(1000000 AS HUGEINT) * cum_docs // total_docs AS BIGINT)
          AS doc_share_ppm,
        CAST(CAST(1000000 AS HUGEINT) * cum_tokens // total_tokens AS BIGINT)
          AS token_share_ppm

@@ -736,7 +736,13 @@ def welch_t_raw_sql() -> str:
     +,-,*,/ and sqrt are correctly rounded per IEEE-754, so the same
     expression tree over the same integers yields bit-identical doubles
     in Spark and DuckDB. Used for the welch_t DISPLAY column (q12) and
-    as the significance fallback outside the integer guards."""
+    as the significance fallback outside the integer guards.
+
+    The divisor is NULLIF-guarded (r10, verdict #6): on zero-variance-
+    both cohorts the raw expression divides by zero, where the engines
+    genuinely DIVERGE — Spark 4 runs ANSI mode by default and RAISES
+    DIVIDE_BY_ZERO (measured), DuckDB returns NULL. NULLIF makes the
+    degenerate display NULL in both engines by construction."""
     mean = lambda sx, n: f"(CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE) / 100.0)"  # noqa: E731
     var = (
         lambda sxx, sx, n: f"(CAST(CAST({n} AS DECIMAL(38,0)) * {sxx}"
@@ -745,8 +751,8 @@ def welch_t_raw_sql() -> str:
     )  # noqa: E731
     return (
         f"(({mean('sx_a', 'n_a')}) - ({mean('sx_b', 'n_b')}))"
-        f" / sqrt(({var('sxx_a', 'sx_a', 'n_a')}) / n_a"
-        f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b)"
+        f" / NULLIF(sqrt(({var('sxx_a', 'sx_a', 'n_a')}) / n_a"
+        f" + ({var('sxx_b', 'sx_b', 'n_b')}) / n_b), CAST(0 AS DOUBLE))"
     )
 
 
@@ -872,10 +878,24 @@ def abtest_welch(events: DataFrame) -> DataFrame:
     documented r8 rejection); splitting each variance by its cohort
     divisor first (V = (n−1)·q + r) keeps every intermediate inside
     DECIMAL(38,0)/HUGEINT up to 3e8 rows per cohort, with a guarded
-    fallback to the q12 double comparison beyond. welch_t (display)
-    keeps the q12 quantizer: its sqrt-derived doubles have ~17-sig-digit
-    shortest reprs except on rational-t degenerate inputs (residual risk
-    documented here); the DECISION no longer routes through it."""
+    fallback to the q12 double comparison beyond.
+
+    DECISION/DISPLAY ASYMMETRY (accepted, r10): `significant` is
+    integer-exact; `welch_t` (display only) keeps the q12 quantizer.
+    The residual display risk is the r8 fuzz class — a t_raw whose
+    SHORTEST decimal repr has exactly 13 fractional digits ending in 5
+    — which for sqrt-derived doubles (~17-sig-digit reprs) requires t²
+    to be an exact dyadic rational hitting a 1e-13-quantum boundary;
+    no generator of integer cohort sums has produced one (fuzz + sf0.1
+    parity sweeps). Degenerate inputs are handled BY CONSTRUCTION:
+    zero-variance-both cohorts make t_raw divide by zero, where the
+    engines genuinely diverge (Spark 4 ANSI default RAISES, DuckDB
+    yields NULL — measured r10), so welch_t_raw_sql NULLIF-guards the
+    divisor and the display is NULL in both engines; exact-rational-t²
+    probes route through the same IEEE tree both sides. Both pinned in
+    tests/test_skew_and_windows.py
+    (test_welch_display_degenerate_inputs_agree). An exact display would
+    need a num/den rational pair, which sqrt precludes — accepted."""
     x = F.col("xu")
     g = (
         events.select(

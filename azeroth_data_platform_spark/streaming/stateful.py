@@ -521,15 +521,21 @@ def _make_multitouch_state(evict: bool):
                     # prune on conversions too, not just touch arrivals —
                     # a burst of touches followed by only conversions must
                     # not pin up-to-lookback stale touches in state
-                    # forever (the read below filters them out anyway, so
-                    # this is the boundedness contract made per-event, not
-                    # a semantic change)
-                    cutoff = us - ATTR_LOOKBACK_US
-                    if uss and uss[0] < cutoff:
-                        keep = [i for i, u in enumerate(uss) if u >= cutoff]
-                        channels = [channels[i] for i in keep]
-                        uss = [uss[i] for i in keep]
-                        eids = [eids[i] for i in keep]
+                    # forever. Only when a watermark bounds disorder
+                    # (evict=True): without one, an out-of-order EARLIER
+                    # conversion may still arrive and legitimately claim a
+                    # touch this later conversion's cutoff would discard —
+                    # pruning here would misattribute it 'direct'
+                    # (r9 ADVICE #3). Unbounded mode keeps its
+                    # disorder-tolerant unbounded store; the read below
+                    # still filters to the lookback either way.
+                    if evict:
+                        cutoff = us - ATTR_LOOKBACK_US
+                        if uss and uss[0] < cutoff:
+                            keep = [i for i, u in enumerate(uss) if u >= cutoff]
+                            channels = [channels[i] for i in keep]
+                            uss = [uss[i] for i in keep]
+                            eids = [eids[i] for i in keep]
                     # state holds only earlier (us, event_id) touches, so
                     # the strict-precedence rule is the processing order
                     # itself; only the lookback needs checking
@@ -585,12 +591,17 @@ def streaming_multitouch(
     micro-batches. Fold by channel downstream for the live report; batch
     bit-parity pinned in tests/test_stateful_streaming.py.
 
-    Boundedness: the touch list is pruned to the lookback on EVERY event
-    (touch or conversion), and with `evict_watermark` set an EVENT-TIME
-    idle timeout of 2x the lookback evicts users with no events at all —
+    Boundedness: the touch list is pruned to the lookback on touch
+    arrivals always, and — only with `evict_watermark` set, where the
+    watermark bounds disorder — on conversions too; an EVENT-TIME idle
+    timeout of 2x the lookback then evicts users with no events at all,
     so state scales with active users x touch rate, never lifetime
-    cardinality. See streaming_attribution for the watermark contract and
-    why the timeout is event-time, not processing-time.
+    cardinality. Without a watermark the conversion-side prune is
+    SKIPPED (r9 ADVICE #3): an out-of-order earlier conversion may still
+    arrive and claim a touch a later conversion's cutoff would have
+    discarded, so unbounded mode stays disorder-tolerant at the price of
+    touch-side-only pruning. See streaming_attribution for the watermark
+    contract and why the timeout is event-time, not processing-time.
 
     Expects columns (user_id, event_id, event_type, us, xu)."""
     if evict_watermark is None:

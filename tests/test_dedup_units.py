@@ -1135,6 +1135,30 @@ def test_contamination_report_plan_broadcast_no_selfjoin(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_quality_curve_doc_share_expression_past_bigint(spark):
+    """r10 (ADVICE #2): doc_share_ppm is staged through DECIMAL(38,0)/
+    HUGEINT like token_share_ppm — the old BIGINT 1000000*cum_docs
+    multiply wraps past ~9.2e12 docs, and DIVERGENTLY (Spark NULL,
+    DuckDB error). Pin the literal expressions both engines now use in
+    that regime."""
+    import duckdb
+
+    cum, tot = 10**13, 2 * 10**13  # 10T of 20T docs: 1e6*cum > 2**63
+    assert 1_000_000 * cum > 2**63
+    got_s = spark.sql(
+        "SELECT CAST(CAST(1000000 AS DECIMAL(38,0)) * cum_docs"
+        " DIV total_docs AS BIGINT) AS p FROM VALUES"
+        f" (CAST({cum} AS BIGINT), CAST({tot} AS BIGINT))"
+        " AS t(cum_docs, total_docs)"
+    ).collect()[0].p
+    got_d = duckdb.sql(
+        "SELECT CAST(CAST(1000000 AS HUGEINT) * cum_docs // total_docs"
+        f" AS BIGINT) AS p FROM (SELECT CAST({cum} AS BIGINT) cum_docs,"
+        f" CAST({tot} AS BIGINT) total_docs)"
+    ).fetchone()[0]
+    assert got_s == got_d == 500_000
+
+
 def test_quality_token_curve_invariants(spark):
     """Lorenz-curve invariants on a constructed corpus: monotone
     cumulative shares, exact conservation at the lowest occupied bucket

@@ -243,6 +243,20 @@ def test_hash_classifier_scores_integer_export(spark):
     assert row.auc_ppm == want_ppm
 
 
+def test_hash_classifier_scores_empty_corpus_no_error(spark):
+    """r10 (ADVICE #1): when NO document has >= 2 words, the nmax
+    aggregate is NULL — the guard CASE must take the explicit IS NULL
+    branch and return an EMPTY result, not fall into the raise_error
+    ELSE whose concat() null-propagates into a NULL-message failure
+    (the broadcast side evaluates even though the scored side is
+    empty)."""
+    from azeroth_data_platform_spark.operators import corpus as C
+
+    docs = [(1, "solo", "en"), (2, "", "fr"), (3, "one", "en")]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    assert C.hash_classifier_scores(df).collect() == []
+
+
 def test_hash_classifier_scores_plan_rowlocal_broadcast(spark, sf_dir):
     """Plan pin: the scoring pass is a row-local HOF projection (no
     explode, no pre-scaffold shuffle); nmax arrives via a broadcast

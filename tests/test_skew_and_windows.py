@@ -274,3 +274,53 @@ def test_welch_significant_integer_exact_at_boundary(spark):
         assert got_s == got_d, (n_a, sx_a, got_s, got_d)
         if want is not None:
             assert got_s == want, (n_a, sx_a, got_s)
+
+
+def test_welch_display_degenerate_inputs_agree(spark):
+    """r10 (verdict #6): the welch_t DISPLAY column (q12-quantized double)
+    on degenerate inputs — the decision column is integer-exact, the
+    display keeps q12, and this pins that the display's degenerate
+    handling agrees cross-engine:
+
+    - zero-variance-both cohorts: the raw division by zero DIVERGES
+      (Spark 4 ANSI default raises DIVIDE_BY_ZERO, DuckDB yields NULL),
+      so welch_t_raw_sql NULLIF-guards the divisor — the display must be
+      NULL in both engines, never an error or an inf->DECIMAL cast;
+    - exact rational t (t = 49/25 from the significance boundary probe):
+      identical IEEE expression tree -> bit-identical double -> same q12
+      value.
+    """
+    import duckdb
+
+    from azeroth_data_platform_spark.operators.windows import welch_t_raw_sql
+
+    q12 = lambda e: f"CAST(CAST({e} AS DECIMAL(18,12)) AS DOUBLE)"  # noqa: E731
+    probes = [
+        # (n_a, n_b, sx_a, sx_b, sxx_a, sxx_b, want) — want None = NULL
+        (3, 3, 300, 300, 30000, 30000, None),   # both variances zero, D=0
+        (3, 3, 600, 300, 120000, 30000, None),  # variance zero, D!=0 (inf t)
+        (2, 2, 50, 148, 2500, 10952, -1.96),    # exact |t| = 49/25
+    ]
+    for n_a, n_b, sx_a, sx_b, sxx_a, sxx_b, want in probes:
+        lit_s = (
+            f"SELECT {q12(welch_t_raw_sql())} AS t FROM VALUES"
+            f" (CAST({n_a} AS BIGINT), CAST({n_b} AS BIGINT),"
+            f" CAST({sx_a} AS BIGINT), CAST({sx_b} AS BIGINT),"
+            f" CAST({sxx_a} AS DECIMAL(38,0)), CAST({sxx_b} AS DECIMAL(38,0)))"
+            " AS t(n_a, n_b, sx_a, sx_b, sxx_a, sxx_b)"
+        )
+        lit_d = (
+            f"SELECT {q12(welch_t_raw_sql())} AS t FROM (SELECT"
+            f" CAST({n_a} AS BIGINT) n_a, CAST({n_b} AS BIGINT) n_b,"
+            f" CAST({sx_a} AS BIGINT) sx_a, CAST({sx_b} AS BIGINT) sx_b,"
+            f" CAST({sxx_a} AS HUGEINT) sxx_a, CAST({sxx_b} AS HUGEINT) sxx_b)"
+        )
+        got_s = spark.sql(lit_s).collect()[0].t
+        got_d = duckdb.sql(lit_d).fetchone()[0]
+        assert got_s == got_d or (got_s is None and got_d is None), (
+            n_a, sx_a, got_s, got_d,
+        )
+        if want is None:
+            assert got_s is None, (n_a, sx_a, got_s)
+        else:
+            assert got_s == want, (n_a, sx_a, got_s)

@@ -410,6 +410,40 @@ def test_multitouch_state_pruned_on_conversions_and_timeout():
     assert list(_attribution_state((1,), iter([]), st3)) == []
     assert st3.removed
 
+    # r10 (ADVICE #3): in evict=False (no-watermark, disorder-tolerant)
+    # mode the conversion-side prune is SKIPPED — an out-of-order EARLIER
+    # conversion arriving in a later batch must still find its in-lookback
+    # touches, not be misattributed 'direct' because a newer conversion's
+    # cutoff already dropped them.
+    _mt_unbounded = _make_multitouch_state(evict=False)
+    st4 = FakeState()
+    batch1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "us": [0, 12 * day_us],  # touch day 0, conversion day 12
+            "event_type": ["view", "purchase"],
+            "xu": [0, 900],
+        }
+    )
+    out1 = pd.concat(list(_mt_unbounded((1,), iter([batch1]), st4)))
+    assert set(out1["channel"]) == {"direct"}  # day-12 conv: touch too old
+    # touch must SURVIVE in state (no conversion-side prune without a
+    # watermark bounding disorder)
+    assert st4.get[1] == [0]
+    batch2 = pd.DataFrame(
+        {
+            "event_id": [3],
+            "us": [5 * day_us],  # out-of-order EARLIER conversion
+            "event_type": ["purchase"],
+            "xu": [100],
+        }
+    )
+    out2 = pd.concat(list(_mt_unbounded((1,), iter([batch2]), st4)))
+    assert list(out2["channel"]) == ["view"], (
+        "disorder-tolerant mode must attribute the late-arriving earlier "
+        "conversion to its in-lookback touch"
+    )
+
 
 def test_streaming_attribution_event_time_eviction(spark, tmp_path):
     """With evict_watermark set, a user idle past 2x the lookback is
