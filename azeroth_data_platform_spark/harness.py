@@ -1820,20 +1820,25 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          canaries x_incremental_gold + x_hll_distinct held slots 49-50;
 #          all 35 round-8 operators entered the head at authoring time,
 #          each earning its first driver row in CORRECTNESS_r08.
-#   r9 (NOW): pure STALENESS rotation — after r8, 119/120 registry queries
-#          had at least one driver row, so the head is simply the 50
-#          OLDEST rows: slot 1 = tp_chunk_documents (promoted late in r8,
-#          zero rows ever), slot 2 = o11_keyset_page (promoted from the
-#          legacy registry THIS round — the keyset twin is the documented
-#          100TB-scale serving default, so it earns external evidence),
-#          slots 3-23 = the 21 queries whose newest row is r5
-#          (the rotated-out serving/gold block), slots 24-50 = the 27
-#          oldest r7-row queries in prior slot order. The remaining 21
-#          r7-row queries sit at 51-71 (next round's head), the 50 r8-row
-#          queries at 72-121. Max staleness after this round's rows: r7,
-#          within the <=2-round target. Round-9 additions enter the head
-#          at authoring time after slot 2, displacing from slot 50 down
-#          (the displaced queries all hold r7 rows).
+#   r9: pure STALENESS rotation — after r8, 119/120 registry queries
+#          had at least one driver row, so the head was the 50 OLDEST
+#          rows (slot 1 = never-recorded tp_chunk_documents, slot 2 =
+#          promoted o11_keyset_page, then the 21 r5-row serving/gold
+#          block and the 27 oldest r7-row queries), with the ten round-9
+#          additions entering at authoring time. CORRECTNESS_r09: 50/50
+#          green; newest-row histogram after r9 = {r7: 31, r8: 50,
+#          r9: 50}.
+#   r10 (NOW): finish the rotation (r9 verdict #1). Head = ALL 31
+#          queries whose newest row is r7 (the r9 STATUS undercounted
+#          them as 21 — the ten r9 additions displaced ten r7-row
+#          queries from the planned 50), then the r10 additions at
+#          authoring time, then the OLDEST r8-row queries (r8-block
+#          prior slot order) filling to 50. After this round's rows the
+#          newest-row histogram is {r8, r9, r10} only — max staleness 2
+#          rounds, the steady state. The satisfiability of that bound by
+#          the declared head is now ASSERTED by tests/test_rotation.py
+#          (parses CORRECTNESS_r*.json + this dict's order) before the
+#          gate can pass.
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1848,64 +1853,8 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   grouping-sets family (cube twin stays in the legacy registry);
 #   dd_simhash_banded covers SimHash (pairwise twin in legacy registry).
 QUERIES: dict[str, QueryFn] = {
-    # --- head slots 1-2: never driver-recorded (tp_chunk_documents was
-    # promoted into the registry after the r8 head was set; o11 promoted
-    # from legacy this round) ---
-    "tp_chunk_documents": q_tp_chunk_documents,
-    "o11_keyset_page": q_o11_keyset_page,
-    # --- r9 additions enter the head at authoring time (displacing the
-    # newest tail of the head, which holds r7 rows) ---
-    "ts_auc_hashclf": q_ts_auc_hashclf,
-    "w_attribution_ushape": q_w_attribution_ushape,
-    "x_gini_concentration": q_x_gini_concentration,
-    "x_markov_transitions": q_x_markov_transitions,
-    "dd_lsh_tuning": q_dd_lsh_tuning,
-    "tp_contamination_report": q_tp_contamination_report,
-    "o12_search_after": q_o12_search_after,
-    "w_top_paths": q_w_top_paths,
-    "ts_hashclf_drift": q_ts_hashclf_drift,
-    "tp_quality_curve": q_tp_quality_curve,
-    # --- head slots 4-24: newest driver row r5 (the serving/gold block
-    # rotated out in r6; every other registry query has an r7/r8 row) ---
-    "a2_hourly_ohlc": q_a2,
-    "a4_sales_velocity": q_a4,
-    "a5_market_concentration": q_a5,
-    "a7_sector_trends": q_a7,
-    "a9_kpi_counts": q_a9,
-    "j1_missing_items": q_j1,
-    "j2_dim_enrichment": q_j2,
-    "o1_latest_daily_summaries": q_o1,
-    "o2_item_price_history": q_o2,
-    "o3_sell_opportunities": q_o3,
-    "o5_top_concentration": q_o5,
-    "o6_latest_index": q_o6,
-    "o7_items_page": q_o7,
-    "o9_best_opportunity": q_o9,
-    "o10_topk_per_group": q_o10_topk_per_group,
-    "f4_retention_candidates": q_f4,
-    "p11_format_gold": q_p11,
-    "pj_json_kpis": q_pjson,
-    "w_sessionize": q_w_sessionize,
-    "x_pivot_event_counts": q_x_pivot,
-    "x_sector_rollup": q_x_rollup,
-    # --- head slots 24-50: the 27 oldest r7-row queries ---
-    "w_funnel": q_w_funnel,
-    "x_pagerank": q_x_pagerank,
-    "dd_cdc_segments": q_dd_cdc_segments,
-    "tp_bpe_encode": q_tp_bpe_encode,
-    "a1_daily_market_summary": q_a1,
-    "a3_rolling_zscore": q_a3,
-    "a6_market_index": q_a6,
-    "x_asof_join": q_x_asof,
-    "x_range_join": q_x_range_join,
-    "x_multiway_star_join": q_x_multiway,
-    "x_price_iqr_outliers": q_x_iqr,
-    "dd_exact": q_dd_exact,
-    "dd_minhash_lsh": q_dd_minhash,
-    "dd_simhash_banded": q_dd_simhash_banded,
-    "tp_keep_best": q_tp_keep_best,
-    "dd_semantic": q_dd_semantic,
-    "dd_embed_lsh": q_dd_embed_lsh,
+    # --- head slots 1-31: ALL queries whose newest driver row is r7
+    # (r9 verdict #1 — the complete stale set, prior slot order) ---
     "tp_clean_corpus": q_tp_clean_corpus,
     "tp_train_sample": q_tp_train_sample,
     "tp_decontaminate": q_tp_decontaminate,
@@ -1916,7 +1865,6 @@ QUERIES: dict[str, QueryFn] = {
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
     "ts_token_stats": q_ts_tokens,
-    # --- slots 51-71: the remaining r7-row queries (next round's head) ---
     "tp_quality_prune": q_tp_quality_prune,
     "ts_language_id": q_ts_langid,
     "ts_fingerprint": q_ts_fingerprint,
@@ -1938,9 +1886,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_assoc_rules": q_x_assoc_rules,
     "ts_bm25": q_ts_bm25,
     "tp_weighted_sample": q_tp_weighted_sample,
-    # --- slots 72-121: r8-row queries (the newest external evidence; the
-    # 15 round-6 additions, the 35 round-8 operators, and the two r8 head
-    # canaries) — still parity-checked locally every round ---
+    # --- r10 additions enter the head here at authoring time,
+    # displacing the newest r8-row fillers below slot 50 ---
+    # --- head slots 32-50: the oldest r8-row queries (r8-block prior
+    # slot order) filling the 50 recorded slots ---
     "ts_pmi_collocations": q_ts_pmi_collocations,
     "tp_global_shuffle": q_tp_global_shuffle,
     "ann_filtered_topk": q_ann_filtered_topk,
@@ -1960,6 +1909,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_psi_drift": q_x_psi_drift,
     "x_kmv_overlap": q_x_kmv_overlap,
     "x_spearman": q_x_spearman,
+    # --- slots 51+: the remaining r8-row queries (stalest after this
+    # round — they form the r11 head), then the 50 r9-row queries ---
     "x_emd_drift": q_x_emd_drift,
     "x_mannwhitney": q_x_mannwhitney,
     "x_cramers_v": q_x_cramers_v,
@@ -1991,31 +1942,71 @@ QUERIES: dict[str, QueryFn] = {
     "x_fano_burstiness": q_x_fano_burstiness,
     "x_incremental_gold": q_x_incremental_gold,
     "x_hll_distinct": q_x_hll_distinct,
+    # --- the 50 r9-row queries (the freshest external evidence) ---
+    "tp_chunk_documents": q_tp_chunk_documents,
+    "o11_keyset_page": q_o11_keyset_page,
+    "ts_auc_hashclf": q_ts_auc_hashclf,
+    "w_attribution_ushape": q_w_attribution_ushape,
+    "x_gini_concentration": q_x_gini_concentration,
+    "x_markov_transitions": q_x_markov_transitions,
+    "dd_lsh_tuning": q_dd_lsh_tuning,
+    "tp_contamination_report": q_tp_contamination_report,
+    "o12_search_after": q_o12_search_after,
+    "w_top_paths": q_w_top_paths,
+    "ts_hashclf_drift": q_ts_hashclf_drift,
+    "tp_quality_curve": q_tp_quality_curve,
+    "a2_hourly_ohlc": q_a2,
+    "a4_sales_velocity": q_a4,
+    "a5_market_concentration": q_a5,
+    "a7_sector_trends": q_a7,
+    "a9_kpi_counts": q_a9,
+    "j1_missing_items": q_j1,
+    "j2_dim_enrichment": q_j2,
+    "o1_latest_daily_summaries": q_o1,
+    "o2_item_price_history": q_o2,
+    "o3_sell_opportunities": q_o3,
+    "o5_top_concentration": q_o5,
+    "o6_latest_index": q_o6,
+    "o7_items_page": q_o7,
+    "o9_best_opportunity": q_o9,
+    "o10_topk_per_group": q_o10_topk_per_group,
+    "f4_retention_candidates": q_f4,
+    "p11_format_gold": q_p11,
+    "pj_json_kpis": q_pjson,
+    "w_sessionize": q_w_sessionize,
+    "x_pivot_event_counts": q_x_pivot,
+    "x_sector_rollup": q_x_rollup,
+    "w_funnel": q_w_funnel,
+    "x_pagerank": q_x_pagerank,
+    "dd_cdc_segments": q_dd_cdc_segments,
+    "tp_bpe_encode": q_tp_bpe_encode,
+    "a1_daily_market_summary": q_a1,
+    "a3_rolling_zscore": q_a3,
+    "a6_market_index": q_a6,
+    "x_asof_join": q_x_asof,
+    "x_range_join": q_x_range_join,
+    "x_multiway_star_join": q_x_multiway,
+    "x_price_iqr_outliers": q_x_iqr,
+    "dd_exact": q_dd_exact,
+    "dd_minhash_lsh": q_dd_minhash,
+    "dd_simhash_banded": q_dd_simhash_banded,
+    "tp_keep_best": q_tp_keep_best,
+    "dd_semantic": q_dd_semantic,
+    "dd_embed_lsh": q_dd_embed_lsh,
 }
 
 assert len(QUERIES) == 131, f"driver registry drifted: got {len(QUERIES)}"
-# The rotation must keep the head at exactly 50 recorded slots.
-assert list(QUERIES)[49] == "dd_embed_lsh", "slot-50 boundary drifted"
-# r9 staleness-rotation invariants (see ledger above).
-assert list(QUERIES)[0] == "tp_chunk_documents", "slot-1 drifted"
-assert list(QUERIES)[1] == "o11_keyset_page", "slot-2 drifted"
-assert list(QUERIES)[2] == "ts_auc_hashclf", "slot-3 drifted"
-assert list(QUERIES)[3] == "w_attribution_ushape", "slot-4 drifted"
-assert list(QUERIES)[4] == "x_gini_concentration", "slot-5 drifted"
-assert list(QUERIES)[5] == "x_markov_transitions", "slot-6 drifted"
-assert list(QUERIES)[6] == "dd_lsh_tuning", "slot-7 drifted"
-assert list(QUERIES)[7] == "tp_contamination_report", "slot-8 drifted"
-assert list(QUERIES)[8] == "o12_search_after", "slot-9 drifted"
-assert list(QUERIES)[9] == "w_top_paths", "slot-10 drifted"
-assert list(QUERIES)[10] == "ts_hashclf_drift", "slot-11 drifted"
-assert list(QUERIES)[11] == "tp_quality_curve", "slot-12 drifted"
-assert list(QUERIES)[12] == "a2_hourly_ohlc", "slot-13 drifted"
-assert list(QUERIES)[32] == "x_sector_rollup", "slot-33 drifted"
-assert list(QUERIES)[33] == "w_funnel", "slot-34 drifted"
-assert list(QUERIES)[50] == "tp_clean_corpus", "slot-51 drifted"
-assert list(QUERIES)[80] == "tp_weighted_sample", "slot-81 drifted"
-assert list(QUERIES)[81] == "ts_pmi_collocations", "slot-82 drifted"
-assert list(QUERIES)[130] == "x_hll_distinct", "slot-131 drifted"
+# r10 staleness-rotation invariants (see ledger above). The 50-slot head
+# boundary and the key ordering are load-bearing: the external driver
+# records exactly the first 50 dict keys.
+assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
+assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
+assert list(QUERIES)[31] == "ts_pmi_collocations", "slot-32 drifted"
+assert list(QUERIES)[49] == "x_spearman", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "x_emd_drift", "slot-51 drifted"
+assert list(QUERIES)[80] == "x_hll_distinct", "slot-81 drifted"
+assert list(QUERIES)[81] == "tp_chunk_documents", "slot-82 drifted"
+assert list(QUERIES)[130] == "dd_embed_lsh", "slot-131 drifted"
 
 
 ORACLES: dict[str, str] = {
