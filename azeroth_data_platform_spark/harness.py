@@ -869,7 +869,18 @@ def q_tp_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.incremental_dedup(_docs(spark, sf_dir))
+    """Routes through the INDEXED path (build_dedup_index +
+    incremental_dedup_indexed) — the production shape where the
+    reference side is a standing persisted index and only the delta is
+    shingled. Self-contained here: the index is built in-query from the
+    doc_id % INCR_REF_MOD == 0 slice; result equals the one-shot
+    incremental_dedup (and the INCREMENTAL_DEDUP_SQL oracle) by
+    construction — per-doc minhash and exact-jaccard verify are
+    split-independent (test-pinned, tests/test_dedup_units.py)."""
+    docs = _docs(spark, sf_dir)
+    is_ref = F.col("doc_id") % dedup.INCR_REF_MOD == 0
+    index = dedup.build_dedup_index(docs.where(is_ref))
+    return dedup.incremental_dedup_indexed(docs.where(~is_ref), index)
 
 
 def q_ann_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,6 +1695,30 @@ def q_ts_auc_hashclf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_auc_hashclf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the q6-BUCKETED gate score — ts_auc_hashclf's
+    value-domain-bounded twin (r9 verdict #4): the same classifier and
+    label through the same exact rank-sum scaffold, but over the fixed
+    128-value clamp(floor(64·logit)) grid, so the distinct-score count
+    state a STREAMING monitor maintains is constant-size at any corpus
+    volume (streaming/mleval.streaming_score_counts; hostile pins in
+    tests/test_streaming.py). Bucketing only coarsens the ranking (more
+    ties, never reordering), so this AUC brackets the exact one."""
+    _prep(spark)
+    return mleval.auc_exact(
+        corpus.hashclf_bucket_scores(_docs(spark, sf_dir))
+    )
+
+
+def q_tp_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated corpus doc: WHICH benchmark doc leaked (argmax
+    by distinct shared n-grams, deterministic tie-break), how much of
+    the attribution mass it holds — the follow-up question to
+    tp_contamination_report's severity verdict (r9 verdict #3). Same
+    asymmetric broadcast: the bench side is eval-suite-sized."""
+    return corpus.contamination_attribution(_docs(spark, sf_dir))
+
+
 def q_ts_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the en-trigram-rate score against the lang label
     via the rank-sum identity with midrank ties (operators/mleval.py
@@ -1888,7 +1923,10 @@ QUERIES: dict[str, QueryFn] = {
     "tp_weighted_sample": q_tp_weighted_sample,
     # --- r10 additions enter the head here at authoring time,
     # displacing the newest r8-row fillers below slot 50 ---
-    # --- head slots 32-50: the oldest r8-row queries (r8-block prior
+    "dd_incremental": q_dd_incremental,
+    "tp_contamination_attribution": q_tp_contamination_attribution,
+    "ts_auc_hashclf_bucketed": q_ts_auc_hashclf_bucketed,
+    # --- remaining head slots: the oldest r8-row queries (r8-block prior
     # slot order) filling the 50 recorded slots ---
     "ts_pmi_collocations": q_ts_pmi_collocations,
     "tp_global_shuffle": q_tp_global_shuffle,
@@ -1995,18 +2033,19 @@ QUERIES: dict[str, QueryFn] = {
     "dd_embed_lsh": q_dd_embed_lsh,
 }
 
-assert len(QUERIES) == 131, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 134, f"driver registry drifted: got {len(QUERIES)}"
 # r10 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
 # records exactly the first 50 dict keys.
 assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
 assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
-assert list(QUERIES)[31] == "ts_pmi_collocations", "slot-32 drifted"
-assert list(QUERIES)[49] == "x_spearman", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "x_emd_drift", "slot-51 drifted"
-assert list(QUERIES)[80] == "x_hll_distinct", "slot-81 drifted"
-assert list(QUERIES)[81] == "tp_chunk_documents", "slot-82 drifted"
-assert list(QUERIES)[130] == "dd_embed_lsh", "slot-131 drifted"
+assert list(QUERIES)[31] == "dd_incremental", "slot-32 drifted"
+assert list(QUERIES)[34] == "ts_pmi_collocations", "slot-35 drifted"
+assert list(QUERIES)[49] == "x_ks_drift", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "x_psi_drift", "slot-51 drifted"
+assert list(QUERIES)[83] == "x_hll_distinct", "slot-84 drifted"
+assert list(QUERIES)[84] == "tp_chunk_documents", "slot-85 drifted"
+assert list(QUERIES)[133] == "dd_embed_lsh", "slot-134 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2342,6 +2381,11 @@ ORACLES["x_psi_daily"] = drift.psi_day_over_day_sql()
 ORACLES["ts_auc_hashclf"] = mleval.auc_exact_sql(
     corpus.hash_classifier_scores_cte()
 )
+ORACLES["ts_auc_hashclf_bucketed"] = mleval.auc_exact_sql(
+    corpus.hashclf_bucket_scores_cte()
+)
+ORACLES["tp_contamination_attribution"] = corpus.CONTAMINATION_ATTRIBUTION_SQL
+ORACLES["dd_incremental"] = dedup.INCREMENTAL_DEDUP_SQL
 ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
 ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
@@ -2466,7 +2510,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "dd_neardup_clusters": q_dd_clusters,
     "dd_embed_neardup": q_dd_embed,
     "ts_quality_score": q_ts_quality,
-    "dd_incremental": q_dd_incremental,
+    # dd_incremental: promoted to the driver registry in r10 (indexed path)
     "ann_quantize_sq8": q_ann_quantize,
     "ann_topk_sq8": q_ann_sq8_topk,
     # displaced from the 50-slot driver registry by tp_pack_contents (r3)
@@ -2617,7 +2661,6 @@ ALL_ORACLES: dict[str, str] = {
     "dd_neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
     "dd_embed_neardup": dedup.EMBED_NEARDUP_SQL,
     "ts_quality_score": textstats.QUALITY_SQL,
-    "dd_incremental": dedup.INCREMENTAL_DEDUP_SQL,
     "ann_quantize_sq8": similarity.quantize_sq8_sql(),
     "ann_topk_sq8": similarity.sq8_topk_sql(),
     "a3e_rolling_zscore_dense": f"{_W_SILVER_EVENTS}, {_A3_SQL} SELECT * FROM a3",

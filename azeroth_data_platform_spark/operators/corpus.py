@@ -294,6 +294,106 @@ SELECT doc_id, n_shingles, n_hit_positions, longest_run,
 FROM per_doc"""
 
 
+def contamination_attribution(documents: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Per CONTAMINATED corpus doc: WHICH benchmark doc leaked — the
+    question a decontamination policy asks right after
+    contamination_report says 'verbatim' (r9 verdict #3). For every
+    corpus doc with >= 1 positional n-gram hit: the benchmark doc
+    sharing the most distinct hit n-grams (ties broken toward the smaller
+    bench doc_id for a deterministic verdict), how many distinct n-grams it
+    accounts for, how many bench docs were hit at all, and the top
+    doc's share of the total attribution mass in exact ppm.
+
+    Counting semantics: the shingle relation is DISTINCT per doc (the
+    dedup.shingles contract), so a corpus n-gram is attributed to bench
+    doc b when it appears anywhere in b, and an n-gram present in k
+    bench docs contributes to k pairs — total_pair_hits is attribution
+    MASS, not distinct hit n-grams (contamination_report carries the
+    positional depth; re-deriving distinct-hit counts here would need a
+    second pass over the matched subtree, which Spark would re-execute —
+    the measured w_attribution lesson).
+
+    Scale shape: same asymmetric broadcast as decontaminate, with the
+    bench side now keyed (sh, bench doc) — still eval-suite-sized. ONE
+    corpus scan → broadcast inner join → ONE map-combinable groupBy on
+    (doc_id, bench_doc_id) → windows over that pair aggregate, whose
+    size is bounded by (contaminated docs × bench docs hit), metadata
+    next to the corpus. Cites reference transformation.py:17-84 (the
+    cleaning stage this extends)."""
+    from .dedup import shingles
+
+    is_bench = F.col("doc_id") % DECON_MOD == 0
+    bench = F.broadcast(
+        shingles(documents, n)
+        .where(is_bench)
+        .select(F.col("doc_id").alias("bench_doc_id"), "sh")
+        .distinct()
+    )
+    corpus = shingles(documents, n).where(~is_bench)
+    pair = (
+        corpus.join(bench, "sh")
+        .groupBy("doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared_ngrams").desc(), F.col("bench_doc_id").asc()
+    )
+    return (
+        pair.withColumn("n_bench_docs_hit", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "total_pair_hits",
+            F.sum("n_shared_ngrams").over(wdoc).cast("bigint"),
+        )
+        .withColumn("_rn", F.row_number().over(wrank))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            "n_shared_ngrams",
+            F.col("n_bench_docs_hit").cast("bigint").alias("n_bench_docs_hit"),
+            "total_pair_hits",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_shared_ngrams"
+                " DIV total_pair_hits AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+    )
+
+
+def contamination_attribution_sql(n: int = DECON_N) -> str:
+    """DuckDB twin of :func:`contamination_attribution` (reads
+    `documents`)."""
+    from .dedup import _shingle_sql
+
+    return f"""
+  WITH {_shingle_sql(n)},
+  bench AS (SELECT DISTINCT doc_id AS bench_doc_id, sh FROM s
+            WHERE doc_id % {DECON_MOD} = 0),
+  pair AS (SELECT c.doc_id, b.bench_doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+           FROM s c JOIN bench b ON c.sh = b.sh
+           WHERE c.doc_id % {DECON_MOD} <> 0
+           GROUP BY c.doc_id, b.bench_doc_id),
+  ranked AS (
+    SELECT doc_id, bench_doc_id, n_shared_ngrams,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS n_bench_docs_hit,
+           CAST(SUM(n_shared_ngrams) OVER (PARTITION BY doc_id)
+                AS BIGINT) AS total_pair_hits,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY n_shared_ngrams DESC, bench_doc_id ASC) AS rn
+    FROM pair)
+SELECT doc_id, bench_doc_id, n_shared_ngrams, n_bench_docs_hit,
+       total_pair_hits,
+       CAST(CAST(1000000 AS HUGEINT) * n_shared_ngrams
+            // total_pair_hits AS BIGINT) AS top_share_ppm
+FROM ranked WHERE rn = 1"""
+
+
+CONTAMINATION_ATTRIBUTION_SQL = contamination_attribution_sql()
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination — the constant-memory scale twin of
 # `decontaminate`. The exact version broadcasts the benchmark's distinct
@@ -1653,8 +1753,10 @@ FROM cum ORDER BY qb DESC"""
 HASHCLF_BUCKET_LO, HASHCLF_BUCKET_HI = -64, 63  # clamped q6 score domain
 
 
-def _hashclf_bucket_frame(documents: DataFrame) -> DataFrame:
-    """(source, bucket): every scored doc's gate logit quantized to the
+def _hashclf_bucket_frame(
+    documents: DataFrame, with_source: bool = True
+) -> DataFrame:
+    """(source, bucket, label): every scored doc's gate logit quantized to the
     FIXED q6 domain — bucket = clamp(floor(64·logit)) =
     clamp(floor((SW − 16n)/(16n))), a pure-integer sign-split floor.
     Value-domain-bounded by CONTRACT (128 buckets), which is what makes
@@ -1694,6 +1796,7 @@ def _hashclf_bucket_frame(documents: DataFrame) -> DataFrame:
         " CASE WHEN sw - 16 * _n >= 0 THEN (sw - 16 * _n) DIV (16 * _n)"
         " ELSE -((-(sw - 16 * _n) + 16 * _n - 1) DIV (16 * _n)) END))"
     )
+    src = [F.col("source")] if with_source else []
     return (
         documents.withColumn("_ws", _words())
         .where(F.size("_ws") >= 2)
@@ -1701,12 +1804,64 @@ def _hashclf_bucket_frame(documents: DataFrame) -> DataFrame:
         .withColumn("_hx", hx)
         .withColumn("_wmapi", map_lit)
         .select(
-            "source",
+            *src,
             F.expr(sw_expr).alias("sw"),
             F.size("_bgs").cast("bigint").alias("_n"),
+            F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
         )
-        .select("source", F.expr(bucket).alias("bucket"))
+        .select(*src, F.expr(bucket).alias("bucket"), "label")
     )
+
+
+def hashclf_bucket_scores(documents: DataFrame) -> DataFrame:
+    """(score BIGINT, label INT): the gate classifier's q6-BUCKETED logit
+    as an mleval-ready scored frame — the value-domain-BOUNDED instance
+    of ts_auc_hashclf (r9 verdict #4). The exact ts_auc_hashclf score
+    floor(SW·nmax²/n) is injective on distinct logits, so its distinct-
+    score domain GROWS with corpus size (its 100×-probe note); this
+    variant trades tie-granularity for a FIXED 128-value domain
+    (clamp(floor(64·logit))), which is what lets the streaming monitor's
+    per-day count state stay constant-size at any event volume
+    (streaming/mleval.streaming_score_counts — hostile pins in
+    tests/test_streaming.py). Label truth: lang = 'en', same as
+    ts_auc_hashclf, so the two AUCs are directly comparable (bucketing
+    can only COARSEN the ranking — more ties, never reordering)."""
+    return _hashclf_bucket_frame(documents, with_source=False).select(
+        F.col("bucket").cast("bigint").alias("score"), "label"
+    )
+
+
+def hashclf_bucket_scores_cte() -> str:
+    """DuckDB `scored(score, label)` CTE twin of
+    :func:`hashclf_bucket_scores` — model fold re-derived in SQL; the q6
+    bucket floor is the sign-split CASE both engines spell identically
+    (integer division truncates toward zero in both — measured r9)."""
+    from .dedup import _hex_int_sql
+    from .textstats import WORDS_SQL
+
+    feat = _ft_feature_sql(duck=True)
+    md5w = "md5('ftw:' || CAST(f AS VARCHAR))"
+    w_int = f"(({_hex_int_sql(md5w, True)} % 2001) - 1000)"
+    return f"""
+  WITH wd AS (SELECT doc_id, lang, {WORDS_SQL} AS ws FROM documents
+              WHERE len({WORDS_SQL}) >= 2),
+  feats AS (SELECT doc_id, {feat} AS f FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM wd)),
+  sw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM({w_int}) AS BIGINT) AS sw
+         FROM feats GROUP BY doc_id),
+  scored AS (SELECT
+               LEAST(CAST({HASHCLF_BUCKET_HI} AS BIGINT),
+                 GREATEST(CAST({HASHCLF_BUCKET_LO} AS BIGINT),
+                   CASE WHEN sw.sw - 16 * sw.n >= 0
+                        THEN (sw.sw - 16 * sw.n) // (16 * sw.n)
+                        ELSE -((-(sw.sw - 16 * sw.n) + 16 * sw.n - 1)
+                               // (16 * sw.n)) END)) AS score,
+               CASE WHEN wd.lang = 'en' THEN 1 ELSE 0 END AS label
+             FROM sw JOIN wd USING (doc_id))"""
 
 
 def hashclf_drift_by_source(documents: DataFrame) -> DataFrame:

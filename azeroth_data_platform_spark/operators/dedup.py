@@ -372,6 +372,93 @@ def incremental_dedup(
     )
 
 
+def build_dedup_index(ref_docs: DataFrame) -> dict[str, DataFrame]:
+    """The STANDING dedup index of a reference corpus — what an ongoing
+    pipeline persists once and appends to, so each new crawl is deduped
+    WITHOUT re-shingling the corpus (r9 verdict #5; the actual 100 TB
+    operating mode — reference text is never re-read after indexing).
+
+    Three relations, each a one-pass derivation of the reference docs:
+      bands    (doc_id, band, band_key)  — the LSH candidate keys
+      shingles (doc_id, sh)              — distinct shingles, for the
+                                           exact-jaccard verify of
+                                           CANDIDATE ref docs only
+      sizes    (doc_id, n)               — |shingle set| per doc, so the
+                                           verify never recounts the
+                                           reference side
+    Persist each as parquet partitioned/bucketed by its join key (band_key
+    for bands, doc_id for shingles/sizes) and the incremental run's joins
+    are scan-pruned; appending a new batch's surviving docs keeps the
+    index current. Layout convention matches similarity.persist_lsh_index."""
+    sh = shingles(ref_docs)
+    return {
+        "bands": _minhash_bands(sh),
+        "shingles": sh,
+        "sizes": sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+    }
+
+
+def incremental_dedup_indexed(
+    delta_docs: DataFrame,
+    index: dict[str, DataFrame],
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(d_new, d_ref, jaccard): dedup a DELTA batch against a standing
+    index (build_dedup_index) — only the delta is shingled/minhashed;
+    the reference side is READ (bands for candidates, shingles+sizes for
+    the verify of candidate pairs), never recomputed. Cost therefore
+    tracks DELTA size: the band equi-join is delta-bands × index-bands
+    (linear in each, no self-join), and the verify touches exactly the
+    candidate pairs' rows of the index. Same result as
+    :func:`incremental_dedup` on the equivalent split (test-pinned) —
+    this is the code path a production pipeline runs; the one-shot form
+    exists for self-contained oracle checks."""
+    sh_new = shingles(delta_docs)
+    bands_new = _minhash_bands(sh_new)
+    a = bands_new.alias("a")
+    b = index["bands"].alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s1 = sh_new.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = index["shingles"].select(F.col("doc_id").alias("d2"), "sh")
+    common = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "sh"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes_new.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1"
+        )
+        .join(
+            index["sizes"].withColumnsRenamed({"doc_id": "d2", "n": "n2"}),
+            "d2",
+        )
+        .select(
+            F.col("d1").alias("d_new"),
+            F.col("d2").alias("d_ref"),
+            (
+                F.col("common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 INCREMENTAL_DEDUP_SQL = f"""
   WITH {_shingle_sql()},
   {_SIZES_SQL},

@@ -195,11 +195,16 @@ def main() -> int:
             "ts_langid_prf",
             "ts_auc_doclen",
             "ts_auc_hashclf",
+            "ts_auc_hashclf_bucketed",
+            "tp_contamination_attribution",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",
             "dd_lsh_tuning",
             "tp_contamination_report",
+            "tp_contamination_attribution",
+            "ts_auc_hashclf_bucketed",
+            "dd_incremental",
             "w_top_paths",
             "ts_hashclf_drift",
             "tp_quality_curve",

@@ -642,6 +642,110 @@ def test_incremental_dedup_flags_only_new_vs_reference(spark):
     assert out[(6, 5)] == 1.0
 
 
+def test_incremental_dedup_indexed_matches_oneshot_and_never_rescans_ref(
+    spark, tmp_path, sf_dir
+):
+    """r10 (verdict #5): the indexed path — delta joined against a
+    STANDING persisted signature/band index — returns exactly the
+    one-shot incremental_dedup result on the equivalent split, and its
+    physical plan reads the reference side from the INDEX parquet, never
+    from the reference documents (the 100 TB contract: a new crawl never
+    re-shingles the corpus)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    is_ref = F.col("doc_id") % dedup.INCR_REF_MOD == 0
+    # persist the index the way a pipeline would, then read it back
+    idx_dir = str(tmp_path / "dedup_index")
+    built = dedup.build_dedup_index(docs.where(is_ref))
+    for name, df in built.items():
+        df.write.parquet(f"{idx_dir}/{name}")
+    index = {
+        name: spark.read.parquet(f"{idx_dir}/{name}") for name in built
+    }
+    delta = docs.where(~is_ref)
+    got = dedup.incremental_dedup_indexed(delta, index)
+    want = {
+        (r.d_new, r.d_ref): r.jaccard
+        for r in dedup.incremental_dedup(docs).collect()
+    }
+    assert {(r.d_new, r.d_ref): r.jaccard for r in got.collect()} == want
+    # plan pin: every documents.parquet scan is a DELTA scan (carries the
+    # pushed NOT (doc_id % 5 = 0) filter) — the reference side comes only
+    # from the index files, never from re-reading reference text
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines() if "documents.parquet" in ln
+    ]
+    assert doc_scans, plan
+    for ln in doc_scans:
+        assert "NOT" in ln and "% 5" in ln, ln
+    assert "dedup_index" in plan
+    # delta-only cost: a 1-row delta against the same index must do its
+    # shingle work on 1 doc (semantic probe: returns only that doc's hits)
+    one = delta.orderBy("doc_id").limit(1)
+    sub = dedup.incremental_dedup_indexed(one, index).collect()
+    one_id = one.collect()[0].doc_id
+    assert all(r.d_new == one_id for r in sub)
+    assert {(r.d_new, r.d_ref) for r in sub} == {
+        p for p in want if p[0] == one_id
+    }
+
+
+def test_contamination_attribution_argmax_and_tiebreak(spark):
+    """Crafted corpus: the leaked bench doc wins the argmax; exact-tie
+    attribution breaks toward the smaller bench doc_id; the ppm share is
+    the exact truncated rational; clean docs don't appear."""
+    from azeroth_data_platform_spark.operators.corpus import (
+        contamination_attribution,
+    )
+
+    w = lambda s, k: " ".join(s * k)  # noqa: E731
+    b_words = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12".split()
+    c_words = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12".split()
+    bench_a = " ".join(b_words)             # doc 10
+    bench_b = " ".join(c_words)             # doc 20
+    # corpus doc 1: contains 3 bench_a 8-grams and 1 bench_b 8-gram
+    corpus_1 = " ".join(b_words[:10] + ["zz"] + c_words[:8])
+    # corpus doc 2: exactly one 8-gram from EACH bench doc -> tie -> 10
+    corpus_2 = " ".join(b_words[:8] + ["qq"] + c_words[:8])
+    clean = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"
+    docs = spark.createDataFrame(
+        [
+            (10, bench_a, "en", "web", len(bench_a)),
+            (20, bench_b, "en", "web", len(bench_b)),
+            (1, corpus_1, "en", "web", len(corpus_1)),
+            (2, corpus_2, "en", "web", len(corpus_2)),
+            (3, clean, "en", "web", len(clean)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in contamination_attribution(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1.bench_doc_id == 10
+    assert r1.n_shared_ngrams == 3 and r1.total_pair_hits == 4
+    assert r1.n_bench_docs_hit == 2
+    assert r1.top_share_ppm == 750_000
+    r2 = out[2]
+    assert r2.bench_doc_id == 10  # tie (1 vs 1) -> smaller bench id
+    assert r2.n_shared_ngrams == 1 and r2.total_pair_hits == 2
+    assert r2.top_share_ppm == 500_000
+
+
+def test_contamination_attribution_plan_broadcast_no_selfjoin(spark, sf_dir):
+    """Plan pin: the bench (sh, bench_doc) side broadcasts; no
+    SortMergeJoin of corpus against corpus, no CartesianProduct."""
+    from azeroth_data_platform_spark import harness
+
+    df = harness.ALL_QUERIES["tp_contamination_attribution"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_quantize_sq8_codes_and_error_bound(spark):
     """With a known per-dimension range the codes are exact: min maps to 0,
     max to 255 (the top level), and every reconstruction error is bounded

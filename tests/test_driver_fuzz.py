@@ -96,6 +96,11 @@ FUZZ_QUERIES = [
     "tp_contamination_report",
     "ts_hashclf_drift",
     "tp_quality_curve",
+    # round 10: attribution argmax/tie-break on hostile docs; the bucketed
+    # gate score (clamp boundaries on repeated-bigram docs); the indexed
+    # incremental-dedup driver path on dup clusters
+    "tp_contamination_attribution",
+    "ts_auc_hashclf_bucketed",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",

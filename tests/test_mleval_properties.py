@@ -243,6 +243,57 @@ def test_hash_classifier_scores_integer_export(spark):
     assert row.auc_ppm == want_ppm
 
 
+def test_hashclf_bucket_scores_domain_and_python_recompute(spark):
+    """r10 (verdict #4): the q6-bucketed gate score — every bucket inside
+    the fixed [-64, 63] domain, values equal to a pure-Python
+    clamp(floor((SW - 16n)/(16n))) recompute from hashlib (independent of
+    the SQL md5 chain), and bucketing is a MONOTONE coarsening of the
+    exact ts_auc_hashclf score (never reorders, only ties)."""
+    import hashlib
+    import math
+    from fractions import Fraction
+
+    from azeroth_data_platform_spark.operators import corpus as C
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "le renard brun rapide saute par dessus le chien", "fr"),
+        (3, "a b", "en"),
+        (4, "x y z w v u t s r q p o n m l k j i h g", "de"),
+        (5, "data platform market " * 30, "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = sorted(
+        (r.score, r.label) for r in C.hashclf_bucket_scores(df).collect()
+    )
+
+    def sw_n(text):
+        ws = [w for w in text.split(" ") if w]
+        sw = 0
+        for a, b in zip(ws, ws[1:]):
+            h = int(hashlib.md5(f"ftq:{a} {b}".encode()).hexdigest()[:8], 16)
+            f = (h % 2_147_483_647) % C.FT_BUCKETS
+            hw = int(
+                hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16
+            ) % 2_147_483_647
+            sw += hw % 2001 - 1000
+        return sw, len(ws) - 1
+
+    exp = []
+    fracs = []
+    for _, t, lang in docs:
+        sw, n = sw_n(t)
+        b = max(-64, min(63, math.floor(Fraction(sw - 16 * n, 16 * n))))
+        exp.append((b, 1 if lang == "en" else 0))
+        fracs.append(Fraction(sw, n))
+    assert got == sorted(exp)
+    assert all(C.HASHCLF_BUCKET_LO <= s <= C.HASHCLF_BUCKET_HI for s, _ in got)
+    # monotone coarsening: order of buckets never contradicts exact logits
+    pairs = sorted(zip(fracs, (b for b, _ in exp)))
+    for (f1, b1), (f2, b2) in zip(pairs, pairs[1:]):
+        assert b1 <= b2
+
+
 def test_hash_classifier_scores_empty_corpus_no_error(spark):
     """r10 (ADVICE #1): when NO document has >= 2 words, the nmax
     aggregate is NULL — the guard CASE must take the explicit IS NULL
