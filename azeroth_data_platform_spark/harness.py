@@ -426,6 +426,36 @@ def q_w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.sessionize(_events_ts(spark, sf_dir))
 
 
+def q_x_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — sweep-line over gap-session
+    intervals in pure integers (windows.max_concurrency_daily); the
+    capacity-planning read of the event stream."""
+    return windows.max_concurrency_daily(_events_ts(spark, sf_dir))
+
+
+def q_a18_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per item: exact lower-median of pairwise
+    daily-price slopes in integer micro-units
+    (operators/timeseries.py theil_sen_trend) — the 29%-breakdown
+    robust twin of a12's OLS-style beta."""
+    from .operators import timeseries
+
+    return timeseries.theil_sen_trend(_silver(spark, sf_dir))
+
+
+def q_dd_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed precision/recall of the MinHash banding vs exact-jaccard
+    ground truth (dedup.lsh_recall_report) — the dedup twin of
+    ann_recall_report; eval-scale by contract (quadratic truth side)."""
+    return dedup.lsh_recall_report(_docs(spark, sf_dir))
+
+
+def q_o14_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted-catalog sidebar counts over dim_items in one GROUPING SETS
+    pass (serving.facet_counts)."""
+    return serving.facet_counts(adapters.dim_items(spark, sf_dir))
+
+
 def q_x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.event_type_pivot(_events_ts(spark, sf_dir))
 
@@ -1926,6 +1956,10 @@ QUERIES: dict[str, QueryFn] = {
     "dd_incremental": q_dd_incremental,
     "tp_contamination_attribution": q_tp_contamination_attribution,
     "ts_auc_hashclf_bucketed": q_ts_auc_hashclf_bucketed,
+    "a18_theil_sen": q_a18_theil_sen,
+    "x_max_concurrency": q_x_max_concurrency,
+    "dd_recall_report": q_dd_recall_report,
+    "o14_facet_counts": q_o14_facet_counts,
     # --- remaining head slots: the oldest r8-row queries (r8-block prior
     # slot order) filling the 50 recorded slots ---
     "ts_pmi_collocations": q_ts_pmi_collocations,
@@ -2033,19 +2067,20 @@ QUERIES: dict[str, QueryFn] = {
     "dd_embed_lsh": q_dd_embed_lsh,
 }
 
-assert len(QUERIES) == 134, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 138, f"driver registry drifted: got {len(QUERIES)}"
 # r10 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
 # records exactly the first 50 dict keys.
 assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
 assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
 assert list(QUERIES)[31] == "dd_incremental", "slot-32 drifted"
-assert list(QUERIES)[34] == "ts_pmi_collocations", "slot-35 drifted"
-assert list(QUERIES)[49] == "x_ks_drift", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "x_psi_drift", "slot-51 drifted"
-assert list(QUERIES)[83] == "x_hll_distinct", "slot-84 drifted"
-assert list(QUERIES)[84] == "tp_chunk_documents", "slot-85 drifted"
-assert list(QUERIES)[133] == "dd_embed_lsh", "slot-134 drifted"
+assert list(QUERIES)[37] == "o14_facet_counts", "slot-38 drifted"
+assert list(QUERIES)[38] == "ts_pmi_collocations", "slot-39 drifted"
+assert list(QUERIES)[49] == "x_skew_report", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "x_benford_check", "slot-51 drifted"
+assert list(QUERIES)[87] == "x_hll_distinct", "slot-88 drifted"
+assert list(QUERIES)[88] == "tp_chunk_documents", "slot-89 drifted"
+assert list(QUERIES)[137] == "dd_embed_lsh", "slot-138 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2386,6 +2421,10 @@ ORACLES["ts_auc_hashclf_bucketed"] = mleval.auc_exact_sql(
 )
 ORACLES["tp_contamination_attribution"] = corpus.CONTAMINATION_ATTRIBUTION_SQL
 ORACLES["dd_incremental"] = dedup.INCREMENTAL_DEDUP_SQL
+ORACLES["a18_theil_sen"] = _timeseries.theil_sen_sql(_W_SILVER)
+ORACLES["x_max_concurrency"] = windows.MAX_CONCURRENCY_SQL
+ORACLES["dd_recall_report"] = dedup.LSH_RECALL_REPORT_SQL
+ORACLES["o14_facet_counts"] = serving.facet_counts_sql(adapters.DIM_SQL)
 ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
 ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())

@@ -1827,3 +1827,110 @@ SELECT bands, rows, CAST(h.jband AS BIGINT) AS jband, n_pairs,
          AS expected_pairs_q3
 FROM hist h JOIN curve c ON CAST(h.jband AS BIGINT) = c.jband
 ORDER BY bands, rows, jband"""
+
+
+# ---------------------------------------------------------------------------
+# LSH banding quality report — precision/recall of the banded candidate
+# set against EXACT-jaccard ground truth, the dedup twin of
+# ann_recall_report: "is (16 seeds, 4 bands) actually catching the dups
+# above θ on THIS corpus?" — measured, not read off the S-curve
+# (dd_lsh_tuning gives the analytic retention; this gives the observed
+# one, including the correlation structure the independence assumption
+# misses). The ground-truth side is the quadratic pairwise sweep, so this
+# is an EVAL-SCALE operator by contract (run it on a sample, like every
+# recall report); the candidate side is the production banded path.
+
+
+def lsh_recall_report(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """One row: (threshold, n_true_pairs, n_candidates, n_true_candidates,
+    precision_ppm, recall_ppm, missed_pairs) for the MinHash-banded
+    candidate generator vs exact n-gram jaccard at `threshold`.
+
+    recall = what fraction of true >=θ pairs the bands surfaced (the
+    S-curve's promise, observed); precision = what fraction of surfaced
+    candidates survive exact verification (the verify stage's workload).
+    Shares are exact truncated ppm (DECIMAL/HUGEINT DIV), NULL when the
+    denominator is empty (guarded — Spark 4 ANSI raises on /0). The three
+    counts are 1-row aggregates combined by 1-row crossJoins (the allowed
+    crossJoin shape). Cites the public MinHash-LSH banding analysis
+    (Broder; MMDS ch.3) the S-curve device comes from."""
+    sh = shingles(documents)
+    truth = _pairwise_jaccard(sh).where(F.col("jaccard") >= threshold)
+    bands_df = _minhash_bands(sh)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    tp = _verify_jaccard(sh, cand).where(F.col("jaccard") >= threshold)
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_tp = tp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_candidates")
+    )
+    ppm = (
+        lambda num, den: f"CASE WHEN {den} = 0 THEN NULL ELSE"
+        f" CAST(CAST(1000000 AS DECIMAL(38,0)) * {num} DIV {den} AS BIGINT)"
+        " END"
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_tp)
+        .select(
+            F.lit(float(threshold)).alias("threshold"),
+            "n_true_pairs",
+            "n_candidates",
+            "n_true_candidates",
+            F.expr(ppm("n_true_candidates", "n_candidates")).alias(
+                "precision_ppm"
+            ),
+            F.expr(ppm("n_true_candidates", "n_true_pairs")).alias(
+                "recall_ppm"
+            ),
+            (F.col("n_true_pairs") - F.col("n_true_candidates"))
+            .cast("bigint")
+            .alias("missed_pairs"),
+        )
+    )
+
+
+LSH_RECALL_REPORT_SQL = f"""
+  WITH {_shingle_sql()},
+  {_SIZES_SQL},
+  truth AS (
+    SELECT p.d1, p.d2
+    FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id) p
+    JOIN sizes x ON x.doc_id = p.d1 JOIN sizes y ON y.doc_id = p.d2
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common)
+          >= {JACCARD_THRESHOLD}),
+  {_minhash_bands_sql()},
+  cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+  tp AS (SELECT c.d1, c.d2 FROM cand c JOIN truth t
+           ON c.d1 = t.d1 AND c.d2 = t.d2),
+  counts AS (SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true_candidates)
+SELECT CAST({JACCARD_THRESHOLD} AS DOUBLE) AS threshold,
+       n_true_pairs, n_candidates, n_true_candidates,
+       CASE WHEN n_candidates = 0 THEN NULL ELSE
+         CAST(CAST(1000000 AS HUGEINT) * n_true_candidates // n_candidates
+              AS BIGINT) END AS precision_ppm,
+       CASE WHEN n_true_pairs = 0 THEN NULL ELSE
+         CAST(CAST(1000000 AS HUGEINT) * n_true_candidates // n_true_pairs
+              AS BIGINT) END AS recall_ppm,
+       CAST(n_true_pairs - n_true_candidates AS BIGINT) AS missed_pairs
+FROM counts"""

@@ -145,3 +145,57 @@ def search_after_page(
         .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
         .limit(limit)
     )
+
+
+def facet_counts(
+    dim_items: DataFrame, facets: tuple[str, ...] = ("quality", "item_class")
+) -> DataFrame:
+    """(facet, value, n_items): the sidebar counts of a faceted catalog
+    page — for each facet column, how many items carry each value — in
+    ONE scan via GROUPING SETS of the single-column cuts (Expand node;
+    no per-facet re-aggregation, no union of N groupBys re-reading the
+    table N times). The serving-side instance of the grouping-sets
+    device (windows.grouping_sets_summary is the OLAP general form);
+    every search UI issues exactly this query next to its result page.
+
+    grouping() flags (not NULL-ness) decide which facet a row belongs
+    to, so genuine NULL facet values still count — the sector_rollup
+    trap. Ordered (facet, n_items desc, value) for a deterministic
+    page. Cites reference main.py:31-34 (the catalog page this
+    decorates)."""
+    sets = [[c] for c in facets]
+    gs = dim_items.groupingSets(sets, *facets).agg(
+        *[F.grouping(c).cast("int").alias(f"_g_{c}") for c in facets],
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    facet_expr = "CASE " + " ".join(
+        f"WHEN _g_{c} = 0 THEN '{c}'" for c in facets
+    ) + " END"
+    value_expr = "CASE " + " ".join(
+        f"WHEN _g_{c} = 0 THEN CAST({c} AS STRING)" for c in facets
+    ) + " END"
+    return (
+        gs.select(
+            F.expr(facet_expr).alias("facet"),
+            F.expr(value_expr).alias("value"),
+            "n_items",
+        )
+        .orderBy("facet", F.col("n_items").desc(), "value")
+    )
+
+
+def facet_counts_sql(dim_sql: str, facets: tuple[str, ...] = ("quality", "item_class")) -> str:
+    """DuckDB twin of :func:`facet_counts` (same GROUPING SETS shape)."""
+    sets = ", ".join(f"({c})" for c in facets)
+    facet_expr = "CASE " + " ".join(
+        f"WHEN GROUPING({c}) = 0 THEN '{c}'" for c in facets
+    ) + " END"
+    value_expr = "CASE " + " ".join(
+        f"WHEN GROUPING({c}) = 0 THEN CAST({c} AS VARCHAR)" for c in facets
+    ) + " END"
+    return f"""
+  WITH dim AS ({dim_sql})
+SELECT {facet_expr} AS facet, {value_expr} AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM dim GROUP BY GROUPING SETS ({sets})
+ORDER BY facet, n_items DESC, value"""

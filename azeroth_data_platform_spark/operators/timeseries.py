@@ -836,3 +836,130 @@ SELECT item_class, snapshot_date, dow,
 FROM st
 WHERE n_d >= {DOW_MIN_SAMPLES} AND {DOW_FLAG_QUARTER} * abs(n_d * x - s_d) > s_d
 ORDER BY item_class, snapshot_date"""
+
+
+# --- Theil–Sen robust trend ------------------------------------------------
+# Median-of-pairwise-slopes trend per item — the 29%-breakdown robust
+# alternative to an OLS fit (a12's cov/var device): one wild price day
+# cannot flip the verdict. Key scale fact: the pair relation is built
+# from the per-(item, day) AGGREGATE, so its size is items × C(days, 2)
+# — days are CALENDAR-bounded, independent of fact-table volume, which
+# is what makes an O(days²) estimator safe at 100 TB (the same argument
+# as the dow-baseline/ACF family).
+
+THEIL_MIN_DAYS = 3  # below this a "trend" is a line through noise
+THEIL_WINDOW_DAYS = 365  # trailing window: bounds pairs at C(366,2)/item
+
+
+def theil_sen_trend(
+    silver: DataFrame,
+    min_days: int = THEIL_MIN_DAYS,
+    window_days: int = THEIL_WINDOW_DAYS,
+) -> DataFrame:
+    """(item_id, n_days, n_pairs, slope_uc_per_day, trend): Theil–Sen
+    trend of each item's daily price series — the exact LOWER MEDIAN of
+    all pairwise slopes (p_j − p_i)/(d_j − d_i), i < j, in integer
+    arithmetic.
+
+    Exactness: each slope is a rational of integers (day price in cents
+    via int_units; day index an integer datediff). It is quantized by the
+    sign-split floor of 10⁶·Δp/Δd — a MONOTONE NON-DECREASING map, and
+    monotone maps commute with order statistics (f(x)₍ₖ₎ = f(x₍ₖ₎)), so
+    the lower median of quantized slopes IS the quantized lower median of
+    the true rationals: no averaging of middle elements, no doubles
+    anywhere. Numerators stage through DECIMAL(38,0)/HUGEINT; both
+    engines' integer division truncates toward zero (measured r9), so
+    floor is the same sign-split CASE in both dialects.
+
+    Plan shape: one (item, day) groupBy (map-combinable) → trailing
+    `window_days` anchor (the shared _window_anchor device — the pair
+    count is then CALENDAR-BOUNDED at C(window+1, 2) per item regardless
+    of history length, which is the 100 TB contract for an O(days²)
+    estimator) → item-keyed equi self-join of that aggregate (never a
+    CartesianProduct) → one item-keyed window for the median rank. Cites
+    reference models.py:30-105 (the gold trend tables this family
+    extends)."""
+    daily = (
+        _window_anchor(_daily(silver), window_days)
+        .select(
+            "item_id",
+            F.expr("datediff(snapshot_date, DATE'1970-01-01')").alias("d"),
+            int_units("price").cast("bigint").alias("p"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slope = (
+        "CASE WHEN b.p - a.p >= 0 THEN CAST(CAST(1000000 AS DECIMAL(38,0))"
+        " * (b.p - a.p) DIV (b.d - a.d) AS BIGINT)"
+        " ELSE -CAST((CAST(1000000 AS DECIMAL(38,0)) * (a.p - b.p)"
+        " + (b.d - a.d) - 1) DIV (b.d - a.d) AS BIGINT) END"
+    )
+    pairs = (
+        a.join(b, (F.col("a.item_id") == F.col("b.item_id")) & (F.col("b.d") > F.col("a.d")))
+        .select(F.col("a.item_id").alias("item_id"), F.expr(slope).alias("slope_uc"))
+    )
+    wcnt = Window.partitionBy("item_id")
+    wrank = Window.partitionBy("item_id").orderBy("slope_uc")
+    ranked = (
+        pairs.withColumn("n_pairs", F.count(F.lit(1)).over(wcnt).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(wrank))
+        .where(F.expr("_rn = (n_pairs + 1) DIV 2"))
+    )
+    n_days = daily.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        ranked.join(n_days, "item_id")
+        .where(F.col("n_days") >= min_days)
+        .select(
+            "item_id",
+            "n_days",
+            "n_pairs",
+            F.col("slope_uc").alias("slope_uc_per_day"),
+            F.expr(
+                "CASE WHEN slope_uc > 0 THEN 'up'"
+                " WHEN slope_uc < 0 THEN 'down' ELSE 'flat' END"
+            ).alias("trend"),
+        )
+    )
+
+
+def theil_sen_sql(
+    silver_sql_cte: str,
+    min_days: int = THEIL_MIN_DAYS,
+    window_days: int = THEIL_WINDOW_DAYS,
+) -> str:
+    """DuckDB twin of :func:`theil_sen_trend` (expects `silver` CTE)."""
+    return f"""{silver_sql_cte},
+  daily0 AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+             FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily0),
+  daily AS (SELECT item_id,
+                   CAST(snapshot_date - DATE '1970-01-01' AS BIGINT) AS d,
+                   CAST({int_units_sql('price')} AS BIGINT) AS p
+            FROM daily0, anchor
+            WHERE snapshot_date >= d1 - INTERVAL {window_days} DAY),
+  pairs AS (
+    SELECT a.item_id,
+           CASE WHEN b.p - a.p >= 0
+                THEN CAST(CAST(1000000 AS HUGEINT) * (b.p - a.p)
+                          // (b.d - a.d) AS BIGINT)
+                ELSE -CAST((CAST(1000000 AS HUGEINT) * (a.p - b.p)
+                            + (b.d - a.d) - 1) // (b.d - a.d) AS BIGINT)
+           END AS slope_uc
+    FROM daily a JOIN daily b
+      ON a.item_id = b.item_id AND b.d > a.d),
+  ranked AS (
+    SELECT item_id, slope_uc,
+           CAST(COUNT(*) OVER (PARTITION BY item_id) AS BIGINT) AS n_pairs,
+           ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY slope_uc) AS rn
+    FROM pairs),
+  med AS (SELECT * FROM ranked WHERE rn = (n_pairs + 1) // 2),
+  nd AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY item_id)
+SELECT m.item_id, nd.n_days, m.n_pairs,
+       m.slope_uc AS slope_uc_per_day,
+       CASE WHEN m.slope_uc > 0 THEN 'up'
+            WHEN m.slope_uc < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM med m JOIN nd ON m.item_id = nd.item_id
+WHERE nd.n_days >= {min_days}"""

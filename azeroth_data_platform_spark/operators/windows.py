@@ -111,6 +111,110 @@ PIVOT_SQL = f"""
          {", ".join(f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
   FROM events GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)"""
 
+
+def max_concurrency_daily(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """(day, n_sessions, max_concurrent): peak simultaneous sessions per
+    day — the capacity-planning read every serving team asks of event
+    data, as a sweep-line over gap-sessionized [start, end] intervals.
+
+    Sweep-line in pure integers: each session contributes a +1 at its
+    (day-clipped) start microsecond and a −1 at its end microsecond; a
+    running sum ordered by (ts, +1-before-−1) is the instantaneous
+    concurrency, and its per-day max is the answer. CLOSED intervals:
+    at an exact touch the start sorts before the end, so a single-event
+    session (start == end) still counts itself, deterministically in
+    both engines. Sessions crossing midnight are split into per-day
+    segments (sequence over the date span), so the day window never
+    sees another day's rows.
+
+    Determinism under ties: rows tied on (ts, delta) carry EQUAL deltas,
+    and prefix sums over a permutation of equal elements are the same
+    multiset — the per-day max is order-independent. Scale shape: the
+    sweep runs over SESSION ENDPOINTS (two rows per session-day), not
+    events; windows are day-partitioned, bounded by daily session count,
+    never partition-less. Cites reference app.py:27-98 (the dashboard's
+    activity panel this generalizes)."""
+    sess = sessionize(events, gap_minutes).select(
+        "session_start", "session_end"
+    )
+    seg = sess.select(
+        F.explode(
+            F.sequence(
+                F.expr("CAST(session_start AS DATE)"),
+                F.expr("CAST(session_end AS DATE)"),
+            )
+        ).alias("day"),
+        "session_start",
+        "session_end",
+    ).select(
+        "day",
+        F.expr(
+            "GREATEST(unix_micros(session_start),"
+            " unix_micros(CAST(day AS TIMESTAMP)))"
+        ).alias("b_us"),
+        F.expr(
+            "LEAST(unix_micros(session_end),"
+            " unix_micros(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) - 1)"
+        ).alias("e_us"),
+    )
+    deltas = seg.select(
+        "day", F.col("b_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        seg.select(
+            "day", F.col("e_us").alias("ts_us"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ts_us").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.withColumn("running", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("CASE WHEN delta = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.max("running").cast("bigint").alias("max_concurrent"),
+        )
+        .orderBy("day")
+    )
+
+
+MAX_CONCURRENCY_SQL = f"""
+  WITH sess AS ({SESSIONIZE_SQL}),
+  seg0 AS (SELECT session_start, session_end,
+                  unnest([CAST(session_start AS DATE) + CAST(i AS INTEGER)
+                          FOR i IN range(0, CAST(session_end AS DATE)
+                                            - CAST(session_start AS DATE) + 1)])
+                    AS day
+           FROM sess),
+  seg AS (SELECT day,
+                 GREATEST(epoch_us(session_start),
+                          epoch_us(CAST(day AS TIMESTAMP))) AS b_us,
+                 LEAST(epoch_us(session_end),
+                       epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) - 1)
+                   AS e_us
+          FROM seg0),
+  deltas AS (
+    SELECT day, b_us AS ts_us, 1 AS delta FROM seg
+    UNION ALL
+    SELECT day, e_us AS ts_us, -1 AS delta FROM seg),
+  swept AS (
+    SELECT day, delta,
+           SUM(delta) OVER (PARTITION BY day ORDER BY ts_us ASC, delta DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running
+    FROM deltas)
+SELECT day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(MAX(running) AS BIGINT) AS max_concurrent
+FROM swept GROUP BY day ORDER BY day"""
+
 def sector_cube(silver: DataFrame, dim_items: DataFrame) -> DataFrame:
     """Two-dimension cube over (item_class, time_left): every subtotal
     combination in one pass. Per-column grouping flags (not grouping_id)

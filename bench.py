@@ -197,14 +197,15 @@ def main() -> int:
             "ts_auc_hashclf",
             "ts_auc_hashclf_bucketed",
             "tp_contamination_attribution",
+            "a18_theil_sen",
+            "x_max_concurrency",
+            "dd_recall_report",
+            "o14_facet_counts",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",
             "dd_lsh_tuning",
             "tp_contamination_report",
-            "tp_contamination_attribution",
-            "ts_auc_hashclf_bucketed",
-            "dd_incremental",
             "w_top_paths",
             "ts_hashclf_drift",
             "tp_quality_curve",
@@ -374,6 +375,16 @@ def main() -> int:
             "w_top_paths",
             "ts_hashclf_drift",
             "tp_quality_curve",
+            # round-10 additions: attribution rides the decontaminate
+            # broadcast, the bucketed AUC the md5 band, Theil-Sen is
+            # calendar²-bounded, concurrency sweeps session endpoints,
+            # facets one Expand pass, incremental dedup delta-bounded
+            "tp_contamination_attribution",
+            "ts_auc_hashclf_bucketed",
+            "dd_incremental",
+            "a18_theil_sen",
+            "x_max_concurrency",
+            "o14_facet_counts",
             "a15_mad_outliers",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a

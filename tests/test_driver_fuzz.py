@@ -101,6 +101,13 @@ FUZZ_QUERIES = [
     # incremental-dedup driver path on dup clusters
     "tp_contamination_attribution",
     "ts_auc_hashclf_bucketed",
+    # round 10 (cont.): Theil-Sen on gap days/ties, sweep-line concurrency
+    # on ts ties and single-event users, banding recall on dup clusters,
+    # facet counts with sparse facets
+    "a18_theil_sen",
+    "x_max_concurrency",
+    "dd_recall_report",
+    "o14_facet_counts",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",
