@@ -1740,6 +1740,18 @@ def q_ts_auc_hashclf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_auc_hashclf_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source AUC of the q6-bucketed gate score (mleval.auc_by_group
+    over corpus.hashclf_bucket_scores_by_source) — the slice-wise gate
+    health check next to ts_hashclf_drift's PSI view; per-slice state is
+    sources × ≤128 buckets, constant-size, so the streaming monitor
+    shape carries over per slice."""
+    _prep(spark)
+    return mleval.auc_by_group(
+        corpus.hashclf_bucket_scores_by_source(_docs(spark, sf_dir))
+    )
+
+
 def q_tp_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per contaminated corpus doc: WHICH benchmark doc leaked (argmax
     by distinct shared n-grams, deterministic tie-break), how much of
@@ -1960,6 +1972,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_max_concurrency": q_x_max_concurrency,
     "dd_recall_report": q_dd_recall_report,
     "o14_facet_counts": q_o14_facet_counts,
+    "ts_auc_hashclf_by_source": q_ts_auc_hashclf_by_source,
     # --- remaining head slots: the oldest r8-row queries (r8-block prior
     # slot order) filling the 50 recorded slots ---
     "ts_pmi_collocations": q_ts_pmi_collocations,
@@ -2067,20 +2080,20 @@ QUERIES: dict[str, QueryFn] = {
     "dd_embed_lsh": q_dd_embed_lsh,
 }
 
-assert len(QUERIES) == 138, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 139, f"driver registry drifted: got {len(QUERIES)}"
 # r10 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
 # records exactly the first 50 dict keys.
 assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
 assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
 assert list(QUERIES)[31] == "dd_incremental", "slot-32 drifted"
-assert list(QUERIES)[37] == "o14_facet_counts", "slot-38 drifted"
-assert list(QUERIES)[38] == "ts_pmi_collocations", "slot-39 drifted"
-assert list(QUERIES)[49] == "x_skew_report", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "x_benford_check", "slot-51 drifted"
-assert list(QUERIES)[87] == "x_hll_distinct", "slot-88 drifted"
-assert list(QUERIES)[88] == "tp_chunk_documents", "slot-89 drifted"
-assert list(QUERIES)[137] == "dd_embed_lsh", "slot-138 drifted"
+assert list(QUERIES)[38] == "ts_auc_hashclf_by_source", "slot-39 drifted"
+assert list(QUERIES)[39] == "ts_pmi_collocations", "slot-40 drifted"
+assert list(QUERIES)[49] == "a14_forecast_backtest", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "x_skew_report", "slot-51 drifted"
+assert list(QUERIES)[88] == "x_hll_distinct", "slot-89 drifted"
+assert list(QUERIES)[89] == "tp_chunk_documents", "slot-90 drifted"
+assert list(QUERIES)[138] == "dd_embed_lsh", "slot-139 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2422,6 +2435,9 @@ ORACLES["ts_auc_hashclf_bucketed"] = mleval.auc_exact_sql(
 ORACLES["tp_contamination_attribution"] = corpus.CONTAMINATION_ATTRIBUTION_SQL
 ORACLES["dd_incremental"] = dedup.INCREMENTAL_DEDUP_SQL
 ORACLES["a18_theil_sen"] = _timeseries.theil_sen_sql(_W_SILVER)
+ORACLES["ts_auc_hashclf_by_source"] = mleval.auc_by_group_sql(
+    corpus.hashclf_bucket_scores_by_source_cte()
+)
 ORACLES["x_max_concurrency"] = windows.MAX_CONCURRENCY_SQL
 ORACLES["dd_recall_report"] = dedup.LSH_RECALL_REPORT_SQL
 ORACLES["o14_facet_counts"] = serving.facet_counts_sql(adapters.DIM_SQL)

@@ -1831,6 +1831,51 @@ def hashclf_bucket_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+def hashclf_bucket_scores_by_source(documents: DataFrame) -> DataFrame:
+    """(grp, score, label): the q6-bucketed gate score keyed by source —
+    the slice-wise instance for mleval.auc_by_group ('is the gate
+    ranking THIS domain's docs as well as the corpus?'), next to
+    ts_hashclf_drift's PSI view of the same bucketed score. Per-slice
+    state is (sources × ≤128 buckets) — constant-size per slice, so the
+    streaming monitor shape carries over unchanged."""
+    return _hashclf_bucket_frame(documents).select(
+        F.col("source").alias("grp"),
+        F.col("bucket").cast("bigint").alias("score"),
+        "label",
+    )
+
+
+def hashclf_bucket_scores_by_source_cte() -> str:
+    """DuckDB `scored(grp, score, label)` CTE twin of
+    :func:`hashclf_bucket_scores_by_source`."""
+    from .dedup import _hex_int_sql
+    from .textstats import WORDS_SQL
+
+    feat = _ft_feature_sql(duck=True)
+    md5w = "md5('ftw:' || CAST(f AS VARCHAR))"
+    w_int = f"(({_hex_int_sql(md5w, True)} % 2001) - 1000)"
+    return f"""
+  WITH wd AS (SELECT doc_id, lang, source, {WORDS_SQL} AS ws FROM documents
+              WHERE len({WORDS_SQL}) >= 2),
+  feats AS (SELECT doc_id, {feat} AS f FROM
+              (SELECT doc_id,
+                      unnest([ws[i] || ' ' || ws[i + 1]
+                              FOR i IN range(1, len(ws))]) AS bg
+               FROM wd)),
+  sw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM({w_int}) AS BIGINT) AS sw
+         FROM feats GROUP BY doc_id),
+  scored AS (SELECT wd.source AS grp,
+               LEAST(CAST({HASHCLF_BUCKET_HI} AS BIGINT),
+                 GREATEST(CAST({HASHCLF_BUCKET_LO} AS BIGINT),
+                   CASE WHEN sw.sw - 16 * sw.n >= 0
+                        THEN (sw.sw - 16 * sw.n) // (16 * sw.n)
+                        ELSE -((-(sw.sw - 16 * sw.n) + 16 * sw.n - 1)
+                               // (16 * sw.n)) END)) AS score,
+               CASE WHEN wd.lang = 'en' THEN 1 ELSE 0 END AS label
+             FROM sw JOIN wd USING (doc_id))"""
+
+
 def hashclf_bucket_scores_cte() -> str:
     """DuckDB `scored(score, label)` CTE twin of
     :func:`hashclf_bucket_scores` — model fold re-derived in SQL; the q6

@@ -400,6 +400,29 @@ def build_dedup_index(ref_docs: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def append_to_dedup_index(index_dir: str, new_docs: DataFrame) -> None:
+    """Append a batch's docs (the incremental run's SURVIVORS) to a
+    persisted dedup index — the maintenance half of the standing-index
+    contract: index once, then each run appends only its delta's bands/
+    shingles/sizes. Append-mode parquet writes; per-doc relations are
+    disjoint across batches (new doc_ids), so appending commutes with
+    building the union index from scratch (test-pinned, including the
+    resubmit-a-batch-after-append → everything flagged idempotence
+    probe)."""
+    built = build_dedup_index(new_docs)
+    for name, df in built.items():
+        df.write.mode("append").parquet(f"{index_dir}/{name}")
+
+
+def read_dedup_index(spark, index_dir: str) -> dict[str, DataFrame]:
+    """Read a persisted dedup index back as the dict
+    incremental_dedup_indexed consumes."""
+    return {
+        name: spark.read.parquet(f"{index_dir}/{name}")
+        for name in ("bands", "shingles", "sizes")
+    }
+
+
 def incremental_dedup_indexed(
     delta_docs: DataFrame,
     index: dict[str, DataFrame],

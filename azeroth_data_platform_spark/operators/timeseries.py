@@ -856,10 +856,14 @@ def theil_sen_trend(
     min_days: int = THEIL_MIN_DAYS,
     window_days: int = THEIL_WINDOW_DAYS,
 ) -> DataFrame:
-    """(item_id, n_days, n_pairs, slope_uc_per_day, trend): Theil–Sen
-    trend of each item's daily price series — the exact LOWER MEDIAN of
-    all pairwise slopes (p_j − p_i)/(d_j − d_i), i < j, in integer
-    arithmetic.
+    """(item_id, n_days, n_pairs, slope_uc_per_day, slope_lo_uc,
+    slope_hi_uc, trend): Theil–Sen trend of each item's daily price
+    series — the exact LOWER MEDIAN of all pairwise slopes
+    (p_j − p_i)/(d_j − d_i), i < j, in integer arithmetic — plus Sen's
+    rank-based ~95% confidence band (the slopes at ranks
+    floor((n'∓C)/2){,+1}, C = 1.96·√(n(n−1)(2n+5)/18) — order
+    statistics again, so the quantization argument below covers the
+    band too).
 
     Exactness: each slope is a rational of integers (day price in cents
     via int_units; day index an integer datediff). It is quantized by the
@@ -894,31 +898,68 @@ def theil_sen_trend(
         " ELSE -CAST((CAST(1000000 AS DECIMAL(38,0)) * (a.p - b.p)"
         " + (b.d - a.d) - 1) DIV (b.d - a.d) AS BIGINT) END"
     )
-    pairs = (
-        a.join(b, (F.col("a.item_id") == F.col("b.item_id")) & (F.col("b.d") > F.col("a.d")))
-        .select(F.col("a.item_id").alias("item_id"), F.expr(slope).alias("slope_uc"))
-    )
-    wcnt = Window.partitionBy("item_id")
-    wrank = Window.partitionBy("item_id").orderBy("slope_uc")
-    ranked = (
-        pairs.withColumn("n_pairs", F.count(F.lit(1)).over(wcnt).cast("bigint"))
-        .withColumn("_rn", F.row_number().over(wrank))
-        .where(F.expr("_rn = (n_pairs + 1) DIV 2"))
-    )
     n_days = daily.groupBy("item_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
     )
+    pairs = (
+        a.join(b, (F.col("a.item_id") == F.col("b.item_id")) & (F.col("b.d") > F.col("a.d")))
+        .select(F.col("a.item_id").alias("item_id"), F.expr(slope).alias("slope_uc"))
+        .join(n_days, "item_id")
+    )
+    wcnt = Window.partitionBy("item_id")
+    wrank = Window.partitionBy("item_id").orderBy("slope_uc")
+    # Sen's rank-based ~95% band: C = 1.96·sqrt(n(n−1)(2n+5)/18), band =
+    # slopes at ranks floor((n'−C)/2) and floor((n'+C)/2)+1 (clamped).
+    # The sqrt/multiply tree is IDENTICAL text in both dialects, so the
+    # floor()ed rank is bit-identical cross-engine (the welch_t_raw
+    # argument); everything after is integer rank selection.
+    cz = (
+        "1.96 * sqrt(CAST(n_days AS DOUBLE) * (n_days - 1)"
+        " * (2 * n_days + 5) / 18.0)"
+    )
+    ranked = (
+        pairs.withColumn("n_pairs", F.count(F.lit(1)).over(wcnt).cast("bigint"))
+        .withColumn("_rn", F.row_number().over(wrank))
+        .withColumn("_k", F.expr("(n_pairs + 1) DIV 2"))
+        .withColumn(
+            "_m1",
+            F.expr(
+                f"GREATEST(CAST(1 AS BIGINT),"
+                f" CAST(floor((n_pairs - {cz}) / 2) AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "_m2",
+            F.expr(
+                f"LEAST(n_pairs,"
+                f" CAST(floor((n_pairs + {cz}) / 2) AS BIGINT) + 1)"
+            ),
+        )
+    )
     return (
-        ranked.join(n_days, "item_id")
-        .where(F.col("n_days") >= min_days)
+        ranked.where(F.col("n_days") >= min_days)
+        .groupBy("item_id", "n_days", "n_pairs")
+        .agg(
+            F.max(F.expr("CASE WHEN _rn = _k THEN slope_uc END"))
+            .cast("bigint")
+            .alias("slope_uc_per_day"),
+            F.max(F.expr("CASE WHEN _rn = _m1 THEN slope_uc END"))
+            .cast("bigint")
+            .alias("slope_lo_uc"),
+            F.max(F.expr("CASE WHEN _rn = _m2 THEN slope_uc END"))
+            .cast("bigint")
+            .alias("slope_hi_uc"),
+        )
         .select(
             "item_id",
             "n_days",
             "n_pairs",
-            F.col("slope_uc").alias("slope_uc_per_day"),
+            "slope_uc_per_day",
+            "slope_lo_uc",
+            "slope_hi_uc",
             F.expr(
-                "CASE WHEN slope_uc > 0 THEN 'up'"
-                " WHEN slope_uc < 0 THEN 'down' ELSE 'flat' END"
+                "CASE WHEN slope_uc_per_day > 0 THEN 'up'"
+                " WHEN slope_uc_per_day < 0 THEN 'down' ELSE 'flat' END"
             ).alias("trend"),
         )
     )
@@ -939,8 +980,10 @@ def theil_sen_sql(
                    CAST({int_units_sql('price')} AS BIGINT) AS p
             FROM daily0, anchor
             WHERE snapshot_date >= d1 - INTERVAL {window_days} DAY),
+  nd AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY item_id),
   pairs AS (
-    SELECT a.item_id,
+    SELECT a.item_id, nd.n_days,
            CASE WHEN b.p - a.p >= 0
                 THEN CAST(CAST(1000000 AS HUGEINT) * (b.p - a.p)
                           // (b.d - a.d) AS BIGINT)
@@ -948,18 +991,35 @@ def theil_sen_sql(
                             + (b.d - a.d) - 1) // (b.d - a.d) AS BIGINT)
            END AS slope_uc
     FROM daily a JOIN daily b
-      ON a.item_id = b.item_id AND b.d > a.d),
+      ON a.item_id = b.item_id AND b.d > a.d
+    JOIN nd ON nd.item_id = a.item_id),
   ranked AS (
-    SELECT item_id, slope_uc,
+    SELECT item_id, n_days, slope_uc,
            CAST(COUNT(*) OVER (PARTITION BY item_id) AS BIGINT) AS n_pairs,
            ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY slope_uc) AS rn
     FROM pairs),
-  med AS (SELECT * FROM ranked WHERE rn = (n_pairs + 1) // 2),
-  nd AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days
-         FROM daily GROUP BY item_id)
-SELECT m.item_id, nd.n_days, m.n_pairs,
-       m.slope_uc AS slope_uc_per_day,
-       CASE WHEN m.slope_uc > 0 THEN 'up'
-            WHEN m.slope_uc < 0 THEN 'down' ELSE 'flat' END AS trend
-FROM med m JOIN nd ON m.item_id = nd.item_id
-WHERE nd.n_days >= {min_days}"""
+  marked AS (
+    SELECT *,
+           (n_pairs + 1) // 2 AS k,
+           GREATEST(CAST(1 AS BIGINT),
+             CAST(floor((n_pairs - 1.96 * sqrt(CAST(n_days AS DOUBLE)
+                  * (n_days - 1) * (2 * n_days + 5) / 18.0)) / 2)
+               AS BIGINT)) AS m1,
+           LEAST(n_pairs,
+             CAST(floor((n_pairs + 1.96 * sqrt(CAST(n_days AS DOUBLE)
+                  * (n_days - 1) * (2 * n_days + 5) / 18.0)) / 2)
+               AS BIGINT) + 1) AS m2
+    FROM ranked)
+SELECT item_id, n_days, n_pairs,
+       CAST(MAX(CASE WHEN rn = k THEN slope_uc END) AS BIGINT)
+         AS slope_uc_per_day,
+       CAST(MAX(CASE WHEN rn = m1 THEN slope_uc END) AS BIGINT)
+         AS slope_lo_uc,
+       CAST(MAX(CASE WHEN rn = m2 THEN slope_uc END) AS BIGINT)
+         AS slope_hi_uc,
+       CASE WHEN MAX(CASE WHEN rn = k THEN slope_uc END) > 0 THEN 'up'
+            WHEN MAX(CASE WHEN rn = k THEN slope_uc END) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM marked
+WHERE n_days >= {min_days}
+GROUP BY item_id, n_days, n_pairs"""

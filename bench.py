@@ -196,6 +196,7 @@ def main() -> int:
             "ts_auc_doclen",
             "ts_auc_hashclf",
             "ts_auc_hashclf_bucketed",
+            "ts_auc_hashclf_by_source",
             "tp_contamination_attribution",
             "a18_theil_sen",
             "x_max_concurrency",
@@ -381,6 +382,7 @@ def main() -> int:
             # facets one Expand pass, incremental dedup delta-bounded
             "tp_contamination_attribution",
             "ts_auc_hashclf_bucketed",
+            "ts_auc_hashclf_by_source",
             "dd_incremental",
             "a18_theil_sen",
             "x_max_concurrency",

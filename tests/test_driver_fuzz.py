@@ -108,6 +108,7 @@ FUZZ_QUERIES = [
     "x_max_concurrency",
     "dd_recall_report",
     "o14_facet_counts",
+    "ts_auc_hashclf_by_source",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",

@@ -62,8 +62,22 @@ def test_theil_sen_exact_median_and_robustness(spark):
 
     for item, prices in ((1, prices1), (2, prices2)):
         qs = sorted(math.floor(s * 10**6) for s in slopes(prices))
-        k = (len(qs) + 1) // 2
+        n_pairs = len(qs)
+        k = (n_pairs + 1) // 2
         assert out[item].slope_uc_per_day == qs[k - 1]
+        # Sen's rank band: same order-statistic selection, python-recomputed
+        n = len(prices)
+        c = 1.96 * math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
+        m1 = max(1, math.floor((n_pairs - c) / 2))
+        m2 = min(n_pairs, math.floor((n_pairs + c) / 2) + 1)
+        assert out[item].slope_lo_uc == qs[m1 - 1]
+        assert out[item].slope_hi_uc == qs[m2 - 1]
+        assert out[item].slope_lo_uc <= out[item].slope_uc_per_day
+        assert out[item].slope_uc_per_day <= out[item].slope_hi_uc
+    # the spike widens item 2's band (here downward: the 6 post-spike
+    # pairs have negative slopes) but never moves its median
+    width = lambda r: r.slope_hi_uc - r.slope_lo_uc  # noqa: E731
+    assert width(out[2]) > width(out[1])
 
 
 def test_theil_sen_plan_no_cartesian_item_partitioned(spark, sf_dir):
@@ -122,6 +136,52 @@ def test_max_concurrency_sweepline_semantics(spark):
     assert out[d1].n_sessions == 4  # users 1,2,3 + user 4's day-1 segment
     assert out[d2].n_sessions == 1 and out[d2].max_concurrent == 1
     assert out[d3].n_sessions == 1 and out[d3].max_concurrent == 1
+
+
+def test_dedup_index_append_and_resubmit_idempotence(spark, tmp_path):
+    """The standing-index maintenance contract: appending a batch's docs
+    (append_to_dedup_index) yields the same index as building the union
+    from scratch, and RESUBMITTING an already-indexed batch flags every
+    doc as a self-duplicate (jaccard 1.0) — the idempotence guarantee an
+    ongoing pipeline relies on to never re-admit a crawled batch."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    unit = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    mk = lambda i, txt: (i, txt, "en", "web", len(txt))  # noqa: E731
+    batch_a = spark.createDataFrame(
+        [mk(10, unit * 6), mk(20, "totally different words about spark plans here today")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch_b = spark.createDataFrame(
+        [mk(31, unit * 8), mk(32, "unrelated fresh content nothing shared with others at all")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx_dir = str(tmp_path / "standing_index")
+    for name, df in dedup.build_dedup_index(batch_a).items():
+        df.write.parquet(f"{idx_dir}/{name}")
+    # run batch B against the standing index: 31 matches indexed 10
+    index = dedup.read_dedup_index(spark, idx_dir)
+    hits = {
+        (r.d_new, r.d_ref): r.jaccard
+        for r in dedup.incremental_dedup_indexed(batch_b, index).collect()
+    }
+    assert hits == {(31, 10): 1.0}
+    # append B's docs, then RESUBMIT batch B: every doc must now be
+    # flagged against its own indexed copy
+    dedup.append_to_dedup_index(idx_dir, batch_b)
+    index2 = dedup.read_dedup_index(spark, idx_dir)
+    again = {
+        (r.d_new, r.d_ref): r.jaccard
+        for r in dedup.incremental_dedup_indexed(batch_b, index2).collect()
+    }
+    assert (31, 31) in again and again[(31, 31)] == 1.0
+    assert (32, 32) in again and again[(32, 32)] == 1.0
+    # appended index == union index built from scratch
+    union = dedup.build_dedup_index(batch_a.unionAll(batch_b))
+    for name in ("bands", "shingles", "sizes"):
+        got = sorted(map(tuple, index2[name].collect()))
+        want = sorted(map(tuple, union[name].collect()))
+        assert got == want, name
 
 
 def test_lsh_recall_report_invariants_and_consistency(spark, sf_dir):
