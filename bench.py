@@ -245,20 +245,26 @@ def main() -> int:
     # headline timings proved unreliable — r6's flagged "ann regression"
     # (4.70 s) vanished in r7 (2.51 s) with ZERO code change, and the
     # canary itself drifted 2.4× within one run. Each headline query gets
-    # 4 runs: the first (plan compile + cache warm) is discarded from the
-    # median but kept as the cold scale-probe base, the reported number is
-    # the median of the last 3.
+    # 4 CONSECUTIVE runs: the first (plan compile + cache warm) is
+    # discarded from the median but kept as the cold scale-probe base;
+    # the reported number is the median of the last 3.
     #
-    # SHUFFLED PASSES (r9 verdict #2): r9's driver record had a monotone
-    # 2.3× intra-run host-speed gradient (canary 0.335 pre vs 0.144 post),
-    # which poisoned per-query cross-round comparison for early-slot
-    # queries when each query's 4 runs were consecutive. The 4 runs now
-    # happen as 4 WHOLE-LIST PASSES in different deterministic orders
-    # (original / original / reversed / half-rotated), so one query's 3
-    # warm samples are spread across the full run — a monotone drift
-    # gradient hits every query's median equally instead of pinning each
-    # query to its slot's instantaneous host speed. Same total work.
+    # Consecutive (not shuffled) runs are DELIBERATE: an r10 experiment
+    # ran the 4 samples as shuffled whole-list passes to defeat intra-run
+    # host drift, and every query read a uniform ~1.3-1.5× slower — the
+    # other 34 queries evict a query's pages/shuffle files between its
+    # samples, so "warm" stops meaning warm and the frozen r1+ series
+    # breaks. Drift visibility comes from the PER-FAMILY CANARY instead
+    # (r9 verdict #2, first option): the frozen canary runs before each
+    # prefix family, so a monotone host gradient is measured next to the
+    # queries it affects and per-family normalization is possible without
+    # changing what the headline numbers mean.
     cold_timings: dict[str, float] = {}
+
+    def run(name: str) -> float:
+        times = [run_once(name) for _ in range(4)]
+        cold_timings[name] = times[0]
+        return sorted(times[1:])[1]
 
     # Host-noise canary (FROZEN, round 3+): a constant parquet scan +
     # aggregate whose work never changes across rounds. Round-2 late-round
@@ -289,26 +295,25 @@ def main() -> int:
                 times.append(time.perf_counter() - t0)
         return round(sorted(times)[1], 3)
 
-    canary_sec = run_canary()
-    # pass 1 (cold, original order) seeds the scale-probe bases; passes
-    # 2-4 are the warm samples, each in a different deterministic order
-    pass1 = {name: run_once(name) for name in headline}
-    cold_timings.update(pass1)
-    half = len(headline) // 2
-    warm_orders = [
-        list(headline),
-        list(reversed(headline)),
-        list(headline[half:]) + list(headline[:half]),
-    ]
-    warm_passes: list[dict[str, float]] = []
-    canary_mid = None
-    for i, order in enumerate(warm_orders):
-        if i == 2:  # between warm passes 2 and 3: mid-run drift sample
-            canary_mid = run_canary()
-        warm_passes.append({name: run_once(name) for name in order})
-    timings = {
-        name: sorted(p[name] for p in warm_passes)[1] for name in headline
-    }
+    def _family(name: str) -> str:
+        for pref, fam in (
+            ("dd_", "dedup"), ("ann_", "ann"), ("ts_", "text"), ("tp_", "corpus"),
+        ):
+            if name.startswith(pref):
+                return fam
+        return "olap"
+
+    from itertools import groupby
+
+    canary_family: dict[str, float] = {}
+    timings = {}
+    for fam, names in groupby(headline, _family):
+        # interleaved canary: the same frozen scan+aggregate, measured
+        # immediately before each family block
+        canary_family[fam] = run_canary()
+        for name in names:
+            timings[name] = run(name)
+    canary_sec = canary_family.get("olap", next(iter(canary_family.values())))
     # Extras: single-run stays the default (diagnostics), but any extra
     # whose first run costs >= 2 s gets two more runs and reports the
     # median — r8's verdict flagged that cross-round regression claims on
@@ -674,7 +679,7 @@ def main() -> int:
         "quadratic_baselines_sec": quad_total,
         "scale_path_sec": round(sum(timings.values()) - quad_total, 3),
         "canary_sec": canary_sec,
-        "canary_sec_mid": canary_mid,
+        "canary_family": canary_family,
         "canary_sec_post": canary_sec_post,
         # PRIMARY cross-round comparison number (round 4+): host drift moved
         # raw seconds ~1.25× between identical runs in earlier rounds; the
@@ -682,7 +687,7 @@ def main() -> int:
         "headline_over_canary": round(sum(timings.values()) / canary_sec, 2),
         # self-describing methodology token (r9 verdict #7): the driver's
         # tail capture keeps only this compact line, so the method rides it
-        "timing": "median3-warm-shuffled-passes",
+        "timing": "median3-warm-familycanary",
     }
     # Two lines: a FULL detail record first (extra queries + scaling probe —
     # can exceed 2 kB), then the COMPACT required-schema record LAST so a
@@ -693,19 +698,16 @@ def main() -> int:
     detail["extra_queries"] = extra_timings
     detail["timing_method"] = {
         "headline": (
-            "median-of-3 warm over shuffled whole-list passes (4 passes:"
-            " cold original order discarded, then original/reversed/"
-            "half-rotated; r10+ — decorrelates slot position from host"
-            " drift, same total work as r8's consecutive median-of-3)"
+            "median-of-3 warm (4 consecutive runs, cold discarded; r8+)."
+            " r10 note: shuffled whole-list passes were MEASURED and"
+            " rejected — uniform ~1.3-1.5x de-warming broke the frozen"
+            " series; drift visibility comes from canary_family instead"
         ),
         "extras": "single-run; median-of-3 when first run >= 2 s (r9+)",
         "extras_median3": sorted(extras_median3),
         "scale_probe_base": "cold first runs",
-        "canary_points": {
-            "pre": canary_sec,
-            "mid_warm_passes": canary_mid,
-            "post": canary_sec_post,
-        },
+        "canary_family": canary_family,
+        "canary_post": canary_sec_post,
     }
     if scaling is not None:
         detail["scaling"] = scaling
