@@ -450,6 +450,13 @@ def q_dd_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_recall_report(_docs(spark, sf_dir))
 
 
+def q_dd_dup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup health (dedup.dup_stats_by_source): exact-twin
+    and verified-near-dup incidence per source in exact ppm — the
+    throttle-this-crawl report."""
+    return dedup.dup_stats_by_source(_docs(spark, sf_dir))
+
+
 def q_o14_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted-catalog sidebar counts over dim_items in one GROUPING SETS
     pass (serving.facet_counts)."""
@@ -1973,6 +1980,7 @@ QUERIES: dict[str, QueryFn] = {
     "dd_recall_report": q_dd_recall_report,
     "o14_facet_counts": q_o14_facet_counts,
     "ts_auc_hashclf_by_source": q_ts_auc_hashclf_by_source,
+    "dd_dup_stats_by_source": q_dd_dup_stats_by_source,
     # --- remaining head slots: the oldest r8-row queries (r8-block prior
     # slot order) filling the 50 recorded slots ---
     "ts_pmi_collocations": q_ts_pmi_collocations,
@@ -2080,20 +2088,20 @@ QUERIES: dict[str, QueryFn] = {
     "dd_embed_lsh": q_dd_embed_lsh,
 }
 
-assert len(QUERIES) == 139, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 140, f"driver registry drifted: got {len(QUERIES)}"
 # r10 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
 # records exactly the first 50 dict keys.
 assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
 assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
 assert list(QUERIES)[31] == "dd_incremental", "slot-32 drifted"
-assert list(QUERIES)[38] == "ts_auc_hashclf_by_source", "slot-39 drifted"
-assert list(QUERIES)[39] == "ts_pmi_collocations", "slot-40 drifted"
-assert list(QUERIES)[49] == "a14_forecast_backtest", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "x_skew_report", "slot-51 drifted"
-assert list(QUERIES)[88] == "x_hll_distinct", "slot-89 drifted"
-assert list(QUERIES)[89] == "tp_chunk_documents", "slot-90 drifted"
-assert list(QUERIES)[138] == "dd_embed_lsh", "slot-139 drifted"
+assert list(QUERIES)[39] == "dd_dup_stats_by_source", "slot-40 drifted"
+assert list(QUERIES)[40] == "ts_pmi_collocations", "slot-41 drifted"
+assert list(QUERIES)[49] == "dd_jaccard_histogram", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "a14_forecast_backtest", "slot-51 drifted"
+assert list(QUERIES)[89] == "x_hll_distinct", "slot-90 drifted"
+assert list(QUERIES)[90] == "tp_chunk_documents", "slot-91 drifted"
+assert list(QUERIES)[139] == "dd_embed_lsh", "slot-140 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2438,6 +2446,7 @@ ORACLES["a18_theil_sen"] = _timeseries.theil_sen_sql(_W_SILVER)
 ORACLES["ts_auc_hashclf_by_source"] = mleval.auc_by_group_sql(
     corpus.hashclf_bucket_scores_by_source_cte()
 )
+ORACLES["dd_dup_stats_by_source"] = dedup.DUP_STATS_BY_SOURCE_SQL
 ORACLES["x_max_concurrency"] = windows.MAX_CONCURRENCY_SQL
 ORACLES["dd_recall_report"] = dedup.LSH_RECALL_REPORT_SQL
 ORACLES["o14_facet_counts"] = serving.facet_counts_sql(adapters.DIM_SQL)

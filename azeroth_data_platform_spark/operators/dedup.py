@@ -1957,3 +1957,108 @@ SELECT CAST({JACCARD_THRESHOLD} AS DOUBLE) AS threshold,
               AS BIGINT) END AS recall_ppm,
        CAST(n_true_pairs - n_true_candidates AS BIGINT) AS missed_pairs
 FROM counts"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup health — the slice-wise report a crawl pipeline reads
+# before deciding which SOURCE to throttle: exact-duplicate and near-dup
+# incidence per source, cross-source (a doc duplicated from another
+# source still counts — that is the point).
+
+
+def dup_stats_by_source(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """(source, n_docs, n_exact_dup, exact_dup_ppm, n_near_dup,
+    near_dup_ppm): per source, how many docs have an exact content twin
+    ANYWHERE in the corpus (md5 groupcount >= 2) and how many appear in
+    a verified MinHash near-dup pair at `threshold` — both as exact
+    truncated ppm of the source's docs.
+
+    Scale shape: the exact side is one content-hash-keyed window over a
+    projection of the scan (the dd_exact shuffle); the near side reuses
+    the production banded pair relation (linear, duplicate-density-
+    bounded) and touches docs only through a distinct-id semi-join; the
+    final frame is |sources| rows, joined source-keyed. Each side scans
+    `documents` independently (Spark does not CSE across DAG branches —
+    the documented ngram_jaccard tradeoff: recompute beats pinning for
+    this engine's usage pattern)."""
+    from pyspark.sql import Window
+
+    base = documents.select(
+        "doc_id", "source", F.md5(F.col("text")).alias("_h")
+    )
+    wh = Window.partitionBy("_h")
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    exact = (
+        base.withColumn("_c", F.count(F.lit(1)).over(wh))
+        .where(F.col("_c") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_dup"))
+    )
+    pairs = minhash_lsh_dedup(documents, threshold)
+    ids = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    near = (
+        base.join(ids, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_near_dup"))
+    )
+    ppm = (
+        lambda num: f"CAST(CAST(1000000 AS DECIMAL(38,0)) * {num}"
+        " DIV n_docs AS BIGINT)"
+    )
+    return (
+        per_src.join(exact, "source", "left")
+        .join(near, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_exact_dup", F.lit(0)).cast("bigint").alias("n_exact_dup"),
+            F.coalesce("n_near_dup", F.lit(0)).cast("bigint").alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            F.expr(ppm("n_exact_dup")).alias("exact_dup_ppm"),
+            "n_near_dup",
+            F.expr(ppm("n_near_dup")).alias("near_dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_STATS_BY_SOURCE_SQL = f"""
+  WITH base AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+  per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM base GROUP BY source),
+  exact AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact_dup
+    FROM (SELECT source,
+                 COUNT(*) OVER (PARTITION BY h) AS c
+          FROM base) t
+    WHERE c >= 2 GROUP BY source),
+  pairs AS ({MINHASH_LSH_SQL}),
+  ids AS (SELECT DISTINCT doc_id FROM
+            (SELECT d1 AS doc_id FROM pairs
+             UNION ALL SELECT d2 AS doc_id FROM pairs)),
+  near AS (SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_near_dup
+           FROM base b JOIN ids i ON b.doc_id = i.doc_id
+           GROUP BY b.source)
+SELECT p.source, p.n_docs,
+       CAST(COALESCE(e.n_exact_dup, 0) AS BIGINT) AS n_exact_dup,
+       CAST(CAST(1000000 AS HUGEINT) * COALESCE(e.n_exact_dup, 0)
+            // p.n_docs AS BIGINT) AS exact_dup_ppm,
+       CAST(COALESCE(n.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+       CAST(CAST(1000000 AS HUGEINT) * COALESCE(n.n_near_dup, 0)
+            // p.n_docs AS BIGINT) AS near_dup_ppm
+FROM per_src p
+LEFT JOIN exact e ON e.source = p.source
+LEFT JOIN near n ON n.source = p.source
+ORDER BY p.source"""

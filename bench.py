@@ -202,6 +202,7 @@ def main() -> int:
             "x_max_concurrency",
             "dd_recall_report",
             "o14_facet_counts",
+            "dd_dup_stats_by_source",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",
@@ -389,6 +390,7 @@ def main() -> int:
             "ts_auc_hashclf_bucketed",
             "ts_auc_hashclf_by_source",
             "dd_incremental",
+            "dd_dup_stats_by_source",
             "a18_theil_sen",
             "x_max_concurrency",
             "o14_facet_counts",

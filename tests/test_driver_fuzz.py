@@ -109,6 +109,7 @@ FUZZ_QUERIES = [
     "dd_recall_report",
     "o14_facet_counts",
     "ts_auc_hashclf_by_source",
+    "dd_dup_stats_by_source",
     "ts_lift_langid",
     "ts_pr_curve_langid",
     "ts_pr_summary_langid",

@@ -204,6 +204,40 @@ def test_lsh_recall_report_invariants_and_consistency(spark, sf_dir):
     assert row.missed_pairs == row.n_true_pairs - row.n_true_candidates
 
 
+def test_dup_stats_by_source_planted(spark):
+    """Planted corpus: source A holds an exact twin PAIR (both counted),
+    source B holds a cross-source exact twin of an A doc (cross-source
+    duplication counts — the point of the report), near-dups count under
+    the minhash verify, clean sources read zero; ppm is the exact
+    truncated rational."""
+    from azeroth_data_platform_spark.operators.dedup import (
+        dup_stats_by_source,
+    )
+
+    unit = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    same = unit * 6
+    near = unit * 8  # same distinct shingle set -> jaccard 1.0 pair
+    docs = spark.createDataFrame(
+        [
+            (1, same, "en", "A", len(same)),
+            (2, same, "en", "A", len(same)),          # exact twin of 1
+            (3, same, "en", "B", len(same)),          # cross-source twin
+            (4, near, "en", "B", len(near)),          # near-dup of 1/2/3
+            (5, "totally different words about spark plans here today", "en", "C", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in dup_stats_by_source(docs).collect()}
+    assert out["A"].n_docs == 2 and out["A"].n_exact_dup == 2
+    assert out["A"].exact_dup_ppm == 1_000_000
+    assert out["B"].n_exact_dup == 1  # doc 3's twins live in source A
+    assert out["B"].exact_dup_ppm == 500_000
+    # docs 1,2,3,4 share shingle sets -> all appear in near-dup pairs
+    assert out["A"].n_near_dup == 2 and out["B"].n_near_dup == 2
+    assert out["C"].n_exact_dup == 0 and out["C"].n_near_dup == 0
+    assert out["C"].exact_dup_ppm == 0 and out["C"].near_dup_ppm == 0
+
+
 def test_facet_counts_partition_of_catalog(spark, sf_dir):
     """Each facet's counts partition the catalog (sum == item count, even
     with NULL facet values); values agree with per-facet groupBys; one
