@@ -254,7 +254,7 @@ def _gen_tables(seed: int, outdir: str) -> None:
     events.to_parquet(f"{outdir}/events.parquet")
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41])
 def test_fuzzed_tables_match_oracles(spark, tmp_path, seed):
     outdir = str(tmp_path / f"fuzz{seed}")
     import os
