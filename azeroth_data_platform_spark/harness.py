@@ -1912,7 +1912,7 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          additions entering at authoring time. CORRECTNESS_r09: 50/50
 #          green; newest-row histogram after r9 = {r7: 31, r8: 50,
 #          r9: 50}.
-#   r10 (NOW): finish the rotation (r9 verdict #1). Head = ALL 31
+#   r10: finish the rotation (r9 verdict #1). Head = ALL 31
 #          queries whose newest row is r7 (the r9 STATUS undercounted
 #          them as 21 — the ten r9 additions displaced ten r7-row
 #          queries from the planned 50), then the r10 additions at
@@ -1923,6 +1923,27 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          the declared head is now ASSERTED by tests/test_rotation.py
 #          (parses CORRECTNESS_r*.json + this dict's order) before the
 #          gate can pass.
+#   r11 (NOW): steady-state rotation + COMPOSITION REVIEW (r10 verdict
+#          #1/#3). Head = the 38 remaining r8-row queries (prior slot
+#          order — the stale set tests/test_rotation.py derives, minus
+#          the two demotions below), then three legacy promotions and
+#          the r11 additions at authoring time, then the OLDEST r9-row
+#          queries filling to 50.
+#          Composition decision: of the five langid-AUC variants that
+#          share one scored CTE, ts_lift_langid and ts_pr_curve_langid
+#          are pure derived VIEWS of the same ranking (decile lift; the
+#          point-wise curve ts_pr_summary_langid summarizes) — demoted
+#          to the legacy registry, where tools/parity.py --all keeps
+#          them oracle-verified. Their slots fund promotions of three
+#          distinct capabilities that were legacy-only:
+#          x_retention_cohorts (weekly cohort retention), x_scd2_asof
+#          (point-in-time read over SCD2 history), ts_pii_scrub (PII
+#          redaction). Registry 140 -> 141 + r11 additions.
+#          NOTE for r12: after r11's rows the stale set is the full
+#          50-query r9 block — at a >=140 registry the head then has NO
+#          free slots, so r12 additions need matching demotions from
+#          the r9 block first (natural candidates: the 4-variant
+#          w_attribution family, the o11/o12 pagination pair).
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -1937,62 +1958,10 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   grouping-sets family (cube twin stays in the legacy registry);
 #   dd_simhash_banded covers SimHash (pairwise twin in legacy registry).
 QUERIES: dict[str, QueryFn] = {
-    # --- head slots 1-31: ALL queries whose newest driver row is r7
-    # (r9 verdict #1 — the complete stale set, prior slot order) ---
-    "tp_clean_corpus": q_tp_clean_corpus,
-    "tp_train_sample": q_tp_train_sample,
-    "tp_decontaminate": q_tp_decontaminate,
-    "tp_pack_sequences": q_tp_pack_sequences,
-    "tp_pack_contents": q_tp_pack_contents,
-    "ts_repetition": q_ts_repetition,
-    "ann_topk_bruteforce": q_ann_brute,
-    "ann_topk_lsh": q_ann_lsh,
-    "ann_topk_ivf": q_ann_ivf,
-    "ts_token_stats": q_ts_tokens,
-    "tp_quality_prune": q_tp_quality_prune,
-    "ts_language_id": q_ts_langid,
-    "ts_fingerprint": q_ts_fingerprint,
-    "mm_binary_stats": q_mm_binary_stats,
-    "ann_topk_ivf_trained": q_ann_ivf_trained,
-    "mm_feature_extract": q_mm_features,
-    "ts_hash_classifier": q_ts_hash_classifier,
-    "ts_char_entropy": q_ts_char_entropy,
-    "tp_cluster_sample": q_tp_cluster_sample,
-    "tp_line_dedup": q_tp_line_dedup,
-    "ts_gopher_repetition": q_ts_gopher_repetition,
-    "ts_perplexity_bigram": q_ts_perplexity_bigram,
-    "x_scd2_history": q_x_scd2_history,
-    "x_monthly_rollup": q_x_monthly_rollup,
-    "a10_gapfill": q_a10_gapfill,
-    "a11_ewma": q_a11_ewma,
-    "a12_rolling_beta": q_a12_rolling_beta,
-    "x_fuzzy_match": q_x_fuzzy_match,
-    "x_assoc_rules": q_x_assoc_rules,
-    "ts_bm25": q_ts_bm25,
-    "tp_weighted_sample": q_tp_weighted_sample,
-    # --- r10 additions enter the head here at authoring time,
-    # displacing the newest r8-row fillers below slot 50 ---
-    "dd_incremental": q_dd_incremental,
-    "tp_contamination_attribution": q_tp_contamination_attribution,
-    "ts_auc_hashclf_bucketed": q_ts_auc_hashclf_bucketed,
-    "a18_theil_sen": q_a18_theil_sen,
-    "x_max_concurrency": q_x_max_concurrency,
-    "dd_recall_report": q_dd_recall_report,
-    "o14_facet_counts": q_o14_facet_counts,
-    "ts_auc_hashclf_by_source": q_ts_auc_hashclf_by_source,
-    "dd_dup_stats_by_source": q_dd_dup_stats_by_source,
-    # --- remaining head slots: the oldest r8-row queries (r8-block prior
-    # slot order) filling the 50 recorded slots ---
-    "ts_pmi_collocations": q_ts_pmi_collocations,
-    "tp_global_shuffle": q_tp_global_shuffle,
-    "ann_filtered_topk": q_ann_filtered_topk,
-    "mm_resize": q_mm_resize,
-    "a13_cusum_changepoint": q_a13_cusum,
-    "w_user_paths": q_w_user_paths,
-    "tp_seqlen_histogram": q_tp_seqlen_histogram,
-    "ts_zipf_fit": q_ts_zipf_fit,
-    "x_abtest_welch": q_x_abtest_welch,
-    "dd_jaccard_histogram": q_dd_jaccard_histogram,
+    # --- r11 head slots 1-38: ALL queries whose newest driver row is r8
+    # (the complete stale set tests/test_rotation.py derives, prior slot
+    # order), minus ts_lift_langid / ts_pr_curve_langid — demoted to the
+    # legacy registry in the r11 composition review (ledger above) ---
     "a14_forecast_backtest": q_a14_forecast_backtest,
     "x_skew_report": q_x_skew_report,
     "x_benford_check": q_x_benford_check,
@@ -2002,15 +1971,11 @@ QUERIES: dict[str, QueryFn] = {
     "x_psi_drift": q_x_psi_drift,
     "x_kmv_overlap": q_x_kmv_overlap,
     "x_spearman": q_x_spearman,
-    # --- slots 51+: the remaining r8-row queries (stalest after this
-    # round — they form the r11 head), then the 50 r9-row queries ---
     "x_emd_drift": q_x_emd_drift,
     "x_mannwhitney": q_x_mannwhitney,
     "x_cramers_v": q_x_cramers_v,
     "x_psi_daily": q_x_psi_daily,
     "ts_auc_langid": q_ts_auc_langid,
-    "ts_lift_langid": q_ts_lift_langid,
-    "ts_pr_curve_langid": q_ts_pr_curve_langid,
     "ts_pr_summary_langid": q_ts_pr_summary_langid,
     "ts_auc_by_source": q_ts_auc_by_source,
     "x_winsorized_stats": q_x_winsorized_stats,
@@ -2035,7 +2000,15 @@ QUERIES: dict[str, QueryFn] = {
     "x_fano_burstiness": q_x_fano_burstiness,
     "x_incremental_gold": q_x_incremental_gold,
     "x_hll_distinct": q_x_hll_distinct,
-    # --- the 50 r9-row queries (the freshest external evidence) ---
+    # --- slots 39-41: r11 promotions from the legacy registry (r10
+    # verdict #3 — distinct capabilities that never had a driver row) ---
+    "x_retention_cohorts": q_x_retention_cohorts,
+    "x_scd2_asof": q_x_scd2_asof,
+    "ts_pii_scrub": q_ts_pii,
+    # --- r11 additions enter the head here at authoring time,
+    # displacing the r9-row fillers below slot 50 ---
+    # --- remaining head slots: the oldest r9-row queries (r9-block prior
+    # slot order) filling the 50 recorded slots ---
     "tp_chunk_documents": q_tp_chunk_documents,
     "o11_keyset_page": q_o11_keyset_page,
     "ts_auc_hashclf": q_ts_auc_hashclf,
@@ -2045,6 +2018,8 @@ QUERIES: dict[str, QueryFn] = {
     "dd_lsh_tuning": q_dd_lsh_tuning,
     "tp_contamination_report": q_tp_contamination_report,
     "o12_search_after": q_o12_search_after,
+    # --- slots 51+: the remaining r9-row queries (prior slot order —
+    # they form the r12 head), then the 50 r10-row queries ---
     "w_top_paths": q_w_top_paths,
     "ts_hashclf_drift": q_ts_hashclf_drift,
     "tp_quality_curve": q_tp_quality_curve,
@@ -2086,22 +2061,73 @@ QUERIES: dict[str, QueryFn] = {
     "tp_keep_best": q_tp_keep_best,
     "dd_semantic": q_dd_semantic,
     "dd_embed_lsh": q_dd_embed_lsh,
+    # --- the 50 r10-row queries (the freshest external evidence) ---
+    "tp_clean_corpus": q_tp_clean_corpus,
+    "tp_train_sample": q_tp_train_sample,
+    "tp_decontaminate": q_tp_decontaminate,
+    "tp_pack_sequences": q_tp_pack_sequences,
+    "tp_pack_contents": q_tp_pack_contents,
+    "ts_repetition": q_ts_repetition,
+    "ann_topk_bruteforce": q_ann_brute,
+    "ann_topk_lsh": q_ann_lsh,
+    "ann_topk_ivf": q_ann_ivf,
+    "ts_token_stats": q_ts_tokens,
+    "tp_quality_prune": q_tp_quality_prune,
+    "ts_language_id": q_ts_langid,
+    "ts_fingerprint": q_ts_fingerprint,
+    "mm_binary_stats": q_mm_binary_stats,
+    "ann_topk_ivf_trained": q_ann_ivf_trained,
+    "mm_feature_extract": q_mm_features,
+    "ts_hash_classifier": q_ts_hash_classifier,
+    "ts_char_entropy": q_ts_char_entropy,
+    "tp_cluster_sample": q_tp_cluster_sample,
+    "tp_line_dedup": q_tp_line_dedup,
+    "ts_gopher_repetition": q_ts_gopher_repetition,
+    "ts_perplexity_bigram": q_ts_perplexity_bigram,
+    "x_scd2_history": q_x_scd2_history,
+    "x_monthly_rollup": q_x_monthly_rollup,
+    "a10_gapfill": q_a10_gapfill,
+    "a11_ewma": q_a11_ewma,
+    "a12_rolling_beta": q_a12_rolling_beta,
+    "x_fuzzy_match": q_x_fuzzy_match,
+    "x_assoc_rules": q_x_assoc_rules,
+    "ts_bm25": q_ts_bm25,
+    "tp_weighted_sample": q_tp_weighted_sample,
+    "dd_incremental": q_dd_incremental,
+    "tp_contamination_attribution": q_tp_contamination_attribution,
+    "ts_auc_hashclf_bucketed": q_ts_auc_hashclf_bucketed,
+    "a18_theil_sen": q_a18_theil_sen,
+    "x_max_concurrency": q_x_max_concurrency,
+    "dd_recall_report": q_dd_recall_report,
+    "o14_facet_counts": q_o14_facet_counts,
+    "ts_auc_hashclf_by_source": q_ts_auc_hashclf_by_source,
+    "dd_dup_stats_by_source": q_dd_dup_stats_by_source,
+    "ts_pmi_collocations": q_ts_pmi_collocations,
+    "tp_global_shuffle": q_tp_global_shuffle,
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "mm_resize": q_mm_resize,
+    "a13_cusum_changepoint": q_a13_cusum,
+    "w_user_paths": q_w_user_paths,
+    "tp_seqlen_histogram": q_tp_seqlen_histogram,
+    "ts_zipf_fit": q_ts_zipf_fit,
+    "x_abtest_welch": q_x_abtest_welch,
+    "dd_jaccard_histogram": q_dd_jaccard_histogram,
 }
 
-assert len(QUERIES) == 140, f"driver registry drifted: got {len(QUERIES)}"
-# r10 staleness-rotation invariants (see ledger above). The 50-slot head
+assert len(QUERIES) == 141, f"driver registry drifted: got {len(QUERIES)}"
+# r11 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
 # records exactly the first 50 dict keys.
-assert list(QUERIES)[0] == "tp_clean_corpus", "slot-1 drifted"
-assert list(QUERIES)[30] == "tp_weighted_sample", "slot-31 drifted"
-assert list(QUERIES)[31] == "dd_incremental", "slot-32 drifted"
-assert list(QUERIES)[39] == "dd_dup_stats_by_source", "slot-40 drifted"
-assert list(QUERIES)[40] == "ts_pmi_collocations", "slot-41 drifted"
-assert list(QUERIES)[49] == "dd_jaccard_histogram", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "a14_forecast_backtest", "slot-51 drifted"
-assert list(QUERIES)[89] == "x_hll_distinct", "slot-90 drifted"
-assert list(QUERIES)[90] == "tp_chunk_documents", "slot-91 drifted"
-assert list(QUERIES)[139] == "dd_embed_lsh", "slot-140 drifted"
+assert list(QUERIES)[0] == "a14_forecast_backtest", "slot-1 drifted"
+assert list(QUERIES)[37] == "x_hll_distinct", "slot-38 drifted"
+assert list(QUERIES)[38] == "x_retention_cohorts", "slot-39 drifted"
+assert list(QUERIES)[40] == "ts_pii_scrub", "slot-41 drifted"
+assert list(QUERIES)[41] == "tp_chunk_documents", "slot-42 drifted"
+assert list(QUERIES)[49] == "o12_search_after", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "w_top_paths", "slot-51 drifted"
+assert list(QUERIES)[90] == "dd_embed_lsh", "slot-91 drifted"
+assert list(QUERIES)[91] == "tp_clean_corpus", "slot-92 drifted"
+assert list(QUERIES)[140] == "dd_jaccard_histogram", "slot-141 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2451,9 +2477,16 @@ ORACLES["x_max_concurrency"] = windows.MAX_CONCURRENCY_SQL
 ORACLES["dd_recall_report"] = dedup.LSH_RECALL_REPORT_SQL
 ORACLES["o14_facet_counts"] = serving.facet_counts_sql(adapters.DIM_SQL)
 ORACLES["ts_auc_langid"] = mleval.auc_exact_sql(_langid_scored_cte())
-ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
-ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
 ORACLES["ts_pr_summary_langid"] = mleval.pr_summary_sql(_langid_scored_cte())
+# r11 promotions from the legacy registry (composition review — ledger
+# above QUERIES): lift/PR-curve variants moved to ALL_ORACLES below.
+ORACLES["x_retention_cohorts"] = windows.RETENTION_COHORTS_SQL
+ORACLES["ts_pii_scrub"] = textstats.PII_SCRUB_SQL
+ORACLES["x_scd2_asof"] = f"""
+      SELECT item_id, version, market_status, valid_from, valid_to
+      FROM ({incremental.scd2_history_sql(ORACLES["a5_market_concentration"])}) h
+      WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
+        AND DATE '{_SCD2_ASOF_DATE}' < valid_to"""
 ORACLES["ts_auc_by_source"] = mleval.auc_by_group_sql(
     _langid_scored_cte().replace("WITH scored AS", "WITH scored0 AS")
     + ",\n  scored AS (SELECT source AS grp, score, label FROM scored0)"
@@ -2555,8 +2588,13 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_corpus_report": q_tp_corpus_report,
     "ann_topk_lsh_multi": q_ann_lsh_multi,
     "ts_oov_ratio": q_ts_oov,
-    "ts_pii_scrub": q_ts_pii,
+    # ts_pii_scrub: promoted to the driver registry in r11 (composition
+    # review); the synth-corpus twin stays legacy
     "ts_pii_scrub_synth": q_ts_pii_synth,
+    # demoted from the driver registry in r11 (composition review —
+    # ledger above QUERIES): derived views of the ts_auc_langid ranking
+    "ts_lift_langid": q_ts_lift_langid,
+    "ts_pr_curve_langid": q_ts_pr_curve_langid,
     "ts_perplexity": q_ts_perplexity,
     "ts_gopher_quality": q_ts_gopher,
     "tp_dsir_weights": q_tp_dsir,
@@ -2594,10 +2632,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # per-source sampling plan toward a uniform token mix + its application
     "tp_mix_rebalance": q_tp_mix_rebalance,
     "tp_mix_apply": q_tp_mix_apply,
-    # weekly cohort retention (product-analytics OLAP; the ordered funnel
-    # and incremental-gold/HLL/bigram-pplx siblings were promoted into the
-    # driver registry)
-    "x_retention_cohorts": q_x_retention_cohorts,
+    # x_retention_cohorts: promoted to the driver registry in r11
     # count-min frequency sketch (HLL's sibling; hash-exact approximate
     # structure)
     "x_cms_top_terms": q_x_cms_top_terms,
@@ -2634,8 +2669,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # daily HLL states re-aggregated to weekly (sketch rollup law,
     # differentially proven: oracle computes the weekly sketch directly)
     "x_hll_weekly_rollup": q_x_hll_weekly_rollup,
-    # point-in-time read over the SCD2 history
-    "x_scd2_asof": q_x_scd2_asof,
+    # x_scd2_asof: promoted to the driver registry in r11
     # ANALYZE-style exact column profile + histogram quantile sketch
     "x_table_stats": q_x_table_stats,
     "x_histogram_quantiles": q_x_histogram_quantiles,
@@ -2711,7 +2745,6 @@ ALL_ORACLES: dict[str, str] = {
     "tp_corpus_report": corpus.CORPUS_REPORT_SQL,
     "ann_topk_lsh_multi": similarity.lsh_multitable_topk_sql(),
     "ts_oov_ratio": textstats.OOV_RATIO_SQL,
-    "ts_pii_scrub": textstats.PII_SCRUB_SQL,
     "ts_pii_scrub_synth": textstats.PII_SCRUB_SYNTH_SQL,
     "ts_perplexity": textstats.PERPLEXITY_SQL,
     "ts_gopher_quality": textstats.GOPHER_QUALITY_SQL,
@@ -2762,7 +2795,6 @@ ALL_ORACLES: dict[str, str] = {
     "ann_pq_codes": similarity.pq_codes_sql(),
     "ann_topk_pq": similarity.pq_topk_sql(),
     "ann_topk_ivf_pq": similarity.ivf_pq_topk_sql(),
-    "x_retention_cohorts": windows.RETENTION_COHORTS_SQL,
     "x_cms_top_terms": _sketches_cms_sql(),
     "x_robust_outliers": f"""{_W_SILVER},
       med AS (SELECT item_id, quantile_cont(unit_price, 0.5) AS median_price,
@@ -2828,11 +2860,6 @@ ALL_ORACLES: dict[str, str] = {
                AS centroid
       FROM dims GROUP BY source, dim""",
     "x_hll_weekly_rollup": sketches.hll_weekly_rollup_sql(),
-    "x_scd2_asof": f"""
-      SELECT item_id, version, market_status, valid_from, valid_to
-      FROM ({incremental.scd2_history_sql(ORACLES["a5_market_concentration"])}) h
-      WHERE valid_from <= DATE '{_SCD2_ASOF_DATE}'
-        AND DATE '{_SCD2_ASOF_DATE}' < valid_to""",
     "x_table_stats": _profiling_stats_sql(),
     "x_histogram_quantiles": _profiling_hist_sql(),
     "ann_range_search": similarity.lsh_range_search_sql(),
@@ -2840,3 +2867,8 @@ ALL_ORACLES: dict[str, str] = {
     "tp_mix_temperature": corpus.MIX_TEMPERATURE_SQL,
     "x_grouping_sets": f"{_W_SILVER}, dim AS ({DIM_SQL}) {windows.GROUPING_SETS_SQL}",
 }
+
+# demoted from the driver registry in r11 (composition review — ledger
+# above QUERIES); still parity-verified by tools/parity.py --all
+ALL_ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
+ALL_ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())

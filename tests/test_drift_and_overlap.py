@@ -421,7 +421,7 @@ def test_decile_lift_monotone_signal(spark):
 def test_decile_lift_corpus_base_rate(spark, sf_dir):
     """Real corpus: capture ends at 1e6, rows sum to the doc count, and
     every populated decile's pos_rate is a valid ppm."""
-    out = harness.QUERIES["ts_lift_langid"](spark, sf_dir).collect()
+    out = harness.ALL_QUERIES["ts_lift_langid"](spark, sf_dir).collect()
     assert out[-1]["cum_capture_ppm"] == 1_000_000
     for r in out:
         assert 0 <= r["pos_rate_ppm"] <= 1_000_000

@@ -10,6 +10,12 @@ sits inside the declared 50-slot head — which this test asserts by
 parsing the committed CORRECTNESS_r*.json files against the live dict
 order (r9 verdict #1: the ledger had undercounted the stale set by hand;
 this makes the bound mechanical, enforced before the gate can pass).
+
+NOTE: this test is EXPECTED to fail in the window between the driver
+dropping CORRECTNESS_r{N}.json (after the round-N gate has run) and the
+r{N+1} head rotation landing as the first commit of the next round — it
+is the forcing function that starts each round, not an engine
+regression. At every gate-commit state it must be green.
 """
 
 from __future__ import annotations
