@@ -404,14 +404,59 @@ def append_to_dedup_index(index_dir: str, new_docs: DataFrame) -> None:
     """Append a batch's docs (the incremental run's SURVIVORS) to a
     persisted dedup index — the maintenance half of the standing-index
     contract: index once, then each run appends only its delta's bands/
-    shingles/sizes. Append-mode parquet writes; per-doc relations are
-    disjoint across batches (new doc_ids), so appending commutes with
-    building the union index from scratch (test-pinned, including the
-    resubmit-a-batch-after-append → everything flagged idempotence
-    probe)."""
-    built = build_dedup_index(new_docs)
-    for name, df in built.items():
-        df.write.mode("append").parquet(f"{index_dir}/{name}")
+    shingles/sizes. Per-doc relations are disjoint across batches (new
+    doc_ids), so appending commutes with building the union index from
+    scratch (test-pinned, including the resubmit-a-batch-after-append →
+    everything flagged idempotence probe).
+
+    Consistency across the three relations (r10 ADVICE #2): the batch's
+    shingle relation is computed ONCE and cached (bands/shingles/sizes
+    all derive from it — previously each append-write re-shingled the
+    delta), and every Spark write lands in a staging subdir first, so
+    the expensive derivation/write phase cannot leave the LIVE index
+    with a bands row whose shingles/sizes rows are missing (which would
+    silently drop verified pairs on every later incremental run). The
+    final commit is three cheap file-move loops — not atomic across
+    relations, but data-independent and fast; if interrupted, the
+    staging dir remains: finish the moves (staged part names are
+    globally unique) or remove the already-moved files and resubmit the
+    batch. Do NOT blindly resubmit after a partial COMMIT: duplicate
+    shingles/sizes rows would inflate the verify counts (duplicate bands
+    alone are harmless — candidates are distinct-ed). This staged path
+    assumes an os-rename-capable filesystem; on object stores the
+    transactional-table-format MERGE (documented gap) is the answer."""
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(index_dir, exist_ok=True)
+    sh = shingles(new_docs).persist()
+    staging = tempfile.mkdtemp(prefix="_staging_append_", dir=index_dir)
+    try:
+        built = {
+            "bands": _minhash_bands(sh),
+            "shingles": sh,
+            "sizes": sh.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n")
+            ),
+        }
+        for name, df in built.items():
+            df.write.mode("overwrite").parquet(os.path.join(staging, name))
+        # commit: move staged part files (and their checksum siblings)
+        # into the live relation dirs
+        for name in built:
+            live = os.path.join(index_dir, name)
+            os.makedirs(live, exist_ok=True)
+            src = os.path.join(staging, name)
+            for fn in os.listdir(src):
+                if fn == "_SUCCESS" or fn == "._SUCCESS.crc":
+                    continue
+                os.replace(os.path.join(src, fn), os.path.join(live, fn))
+            if not os.path.exists(os.path.join(live, "_SUCCESS")):
+                open(os.path.join(live, "_SUCCESS"), "w").close()
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        sh.unpersist()
 
 
 def read_dedup_index(spark, index_dir: str) -> dict[str, DataFrame]:

@@ -160,9 +160,13 @@ def facet_counts(
 
     grouping() flags (not NULL-ness) decide which facet a row belongs
     to, so genuine NULL facet values still count — the sector_rollup
-    trap. Ordered (facet, n_items desc, value) for a deterministic
-    page. Cites reference main.py:31-34 (the catalog page this
-    decorates)."""
+    trap. Ordered (facet, n_items desc, value NULLS LAST) for a
+    deterministic page: NULL placement is EXPLICIT in both twins because
+    the engine defaults diverge (Spark sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST), and a genuine NULL facet value tying on
+    (facet, n_items) would otherwise order differently cross-engine
+    (r10 ADVICE #4). Cites reference main.py:31-34 (the catalog page
+    this decorates)."""
     sets = [[c] for c in facets]
     gs = dim_items.groupingSets(sets, *facets).agg(
         *[F.grouping(c).cast("int").alias(f"_g_{c}") for c in facets],
@@ -180,7 +184,7 @@ def facet_counts(
             F.expr(value_expr).alias("value"),
             "n_items",
         )
-        .orderBy("facet", F.col("n_items").desc(), "value")
+        .orderBy("facet", F.col("n_items").desc(), F.col("value").asc_nulls_last())
     )
 
 
@@ -198,4 +202,4 @@ def facet_counts_sql(dim_sql: str, facets: tuple[str, ...] = ("quality", "item_c
 SELECT {facet_expr} AS facet, {value_expr} AS value,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM dim GROUP BY GROUPING SETS ({sets})
-ORDER BY facet, n_items DESC, value"""
+ORDER BY facet, n_items DESC, value ASC NULLS LAST"""

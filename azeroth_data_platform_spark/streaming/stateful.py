@@ -536,13 +536,18 @@ def _make_multitouch_state(evict: bool):
                             channels = [channels[i] for i in keep]
                             uss = [uss[i] for i in keep]
                             eids = [eids[i] for i in keep]
-                    # state holds only earlier (us, event_id) touches, so
-                    # the strict-precedence rule is the processing order
-                    # itself; only the lookback needs checking
+                    # precedence must be checked explicitly, not assumed
+                    # from processing order: in no-watermark (disorder-
+                    # tolerant) mode the unpruned store can hold touches
+                    # NEWER than an out-of-order conversion, and crediting
+                    # them would break the batch twin's precedence rule
+                    # (surfaced by the r10-ADVICE-#1 closure test). The
+                    # (u, e) < (us, eid) tiebreak mirrors the
+                    # sort_values(["us", "event_id"]) processing order.
                     q = [
                         (c, u, e)
                         for c, u, e in zip(channels, uss, eids)
-                        if us - u <= ATTR_LOOKBACK_US
+                        if us - u <= ATTR_LOOKBACK_US and (u, e) < (us, eid)
                     ]
                     if not q:
                         rows.append((key[0], eid, "direct", 1_000_000, int(xu)))
@@ -560,13 +565,24 @@ def _make_multitouch_state(evict: bool):
                     uss.append(us)
                     eids.append(eid)
                     # prune to the lookback relative to the newest event —
-                    # the state-boundedness contract
-                    cutoff = us - ATTR_LOOKBACK_US
-                    if uss and uss[0] < cutoff:
-                        keep = [i for i, u in enumerate(uss) if u >= cutoff]
-                        channels = [channels[i] for i in keep]
-                        uss = [uss[i] for i in keep]
-                        eids = [eids[i] for i in keep]
+                    # the state-boundedness contract. Gated on evict for
+                    # the same reason as the conversion-side prune (r10
+                    # ADVICE #1): without a watermark bounding disorder,
+                    # an out-of-order EARLIER conversion (uc < us) may
+                    # arrive in a later micro-batch and legitimately claim
+                    # a touch inside ITS lookback that this newer touch's
+                    # cutoff would discard — pruning here would
+                    # misattribute it 'direct'. No-watermark mode
+                    # therefore keeps the full disorder-tolerant store
+                    # (unbounded state is that mode's stated contract);
+                    # the conversion read filters to the lookback anyway.
+                    if evict:
+                        cutoff = us - ATTR_LOOKBACK_US
+                        if uss and uss[0] < cutoff:
+                            keep = [i for i, u in enumerate(uss) if u >= cutoff]
+                            channels = [channels[i] for i in keep]
+                            uss = [uss[i] for i in keep]
+                            eids = [eids[i] for i in keep]
         state.update((channels, uss, eids))
         if evict and last_us is not None:
             _set_event_timeout(state, last_us)
@@ -591,17 +607,20 @@ def streaming_multitouch(
     micro-batches. Fold by channel downstream for the live report; batch
     bit-parity pinned in tests/test_stateful_streaming.py.
 
-    Boundedness: the touch list is pruned to the lookback on touch
-    arrivals always, and — only with `evict_watermark` set, where the
-    watermark bounds disorder — on conversions too; an EVENT-TIME idle
-    timeout of 2x the lookback then evicts users with no events at all,
-    so state scales with active users x touch rate, never lifetime
-    cardinality. Without a watermark the conversion-side prune is
-    SKIPPED (r9 ADVICE #3): an out-of-order earlier conversion may still
-    arrive and claim a touch a later conversion's cutoff would have
-    discarded, so unbounded mode stays disorder-tolerant at the price of
-    touch-side-only pruning. See streaming_attribution for the watermark
-    contract and why the timeout is event-time, not processing-time.
+    Boundedness: with `evict_watermark` set (the watermark bounds
+    disorder) the touch list is pruned to the lookback on BOTH touch and
+    conversion arrivals, and an EVENT-TIME idle timeout of 2x the
+    lookback evicts users with no events at all, so state scales with
+    active users x touch rate, never lifetime cardinality. Without a
+    watermark BOTH prunes are skipped (r9 ADVICE #3; r10 ADVICE #1
+    closed the touch-side half): an out-of-order EARLIER conversion may
+    arrive in a later micro-batch and legitimately claim a touch that
+    either prune's cutoff — keyed to a NEWER event's timestamp — would
+    have discarded. Unbounded mode is therefore fully disorder-tolerant
+    at the price of unbounded per-user state: that mode exists for
+    replay/backfill probes; production streams set the watermark. See
+    streaming_attribution for the watermark contract and why the timeout
+    is event-time, not processing-time.
 
     Expects columns (user_id, event_id, event_type, us, xu)."""
     if evict_watermark is None:

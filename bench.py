@@ -306,15 +306,34 @@ def main() -> int:
 
     from itertools import groupby
 
+    # One DISCARDED warm-up canary before the first family: the first
+    # interleaved canary otherwise absorbs residual JVM/page-cache warm-up
+    # (r10: olap read 0.401 vs 0.179-0.206 for the other four families),
+    # biasing that family's cross-round normalization (r10 verdict #2).
+    canary_warmup = run_canary()
+    # Per-BLOCK canaries (r10 ADVICE #3): the headline list interleaves
+    # families, and itertools.groupby groups only CONSECUTIVE entries —
+    # keying a plain dict by family silently kept only the LAST block's
+    # measurement. canary_blocks records every (family, canary) in run
+    # order; canary_family keeps the FIRST block per family (the value
+    # "measured before the family's first queries", matching the r10
+    # methodology's intent and the cross-round normalization use).
+    canary_blocks: list[dict[str, float | str]] = []
     canary_family: dict[str, float] = {}
     timings = {}
     for fam, names in groupby(headline, _family):
         # interleaved canary: the same frozen scan+aggregate, measured
         # immediately before each family block
-        canary_family[fam] = run_canary()
+        c = run_canary()
+        canary_blocks.append({"family": fam, "canary_sec": c})
+        canary_family.setdefault(fam, c)
         for name in names:
             timings[name] = run(name)
-    canary_sec = canary_family.get("olap", next(iter(canary_family.values())))
+    # canary_sec: the dedicated RUN-START canary (first measured block,
+    # after the warm-up discard) — the denominator semantics of the r3-r9
+    # series, which the r10 dict-overwrite had silently shifted to the
+    # last olap block (r10 ADVICE #3).
+    canary_sec = float(canary_blocks[0]["canary_sec"])
     # Extras: single-run stays the default (diagnostics), but any extra
     # whose first run costs >= 2 s gets two more runs and reports the
     # median — r8's verdict flagged that cross-round regression claims on
@@ -689,7 +708,8 @@ def main() -> int:
         "headline_over_canary": round(sum(timings.values()) / canary_sec, 2),
         # self-describing methodology token (r9 verdict #7): the driver's
         # tail capture keeps only this compact line, so the method rides it
-        "timing": "median3-warm-familycanary",
+        # (r11: +run-start warm-up discard, per-block canary record)
+        "timing": "median3-warm-familycanary-warmupdiscard",
     }
     # Two lines: a FULL detail record first (extra queries + scaling probe —
     # can exceed 2 kB), then the COMPACT required-schema record LAST so a
@@ -708,8 +728,15 @@ def main() -> int:
         "extras": "single-run; median-of-3 when first run >= 2 s (r9+)",
         "extras_median3": sorted(extras_median3),
         "scale_probe_base": "cold first runs",
+        "canary_warmup_discarded": canary_warmup,
         "canary_family": canary_family,
+        "canary_blocks": canary_blocks,
         "canary_post": canary_sec_post,
+        "canary_sec_semantics": (
+            "run-start: first measured block after one discarded warm-up"
+            " canary (r10 verdict #2 + ADVICE #3); canary_family keeps the"
+            " FIRST block per family, canary_blocks every block in order"
+        ),
     }
     if scaling is not None:
         detail["scaling"] = scaling

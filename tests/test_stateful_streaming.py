@@ -444,6 +444,46 @@ def test_multitouch_state_pruned_on_conversions_and_timeout():
         "conversion to its in-lookback touch"
     )
 
+    # r11 (r10 ADVICE #1): the TOUCH-side prune must also be skipped in
+    # no-watermark mode — a NEWER touch arriving first would otherwise
+    # prune the old touch, and an out-of-order EARLIER conversion in a
+    # later batch would be misattributed 'direct' (touch-then-conversion
+    # disorder, the half the r10 fix left open).
+    st5 = FakeState()
+    batch_a = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "us": [0, 12 * day_us],  # touch day 0, NEWER touch day 12
+            "event_type": ["view", "click"],
+            "xu": [0, 0],
+        }
+    )
+    assert list(_mt_unbounded((1,), iter([batch_a]), st5)) == []
+    assert st5.get[1] == [0, 12 * day_us], (
+        "no-watermark mode must keep the day-0 touch: a newer touch's "
+        "cutoff must not prune the disorder-tolerant store"
+    )
+    batch_b = pd.DataFrame(
+        {
+            "event_id": [3],
+            "us": [5 * day_us],  # out-of-order EARLIER conversion
+            "event_type": ["purchase"],
+            "xu": [700],
+        }
+    )
+    out_b = pd.concat(list(_mt_unbounded((1,), iter([batch_b]), st5)))
+    assert list(out_b["channel"]) == ["view"], (
+        "touch-then-conversion disorder: the late-arriving earlier "
+        "conversion must still find the day-0 touch"
+    )
+    # and the bounded mode still prunes on touch arrivals (the contract)
+    st6 = FakeState()
+    _mt_bounded = _make_multitouch_state(evict=True)
+    assert list(_mt_bounded((1,), iter([batch_a]), st6)) == []
+    assert st6.get[1] == [12 * day_us], (
+        "evict mode must prune the out-of-lookback touch on touch arrival"
+    )
+
 
 def test_streaming_attribution_event_time_eviction(spark, tmp_path):
     """With evict_watermark set, a user idle past 2x the lookback is

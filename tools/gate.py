@@ -90,6 +90,14 @@ The only commit allowed after this run is the one recording this file.
     print(f"pytest: {n_pass} passed / {n_fail} failed ({sec_t}s)")
     print(f"parity --all: {n_ok} OK / {parity_fail} failures ({sec_p}s)")
     print(f"GATE.md written for {head}: {'GREEN' if ok else 'RED'}")
+    # the gate commit message is GENERATED from the numbers GATE.md
+    # records, never hand-typed (r10 verdict #7: a commit message said
+    # 506/0 while GATE.md and the judge both counted 505) — commit with:
+    msg = (
+        f"Record {'green' if ok else 'RED'} gate for HEAD {head[:7]} "
+        f"(pytest {n_pass}/{n_fail}, parity {n_ok}/{n_ok + parity_fail})"
+    )
+    print(f'commit with exactly:\n  git commit -am "{msg}"')
     return 0 if ok else 1
 
 
