@@ -443,6 +443,49 @@ def q_a18_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.theil_sen_trend(_silver(spark, sf_dir))
 
 
+def q_a19_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Kendall tau-b per item: exact BIGINT
+    S-statistic / pair counts / tie correction over the calendar-bounded
+    pair set (operators/timeseries.py mann_kendall) — the significance
+    test for the slope a18_theil_sen estimates."""
+    from .operators import timeseries
+
+    return timeseries.mann_kendall(_silver(spark, sf_dir))
+
+
+def q_a20_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt nonparametric changepoint per item: exact integer rank
+    statistic U_t = t(n+1) − Σ2·midrank via three item-keyed windows —
+    NO pairwise join (operators/timeseries.py pettitt_changepoint); the
+    distribution-free twin of a13_cusum."""
+    from .operators import timeseries
+
+    return timeseries.pettitt_changepoint(_silver(spark, sf_dir))
+
+
+def q_w_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation from the
+    orders fact: exact cent totals, deterministic NTILE quintile scores
+    over the customer dim, standard segment quadrants
+    (operators/windows.py rfm_segments)."""
+    _prep(spark)
+    return windows.rfm_segments(adapters.read_table(spark, sf_dir, "orders"))
+
+
+def q_x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase revenue per signup cohort week — the
+    monetization companion of x_retention_cohorts, exact cents with one
+    cohort-keyed cumulative window (operators/windows.py cohort_ltv)."""
+    return windows.cohort_ltv(_events_ts(spark, sf_dir))
+
+
+def q_tp_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-token waste of arrival-order vs length-sorted batching, per
+    source — shard-local windows, exact integer token arithmetic, ppm
+    through DECIMAL(38,0) (operators/corpus.py padding_efficiency)."""
+    return corpus.padding_efficiency(_docs(spark, sf_dir))
+
+
 def q_dd_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed precision/recall of the MinHash banding vs exact-jaccard
     ground truth (dedup.lsh_recall_report) — the dedup twin of
@@ -2007,6 +2050,11 @@ QUERIES: dict[str, QueryFn] = {
     "ts_pii_scrub": q_ts_pii,
     # --- r11 additions enter the head here at authoring time,
     # displacing the r9-row fillers below slot 50 ---
+    "a19_mann_kendall": q_a19_mann_kendall,
+    "a20_pettitt": q_a20_pettitt,
+    "w_rfm_segments": q_w_rfm_segments,
+    "x_cohort_ltv": q_x_cohort_ltv,
+    "tp_padding_efficiency": q_tp_padding_efficiency,
     # --- remaining head slots: the oldest r9-row queries (r9-block prior
     # slot order) filling the 50 recorded slots ---
     "tp_chunk_documents": q_tp_chunk_documents,
@@ -2114,20 +2162,24 @@ QUERIES: dict[str, QueryFn] = {
     "dd_jaccard_histogram": q_dd_jaccard_histogram,
 }
 
-assert len(QUERIES) == 141, f"driver registry drifted: got {len(QUERIES)}"
+assert len(QUERIES) == 146, f"driver registry drifted: got {len(QUERIES)}"
 # r11 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
-# records exactly the first 50 dict keys.
+# records exactly the first 50 dict keys. The five r11 additions at
+# slots 42-46 displaced five r9-row fillers just past the boundary —
+# those rejoin the stale set they came from (the r12 head).
 assert list(QUERIES)[0] == "a14_forecast_backtest", "slot-1 drifted"
 assert list(QUERIES)[37] == "x_hll_distinct", "slot-38 drifted"
 assert list(QUERIES)[38] == "x_retention_cohorts", "slot-39 drifted"
 assert list(QUERIES)[40] == "ts_pii_scrub", "slot-41 drifted"
-assert list(QUERIES)[41] == "tp_chunk_documents", "slot-42 drifted"
-assert list(QUERIES)[49] == "o12_search_after", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "w_top_paths", "slot-51 drifted"
-assert list(QUERIES)[90] == "dd_embed_lsh", "slot-91 drifted"
-assert list(QUERIES)[91] == "tp_clean_corpus", "slot-92 drifted"
-assert list(QUERIES)[140] == "dd_jaccard_histogram", "slot-141 drifted"
+assert list(QUERIES)[41] == "a19_mann_kendall", "slot-42 drifted"
+assert list(QUERIES)[45] == "tp_padding_efficiency", "slot-46 drifted"
+assert list(QUERIES)[46] == "tp_chunk_documents", "slot-47 drifted"
+assert list(QUERIES)[49] == "w_attribution_ushape", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "x_gini_concentration", "slot-51 drifted"
+assert list(QUERIES)[95] == "dd_embed_lsh", "slot-96 drifted"
+assert list(QUERIES)[96] == "tp_clean_corpus", "slot-97 drifted"
+assert list(QUERIES)[145] == "dd_jaccard_histogram", "slot-146 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2469,6 +2521,11 @@ ORACLES["ts_auc_hashclf_bucketed"] = mleval.auc_exact_sql(
 ORACLES["tp_contamination_attribution"] = corpus.CONTAMINATION_ATTRIBUTION_SQL
 ORACLES["dd_incremental"] = dedup.INCREMENTAL_DEDUP_SQL
 ORACLES["a18_theil_sen"] = _timeseries.theil_sen_sql(_W_SILVER)
+ORACLES["a19_mann_kendall"] = _timeseries.mann_kendall_sql(_W_SILVER)
+ORACLES["a20_pettitt"] = _timeseries.pettitt_sql(_W_SILVER)
+ORACLES["w_rfm_segments"] = windows.RFM_SEGMENTS_SQL
+ORACLES["x_cohort_ltv"] = windows.COHORT_LTV_SQL
+ORACLES["tp_padding_efficiency"] = corpus.padding_efficiency_sql()
 ORACLES["ts_auc_hashclf_by_source"] = mleval.auc_by_group_sql(
     corpus.hashclf_bucket_scores_by_source_cte()
 )

@@ -2877,3 +2877,105 @@ SELECT source, n_docs, floor_quota, remainder,
        CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
             AS BIGINT) AS allocation
 FROM ranked ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Padding efficiency of batching strategies (round 11)
+
+PAD_BATCH_SIZE = 8
+
+
+def padding_efficiency(
+    documents: DataFrame, batch_size: int = PAD_BATCH_SIZE
+) -> DataFrame:
+    """(source, strategy, n_docs, n_batches, token_mass, padded_mass,
+    padding_tokens, padding_ppm): how many pad tokens each batching
+    strategy burns, per source — 'arrival' batches docs in doc_id order,
+    'sorted' batches them longest-first, and every batch pads its
+    members to the batch max. The report a training-pipeline owner reads
+    before picking a dataloader order: length-sorted batching typically
+    cuts padding severalfold, and this measures it exactly on THIS
+    corpus (all integer token arithmetic; padding_ppm stages through
+    DECIMAL(38,0) like the other ppm shares).
+
+    Scale: the token count is a row-local projection; both strategies'
+    row_number windows partition BY SOURCE (shard-local batching — the
+    realistic dataloader unit), never a global sort of the corpus; the
+    per-batch and per-source aggregates are map-combinable. Two window
+    passes over one cached projection, one small union."""
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        F.size(textstats._words()).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") >= 1)
+
+    def _one(strategy: str, order_cols) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(*order_cols)
+        batched = per_doc.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "batch", F.expr(f"CAST((_rn - 1) DIV {batch_size} AS BIGINT)")
+        )
+        per_batch = batched.groupBy("source", "batch").agg(
+            F.count(F.lit(1)).cast("bigint").alias("b_docs"),
+            F.max("n_tokens").alias("b_max"),
+            F.sum("n_tokens").cast("bigint").alias("b_mass"),
+        )
+        return per_batch.groupBy("source").agg(
+            F.lit(strategy).alias("strategy"),
+            F.sum("b_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("b_mass").cast("bigint").alias("token_mass"),
+            F.sum(F.col("b_docs") * F.col("b_max")).cast("bigint").alias("padded_mass"),
+        )
+
+    both = _one("arrival", [F.col("doc_id").asc()]).unionByName(
+        _one("sorted", [F.col("n_tokens").desc(), F.col("doc_id").asc()])
+    )
+    return both.select(
+        "source",
+        "strategy",
+        "n_docs",
+        "n_batches",
+        "token_mass",
+        "padded_mass",
+        (F.col("padded_mass") - F.col("token_mass")).cast("bigint").alias("padding_tokens"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (padded_mass - token_mass)"
+            " DIV padded_mass AS BIGINT)"
+        ).alias("padding_ppm"),
+    )
+
+
+def padding_efficiency_sql(batch_size: int = PAD_BATCH_SIZE) -> str:
+    """DuckDB twin of :func:`padding_efficiency`."""
+    from .textstats import WORDS_SQL
+
+    def one(strategy: str, order_by: str) -> str:
+        return f"""
+    SELECT source, '{strategy}' AS strategy,
+           CAST(SUM(b_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(b_mass) AS BIGINT) AS token_mass,
+           CAST(SUM(b_docs * b_max) AS BIGINT) AS padded_mass
+    FROM (
+      SELECT source, batch, CAST(COUNT(*) AS BIGINT) AS b_docs,
+             MAX(n_tokens) AS b_max, CAST(SUM(n_tokens) AS BIGINT) AS b_mass
+      FROM (
+        SELECT source, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY source ORDER BY {order_by})
+                - 1) // {batch_size} AS batch
+        FROM per_doc) b
+      GROUP BY source, batch) pb
+    GROUP BY source"""
+
+    return f"""
+  WITH per_doc AS (
+    SELECT doc_id, source, CAST(len({WORDS_SQL}) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len({WORDS_SQL}) >= 1),
+  strat AS ({one('arrival', 'doc_id ASC')}
+    UNION ALL {one('sorted', 'n_tokens DESC, doc_id ASC')})
+SELECT source, strategy, n_docs, n_batches, token_mass, padded_mass,
+       CAST(padded_mass - token_mass AS BIGINT) AS padding_tokens,
+       CAST(CAST(1000000 AS HUGEINT) * (padded_mass - token_mass)
+            // padded_mass AS BIGINT) AS padding_ppm
+FROM strat"""

@@ -650,3 +650,42 @@ SELECT n, n_agree,
        {kappa_ppm} AS kappa_ppm,
        CAST({kappa_ppm} AS DOUBLE) / 1e6 AS kappa
 FROM totals, margin"""
+
+
+def auc_from_counts_by_group(counts: DataFrame) -> DataFrame:
+    """Per-slice AUC read-off from grouped count state: counts =
+    (grp, score, c1, ct) → (grp, n_pos, n_neg, auc_ppm, auc), bit-equal
+    to :func:`auc_by_group` on the raw scored rows (the grouped twin of
+    :func:`auc_from_counts`, for the streaming per-slice monitor —
+    every window grp-partitioned, no single-partition stage)."""
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.select(
+        "grp",
+        "c1",
+        "ct",
+        (2 * F.sum("ct").over(wcum) - F.col("ct") + 1).alias("r2"),
+    )
+    sums = ranked.groupBy("grp").agg(
+        F.sum("c1").cast("bigint").alias("n_pos"),
+        F.sum(F.col("ct") - F.col("c1")).cast("bigint").alias("n_neg"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * r2")).alias("r2pos"),
+    )
+    u2 = "(r2pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+    auc_ppm = (
+        f"CAST(CAST(1000000 AS DECIMAL(38,0)) * {u2}"
+        f" DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"
+    )
+    guard = "n_pos > 0 AND n_neg > 0"
+    return sums.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        F.expr(f"CASE WHEN {guard} THEN {auc_ppm} END").alias("auc_ppm"),
+        F.expr(
+            f"CASE WHEN {guard} THEN CAST({auc_ppm} AS DOUBLE) / 1e6 END"
+        ).alias("auc"),
+    ).orderBy("grp")

@@ -1023,3 +1023,293 @@ SELECT item_id, n_days, n_pairs,
 FROM marked
 WHERE n_days >= {min_days}
 GROUP BY item_id, n_days, n_pairs"""
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test + Kendall's tau-b (round 11)
+
+MK_MIN_DAYS = THEIL_MIN_DAYS
+MK_WINDOW_DAYS = THEIL_WINDOW_DAYS
+
+
+def mann_kendall(
+    silver: DataFrame,
+    min_days: int = MK_MIN_DAYS,
+    window_days: int = MK_WINDOW_DAYS,
+) -> DataFrame:
+    """(item_id, n_days, n_pairs, s_stat, n_concordant, n_discordant,
+    n_tied_price, tau_b, trend): the Mann–Kendall trend TEST for each
+    item's daily price series — S = Σ_{i<j} sgn(p_j − p_i) over day-
+    ordered pairs — plus Kendall's tau-b, the tie-corrected rank
+    correlation of price vs time. The significance-test companion of
+    a18_theil_sen (which estimates the slope this tests): S, the pair
+    counts, and the tie correction are EXACT BIGINTs; tau_b is the one
+    final double, computed from those integers by an expression tree
+    kept textually identical in both dialects (the welch_t device).
+
+    tau_b = (C − D) / sqrt(n0 · (n0 − n2)) with n0 = n(n−1)/2 pairs,
+    n2 = Σ t(t−1)/2 over tied-price groups; the time axis has no ties
+    (one row per (item, day)), so its correction term is zero by
+    construction.
+
+    Plan shape: identical to theil_sen — one map-combinable (item, day)
+    groupBy, the shared trailing-window anchor (pair count calendar-
+    bounded at C(window+1, 2) per item — the 100 TB contract for the
+    O(days²) pair family), then an item-keyed equi self-join and one
+    aggregate. Zero windows, zero UDFs. Cites reference models.py:30-105
+    (the gold trend family this extends)."""
+    daily = (
+        _window_anchor(_daily(silver), window_days)
+        .select(
+            "item_id",
+            F.expr("datediff(snapshot_date, DATE'1970-01-01')").alias("d"),
+            int_units("price").cast("bigint").alias("p"),
+        )
+    )
+    n_days = daily.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.item_id") == F.col("b.item_id"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .select(
+            F.col("a.item_id").alias("item_id"),
+            F.expr(
+                "CASE WHEN b.p > a.p THEN 1 WHEN b.p < a.p THEN -1 ELSE 0 END"
+            ).alias("sgn"),
+        )
+    )
+    agg = pairs.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.sum(F.expr("CASE WHEN sgn = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.expr("CASE WHEN sgn = -1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_discordant"),
+        F.sum(F.expr("CASE WHEN sgn = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_tied_price"),
+    )
+    tau = (
+        "CASE WHEN n_pairs > n_tied_price THEN"
+        " CAST(s_stat AS DOUBLE)"
+        " / sqrt(CAST(n_pairs AS DOUBLE) * CAST(n_pairs - n_tied_price AS DOUBLE))"
+        " END"
+    )
+    return (
+        agg.join(n_days, "item_id")
+        .where(F.col("n_days") >= min_days)
+        .select(
+            "item_id",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            "n_concordant",
+            "n_discordant",
+            "n_tied_price",
+            F.expr(tau).alias("tau_b"),
+            F.expr(
+                "CASE WHEN s_stat > 0 THEN 'up'"
+                " WHEN s_stat < 0 THEN 'down' ELSE 'flat' END"
+            ).alias("trend"),
+        )
+    )
+
+
+def mann_kendall_sql(
+    silver_sql_cte: str,
+    min_days: int = MK_MIN_DAYS,
+    window_days: int = MK_WINDOW_DAYS,
+) -> str:
+    """DuckDB twin of :func:`mann_kendall` (expects `silver` CTE)."""
+    return f"""{silver_sql_cte},
+  daily0 AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+             FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily0),
+  daily AS (SELECT item_id,
+                   CAST(snapshot_date - DATE '1970-01-01' AS BIGINT) AS d,
+                   CAST({int_units_sql('price')} AS BIGINT) AS p
+            FROM daily0, anchor
+            WHERE snapshot_date >= d1 - INTERVAL {window_days} DAY),
+  nd AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY item_id),
+  pairs AS (
+    SELECT a.item_id,
+           CASE WHEN b.p > a.p THEN 1 WHEN b.p < a.p THEN -1 ELSE 0 END AS sgn
+    FROM daily a JOIN daily b
+      ON a.item_id = b.item_id AND b.d > a.d),
+  agg AS (
+    SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_concordant,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discordant,
+           CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tied_price
+    FROM pairs GROUP BY item_id)
+SELECT agg.item_id, nd.n_days, n_pairs, s_stat, n_concordant, n_discordant,
+       n_tied_price,
+       CASE WHEN n_pairs > n_tied_price THEN
+         CAST(s_stat AS DOUBLE)
+         / sqrt(CAST(n_pairs AS DOUBLE) * CAST(n_pairs - n_tied_price AS DOUBLE))
+       END AS tau_b,
+       CASE WHEN s_stat > 0 THEN 'up'
+            WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM agg JOIN nd ON agg.item_id = nd.item_id
+WHERE nd.n_days >= {min_days}"""
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test (round 11)
+
+PETTITT_MIN_DAYS = 5  # below this every split is noise
+PETTITT_WINDOW_DAYS = THEIL_WINDOW_DAYS
+
+
+def pettitt_changepoint(
+    silver: DataFrame,
+    min_days: int = PETTITT_MIN_DAYS,
+    window_days: int = PETTITT_WINDOW_DAYS,
+) -> DataFrame:
+    """(item_id, n_days, k_stat, u_at_max, t_at_max, changepoint_day,
+    significant_05): the Pettitt nonparametric changepoint test per item — the
+    rank-based single-changepoint locator (where did the price level
+    SHIFT?), the distribution-free companion of a13_cusum (which needs a
+    baseline mean) and a19_mann_kendall (monotone trend vs level break).
+
+    Exactness device — NO pairwise join, unlike the naive
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(X_j − X_i) definition: the prefix-vs-
+    suffix sign sum collapses to ranks because Σ_j sgn(X_j − X_i) =
+    n + 1 − 2·r_i (midranks; tie groups cancel exactly) and the within-
+    prefix pair sum is antisymmetric → zero, so
+        U_t = t·(n+1) − Σ_{i≤t} R_i,   R_i = 2·midrank (INTEGER:
+        R = 2·RANK() + tie_count − 1).
+    Everything is BIGINT window arithmetic: a rank window over price, a
+    cumulative sum over day order, an argmax (first-t tiebreak, pinned).
+    K = max|U_t| over t < n. The significance DECISION
+    p ≈ 2·exp(−6K²/(n³+n²)) < 0.05 is emitted as the equivalent exact
+    comparison 6·K² > ln(40)·(n³+n²) — integers against one
+    correctly-rounded double product, deterministic cross-engine,
+    because exp() itself is NOT correctly rounded identically in the
+    JVM and DuckDB's libm (measured: last-ulp p divergence at sf0.001;
+    the welch_t decision/display lesson applied at authoring time).
+
+    Plan shape: one map-combinable (item, day) groupBy → trailing-window
+    anchor → three item-keyed windows + one aggregate. O(days·log days)
+    per item, state bounded by the calendar — the 100 TB contract WITHOUT
+    the pair family's O(days²) term."""
+    daily = (
+        _window_anchor(_daily(silver), window_days)
+        .select(
+            "item_id",
+            F.col("snapshot_date").alias("day"),
+            F.expr("datediff(snapshot_date, DATE'1970-01-01')").alias("d"),
+            int_units("price").cast("bigint").alias("p"),
+        )
+    )
+    wrank = Window.partitionBy("item_id").orderBy("p")
+    wtie = Window.partitionBy("item_id", "p")
+    wday = Window.partitionBy("item_id").orderBy("d")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("item_id")
+    scored = (
+        daily.withColumn(
+            "r2",
+            (2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wtie) - 1)
+            .cast("bigint"),
+        )
+        .withColumn("t", F.row_number().over(wday).cast("bigint"))
+        .withColumn("cum_r2", F.sum("r2").over(wcum).cast("bigint"))
+        .withColumn("n_days", F.count(F.lit(1)).over(wall).cast("bigint"))
+        # cum_r2 sums the DOUBLED midranks (Σ R_i = 2·Σ r_i), so
+        # U_t = t·(n+1) − Σ 2·r_i = t·(n+1) − cum_r2 — already the exact
+        # integer Pettitt statistic, no halving needed (probe-pinned
+        # against the O(n²) sign-sum definition in tests).
+        .withColumn(
+            "u",
+            (F.col("t") * (F.col("n_days") + 1) - F.col("cum_r2")).cast("bigint"),
+        )
+    )
+    return (
+        scored.where((F.col("t") < F.col("n_days")) & (F.col("n_days") >= min_days))
+        .withColumn(
+            "_pick",
+            F.row_number().over(
+                Window.partitionBy("item_id").orderBy(
+                    F.abs(F.col("u")).desc(), F.col("t").asc()
+                )
+            ),
+        )
+        .where(F.col("_pick") == 1)
+        .select(
+            "item_id",
+            "n_days",
+            F.abs(F.col("u")).cast("bigint").alias("k_stat"),
+            F.col("u").alias("u_at_max"),
+            F.col("t").alias("t_at_max"),
+            F.col("day").alias("changepoint_day"),
+            # p = 2·exp(−6K²/(n³+n²)) < 0.05  ⟺  6K² > ln(40)·(n³+n²);
+            # K² and n³+n² are exactly-representable integers (< 2^53),
+            # the literal·product is one correctly-rounded double op —
+            # deterministic cross-engine where exp() is not
+            F.expr(
+                "CAST(6 * abs(u) * abs(u) AS DOUBLE)"
+                " > 3.6888794541139363 * (CAST(n_days AS DOUBLE) * n_days * n_days"
+                " + CAST(n_days AS DOUBLE) * n_days)"
+            ).alias("significant_05"),
+        )
+    )
+
+
+def pettitt_sql(
+    silver_sql_cte: str,
+    min_days: int = PETTITT_MIN_DAYS,
+    window_days: int = PETTITT_WINDOW_DAYS,
+) -> str:
+    """DuckDB twin of :func:`pettitt_changepoint` (expects `silver` CTE)."""
+    return f"""{silver_sql_cte},
+  daily0 AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+             FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily0),
+  daily AS (SELECT item_id, snapshot_date AS day,
+                   CAST(snapshot_date - DATE '1970-01-01' AS BIGINT) AS d,
+                   CAST({int_units_sql('price')} AS BIGINT) AS p
+            FROM daily0, anchor
+            WHERE snapshot_date >= d1 - INTERVAL {window_days} DAY),
+  scored AS (
+    SELECT item_id, day,
+           CAST(2 * RANK() OVER (PARTITION BY item_id ORDER BY p)
+                + COUNT(*) OVER (PARTITION BY item_id, p) - 1 AS BIGINT) AS r2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY item_id ORDER BY d) AS BIGINT)
+             AS t,
+           CAST(COUNT(*) OVER (PARTITION BY item_id) AS BIGINT) AS n_days
+    FROM daily),
+  cum AS (
+    SELECT *,
+           CAST(SUM(r2) OVER (PARTITION BY item_id ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_r2
+    FROM scored),
+  u AS (
+    SELECT item_id, day, t, n_days,
+           CAST(t * (n_days + 1) - cum_r2 AS BIGINT) AS u
+    FROM cum
+    WHERE t < n_days AND n_days >= {min_days}),
+  pick AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+                                 ORDER BY ABS(u) DESC, t ASC) AS pk
+    FROM u)
+SELECT item_id, n_days, CAST(ABS(u) AS BIGINT) AS k_stat, u AS u_at_max,
+       t AS t_at_max, day AS changepoint_day,
+       CAST(6 * abs(u) * abs(u) AS DOUBLE)
+         > 3.6888794541139363 * (CAST(n_days AS DOUBLE) * n_days * n_days
+                                 + CAST(n_days AS DOUBLE) * n_days)
+         AS significant_05
+FROM pick WHERE pk = 1"""

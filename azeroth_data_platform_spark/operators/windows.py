@@ -1631,3 +1631,196 @@ SELECT channel,
        CAST(SUM(CAST(xu AS HUGEINT) * credit_ppm) // 1000000 AS BIGINT)
          AS value_credit_units
 FROM scored GROUP BY channel ORDER BY channel"""
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (round 11)
+
+RFM_NTILES = 5
+
+
+def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
+    """(c_custkey, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score, segment): classic RFM segmentation of the customer
+    base from the orders fact — recency anchored at the global max order
+    date (one-row broadcast, no driver collect), frequency the order
+    count, monetary the exact cent total (int_units — doubles never
+    accumulate). Scores are NTILE(n) ranks, each made DETERMINISTIC by a
+    full (metric, custkey) tiebreak — NTILE depends only on row order,
+    and both engines fill earlier buckets first, so the twins agree
+    bit-for-bit. 5 = best throughout (most recent / most frequent /
+    highest spend).
+
+    Scale: the per-customer aggregate is ONE map-combinable groupBy of
+    the fact; the three NTILE sorts run over the CUSTOMER DIMENSION
+    (orders-of-magnitude smaller than the fact — the 100 TB contract:
+    the fact is never globally sorted, the dim's global sort is the
+    size of a dimension refresh). Segment labels are the standard RFM
+    quadrants. Cites reference main.py:31-79 (the serving surface this
+    kind of product analytics decorates)."""
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d1"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("d1"), F.col("o_orderdate").cast("date")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(int_units("o_totalprice")).cast("bigint").alias("monetary_cents"),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary_cents").asc(), F.col("o_custkey"))
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(n).over(w_r).cast("bigint"))
+        .withColumn("f_score", F.ntile(n).over(w_f).cast("bigint"))
+        .withColumn("m_score", F.ntile(n).over(w_m).cast("bigint"))
+    )
+    return scored.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+            " THEN 'champion'"
+            " WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'"
+            " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
+            " WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'"
+            " ELSE 'regular' END"
+        ).alias("segment"),
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+  WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+  per_cust AS (
+    SELECT o_custkey,
+           CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), d1)) AS BIGINT)
+             AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
+                         AS DECIMAL(18,0))) AS BIGINT) AS monetary_cents
+    FROM orders, anchor GROUP BY o_custkey, d1),
+  scored AS (
+    SELECT *,
+           CAST(NTILE({RFM_NTILES}) OVER (
+             ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE({RFM_NTILES}) OVER (
+             ORDER BY frequency ASC, o_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE({RFM_NTILES}) OVER (
+             ORDER BY monetary_cents ASC, o_custkey) AS BIGINT) AS m_score
+    FROM per_cust)
+SELECT o_custkey AS c_custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+            THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+            ELSE 'regular' END AS segment
+FROM scored"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round 11)
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, cohort_size, revenue_cents,
+    cum_revenue_cents, cum_ltv_per_user): cumulative purchase revenue per
+    signup cohort, week by week — the monetization companion of
+    x_retention_cohorts (who stays vs what they spend). Revenue
+    accumulates in exact cents (int_units); the per-user LTV is the one
+    final double division.
+
+    Shape: the same per-user cohort tag (window MIN over user), one
+    map-combinable (cohort, offset) aggregate over purchases only, the
+    cohort-size aggregate, and one cohort-keyed cumulative window.
+    Cohort weeks anchor at RETENTION_EPOCH (a Monday), matching the
+    retention query so the two reports join on (cohort_week,
+    week_offset)."""
+    wu = Window.partitionBy("user_id")
+    epoch = F.lit(RETENTION_EPOCH).cast("date")
+    tagged = events.select(
+        "user_id",
+        "event_type",
+        int_units("value").cast("bigint").alias("xu"),
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7).alias("_wk"),
+        F.floor(
+            F.datediff(F.min(F.col("ts").cast("date")).over(wu), epoch) / 7
+        ).alias("cohort_week"),
+    )
+    sizes = tagged.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        tagged.where(F.col("event_type") == "purchase")
+        .select(
+            "cohort_week",
+            (F.col("_wk") - F.col("cohort_week")).alias("week_offset"),
+            "xu",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("xu").cast("bigint").alias("revenue_cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_week")
+        .withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(wcum).cast("bigint")
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "revenue_cents",
+            "cum_revenue_cents",
+            (
+                F.col("cum_revenue_cents").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+COHORT_LTV_SQL = f"""
+  WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS DECIMAL(18,0)) AS BIGINT) AS xu,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+  tagged AS (
+    SELECT user_id, event_type, xu,
+           CAST(floor(date_diff('day', DATE '{RETENTION_EPOCH}', d) / 7.0) AS BIGINT) AS wk,
+           CAST(floor(date_diff('day', DATE '{RETENTION_EPOCH}',
+                                MIN(d) OVER (PARTITION BY user_id)) / 7.0) AS BIGINT)
+             AS cohort_week
+    FROM ev),
+  sizes AS (
+    SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+    FROM tagged GROUP BY cohort_week),
+  rev AS (
+    SELECT cohort_week, wk - cohort_week AS week_offset,
+           CAST(SUM(xu) AS BIGINT) AS revenue_cents
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY cohort_week, wk - cohort_week)
+SELECT rev.cohort_week, week_offset, cohort_size, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+         PARTITION BY rev.cohort_week ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+         PARTITION BY rev.cohort_week ORDER BY week_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(cohort_size AS DOUBLE) AS cum_ltv_per_user
+FROM rev JOIN sizes ON rev.cohort_week = sizes.cohort_week"""

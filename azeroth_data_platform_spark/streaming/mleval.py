@@ -63,3 +63,40 @@ def fold_score_counts(state: DataFrame) -> DataFrame:
         .alias("c1"),
         F.sum("c").cast("bigint").alias("ct"),
     )
+
+
+def streaming_score_counts_by_group(scored: DataFrame) -> DataFrame:
+    """Per-slice monitor state (r10 verdict #4 follow-through): scored =
+    streaming (ts TIMESTAMP, grp STRING, score BIGINT, label INT) →
+    (day, grp, score, label, c) finalized daily rows — the same
+    commutative-monoid window as :func:`streaming_score_counts` with grp
+    in the key, so state is bounded by slices × value domain
+    (sources × ≤128 for the bucketed gate score), never event volume.
+    Fold with :func:`fold_score_counts_by_group` and read off with
+    operators/mleval.auc_from_counts_by_group for the live per-slice
+    AUC — bit-equal to the batch auc_by_group (test-pinned under the
+    hostile trio)."""
+    return (
+        scored.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "grp", "score", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "grp",
+            "score",
+            "label",
+            "c",
+        )
+    )
+
+
+def fold_score_counts_by_group(state: DataFrame) -> DataFrame:
+    """Fold (day, grp, score, label, c) state across days to the
+    (grp, score, c1, ct) frame auc_from_counts_by_group reads — one
+    slices×domain-sized groupBy."""
+    return state.groupBy("grp", "score").agg(
+        F.sum(F.expr("CASE WHEN label = 1 THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum("c").cast("bigint").alias("ct"),
+    )

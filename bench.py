@@ -203,6 +203,13 @@ def main() -> int:
             "dd_recall_report",
             "o14_facet_counts",
             "dd_dup_stats_by_source",
+            # round-11 additions (extras: diagnostics, not frozen
+            # headline; the three r11 promotions already ride the list)
+            "a19_mann_kendall",
+            "a20_pettitt",
+            "w_rfm_segments",
+            "x_cohort_ltv",
+            "tp_padding_efficiency",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",
@@ -414,6 +421,15 @@ def main() -> int:
             "x_max_concurrency",
             "o14_facet_counts",
             "a15_mad_outliers",
+            # round-11 additions: Mann-Kendall rides theil_sen's bounded
+            # pair join, Pettitt is pure windows (no join), RFM sorts the
+            # customer dim only, LTV is one cohort window, padding two
+            # source-partitioned windows
+            "a19_mann_kendall",
+            "a20_pettitt",
+            "w_rfm_segments",
+            "x_cohort_ltv",
+            "tp_padding_efficiency",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a
             # pure projection + shard aggregate (linear, zero joins)

@@ -138,6 +138,14 @@ FUZZ_QUERIES = [
     "w_attribution_multitouch",
     "w_attribution_decay",
     "x_fano_burstiness",
+    # round 11: Mann-Kendall/Pettitt on tie-heavy gap-day series, RFM on
+    # all-tied metrics (NTILE tiebreak), LTV on single-event cohorts,
+    # padding on dup/short docs
+    "a19_mann_kendall",
+    "a20_pettitt",
+    "w_rfm_segments",
+    "x_cohort_ltv",
+    "tp_padding_efficiency",
 ]
 
 VOCAB = (
@@ -247,6 +255,37 @@ def _gen_tables(seed: int, outdir: str) -> None:
     )
     # one user stuck on a single event_type (self-transitions only)
     events.loc[events["user_id"] == 7, "event_type"] = "view"
+    # orders: adversarial RFM shapes (round 11) — metric TIES everywhere
+    # (identical totals, identical order counts, all-same-day clusters) so
+    # every NTILE falls back to the custkey tiebreak; integer-cent totals
+    # keep the DECIMAL staging exact; one whale and one single-order
+    # minnow pin the segment quadrants.
+    n_ord = 120
+    ord_dates = pd.Series(
+        [
+            dt.datetime(2025, 3, 1) + dt.timedelta(days=int(d))
+            for d in rng.integers(0, 10, size=n_ord)  # 10 slots → date ties
+        ],
+        dtype="datetime64[us]",
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_ord + 1),
+            "o_custkey": rng.integers(1, 16, size=n_ord).astype("int64"),
+            "o_orderstatus": rng.choice(["O", "F", "P"], size=n_ord),
+            "o_totalprice": rng.integers(1, 8, size=n_ord) * 25.25,  # few
+            # distinct totals → heavy monetary ties
+            "o_orderdate": ord_dates,
+            "o_orderpriority": ["1-URGENT"] * n_ord,
+        }
+    )
+    # whale: customer 99 with one huge order on the anchor date;
+    # minnow: customer 98 with one tiny stale order
+    orders.loc[0, ["o_custkey", "o_totalprice"]] = [99, 999999.99]
+    orders.loc[0, "o_orderdate"] = dt.datetime(2025, 3, 10)
+    orders.loc[1, ["o_custkey", "o_totalprice"]] = [98, 0.01]
+    orders.loc[1, "o_orderdate"] = dt.datetime(2025, 3, 1)
+    orders.to_parquet(f"{outdir}/orders.parquet")
     lineitem.to_parquet(f"{outdir}/lineitem.parquet")
     part.to_parquet(f"{outdir}/part.parquet")
     documents.to_parquet(f"{outdir}/documents.parquet")

@@ -1070,3 +1070,103 @@ def test_streaming_psi_histogram_hostile_conditions(spark, tmp_path):
             for r in bdrift.psi_day_over_day(kept).collect()
         }
         assert psi_batch, "two adjacent days must produce a PSI row"
+
+
+def test_streaming_auc_monitor_per_source(spark, tmp_path):
+    """r11 (r10 verdict #4): the PER-SLICE streaming AUC monitor on the
+    actual gate score keyed by source — hashclf_bucket_scores_by_source
+    streamed through streaming_score_counts_by_group under the hostile
+    trio (cross-batch day split, late-in-watermark rows, non-UTC
+    session). Pins: (a) the folded per-group state read-off is bit-equal
+    to batch auc_by_group over the same scored rows, (b) the state is
+    bounded by sources x the 128-value bucket grid — slice count times a
+    constant, never event volume."""
+    from azeroth_data_platform_spark.operators import corpus, mleval
+    from azeroth_data_platform_spark.streaming.mleval import (
+        fold_score_counts_by_group,
+        streaming_score_counts_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"w{i % 7} w{(i * 3) % 11} w{i % 5} common words here",
+                "en" if i % 3 == 0 else "fr",
+                ["web", "books", "code"][i % 3],
+            )
+            for i in range(48)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    scored = [
+        (r.grp, int(r.score), int(r.label))
+        for r in corpus.hashclf_bucket_scores_by_source(docs).collect()
+    ]
+    n_sources = len(set(g for g, _, _ in scored))
+    assert n_sources == 3
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 9)
+    b1 = [(d1, g, s, lb) for g, s, lb in scored[:24]] + [
+        (d2, g, s, lb) for g, s, lb in scored[24:36]
+    ]
+    # day-1 stragglers in a later micro-batch, inside the watermark
+    b2 = [(d1.replace(hour=23), g, s, lb) for g, s, lb in scored[36:]]
+    advancer = [(dt.datetime(2024, 4, 1), "web", 0, 0)]
+    advancer2 = [(dt.datetime(2024, 4, 1, 1), "web", 0, 0)]
+    schema = "ts timestamp, grp string, score long, label int"
+
+    with _hostile_tz(spark):
+        src = tmp_path / "gate_scored_src"
+        src.mkdir()
+        for i, rows in enumerate([b1, b2, advancer, advancer2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_score_counts_by_group(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gate_auc_state_by_src")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state = spark.sql(
+                "SELECT * FROM gate_auc_state_by_src"
+                " WHERE day < DATE'2024-04-01'"
+            )
+            # bounded state: per slice, distinct scores <= the 128 grid
+            per_grp = {
+                r.grp: r.n
+                for r in state.groupBy("grp")
+                .agg(F.countDistinct("score").alias("n"))
+                .collect()
+            }
+            assert set(per_grp) == {"web", "books", "code"}
+            assert all(n <= 128 for n in per_grp.values())
+            # full state bound: days x sources x grid x labels
+            assert state.count() <= 2 * n_sources * 128 * 2
+            got = {
+                r.grp: r.asDict()
+                for r in mleval.auc_from_counts_by_group(
+                    fold_score_counts_by_group(state)
+                ).collect()
+            }
+        finally:
+            q.stop()
+        batch = {
+            r.grp: r.asDict()
+            for r in mleval.auc_by_group(
+                spark.createDataFrame(scored, "grp string, score long, label int")
+            ).collect()
+        }
+        # n_pos/n_neg/auc_ppm/auc bit-equal per slice
+        assert set(got) == set(batch)
+        for g in batch:
+            for k in ("n_pos", "n_neg", "auc_ppm", "auc"):
+                assert got[g][k] == batch[g][k], (g, k)
