@@ -339,7 +339,15 @@ def main() -> int:
     # canary_sec: the dedicated RUN-START canary (first measured block,
     # after the warm-up discard) — the denominator semantics of the r3-r9
     # series, which the r10 dict-overwrite had silently shifted to the
-    # last olap block (r10 ADVICE #3).
+    # last olap block (r10 ADVICE #3). MEASURED r11: one discarded canary
+    # improves the run-start reading (r10 0.401-class -> 0.278 at the
+    # same host class) but does NOT close the gap to later blocks
+    # (0.14-0.16) — JVM JIT warms from executing real queries, not from
+    # canary repetition (8 back-to-back canary scans barely moved it).
+    # So: canary_sec keeps run-start series semantics; canary_median_
+    # blocks below is the unbiased same-host denominator; and the first
+    # family's honest bracket is [next block's leading canary, its own
+    # leading canary] — all blocks ride the record for exactly this.
     canary_sec = float(canary_blocks[0]["canary_sec"])
     # Extras: single-run stays the default (diagnostics), but any extra
     # whose first run costs >= 2 s gets two more runs and reports the
@@ -718,6 +726,11 @@ def main() -> int:
         "canary_sec": canary_sec,
         "canary_family": canary_family,
         "canary_sec_post": canary_sec_post,
+        # median over every interleaved block + the post canary: immune to
+        # the run-start JIT bias a single leading canary carries (r11)
+        "canary_median_blocks": sorted(
+            [float(b["canary_sec"]) for b in canary_blocks] + [canary_sec_post]
+        )[len(canary_blocks) // 2],
         # PRIMARY cross-round comparison number (round 4+): host drift moved
         # raw seconds ~1.25× between identical runs in earlier rounds; the
         # canary-normalized ratio is the host-honest series (r3 = 174.8).

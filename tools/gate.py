@@ -79,6 +79,13 @@ def main() -> int:
 Reproduce: `git checkout {head} && python -m pytest tests/ -q && \\
 python tools/parity.py --all {sf_dir}`
 
+Artifact-state dependency: tests/test_rotation.py derives the stale set
+from the CORRECTNESS_r*.json files PRESENT IN THE TREE — it is green at
+this commit's artifact state and is EXPECTED to turn red the moment the
+driver drops the next round's CORRECTNESS file (that red is the rotation
+forcing function, resolved by the next round's first commit, not an
+engine regression).
+
 pytest tail:
 ```
 {tail_t}
