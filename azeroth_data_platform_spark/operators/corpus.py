@@ -1930,16 +1930,29 @@ def hashclf_drift_by_source(documents: DataFrame) -> DataFrame:
 
     Output per source: (source, n_source, n_rest, psi_q15, psi_bits,
     warn_010, drift_025), ordered by source."""
-    from .drift import PSI_DRIFT_Q15, PSI_WARN_Q15, _psi_term_q15
-
-    spark = documents.sparkSession
     counts = _hashclf_bucket_frame(documents).groupBy("source", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    return hashclf_drift_from_counts(
+        counts, documents.select("source").distinct()
+    )
+
+
+def hashclf_drift_from_counts(counts: DataFrame, sources: DataFrame) -> DataFrame:
+    """The source-vs-rest PSI read-off from (source, bucket, c) count
+    state — factored out of :func:`hashclf_drift_by_source` so the SAME
+    arithmetic runs over a stream-maintained histogram
+    (streaming/mleval.streaming_score_counts_by_group state folded
+    across days and labels): the monitor never re-scans scored docs,
+    and batch/stream bit-equality is pinned in tests/test_streaming.py.
+    `sources` is the one-column frame of ALL sources (zero-doc slices
+    still get their smoothing terms)."""
+    from .drift import PSI_DRIFT_Q15, PSI_WARN_Q15, _psi_term_q15
+
+    spark = counts.sparkSession
     domain = spark.range(HASHCLF_BUCKET_LO, HASHCLF_BUCKET_HI + 1).select(
         F.col("id").cast("bigint").alias("bucket")
     )
-    sources = documents.select("source").distinct()
     completed = (
         sources.crossJoin(F.broadcast(domain))
         .join(counts, ["source", "bucket"], "left")

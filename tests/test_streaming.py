@@ -1170,3 +1170,109 @@ def test_streaming_auc_monitor_per_source(spark, tmp_path):
         for g in batch:
             for k in ("n_pos", "n_neg", "auc_ppm", "auc"):
                 assert got[g][k] == batch[g][k], (g, k)
+
+
+def test_streaming_psi_per_source_from_grouped_state(spark, tmp_path):
+    """The per-source gate-score PSI read-off over STREAM-MAINTAINED
+    state: the same (day, grp, score, label) counts the per-slice AUC
+    monitor keeps, folded across days and labels to (source, bucket, c)
+    and read off via corpus.hashclf_drift_from_counts — bit-equal to the
+    batch ts_hashclf_drift operator on the same docs, under the hostile
+    trio. One grouped state table now serves BOTH live monitors (AUC and
+    PSI), bounded by sources x the 128-value grid."""
+    from azeroth_data_platform_spark.operators import corpus
+    from azeroth_data_platform_spark.streaming.mleval import (
+        streaming_score_counts_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"w{i % 7} w{(i * 3) % 11} w{i % 5} common words here",
+                "en" if i % 3 == 0 else "fr",
+                ["web", "books", "code"][i % 3],
+            )
+            for i in range(48)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    scored = [
+        (r.grp, int(r.score), int(r.label))
+        for r in corpus.hashclf_bucket_scores_by_source(docs).collect()
+    ]
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 9)
+    b1 = [(d1, g, s, lb) for g, s, lb in scored[:24]] + [
+        (d2, g, s, lb) for g, s, lb in scored[24:36]
+    ]
+    # day-1 stragglers in a later micro-batch, inside the watermark
+    b2 = [(d1.replace(hour=23), g, s, lb) for g, s, lb in scored[36:]]
+    advancer = [(dt.datetime(2024, 4, 1), "web", 0, 0)]
+    advancer2 = [(dt.datetime(2024, 4, 1, 1), "web", 0, 0)]
+    schema = "ts timestamp, grp string, score long, label int"
+
+    with _hostile_tz(spark):
+        src = tmp_path / "gate_psi_src"
+        src.mkdir()
+        for i, rows in enumerate([b1, b2, advancer, advancer2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_score_counts_by_group(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("gate_psi_state_by_src")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state = spark.sql(
+                "SELECT * FROM gate_psi_state_by_src"
+                " WHERE day < DATE'2024-04-01'"
+            )
+            folded = (
+                state.groupBy(
+                    F.col("grp").alias("source"),
+                    F.col("score").alias("bucket"),
+                )
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            got = {
+                r.source: r.asDict()
+                for r in corpus.hashclf_drift_from_counts(
+                    folded,
+                    state.select(F.col("grp").alias("source")).distinct(),
+                ).collect()
+            }
+        finally:
+            q.stop()
+    # batch twin on the SAME rows (filler excluded by construction)
+    batch_counts = (
+        spark.createDataFrame(scored, "source string, bucket long, label int")
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    batch = {
+        r.source: r.asDict()
+        for r in corpus.hashclf_drift_from_counts(
+            batch_counts,
+            spark.createDataFrame(
+                [("web",), ("books",), ("code",)], "source string"
+            ),
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for s in batch:
+        assert got[s] == batch[s], s
+    # and the from-counts refactor is bit-equal to the full batch operator
+    full = {
+        r.source: r.asDict()
+        for r in corpus.hashclf_drift_by_source(docs).collect()
+    }
+    assert full == batch
