@@ -486,6 +486,24 @@ def q_tp_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.padding_efficiency(_docs(spark, sf_dir))
 
 
+def q_a21_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch–Slack): a19's S summed over
+    day-of-week seasons with the exact tie-corrected 18·VAR and a
+    continuity-corrected integer significance decision
+    (operators/timeseries.py seasonal_mann_kendall)."""
+    from .operators import timeseries
+
+    return timeseries.seasonal_mann_kendall(_silver(spark, sf_dir))
+
+
+def q_x_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment migration matrix: the as-of-split segmentation vs the
+    full-history one, per (from, to) cell with exact ppm shares
+    (operators/windows.py rfm_migration)."""
+    _prep(spark)
+    return windows.rfm_migration(adapters.read_table(spark, sf_dir, "orders"))
+
+
 def q_dd_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed precision/recall of the MinHash banding vs exact-jaccard
     ground truth (dedup.lsh_recall_report) — the dedup twin of
@@ -2738,6 +2756,11 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_mix_temperature": q_tp_mix_temperature,
     # arbitrary GROUPING SETS (the general form rollup/cube specialize)
     "x_grouping_sets": q_x_grouping_sets,
+    # round-11 legacy additions (distinct capabilities without head-slot
+    # pressure — natural r12 promotion candidates): the seasonal variant
+    # of a19 and the period-over-period consumer of w_rfm_segments
+    "a21_seasonal_mann_kendall": q_a21_seasonal_mk,
+    "x_rfm_migration": q_x_rfm_migration,
 }
 
 def _dq_checks_sql() -> str:
@@ -2929,3 +2952,8 @@ ALL_ORACLES: dict[str, str] = {
 # above QUERIES); still parity-verified by tools/parity.py --all
 ALL_ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ALL_ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
+# round-11 legacy additions
+ALL_ORACLES["a21_seasonal_mann_kendall"] = _timeseries.seasonal_mann_kendall_sql(
+    _W_SILVER
+)
+ALL_ORACLES["x_rfm_migration"] = windows.rfm_migration_sql()

@@ -1313,3 +1313,148 @@ SELECT item_id, n_days, CAST(ABS(u) AS BIGINT) AS k_stat, u AS u_at_max,
                                  + CAST(n_days AS DOUBLE) * n_days)
          AS significant_05
 FROM pick WHERE pk = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann–Kendall (Hirsch–Slack) trend test (round 11, legacy registry)
+
+SMK_MIN_DAYS = THEIL_MIN_DAYS
+SMK_WINDOW_DAYS = THEIL_WINDOW_DAYS
+
+
+def seasonal_mann_kendall(
+    silver: DataFrame,
+    min_days: int = SMK_MIN_DAYS,
+    window_days: int = SMK_WINDOW_DAYS,
+) -> DataFrame:
+    """(item_id, n_days, n_seasons_active, n_pairs, s_stat, var18,
+    significant_05, trend): the SEASONAL Mann–Kendall test (Hirsch–
+    Slack) per item — a19's S statistic computed WITHIN each day-of-week
+    season and summed, so a strong weekly cycle cannot masquerade as (or
+    mask) a trend: only same-weekday pairs are compared.
+
+    Exactness: S' = Σ_g S_g and the tie-corrected variance
+    18·VAR' = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)] are exact
+    BIGINTs (the /18 stays un-divided). The |Z| > 1.96 decision with the
+    standard continuity correction, Z = (S−sgn(S))/√VAR', ships as the
+    integer-vs-literal comparison (|S|−1)²·18 > 3.8416·var18 (and
+    |S| > 1) — 1.96² = 3.8416 is EXACT in binary-scaled decimal terms of
+    the literal, and literal×exact-int is one correctly-rounded double
+    op, deterministic cross-engine (the exp()-free device a20
+    established). Seasons key on days-since-a-known-Monday mod 7 — the
+    dayofweek() convention clash is avoided by construction.
+
+    Plan shape: the a19 equi self-join with (item, dow) in the key —
+    the pair count is STRICTLY SMALLER than a19's (seasons partition the
+    days: Σ C(n_g,2) ≤ C(n,2)) — plus two map-combinable tie/size
+    aggregates. Calendar-bounded at the same trailing window."""
+    daily = (
+        _window_anchor(_daily(silver), window_days)
+        .select(
+            "item_id",
+            F.expr("datediff(snapshot_date, DATE'1970-01-01')").alias("d"),
+            int_units("price").cast("bigint").alias("p"),
+        )
+        .withColumn("dow", F.expr("((d % 7) + 7) % 7"))
+    )
+    n_days = daily.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.countDistinct("dow").cast("bigint").alias("n_seasons_active"),
+    )
+    # per-season sizes and per-(season, value) tie groups → 18·VAR terms
+    szs = daily.groupBy("item_id", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    ties = daily.groupBy("item_id", "dow", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    var_n = szs.groupBy("item_id").agg(
+        F.sum(F.expr("ng * (ng - 1) * (2 * ng + 5)")).cast("bigint").alias("v_n")
+    )
+    var_t = ties.groupBy("item_id").agg(
+        F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("bigint").alias("v_t")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.item_id") == F.col("b.item_id"))
+        & (F.col("a.dow") == F.col("b.dow"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.item_id").alias("item_id"),
+        F.expr(
+            "CASE WHEN b.p > a.p THEN 1 WHEN b.p < a.p THEN -1 ELSE 0 END"
+        ).alias("sgn"),
+    )
+    agg = pairs.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+    )
+    return (
+        agg.join(n_days, "item_id")
+        .join(var_n, "item_id")
+        .join(var_t, "item_id")
+        .where(F.col("n_days") >= min_days)
+        .select(
+            "item_id",
+            "n_days",
+            "n_seasons_active",
+            "n_pairs",
+            "s_stat",
+            (F.col("v_n") - F.col("v_t")).cast("bigint").alias("var18"),
+            F.expr(
+                "abs(s_stat) > 1 AND"
+                " CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 AS DOUBLE)"
+                " > 3.8416 * CAST(var18 AS DOUBLE)"
+            ).alias("significant_05"),
+            F.expr(
+                "CASE WHEN s_stat > 0 THEN 'up'"
+                " WHEN s_stat < 0 THEN 'down' ELSE 'flat' END"
+            ).alias("trend"),
+        )
+    )
+
+
+def seasonal_mann_kendall_sql(
+    silver_sql_cte: str,
+    min_days: int = SMK_MIN_DAYS,
+    window_days: int = SMK_WINDOW_DAYS,
+) -> str:
+    """DuckDB twin of :func:`seasonal_mann_kendall` (expects `silver`)."""
+    return f"""{silver_sql_cte},
+  daily0 AS (SELECT item_id, snapshot_date, MIN(unit_price) AS price
+             FROM silver GROUP BY item_id, snapshot_date),
+  anchor AS (SELECT MAX(snapshot_date) AS d1 FROM daily0),
+  daily AS (SELECT item_id,
+                   CAST(snapshot_date - DATE '1970-01-01' AS BIGINT) AS d,
+                   ((CAST(snapshot_date - DATE '1970-01-01' AS BIGINT) % 7) + 7) % 7 AS dow,
+                   CAST({int_units_sql('price')} AS BIGINT) AS p
+            FROM daily0, anchor
+            WHERE snapshot_date >= d1 - INTERVAL {window_days} DAY),
+  nd AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+                CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_seasons_active
+         FROM daily GROUP BY item_id),
+  vn AS (SELECT item_id, CAST(SUM(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS v_n
+         FROM (SELECT item_id, dow, CAST(COUNT(*) AS BIGINT) AS ng
+               FROM daily GROUP BY item_id, dow) s GROUP BY item_id),
+  vt AS (SELECT item_id, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS v_t
+         FROM (SELECT item_id, dow, p, CAST(COUNT(*) AS BIGINT) AS t
+               FROM daily GROUP BY item_id, dow, p) s GROUP BY item_id),
+  agg AS (
+    SELECT a.item_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN b.p > a.p THEN 1 WHEN b.p < a.p THEN -1
+                         ELSE 0 END) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b
+      ON a.item_id = b.item_id AND a.dow = b.dow AND b.d > a.d
+    GROUP BY a.item_id)
+SELECT agg.item_id, nd.n_days, nd.n_seasons_active, n_pairs, s_stat,
+       CAST(v_n - v_t AS BIGINT) AS var18,
+       abs(s_stat) > 1 AND
+         CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 AS DOUBLE)
+         > 3.8416 * CAST(v_n - v_t AS DOUBLE) AS significant_05,
+       CASE WHEN s_stat > 0 THEN 'up'
+            WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM agg JOIN nd ON agg.item_id = nd.item_id
+JOIN vn ON agg.item_id = vn.item_id
+JOIN vt ON agg.item_id = vt.item_id
+WHERE nd.n_days >= {min_days}"""

@@ -1824,3 +1824,82 @@ SELECT rev.cohort_week, week_offset, cohort_size, revenue_cents,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          / CAST(cohort_size AS DOUBLE) AS cum_ltv_per_user
 FROM rev JOIN sizes ON rev.cohort_week = sizes.cohort_week"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segment migration matrix (round 11, legacy registry)
+
+RFM_SPLIT_DATE = "1996-06-30"  # orders span ~1992-1998 in the TPC-H-ish data
+
+
+def rfm_migration(orders: DataFrame, split_date: str = RFM_SPLIT_DATE) -> DataFrame:
+    """(segment_from, segment_to, n_customers, share_ppm): how the
+    customer base MOVES between RFM segments — segment_from is the RFM
+    segmentation computed as of `split_date` (orders strictly before it,
+    recency anchored at that period's own max order date), segment_to
+    the segmentation over the full history; customers with no early
+    orders enter as 'new_customer'. The period-over-period churn /
+    win-back matrix every lifecycle-marketing report is built on, and
+    the natural consumer of w_rfm_segments' scaffold (both runs are the
+    SAME operator over filtered inputs — no second implementation to
+    drift). share_ppm is the exact integer share of each (from, to)
+    cell among all migrating customers (DECIMAL(38,0) DIV staging).
+
+    Scale: two rfm_segments passes (each one map-combinable fact
+    aggregate + dim-sized NTILE sorts) and one customer-dim join."""
+    early = rfm_segments(
+        orders.where(F.col("o_orderdate").cast("date") < F.lit(split_date).cast("date"))
+    ).select("c_custkey", F.col("segment").alias("segment_from"))
+    late = rfm_segments(orders).select(
+        "c_custkey", F.col("segment").alias("segment_to")
+    )
+    cells = (
+        late.join(early, "c_custkey", "left")
+        .fillna({"segment_from": "new_customer"})
+        .groupBy("segment_from", "segment_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        cells.withColumn("total", F.sum("n_customers").over(wall))
+        .select(
+            "segment_from",
+            "segment_to",
+            "n_customers",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_customers"
+                " DIV total AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("segment_from", "segment_to")
+    )
+
+
+def rfm_segments_sql(from_clause: str = "orders") -> str:
+    """The RFM_SEGMENTS_SQL body with a parameterizable source relation
+    (for the migration twin's period-filtered early pass)."""
+    return RFM_SEGMENTS_SQL.replace("FROM orders, anchor", f"FROM {from_clause}, anchor").replace(
+        "SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders",
+        f"SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM {from_clause}",
+    )
+
+
+def rfm_migration_sql(split_date: str = RFM_SPLIT_DATE) -> str:
+    """DuckDB twin of :func:`rfm_migration`."""
+    early_src = (
+        "(SELECT * FROM orders"
+        f" WHERE CAST(o_orderdate AS DATE) < DATE '{split_date}') early_orders"
+    )
+    return f"""
+  WITH early AS ({rfm_segments_sql(early_src)}),
+  late AS ({rfm_segments_sql()}),
+  cells AS (
+    SELECT COALESCE(e.segment, 'new_customer') AS segment_from,
+           l.segment AS segment_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM late l LEFT JOIN early e ON l.c_custkey = e.c_custkey
+    GROUP BY 1, 2)
+SELECT segment_from, segment_to, n_customers,
+       CAST(CAST(1000000 AS HUGEINT) * n_customers
+            // (SUM(n_customers) OVER ()) AS BIGINT) AS share_ppm
+FROM cells"""

@@ -210,6 +210,8 @@ def main() -> int:
             "w_rfm_segments",
             "x_cohort_ltv",
             "tp_padding_efficiency",
+            "a21_seasonal_mann_kendall",
+            "x_rfm_migration",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",

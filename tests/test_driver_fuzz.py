@@ -146,6 +146,8 @@ FUZZ_QUERIES = [
     "w_rfm_segments",
     "x_cohort_ltv",
     "tp_padding_efficiency",
+    "a21_seasonal_mann_kendall",
+    "x_rfm_migration",
 ]
 
 VOCAB = (

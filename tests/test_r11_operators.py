@@ -335,3 +335,98 @@ def test_padding_windows_are_source_partitioned(spark):
 
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
         assert "source" in m.group(0), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# a21: seasonal Mann-Kendall (legacy registry)
+
+
+def test_seasonal_mk_weekly_cycle_is_not_a_trend(spark):
+    """A pure weekly cycle (price depends only on weekday) over 4 weeks:
+    every same-season pair is a TIE, so seasonal S = 0 / 'flat', while
+    the plain a19 S over all pairs is nonzero on the same data — the
+    exact confound the seasonal variant exists to remove."""
+    from azeroth_data_platform_spark.operators.timeseries import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    prices = [10.0 + (i % 7) for i in range(28)]  # weekday staircase
+    df = _series(spark, {1: prices})
+    smk = seasonal_mann_kendall(df).collect()
+    assert len(smk) == 1
+    r = smk[0]
+    assert r.s_stat == 0 and r.trend == "flat"
+    assert bool(r.significant_05) is False
+    assert r.n_seasons_active == 7
+    # each season: 4 equal values -> C(4,2)=6 tied pairs, 7 seasons
+    assert r.n_pairs == 7 * 6
+    mk = mann_kendall(df).collect()[0]
+    assert mk.s_stat != 0  # the cycle fools the unseasoned statistic
+
+    # and a genuine within-season trend IS detected: staircase + 1.0/week
+    trended = [10.0 + (i % 7) + 1.0 * (i // 7) for i in range(28)]
+    r2 = seasonal_mann_kendall(_series(spark, {2: trended})).collect()[0]
+    assert r2.s_stat == 7 * 6 and r2.trend == "up"  # all pairs rise
+    # var18 with no ties: 7 seasons of n=4 -> 7 * 4*3*13 = 1092
+    assert r2.var18 == 7 * (4 * 3 * (2 * 4 + 5))
+    # decision: (42-1)^2*18 = 30258 > 3.8416*1092 = 4195 -> significant
+    assert bool(r2.significant_05) is True
+
+
+def test_seasonal_mk_pairs_bounded_by_plain_mk(spark):
+    """Seasons partition the days, so the seasonal pair count is always
+    <= the plain C(n,2) — the plan-cost argument, checked on data."""
+    from azeroth_data_platform_spark.operators.timeseries import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    series = {i: [float(rng.randint(1, 9)) for _ in range(rng.randint(8, 20))] for i in range(1, 6)}
+    df = _series(spark, series)
+    smk = {r.item_id: r.n_pairs for r in seasonal_mann_kendall(df).collect()}
+    mk = {r.item_id: r.n_pairs for r in mann_kendall(df).collect()}
+    for item, np_s in smk.items():
+        assert np_s <= mk[item]
+
+
+# ---------------------------------------------------------------------------
+# x_rfm_migration (legacy registry)
+
+
+def test_rfm_migration_new_customers_and_share(spark):
+    """Customers present only after the split enter as 'new_customer';
+    every late customer lands in exactly one cell; ppm shares are exact
+    truncations summing to <= 1e6."""
+    from azeroth_data_platform_spark.operators.windows import rfm_migration
+
+    d_early = dt.date(1995, 1, 1)
+    d_late = dt.date(1997, 1, 1)
+    rows = []
+    ok = 0
+    # 10 long-standing customers ordering in both periods
+    for c in range(1, 11):
+        for k in range(c):
+            ok += 1
+            rows.append((ok, c, "O", 10.0 * c, d_early + dt.timedelta(days=k), "P"))
+            ok += 1
+            rows.append((ok, c, "O", 10.0 * c, d_late + dt.timedelta(days=k), "P"))
+    # 2 customers that appear only after the split
+    for c in (21, 22):
+        ok += 1
+        rows.append((ok, c, "O", 55.0, d_late, "P"))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    out = rfm_migration(orders, split_date="1996-06-30").collect()
+    total = sum(r.n_customers for r in out)
+    assert total == 12  # every late customer in exactly one cell
+    new_cells = [r for r in out if r.segment_from == "new_customer"]
+    assert sum(r.n_customers for r in new_cells) == 2
+    ppm = sum(r.share_ppm for r in out)
+    assert 1_000_000 - len(out) < ppm <= 1_000_000  # exact truncations
