@@ -504,6 +504,13 @@ def q_x_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.rfm_migration(adapters.read_table(spark, sf_dir, "orders"))
 
 
+def q_w_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel transition rates with Wilson 95% intervals: exact counts
+    through a shared IEEE-reproducible score tree (sqrt only — the
+    reproducible transcendental); operators/windows.py funnel_wilson."""
+    return windows.funnel_wilson(_events_ts(spark, sf_dir))
+
+
 def q_dd_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed precision/recall of the MinHash banding vs exact-jaccard
     ground truth (dedup.lsh_recall_report) — the dedup twin of
@@ -2761,6 +2768,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     # of a19 and the period-over-period consumer of w_rfm_segments
     "a21_seasonal_mann_kendall": q_a21_seasonal_mk,
     "x_rfm_migration": q_x_rfm_migration,
+    "w_funnel_wilson": q_w_funnel_wilson,
 }
 
 def _dq_checks_sql() -> str:
@@ -2957,3 +2965,4 @@ ALL_ORACLES["a21_seasonal_mann_kendall"] = _timeseries.seasonal_mann_kendall_sql
     _W_SILVER
 )
 ALL_ORACLES["x_rfm_migration"] = windows.rfm_migration_sql()
+ALL_ORACLES["w_funnel_wilson"] = windows.funnel_wilson_sql()

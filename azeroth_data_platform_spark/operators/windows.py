@@ -1903,3 +1903,80 @@ SELECT segment_from, segment_to, n_customers,
        CAST(CAST(1000000 AS HUGEINT) * n_customers
             // (SUM(n_customers) OVER ()) AS BIGINT) AS share_ppm
 FROM cells"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel transition rates with Wilson confidence intervals (round 11, legacy)
+
+_WILSON = (
+    "CASE WHEN n_from > 0 THEN"
+    " ((CAST(n_to AS DOUBLE) + 3.8416 / 2.0) / (CAST(n_from AS DOUBLE) + 3.8416))"
+    " {sign} (1.96 * sqrt((CAST(n_to AS DOUBLE)"
+    " * (CAST(n_from AS DOUBLE) - CAST(n_to AS DOUBLE)))"
+    " / CAST(n_from AS DOUBLE) + 3.8416 / 4.0)"
+    " / (CAST(n_from AS DOUBLE) + 3.8416)) END"
+)
+
+
+def funnel_wilson(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(step_idx, from_step, to_step, n_from, n_to, rate, wilson_lo,
+    wilson_hi): each funnel transition's conversion rate with its Wilson
+    95% interval — the uncertainty a product decision actually needs
+    ("view→click moved 41%→43%" means nothing at n=50). Counts come from
+    the same strict-ordering funnel operator; the Wilson score
+    (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is evaluated
+    on an expression tree kept textually IDENTICAL in both dialects from
+    exact integer counts — every op in it (+ − × ÷ √) is IEEE
+    correctly-rounded, so the twins agree bit-for-bit (sqrt is the one
+    transcendental that IS reproducible; exp/ln are not — the a20
+    lesson). z² = 3.8416 rides as a literal. NULL-guarded at n_from = 0
+    (ANSI trap). The lag window runs over the |steps|-row funnel
+    summary, not the events."""
+    f = funnel(events, steps).select("step_idx", "step", "users")
+    w = Window.orderBy("step_idx")
+    t = (
+        f.withColumn("n_from", F.lag("users").over(w))
+        .withColumn("from_step", F.lag("step").over(w))
+        .where(F.col("step_idx") > 1)
+        .select(
+            "step_idx",
+            "from_step",
+            F.col("step").alias("to_step"),
+            F.col("n_from").cast("bigint").alias("n_from"),
+            F.col("users").cast("bigint").alias("n_to"),
+        )
+    )
+    return t.select(
+        "step_idx",
+        "from_step",
+        "to_step",
+        "n_from",
+        "n_to",
+        F.expr(
+            "CASE WHEN n_from > 0 THEN"
+            " CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) END"
+        ).alias("rate"),
+        F.expr(_WILSON.format(sign="-")).alias("wilson_lo"),
+        F.expr(_WILSON.format(sign="+")).alias("wilson_hi"),
+    )
+
+
+def funnel_wilson_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """DuckDB twin of :func:`funnel_wilson` (same Wilson tree text)."""
+    lo = _WILSON.format(sign="-")
+    hi = _WILSON.format(sign="+")
+    return f"""
+  WITH fun AS ({_funnel_sql(steps)}),
+  t AS (
+    SELECT step_idx,
+           LAG(step) OVER (ORDER BY step_idx) AS from_step,
+           step AS to_step,
+           CAST(LAG(users) OVER (ORDER BY step_idx) AS BIGINT) AS n_from,
+           CAST(users AS BIGINT) AS n_to
+    FROM fun)
+SELECT step_idx, from_step, to_step, n_from, n_to,
+       CASE WHEN n_from > 0 THEN CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE)
+            END AS rate,
+       {lo} AS wilson_lo,
+       {hi} AS wilson_hi
+FROM t WHERE step_idx > 1"""

@@ -212,6 +212,7 @@ def main() -> int:
             "tp_padding_efficiency",
             "a21_seasonal_mann_kendall",
             "x_rfm_migration",
+            "w_funnel_wilson",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",

@@ -148,6 +148,7 @@ FUZZ_QUERIES = [
     "tp_padding_efficiency",
     "a21_seasonal_mann_kendall",
     "x_rfm_migration",
+    "w_funnel_wilson",
 ]
 
 VOCAB = (

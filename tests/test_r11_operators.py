@@ -430,3 +430,98 @@ def test_rfm_migration_new_customers_and_share(spark):
     assert sum(r.n_customers for r in new_cells) == 2
     ppm = sum(r.share_ppm for r in out)
     assert 1_000_000 - len(out) < ppm <= 1_000_000  # exact truncations
+
+
+def test_mann_kendall_matches_brute_force_property(spark):
+    """Property probe: 15 random tie-heavy series — S/C/D/ties and the
+    seasonal S must equal O(n^2) python recomputes (the pettitt-grade
+    cross-check for the pair family)."""
+    from azeroth_data_platform_spark.operators.timeseries import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    rng = random.Random(19)
+    series = {}
+    for item in range(1, 16):
+        n = rng.randint(4, 16)
+        series[item] = [float(rng.randint(1, 5)) for _ in range(n)]
+    df = _series(spark, series)
+    mk = {r.item_id: r for r in mann_kendall(df).collect()}
+    smk = {r.item_id: r for r in seasonal_mann_kendall(df).collect()}
+    for item, prices in series.items():
+        cents = [round(p * 100) for p in prices]
+        n = len(cents)
+        c = d = t = 0
+        s_seasonal = 0
+        pairs_seasonal = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sgn = (cents[j] > cents[i]) - (cents[j] < cents[i])
+                c += sgn == 1
+                d += sgn == -1
+                t += sgn == 0
+                if i % 7 == j % 7:  # d0 is day 0, so dow == index mod 7
+                    s_seasonal += sgn
+                    pairs_seasonal += 1
+        r = mk[item]
+        assert (r.n_concordant, r.n_discordant, r.n_tied_price) == (c, d, t), item
+        assert r.s_stat == c - d
+        if item in smk:  # items with no same-season pair produce no row
+            rs = smk[item]
+            assert rs.s_stat == s_seasonal, item
+            assert rs.n_pairs == pairs_seasonal, item
+            # tie-corrected variance recompute
+            from collections import Counter
+
+            v_n = v_t = 0
+            for g in range(7):
+                vals = [cents[i] for i in range(n) if i % 7 == g]
+                ng = len(vals)
+                v_n += ng * (ng - 1) * (2 * ng + 5)
+                for tt in Counter(vals).values():
+                    v_t += tt * (tt - 1) * (2 * tt + 5)
+            assert rs.var18 == v_n - v_t, item
+        else:
+            assert pairs_seasonal == 0, item
+
+
+def test_funnel_wilson_hand_computed(spark):
+    """Known funnel (10 view -> 4 click -> 1 purchase): rates and Wilson
+    bounds equal the python recompute of the identical IEEE tree; the
+    interval brackets the rate."""
+    import math
+
+    from azeroth_data_platform_spark.operators.windows import funnel_wilson
+
+    t0 = dt.datetime(2025, 1, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, u, t0, "view", 0.0, "{}"))
+    for u in range(1, 5):
+        eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(minutes=1), "click", 0.0, "{}"))
+    eid += 1
+    rows.append((eid, 1, t0 + dt.timedelta(minutes=2), "purchase", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    out = {r.to_step: r for r in funnel_wilson(events).collect()}
+
+    def wilson(k, n, sign):
+        return ((k + 3.8416 / 2.0) / (n + 3.8416)) + sign * (
+            1.96 * math.sqrt((k * (n - k)) / n + 3.8416 / 4.0) / (n + 3.8416)
+        )
+
+    c = out["click"]
+    assert (c.n_from, c.n_to) == (10, 4) and c.rate == 0.4
+    assert c.wilson_lo == wilson(4.0, 10.0, -1) and c.wilson_hi == wilson(4.0, 10.0, +1)
+    assert c.wilson_lo < c.rate < c.wilson_hi
+    p = out["purchase"]
+    assert (p.n_from, p.n_to) == (4, 1)
+    assert p.wilson_lo < p.rate < p.wilson_hi
+    assert 0.0 < p.wilson_lo and p.wilson_hi < 1.0  # Wilson never escapes [0,1]
