@@ -504,6 +504,14 @@ def q_x_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.rfm_migration(adapters.read_table(spark, sf_dir, "orders"))
 
 
+def q_x_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the A/B assignment: distinct-user
+    exposure counts per cohort, closed-form chi2 vs the 50/50 null, and
+    an integer-exact alpha=0.05 flag (operators/windows.py abtest_srm) —
+    the health gate abtest_welch's t-test assumes."""
+    return windows.abtest_srm(_events_ts(spark, sf_dir))
+
+
 def q_w_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel transition rates with Wilson 95% intervals: exact counts
     through a shared IEEE-reproducible score tree (sqrt only — the
@@ -2769,6 +2777,7 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "a21_seasonal_mann_kendall": q_a21_seasonal_mk,
     "x_rfm_migration": q_x_rfm_migration,
     "w_funnel_wilson": q_w_funnel_wilson,
+    "x_abtest_srm": q_x_abtest_srm,
 }
 
 def _dq_checks_sql() -> str:
@@ -2966,3 +2975,4 @@ ALL_ORACLES["a21_seasonal_mann_kendall"] = _timeseries.seasonal_mann_kendall_sql
 )
 ALL_ORACLES["x_rfm_migration"] = windows.rfm_migration_sql()
 ALL_ORACLES["w_funnel_wilson"] = windows.funnel_wilson_sql()
+ALL_ORACLES["x_abtest_srm"] = windows.ABTEST_SRM_SQL

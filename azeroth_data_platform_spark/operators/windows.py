@@ -1980,3 +1980,76 @@ SELECT step_idx, from_step, to_step, n_from, n_to,
        {lo} AS wilson_lo,
        {hi} AS wilson_hi
 FROM t WHERE step_idx > 1"""
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch check (round 11, legacy registry)
+
+
+def abtest_srm(events: DataFrame) -> DataFrame:
+    """(event_type, n_a, n_b, n_total, ratio_a, chi2, srm_flag): the
+    sample-ratio-mismatch health check every experimentation platform
+    runs BEFORE reading an A/B result — if the 50/50 assignment's
+    exposure counts are skewed beyond chance, the experiment is broken
+    (bot filtering, logging loss, assignment bug) and abtest_welch's
+    t-test on it is meaningless. Counts are DISTINCT users per cohort
+    per event type (exposure, not event volume); the same user_id-parity
+    assignment as abtest_welch.
+
+    chi² against the 50/50 null has the closed form (n_a − n_b)²/n — an
+    exact rational of integers, emitted as one double division on an
+    identical tree. The α=0.05 flag is INTEGER-EXACT:
+        (n_a − n_b)²/n > 3.8416  ⟺  (n_a − n_b)²·10000 > 38416·n,
+    staged through DECIMAL(38,0)/HUGEINT (Δ²·10⁴ passes BIGINT only to
+    Δ ≈ 9.6e8 — stage wider, the repo convention). One map-combinable
+    distinct-aggregate, six-ish rows out."""
+    counts = events.groupBy("event_type").agg(
+        F.countDistinct(F.expr("CASE WHEN user_id % 2 = 0 THEN user_id END"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.countDistinct(F.expr("CASE WHEN user_id % 2 = 1 THEN user_id END"))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_total"),
+        F.expr(
+            "CASE WHEN n_a + n_b > 0 THEN"
+            " CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+            " END"
+        ).alias("ratio_a"),
+        F.expr(
+            "CASE WHEN n_a + n_b > 0 THEN"
+            " (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+            " * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END"
+        ).alias("chi2"),
+        F.expr(
+            "CAST((n_a - n_b) AS DECIMAL(38,0)) * (n_a - n_b) * 10000"
+            " > CAST(38416 AS DECIMAL(38,0)) * (n_a + n_b)"
+        ).alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+ABTEST_SRM_SQL = """
+  WITH counts AS (
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+                AS BIGINT) AS n_a,
+           CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+                AS BIGINT) AS n_b
+    FROM events GROUP BY event_type)
+SELECT event_type, n_a, n_b, CAST(n_a + n_b AS BIGINT) AS n_total,
+       CASE WHEN n_a + n_b > 0 THEN
+         CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       END AS ratio_a,
+       CASE WHEN n_a + n_b > 0 THEN
+         (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) END AS chi2,
+       CAST((n_a - n_b) AS HUGEINT) * (n_a - n_b) * 10000
+         > CAST(38416 AS HUGEINT) * (n_a + n_b) AS srm_flag
+FROM counts"""

@@ -213,6 +213,7 @@ def main() -> int:
             "a21_seasonal_mann_kendall",
             "x_rfm_migration",
             "w_funnel_wilson",
+            "x_abtest_srm",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",

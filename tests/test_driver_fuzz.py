@@ -149,6 +149,7 @@ FUZZ_QUERIES = [
     "a21_seasonal_mann_kendall",
     "x_rfm_migration",
     "w_funnel_wilson",
+    "x_abtest_srm",
 ]
 
 VOCAB = (

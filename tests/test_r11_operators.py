@@ -525,3 +525,50 @@ def test_funnel_wilson_hand_computed(spark):
     assert (p.n_from, p.n_to) == (4, 1)
     assert p.wilson_lo < p.rate < p.wilson_hi
     assert 0.0 < p.wilson_lo and p.wilson_hi < 1.0  # Wilson never escapes [0,1]
+
+
+def test_abtest_srm_flag_exact_boundary(spark):
+    """SRM on hand-built exposures: a balanced type is not flagged, a
+    grossly skewed one is, and the flag flips EXACTLY where the integer
+    comparison says — pinned on a boundary pair around chi2 = 3.8416."""
+    from azeroth_data_platform_spark.operators.windows import abtest_srm
+
+    t0 = dt.datetime(2025, 1, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(event_type, n_even, n_odd):
+        nonlocal eid
+        for u in range(n_even):
+            eid += 1
+            rows.append((eid, 2 * (u + 1), t0, event_type, 0.0, "{}"))
+        for u in range(n_odd):
+            eid += 1
+            rows.append((eid, 2 * u + 1, t0, event_type, 0.0, "{}"))
+
+    add("view", 50, 50)         # perfectly balanced
+    add("click", 80, 20)        # chi2 = 3600/100 = 36 -> flagged
+    # boundary pair: chi2 = (d^2)/n vs 3.8416
+    add("purchase", 60, 41)     # d=19, n=101: 361/101 = 3.574 -> no flag
+    add("signup", 61, 41)       # d=20, n=102: 400/102 = 3.922 -> flag
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    out = {r.event_type: r for r in abtest_srm(events).collect()}
+    assert out["view"].chi2 == 0.0 and bool(out["view"].srm_flag) is False
+    assert out["click"].chi2 == 36.0 and bool(out["click"].srm_flag) is True
+    assert bool(out["purchase"].srm_flag) is False
+    assert bool(out["signup"].srm_flag) is True
+    assert out["purchase"].n_a == 60 and out["purchase"].n_b == 41
+    # exposure counts DISTINCT users: duplicate events must not inflate
+    eid += 1
+    rows.append((eid, 2, t0, "view", 0.0, "{}"))  # user 2 views again
+    events2 = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    out2 = {r.event_type: r for r in abtest_srm(events2).collect()}
+    assert out2["view"].n_a == 50
