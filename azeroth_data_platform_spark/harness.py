@@ -2020,6 +2020,19 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          free slots, so r12 additions need matching demotions from
 #          the r9 block first (natural candidates: the 4-variant
 #          w_attribution family, the o11/o12 pagination pair).
+#   r12 (NOW): steady-state rotation + COMPOSITION REVIEW (r11 verdict
+#          #1). Head = the 46-query r9-row stale set (prior slot order)
+#          minus o12_search_after — demoted with w_attribution_decay /
+#          w_attribution_ushape (all three are derived views/dialects of
+#          capabilities that stay: o11 keyset pagination, w_attribution
+#          + w_attribution_multitouch). The three funded slots carry the
+#          four r11-STATUS promotion candidates (a21_seasonal_mann_kendall,
+#          x_rfm_migration, w_funnel_wilson, x_abtest_srm — distinct
+#          capabilities, never driver-recorded) plus the oldest r10-row
+#          query (tp_clean_corpus) as the slot-50 boundary filler that
+#          r12 additions displace at authoring time. Registry 146 -> 147
+#          (cap 150 = 50 slots x 3-round staleness window, now refused
+#          mechanically by tools/gate.py).
 #
 # Consolidated under the cap (each absorbed operator stays oracle-checked
 # inside the named query, and the standalone legacy twins below stay
@@ -2034,73 +2047,16 @@ def q_x_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   grouping-sets family (cube twin stays in the legacy registry);
 #   dd_simhash_banded covers SimHash (pairwise twin in legacy registry).
 QUERIES: dict[str, QueryFn] = {
-    # --- r11 head slots 1-38: ALL queries whose newest driver row is r8
+    # --- r12 head slots 1-45: ALL queries whose newest driver row is r9
     # (the complete stale set tests/test_rotation.py derives, prior slot
-    # order), minus ts_lift_langid / ts_pr_curve_langid — demoted to the
-    # legacy registry in the r11 composition review (ledger above) ---
-    "a14_forecast_backtest": q_a14_forecast_backtest,
-    "x_skew_report": q_x_skew_report,
-    "x_benford_check": q_x_benford_check,
-    "dd_cluster_sizes": q_dd_cluster_sizes,
-    "ts_langid_confusion": q_ts_langid_confusion,
-    "x_ks_drift": q_x_ks_drift,
-    "x_psi_drift": q_x_psi_drift,
-    "x_kmv_overlap": q_x_kmv_overlap,
-    "x_spearman": q_x_spearman,
-    "x_emd_drift": q_x_emd_drift,
-    "x_mannwhitney": q_x_mannwhitney,
-    "x_cramers_v": q_x_cramers_v,
-    "x_psi_daily": q_x_psi_daily,
-    "ts_auc_langid": q_ts_auc_langid,
-    "ts_pr_summary_langid": q_ts_pr_summary_langid,
-    "ts_auc_by_source": q_ts_auc_by_source,
-    "x_winsorized_stats": q_x_winsorized_stats,
-    "x_selfjoin_density": q_x_selfjoin_density,
-    "ann_recall_report": q_ann_recall_report,
-    "x_cohens_kappa": q_x_cohens_kappa,
-    "ts_langid_prf": q_ts_langid_prf,
-    "ts_auc_doclen": q_ts_auc_doclen,
-    "tp_shard_manifest": q_tp_shard_manifest,
-    "a15_mad_outliers": q_a15_mad_outliers,
-    "w_attribution": q_w_attribution,
-    "a16_autocorrelation": q_a16_autocorrelation,
-    "x_zorder_layout": q_x_zorder_layout,
-    "a17_dow_baseline": q_a17_dow_baseline,
-    "x_activity_bitmap": q_x_activity_bitmap,
-    "x_skipping_report": q_x_skipping_report,
-    "x_zorder_ranked": q_x_zorder_ranked,
-    "x_compaction_plan": q_x_compaction_plan,
-    "tp_sample_allocation": q_tp_sample_allocation,
-    "w_attribution_multitouch": q_w_attribution_multitouch,
-    "w_attribution_decay": q_w_attribution_decay,
-    "x_fano_burstiness": q_x_fano_burstiness,
-    "x_incremental_gold": q_x_incremental_gold,
-    "x_hll_distinct": q_x_hll_distinct,
-    # --- slots 39-41: r11 promotions from the legacy registry (r10
-    # verdict #3 — distinct capabilities that never had a driver row) ---
-    "x_retention_cohorts": q_x_retention_cohorts,
-    "x_scd2_asof": q_x_scd2_asof,
-    "ts_pii_scrub": q_ts_pii,
-    # --- r11 additions enter the head here at authoring time,
-    # displacing the r9-row fillers below slot 50 ---
-    "a19_mann_kendall": q_a19_mann_kendall,
-    "a20_pettitt": q_a20_pettitt,
-    "w_rfm_segments": q_w_rfm_segments,
-    "x_cohort_ltv": q_x_cohort_ltv,
-    "tp_padding_efficiency": q_tp_padding_efficiency,
-    # --- remaining head slots: the oldest r9-row queries (r9-block prior
-    # slot order) filling the 50 recorded slots ---
-    "tp_chunk_documents": q_tp_chunk_documents,
-    "o11_keyset_page": q_o11_keyset_page,
-    "ts_auc_hashclf": q_ts_auc_hashclf,
-    "w_attribution_ushape": q_w_attribution_ushape,
+    # order), minus o12_search_after — demoted to the legacy registry in
+    # the r12 composition review (ledger above: the o11 keyset page is
+    # the scale-correct pagination capability; o12 is its search-after
+    # dialect over the same plan shape) ---
     "x_gini_concentration": q_x_gini_concentration,
     "x_markov_transitions": q_x_markov_transitions,
     "dd_lsh_tuning": q_dd_lsh_tuning,
     "tp_contamination_report": q_tp_contamination_report,
-    "o12_search_after": q_o12_search_after,
-    # --- slots 51+: the remaining r9-row queries (prior slot order —
-    # they form the r12 head), then the 50 r10-row queries ---
     "w_top_paths": q_w_top_paths,
     "ts_hashclf_drift": q_ts_hashclf_drift,
     "tp_quality_curve": q_tp_quality_curve,
@@ -2142,8 +2098,72 @@ QUERIES: dict[str, QueryFn] = {
     "tp_keep_best": q_tp_keep_best,
     "dd_semantic": q_dd_semantic,
     "dd_embed_lsh": q_dd_embed_lsh,
-    # --- the 50 r10-row queries (the freshest external evidence) ---
+    # --- slots 46-49: r12 promotions from the legacy registry (r11
+    # STATUS candidates — distinct capabilities without a driver row:
+    # seasonal MK trend test, RFM period-over-period migration, Wilson-CI
+    # funnel transitions, A/B sample-ratio-mismatch gate) ---
+    "a21_seasonal_mann_kendall": q_a21_seasonal_mk,
+    "x_rfm_migration": q_x_rfm_migration,
+    "w_funnel_wilson": q_w_funnel_wilson,
+    "x_abtest_srm": q_x_abtest_srm,
+    # --- slot 50: the oldest r10-row query as the boundary filler; r12
+    # additions enter the head here at authoring time, displacing it ---
     "tp_clean_corpus": q_tp_clean_corpus,
+    # --- slots 51-98: the r11-row block (freshest external evidence,
+    # prior slot order), minus w_attribution_decay / w_attribution_ushape
+    # — demoted to the legacy registry in the r12 composition review
+    # (derived reweightings of the SAME touch relation as w_attribution /
+    # w_attribution_multitouch, which stay) ---
+    "a14_forecast_backtest": q_a14_forecast_backtest,
+    "x_skew_report": q_x_skew_report,
+    "x_benford_check": q_x_benford_check,
+    "dd_cluster_sizes": q_dd_cluster_sizes,
+    "ts_langid_confusion": q_ts_langid_confusion,
+    "x_ks_drift": q_x_ks_drift,
+    "x_psi_drift": q_x_psi_drift,
+    "x_kmv_overlap": q_x_kmv_overlap,
+    "x_spearman": q_x_spearman,
+    "x_emd_drift": q_x_emd_drift,
+    "x_mannwhitney": q_x_mannwhitney,
+    "x_cramers_v": q_x_cramers_v,
+    "x_psi_daily": q_x_psi_daily,
+    "ts_auc_langid": q_ts_auc_langid,
+    "ts_pr_summary_langid": q_ts_pr_summary_langid,
+    "ts_auc_by_source": q_ts_auc_by_source,
+    "x_winsorized_stats": q_x_winsorized_stats,
+    "x_selfjoin_density": q_x_selfjoin_density,
+    "ann_recall_report": q_ann_recall_report,
+    "x_cohens_kappa": q_x_cohens_kappa,
+    "ts_langid_prf": q_ts_langid_prf,
+    "ts_auc_doclen": q_ts_auc_doclen,
+    "tp_shard_manifest": q_tp_shard_manifest,
+    "a15_mad_outliers": q_a15_mad_outliers,
+    "w_attribution": q_w_attribution,
+    "a16_autocorrelation": q_a16_autocorrelation,
+    "x_zorder_layout": q_x_zorder_layout,
+    "a17_dow_baseline": q_a17_dow_baseline,
+    "x_activity_bitmap": q_x_activity_bitmap,
+    "x_skipping_report": q_x_skipping_report,
+    "x_zorder_ranked": q_x_zorder_ranked,
+    "x_compaction_plan": q_x_compaction_plan,
+    "tp_sample_allocation": q_tp_sample_allocation,
+    "w_attribution_multitouch": q_w_attribution_multitouch,
+    "x_fano_burstiness": q_x_fano_burstiness,
+    "x_incremental_gold": q_x_incremental_gold,
+    "x_hll_distinct": q_x_hll_distinct,
+    "x_retention_cohorts": q_x_retention_cohorts,
+    "x_scd2_asof": q_x_scd2_asof,
+    "ts_pii_scrub": q_ts_pii,
+    "a19_mann_kendall": q_a19_mann_kendall,
+    "a20_pettitt": q_a20_pettitt,
+    "w_rfm_segments": q_w_rfm_segments,
+    "x_cohort_ltv": q_x_cohort_ltv,
+    "tp_padding_efficiency": q_tp_padding_efficiency,
+    "tp_chunk_documents": q_tp_chunk_documents,
+    "o11_keyset_page": q_o11_keyset_page,
+    "ts_auc_hashclf": q_ts_auc_hashclf,
+    # --- slots 99+: the r10-row block (prior order; they form the r13
+    # head), minus the tp_clean_corpus filler promoted to slot 50 ---
     "tp_train_sample": q_tp_train_sample,
     "tp_decontaminate": q_tp_decontaminate,
     "tp_pack_sequences": q_tp_pack_sequences,
@@ -2195,24 +2215,18 @@ QUERIES: dict[str, QueryFn] = {
     "dd_jaccard_histogram": q_dd_jaccard_histogram,
 }
 
-assert len(QUERIES) == 146, f"driver registry drifted: got {len(QUERIES)}"
-# r11 staleness-rotation invariants (see ledger above). The 50-slot head
+assert len(QUERIES) == 147, f"driver registry drifted: got {len(QUERIES)}"
+# r12 staleness-rotation invariants (see ledger above). The 50-slot head
 # boundary and the key ordering are load-bearing: the external driver
-# records exactly the first 50 dict keys. The five r11 additions at
-# slots 42-46 displaced five r9-row fillers just past the boundary —
-# those rejoin the stale set they came from (the r12 head).
-assert list(QUERIES)[0] == "a14_forecast_backtest", "slot-1 drifted"
-assert list(QUERIES)[37] == "x_hll_distinct", "slot-38 drifted"
-assert list(QUERIES)[38] == "x_retention_cohorts", "slot-39 drifted"
-assert list(QUERIES)[40] == "ts_pii_scrub", "slot-41 drifted"
-assert list(QUERIES)[41] == "a19_mann_kendall", "slot-42 drifted"
-assert list(QUERIES)[45] == "tp_padding_efficiency", "slot-46 drifted"
-assert list(QUERIES)[46] == "tp_chunk_documents", "slot-47 drifted"
-assert list(QUERIES)[49] == "w_attribution_ushape", "slot-50 boundary drifted"
-assert list(QUERIES)[50] == "x_gini_concentration", "slot-51 drifted"
-assert list(QUERIES)[95] == "dd_embed_lsh", "slot-96 drifted"
-assert list(QUERIES)[96] == "tp_clean_corpus", "slot-97 drifted"
-assert list(QUERIES)[145] == "dd_jaccard_histogram", "slot-146 drifted"
+# records exactly the first 50 dict keys.
+assert list(QUERIES)[0] == "x_gini_concentration", "slot-1 drifted"
+assert list(QUERIES)[44] == "dd_embed_lsh", "slot-45 drifted"
+assert list(QUERIES)[45] == "a21_seasonal_mann_kendall", "slot-46 drifted"
+assert list(QUERIES)[48] == "x_abtest_srm", "slot-49 drifted"
+assert list(QUERIES)[49] == "tp_clean_corpus", "slot-50 boundary drifted"
+assert list(QUERIES)[50] == "a14_forecast_backtest", "slot-51 drifted"
+assert list(QUERIES)[98] == "tp_train_sample", "slot-99 drifted"
+assert list(QUERIES)[146] == "dd_jaccard_histogram", "slot-147 drifted"
 
 
 ORACLES: dict[str, str] = {
@@ -2619,7 +2633,6 @@ ORACLES["x_zorder_ranked"] = _layout.zorder_ranked_sql(_W_SILVER)
 ORACLES["x_compaction_plan"] = _layout.compaction_plan_sql(_W_SILVER)
 ORACLES["tp_sample_allocation"] = corpus.sample_allocation_sql()
 ORACLES["w_attribution_multitouch"] = windows.multitouch_attribution_sql()
-ORACLES["w_attribution_ushape"] = windows.ushape_attribution_sql()
 ORACLES["x_gini_concentration"] = gold.gini_concentration_sql(_W_SILVER)
 ORACLES["x_markov_transitions"] = windows.MARKOV_TRANSITIONS_SQL
 ORACLES["dd_lsh_tuning"] = dedup.lsh_tuning_curve_sql()
@@ -2627,14 +2640,15 @@ ORACLES["tp_contamination_report"] = corpus.contamination_report_sql()
 ORACLES["w_top_paths"] = windows.top_session_paths_sql()
 ORACLES["ts_hashclf_drift"] = corpus.hashclf_drift_by_source_sql()
 ORACLES["tp_quality_curve"] = corpus.quality_token_curve_sql()
-ORACLES["o12_search_after"] = (
-    "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
-    " WHERE o_orderdate < DATE '1995-06-15'"
-    " OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 0)"
-    " ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100"
-)
-ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ORACLES["x_fano_burstiness"] = profiling.fano_burstiness_sql()
+# r12 promotions from the legacy registry (composition review — ledger
+# above QUERIES)
+ORACLES["a21_seasonal_mann_kendall"] = _timeseries.seasonal_mann_kendall_sql(
+    _W_SILVER
+)
+ORACLES["x_rfm_migration"] = windows.rfm_migration_sql()
+ORACLES["w_funnel_wilson"] = windows.funnel_wilson_sql()
+ORACLES["x_abtest_srm"] = windows.ABTEST_SRM_SQL
 
 # promoted from the legacy registry in r9 (keyset pagination — the
 # scale-correct serving default; VERDICT r8 #8)
@@ -2771,13 +2785,16 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_mix_temperature": q_tp_mix_temperature,
     # arbitrary GROUPING SETS (the general form rollup/cube specialize)
     "x_grouping_sets": q_x_grouping_sets,
-    # round-11 legacy additions (distinct capabilities without head-slot
-    # pressure — natural r12 promotion candidates): the seasonal variant
-    # of a19 and the period-over-period consumer of w_rfm_segments
-    "a21_seasonal_mann_kendall": q_a21_seasonal_mk,
-    "x_rfm_migration": q_x_rfm_migration,
-    "w_funnel_wilson": q_w_funnel_wilson,
-    "x_abtest_srm": q_x_abtest_srm,
+    # a21_seasonal_mann_kendall / x_rfm_migration / w_funnel_wilson /
+    # x_abtest_srm: promoted to the driver registry in r12
+    # demoted from the driver registry in r12 (composition review —
+    # ledger above QUERIES): o12 is the search-after dialect of the o11
+    # keyset page over the same TakeOrderedAndProject shape; decay/ushape
+    # are reweightings of the same touch relation as w_attribution /
+    # w_attribution_multitouch
+    "o12_search_after": q_o12_search_after,
+    "w_attribution_decay": q_w_attribution_decay,
+    "w_attribution_ushape": q_w_attribution_ushape,
 }
 
 def _dq_checks_sql() -> str:
@@ -2969,10 +2986,13 @@ ALL_ORACLES: dict[str, str] = {
 # above QUERIES); still parity-verified by tools/parity.py --all
 ALL_ORACLES["ts_lift_langid"] = mleval.decile_lift_sql(_langid_scored_cte())
 ALL_ORACLES["ts_pr_curve_langid"] = mleval.pr_curve_sql(_langid_scored_cte())
-# round-11 legacy additions
-ALL_ORACLES["a21_seasonal_mann_kendall"] = _timeseries.seasonal_mann_kendall_sql(
-    _W_SILVER
+# demoted from the driver registry in r12 (composition review — ledger
+# above QUERIES); still parity-verified by tools/parity.py --all
+ALL_ORACLES["o12_search_after"] = (
+    "SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders"
+    " WHERE o_orderdate < DATE '1995-06-15'"
+    " OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 0)"
+    " ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100"
 )
-ALL_ORACLES["x_rfm_migration"] = windows.rfm_migration_sql()
-ALL_ORACLES["w_funnel_wilson"] = windows.funnel_wilson_sql()
-ALL_ORACLES["x_abtest_srm"] = windows.ABTEST_SRM_SQL
+ALL_ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
+ALL_ORACLES["w_attribution_ushape"] = windows.ushape_attribution_sql()

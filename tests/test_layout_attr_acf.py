@@ -696,7 +696,7 @@ def test_decay_attribution_semantics(spark):
 def test_decay_attribution_conservation_on_corpus(spark, sf_dir):
     import pyspark.sql.functions as SF
 
-    df = harness.QUERIES["w_attribution_decay"](spark, sf_dir)
+    df = harness.ALL_QUERIES["w_attribution_decay"](spark, sf_dir)
     total_credit = df.agg(SF.sum("credit_sum_ppm")).collect()[0][0]
     n_conv = (
         harness._events_ts(spark, sf_dir)
@@ -796,7 +796,7 @@ def test_ushape_credit_conservation_on_corpus(spark, sf_dir):
 
     from azeroth_data_platform_spark import harness
 
-    out = harness.QUERIES["w_attribution_ushape"](spark, sf_dir)
+    out = harness.ALL_QUERIES["w_attribution_ushape"](spark, sf_dir)
     total = out.agg(SF.sum("credit_sum_ppm")).collect()[0][0]
     convs = (
         harness._events_ts(spark, sf_dir)

@@ -49,7 +49,25 @@ def main() -> int:
         ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
     ).stdout.strip()
 
-    print(f"gating HEAD={head} against {sf_dir} ...")
+    # Registry-density refusal (r11 verdict #6): the driver records 50
+    # rows per round and the staleness bound is <=2 rounds, so a registry
+    # past 150 (= 50 slots x 3-round window) can NEVER satisfy
+    # tests/test_rotation.py no matter how the head is ordered. Refuse at
+    # the source so the failure reads "demote before adding", not as a
+    # confusing stale-set assertion three rounds later.
+    sys.path.insert(0, REPO)
+    from azeroth_data_platform_spark import harness
+
+    n_registry = len(harness.QUERIES)
+    if n_registry > 150:
+        print(
+            f"REFUSED: driver registry has {n_registry} queries; the "
+            "50-slot head with max-staleness<=2 supports at most 150. "
+            "Demote to the legacy registry (ALL_QUERIES) before adding."
+        )
+        return 2
+
+    print(f"gating HEAD={head} against {sf_dir} ... (registry {n_registry}/150)")
     rc_t, out_t, sec_t = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
     tail_t = "\n".join(out_t.strip().splitlines()[-3:])
     m = re.search(r"(\d+) passed", out_t)
