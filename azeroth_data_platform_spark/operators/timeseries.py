@@ -1331,7 +1331,10 @@ def seasonal_mann_kendall(
     significant_05, trend): the SEASONAL Mann–Kendall test (Hirsch–
     Slack) per item — a19's S statistic computed WITHIN each day-of-week
     season and summed, so a strong weekly cycle cannot masquerade as (or
-    mask) a trend: only same-weekday pairs are compared.
+    mask) a trend: only same-weekday pairs are compared. An item meeting
+    min_days with NO same-season pair (every in-window day on a distinct
+    weekday) still reports — as an n_pairs=0 / s_stat=0 / var18=0 'flat'
+    row (r11 ADVICE #1: it used to be silently dropped by an inner join).
 
     Exactness: S' = Σ_g S_g and the tie-corrected variance
     18·VAR' = Σ_g [n_g(n_g−1)(2n_g+5) − Σ_t t(t−1)(2t+5)] are exact
@@ -1390,8 +1393,12 @@ def seasonal_mann_kendall(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("sgn").cast("bigint").alias("s_stat"),
     )
+    # LEFT join from n_days (r11 ADVICE #1): an item meeting min_days whose
+    # in-window days all fall on distinct weekdays has ZERO same-season
+    # pairs — it must still appear, as the honest n_pairs=0/s_stat=0/
+    # var18=0 'flat' row, not silently vanish from the report.
     return (
-        agg.join(n_days, "item_id")
+        n_days.join(agg, "item_id", "left")
         .join(var_n, "item_id")
         .join(var_t, "item_id")
         .where(F.col("n_days") >= min_days)
@@ -1399,17 +1406,18 @@ def seasonal_mann_kendall(
             "item_id",
             "n_days",
             "n_seasons_active",
-            "n_pairs",
-            "s_stat",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint").alias("s_stat"),
             (F.col("v_n") - F.col("v_t")).cast("bigint").alias("var18"),
             F.expr(
-                "abs(s_stat) > 1 AND"
-                " CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 AS DOUBLE)"
+                "abs(coalesce(s_stat, 0)) > 1 AND"
+                " CAST((abs(coalesce(s_stat, 0)) - 1)"
+                " * (abs(coalesce(s_stat, 0)) - 1) * 18 AS DOUBLE)"
                 " > 3.8416 * CAST(var18 AS DOUBLE)"
             ).alias("significant_05"),
             F.expr(
-                "CASE WHEN s_stat > 0 THEN 'up'"
-                " WHEN s_stat < 0 THEN 'down' ELSE 'flat' END"
+                "CASE WHEN coalesce(s_stat, 0) > 0 THEN 'up'"
+                " WHEN coalesce(s_stat, 0) < 0 THEN 'down' ELSE 'flat' END"
             ).alias("trend"),
         )
     )
@@ -1447,14 +1455,17 @@ def seasonal_mann_kendall_sql(
     FROM daily a JOIN daily b
       ON a.item_id = b.item_id AND a.dow = b.dow AND b.d > a.d
     GROUP BY a.item_id)
-SELECT agg.item_id, nd.n_days, nd.n_seasons_active, n_pairs, s_stat,
+SELECT nd.item_id, nd.n_days, nd.n_seasons_active,
+       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(s_stat, 0) AS BIGINT) AS s_stat,
        CAST(v_n - v_t AS BIGINT) AS var18,
-       abs(s_stat) > 1 AND
-         CAST((abs(s_stat) - 1) * (abs(s_stat) - 1) * 18 AS DOUBLE)
+       abs(COALESCE(s_stat, 0)) > 1 AND
+         CAST((abs(COALESCE(s_stat, 0)) - 1)
+              * (abs(COALESCE(s_stat, 0)) - 1) * 18 AS DOUBLE)
          > 3.8416 * CAST(v_n - v_t AS DOUBLE) AS significant_05,
-       CASE WHEN s_stat > 0 THEN 'up'
-            WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
-FROM agg JOIN nd ON agg.item_id = nd.item_id
-JOIN vn ON agg.item_id = vn.item_id
-JOIN vt ON agg.item_id = vt.item_id
+       CASE WHEN COALESCE(s_stat, 0) > 0 THEN 'up'
+            WHEN COALESCE(s_stat, 0) < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM nd LEFT JOIN agg ON agg.item_id = nd.item_id
+JOIN vn ON nd.item_id = vn.item_id
+JOIN vt ON nd.item_id = vt.item_id
 WHERE nd.n_days >= {min_days}"""

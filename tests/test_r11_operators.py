@@ -213,10 +213,11 @@ def test_rfm_exact_scores_and_segments(spark):
     assert Counter(r.f_score for r in out.values()) == {i: 2 for i in range(1, 6)}
 
 
-def test_rfm_ntile_tie_determinism(spark):
-    """All-identical metrics: NTILE falls back to the custkey tiebreak, so
-    scores are a fixed function of key order — re-running (and any
-    partitioning) yields the same assignment."""
+def test_rfm_ties_share_scores_deterministically(spark):
+    """Tied metric values ALWAYS share a score (percentile_disc boundary
+    semantics — the r12 de-weak of the partition-less NTILE): all-identical
+    metrics collapse everyone to score 1, and the assignment is invariant
+    under repartitioning (no rank tiebreak left to permute)."""
     from azeroth_data_platform_spark.operators.windows import rfm_segments
 
     d0 = dt.date(2025, 1, 1)
@@ -232,9 +233,61 @@ def test_rfm_ntile_tie_determinism(spark):
         for r in rfm_segments(orders.repartition(7)).collect()
     }
     assert a == b
-    # custkey ascending fills tiles in order for f/m; recency orders DESC
-    # by days then custkey — all days equal, so custkey order again
-    assert a[1] == (1, 1, 1) and a[7] == (5, 5, 5)
+    # every metric is a single tied run: the only boundary value is the
+    # run itself, nothing exceeds it, so everyone scores (1, 1, 1)
+    assert set(a.values()) == {(1, 1, 1)}
+
+
+def test_rfm_boundary_semantics_brute_force(spark):
+    """Property probe: scores must equal the O(n log n) python recompute of
+    the percentile_disc rule (q_b = smallest value with cum >= ceil(b*n/5);
+    score = 1 + #{q_b < v}) on a tie-heavy random base."""
+    import random
+
+    from azeroth_data_platform_spark.operators.windows import rfm_segments
+
+    rng = random.Random(12)
+    d0 = dt.date(2025, 1, 1)
+    rows = []
+    ok = 0
+    for c in range(1, 41):
+        for _ in range(rng.randint(1, 4)):
+            ok += 1
+            rows.append(
+                (
+                    ok,
+                    c,
+                    "O",
+                    rng.choice([10.0, 10.0, 25.5, 99.99]),
+                    d0 + dt.timedelta(days=rng.randint(0, 6)),
+                    "P",
+                )
+            )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    got = {
+        r.c_custkey: r for r in rfm_segments(orders).collect()
+    }
+
+    def expect_scores(values):
+        n = len(values)
+        s = sorted(values)
+        qs = [s[-(-n * b // 5) - 1] for b in range(1, 5)]  # ceil-rank values
+        return {v: 1 + sum(1 for q in qs if v > q) for v in set(values)}
+
+    for metric, col in (
+        ("r", lambda r: -r.recency_days),
+        ("f", lambda r: r.frequency),
+        ("m", lambda r: r.monetary_cents),
+    ):
+        vals = [col(r) for r in got.values()]
+        exp = expect_scores(vals)
+        attr = {"r": "r_score", "f": "f_score", "m": "m_score"}[metric]
+        for r in got.values():
+            assert getattr(r, attr) == exp[col(r)], (metric, r)
 
 
 # ---------------------------------------------------------------------------
@@ -467,23 +520,24 @@ def test_mann_kendall_matches_brute_force_property(spark):
         r = mk[item]
         assert (r.n_concordant, r.n_discordant, r.n_tied_price) == (c, d, t), item
         assert r.s_stat == c - d
-        if item in smk:  # items with no same-season pair produce no row
-            rs = smk[item]
-            assert rs.s_stat == s_seasonal, item
-            assert rs.n_pairs == pairs_seasonal, item
-            # tie-corrected variance recompute
-            from collections import Counter
+        # every item meeting min_days reports — zero-pair items as the
+        # honest n_pairs=0/s_stat=0 'flat' row (r11 ADVICE #1)
+        rs = smk[item]
+        assert rs.s_stat == s_seasonal, item
+        assert rs.n_pairs == pairs_seasonal, item
+        # tie-corrected variance recompute
+        from collections import Counter
 
-            v_n = v_t = 0
-            for g in range(7):
-                vals = [cents[i] for i in range(n) if i % 7 == g]
-                ng = len(vals)
-                v_n += ng * (ng - 1) * (2 * ng + 5)
-                for tt in Counter(vals).values():
-                    v_t += tt * (tt - 1) * (2 * tt + 5)
-            assert rs.var18 == v_n - v_t, item
-        else:
-            assert pairs_seasonal == 0, item
+        v_n = v_t = 0
+        for g in range(7):
+            vals = [cents[i] for i in range(n) if i % 7 == g]
+            ng = len(vals)
+            v_n += ng * (ng - 1) * (2 * ng + 5)
+            for tt in Counter(vals).values():
+                v_t += tt * (tt - 1) * (2 * tt + 5)
+        assert rs.var18 == v_n - v_t, item
+        if pairs_seasonal == 0:
+            assert rs.trend == "flat" and not rs.significant_05, item
 
 
 def test_funnel_wilson_hand_computed(spark):
