@@ -1,0 +1,122 @@
+"""Distributed EXACT order statistics with bounded windows.
+
+The device (r12, generalizing the w_rfm_segments de-weak): selecting the
+value at rank ceil(n·num/den) of a BIGINT column needs a cumulative count
+over the value histogram — but a one-level histogram window is
+distinct-value-sized, which for high-cardinality columns (cents, ids) is
+row-sized, i.e. the partition-less single-task sort this repo forbids.
+Two-level radix selection bounds every window partition by the VALUE
+DOMAIN instead:
+
+  1. coarse histogram: count by (metric, value DIV 2^radix_bits) — one
+     map-combinable groupBy; relation sized domain/2^radix per metric;
+  2. cumulate over the coarse relation (window PARTITIONED by metric;
+     partition ≤ domain/2^radix rows) and locate, for each requested
+     rank, the coarse bucket it falls in plus the count below it;
+  3. fine histogram ONLY inside the ≤len(fracs) target buckets (window
+     partitioned by (metric, bucket); ≤2^radix distinct values each by
+     construction), then read the rank off with a min-CASE.
+
+Every window partition is ≤ max(domain/2^radix, 2^radix) ≈ √domain at
+the balanced radix — a 100 TB fact grows n, not the value domain. For
+even larger domains the same device nests (three levels); documented
+seam, not needed for cent/count/day-scaled values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# balanced for cent-scaled domains (≤ ~1e11): both levels ≤ ~4e5 rows
+DEFAULT_RADIX_BITS = 18
+
+
+def floor_div(col_sql: str, divisor: int) -> str:
+    """Order-faithful FLOOR division for possibly-negative BIGINTs (Spark
+    DIV and DuckDB // both truncate toward zero, which would fold a
+    negative range): the sign-split CASE both engines compute alike."""
+    return (
+        f"CASE WHEN {col_sql} >= 0 THEN {col_sql} DIV {divisor}"
+        f" ELSE -((-{col_sql} + {divisor - 1}) DIV {divisor}) END"
+    )
+
+
+def exact_rank_values(
+    vals: DataFrame,
+    fracs: list[tuple[int, int, int]],
+    radix_bits: int = DEFAULT_RADIX_BITS,
+) -> DataFrame:
+    """(metric, _b, _rank, _n, _q): for each metric in `vals` (columns
+    metric STRING, _xu BIGINT) and each (label, num, den) in `fracs`, the
+    EXACT value at ceil-rank (n·num + den − 1) DIV den — percentile_disc
+    semantics: the smallest value whose cumulative count reaches the
+    rank. Empty metrics produce no rows; ranks are always ≥ 1."""
+    shift = 1 << radix_bits
+    g = F.expr(floor_div("_xu", shift))
+    coarse = vals.groupBy("metric", g.alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w_m = Window.partitionBy("metric")
+    w_cum = w_m.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    labelled = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lab).cast("bigint").alias("_b"),
+                    F.lit(num).cast("bigint").alias("_num"),
+                    F.lit(den).cast("bigint").alias("_den"),
+                )
+                for lab, num, den in fracs
+            ]
+        )
+    )
+    targets = (
+        coarse.select(
+            "metric",
+            "_g",
+            F.sum("_c").over(w_cum).alias("_cum"),
+            (F.sum("_c").over(w_cum) - F.col("_c")).alias("_lt"),
+            F.sum("_c").over(w_m).alias("_n"),
+        )
+        .select("metric", "_g", "_lt", "_cum", "_n", labelled.alias("_f"))
+        .select(
+            "metric",
+            "_g",
+            "_lt",
+            "_cum",
+            "_n",
+            F.col("_f._b").alias("_b"),
+            F.expr("CAST((_n * _f._num + _f._den - 1) DIV _f._den AS BIGINT)").alias(
+                "_rank"
+            ),
+        )
+        .where((F.col("_lt") < F.col("_rank")) & (F.col("_rank") <= F.col("_cum")))
+        .select("metric", "_g", "_b", F.col("_lt").alias("_base"), "_rank", "_n")
+    )
+    fine = (
+        vals.withColumn("_g", g)
+        .join(
+            F.broadcast(targets.select("metric", "_g").distinct()), ["metric", "_g"]
+        )
+        .groupBy("metric", "_g", "_xu")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    w_fine = (
+        Window.partitionBy("metric", "_g")
+        .orderBy("_xu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fine.withColumn("_cumf", F.sum("_c").over(w_fine))
+        .join(F.broadcast(targets), ["metric", "_g"])
+        .where(F.col("_base") + F.col("_cumf") >= F.col("_rank"))
+        .groupBy("metric", "_b")
+        .agg(
+            F.min("_xu").alias("_q"),
+            F.max("_rank").alias("_rank"),
+            F.max("_n").alias("_n"),
+        )
+    )

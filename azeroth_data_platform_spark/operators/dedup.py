@@ -417,14 +417,22 @@ def append_to_dedup_index(index_dir: str, new_docs: DataFrame) -> None:
     with a bands row whose shingles/sizes rows are missing (which would
     silently drop verified pairs on every later incremental run). The
     final commit is three cheap file-move loops — not atomic across
-    relations, but data-independent and fast; if interrupted, the
-    staging dir remains: finish the moves (staged part names are
-    globally unique) or remove the already-moved files and resubmit the
-    batch. Do NOT blindly resubmit after a partial COMMIT: duplicate
-    shingles/sizes rows would inflate the verify counts (duplicate bands
-    alone are harmless — candidates are distinct-ed). This staged path
-    assumes an os-rename-capable filesystem; on object stores the
+    relations, but data-independent, fast, and MECHANICALLY RECOVERABLE
+    (r11 verdict #5): before the first move a sidecar manifest
+    (_MANIFEST.json, written atomically via temp+rename) records every
+    staged file and its target relation, so an interruption anywhere in
+    the commit is repaired by one :func:`recover_dedup_index` call —
+    manifest present → roll the commit FORWARD (replay the remaining
+    moves; staged part names are globally unique and os.replace is
+    per-file atomic, so replay is idempotent), manifest absent → the
+    derivation phase died before any live mutation → roll BACK (drop
+    the staging dir; resubmit the batch). Never resubmit after a
+    partial commit without recovering first: duplicate shingles/sizes
+    rows would inflate the verify counts (duplicate bands alone are
+    harmless — candidates are distinct-ed). This staged path assumes an
+    os-rename-capable filesystem; on object stores the
     transactional-table-format MERGE (documented gap) is the answer."""
+    import json
     import os
     import shutil
     import tempfile
@@ -442,21 +450,73 @@ def append_to_dedup_index(index_dir: str, new_docs: DataFrame) -> None:
         }
         for name, df in built.items():
             df.write.mode("overwrite").parquet(os.path.join(staging, name))
-        # commit: move staged part files (and their checksum siblings)
-        # into the live relation dirs
-        for name in built:
-            live = os.path.join(index_dir, name)
-            os.makedirs(live, exist_ok=True)
-            src = os.path.join(staging, name)
-            for fn in os.listdir(src):
-                if fn == "_SUCCESS" or fn == "._SUCCESS.crc":
-                    continue
-                os.replace(os.path.join(src, fn), os.path.join(live, fn))
-            if not os.path.exists(os.path.join(live, "_SUCCESS")):
-                open(os.path.join(live, "_SUCCESS"), "w").close()
-        shutil.rmtree(staging, ignore_errors=True)
+        # sidecar manifest BEFORE the first move: the complete move list,
+        # atomically visible (temp + rename), so recovery can replay it
+        moves = [
+            {"rel": name, "file": fn}
+            for name in built
+            for fn in sorted(os.listdir(os.path.join(staging, name)))
+            if fn not in ("_SUCCESS", "._SUCCESS.crc")
+        ]
+        mtmp = os.path.join(staging, "_MANIFEST.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump({"moves": moves}, f)
+        os.replace(mtmp, os.path.join(staging, "_MANIFEST.json"))
+        _replay_append_commit(index_dir, staging)
     finally:
         sh.unpersist()
+
+
+def _replay_append_commit(index_dir: str, staging: str) -> None:
+    """Execute (or re-execute) the move list in a staging dir's manifest.
+    Idempotent: a file already moved is simply absent from staging."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(staging, "_MANIFEST.json")) as f:
+        moves = json.load(f)["moves"]
+    for mv in moves:
+        live = os.path.join(index_dir, mv["rel"])
+        os.makedirs(live, exist_ok=True)
+        src = os.path.join(staging, mv["rel"], mv["file"])
+        if os.path.exists(src):
+            os.replace(src, os.path.join(live, mv["file"]))
+    for rel in {mv["rel"] for mv in moves}:
+        success = os.path.join(index_dir, rel, "_SUCCESS")
+        if not os.path.exists(success):
+            open(success, "w").close()
+    os.remove(os.path.join(staging, "_MANIFEST.json"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_dedup_index(index_dir: str) -> dict[str, list[str]]:
+    """Repair an index left by an interrupted :func:`append_to_dedup_index`
+    — one call, deterministic outcome per staging dir: roll FORWARD any
+    append that reached its commit (manifest present: replay the
+    remaining moves — per-file os.replace is atomic and staged names are
+    globally unique, so this is safe to run any number of times, live or
+    after a crash), roll BACK any append that died during derivation
+    (no manifest: nothing touched the live relations; drop the staging
+    dir and resubmit the batch). Returns {'rolled_forward': [...],
+    'rolled_back': [...]} naming the staging dirs handled."""
+    import os
+    import shutil
+
+    report: dict[str, list[str]] = {"rolled_forward": [], "rolled_back": []}
+    if not os.path.isdir(index_dir):
+        return report
+    for entry in sorted(os.listdir(index_dir)):
+        staging = os.path.join(index_dir, entry)
+        if not entry.startswith("_staging_append_") or not os.path.isdir(staging):
+            continue
+        if os.path.exists(os.path.join(staging, "_MANIFEST.json")):
+            _replay_append_commit(index_dir, staging)
+            report["rolled_forward"].append(entry)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+            report["rolled_back"].append(entry)
+    return report
 
 
 def read_dedup_index(spark, index_dir: str) -> dict[str, DataFrame]:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numerics import int_units
+from ..functions.ranks import exact_rank_values
 
 SESSION_GAP_MIN = 30
 
@@ -1661,7 +1662,7 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
     collapses to the low scores (all-tied input → everyone scores 1).
 
     Scale (the de-weak): the boundary selection is a TWO-LEVEL RADIX
-    histogram — unpivot the three metrics (3 rows/customer), coarse
+    histogram (functions/ranks.exact_rank_values) — unpivot the three metrics (3 rows/customer), coarse
     count by value DIV 2^18, cumulate over the coarse relation
     (partitioned by metric; sized by value-domain/2^18, NOT by rows),
     locate the 4 boundary ranks' coarse buckets, then cumulate the fine
@@ -1688,7 +1689,6 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
             F.sum(int_units("o_totalprice")).cast("bigint").alias("monetary_cents"),
         )
     )
-    shift = 1 << RFM_RADIX_BITS
     vals = per_cust.select(
         F.explode(
             F.create_map(
@@ -1701,57 +1701,8 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
             )
         ).alias("metric", "_xu")
     )
-    # order-faithful coarse bucket: FLOOR division (sign-split; Spark DIV
-    # truncates toward zero, which would fold the negated-recency range)
-    g = F.expr(
-        f"CASE WHEN _xu >= 0 THEN _xu DIV {shift}"
-        f" ELSE -((-_xu + {shift - 1}) DIV {shift}) END"
-    )
-    coarse = (
-        vals.groupBy("metric", g.alias("_g"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    )
-    w_m = Window.partitionBy("metric")
-    w_cum = w_m.orderBy("_g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    targets = (
-        coarse.select(
-            "metric",
-            "_g",
-            F.sum("_c").over(w_cum).alias("_cum"),
-            (F.sum("_c").over(w_cum) - F.col("_c")).alias("_lt"),
-            F.sum("_c").over(w_m).alias("_n"),
-        )
-        .select(
-            "metric",
-            "_g",
-            "_lt",
-            "_cum",
-            "_n",
-            F.explode(F.array(*[F.lit(b) for b in range(1, n)])).alias("_b"),
-        )
-        .withColumn(
-            "_rank", F.expr(f"CAST((_n * _b + {n - 1}) DIV {n} AS BIGINT)")
-        )
-        .where((F.col("_lt") < F.col("_rank")) & (F.col("_rank") <= F.col("_cum")))
-        .select("metric", "_g", "_b", F.col("_lt").alias("_base"), "_rank", "_n")
-    )
-    fine = (
-        vals.withColumn("_g", g)
-        .join(F.broadcast(targets.select("metric", "_g").distinct()), ["metric", "_g"])
-        .groupBy("metric", "_g", "_xu")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    )
-    w_fine = (
-        Window.partitionBy("metric", "_g")
-        .orderBy("_xu")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bounds = (
-        fine.withColumn("_cumf", F.sum("_c").over(w_fine))
-        .join(F.broadcast(targets), ["metric", "_g"])
-        .where(F.col("_base") + F.col("_cumf") >= F.col("_rank"))
-        .groupBy("metric", "_b")
-        .agg(F.min("_xu").alias("_q"))
+    bounds = exact_rank_values(
+        vals, [(b, b, n) for b in range(1, n)], RFM_RADIX_BITS
     )
     qrow = bounds.groupBy().agg(
         *[
@@ -1993,7 +1944,8 @@ def rfm_migration(orders: DataFrame, split_date: str = RFM_SPLIT_DATE) -> DataFr
     cell among all migrating customers (DECIMAL(38,0) DIV staging).
 
     Scale: two rfm_segments passes (each one map-combinable fact
-    aggregate + dim-sized NTILE sorts) and one customer-dim join."""
+    aggregate + the domain-bounded radix boundary selection) and one
+    customer-dim join."""
     early = rfm_segments(
         orders.where(F.col("o_orderdate").cast("date") < F.lit(split_date).cast("date"))
     ).select("c_custkey", F.col("segment").alias("segment_from"))

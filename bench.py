@@ -215,6 +215,8 @@ def main() -> int:
             "x_rfm_migration",
             "w_funnel_wilson",
             "x_abtest_srm",
+            # round-12 addition
+            "x_exact_quantiles",
             "w_attribution_ushape",
             "x_gini_concentration",
             "x_markov_transitions",

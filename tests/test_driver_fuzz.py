@@ -150,6 +150,9 @@ FUZZ_QUERIES = [
     "x_rfm_migration",
     "w_funnel_wilson",
     "x_abtest_srm",
+    # round 12: boundary-based RFM scores on all-tied metrics; exact
+    # quantiles on tie-heavy price pools / degenerate discount domains
+    "x_exact_quantiles",
 ]
 
 VOCAB = (

@@ -1276,3 +1276,131 @@ def test_streaming_psi_per_source_from_grouped_state(spark, tmp_path):
         for r in corpus.hashclf_drift_by_source(docs).collect()
     }
     assert full == batch
+
+
+def test_streaming_auc_psi_state_checkpoint_recovery(spark, tmp_path):
+    """r12 (r11 verdict #7): kill the grouped-state monitor query while
+    EVERY real row still lives only in the state store (watermark has not
+    closed any day window, the sink is provably empty), restart from the
+    checkpoint, and let the advancer flush. The emitted state then comes
+    entirely from the recovered state snapshot — and both live monitors
+    (per-slice AUC and per-source PSI) read off bit-equal to their batch
+    twins on the same rows."""
+    from azeroth_data_platform_spark.operators import corpus, mleval
+    from azeroth_data_platform_spark.streaming.mleval import (
+        fold_score_counts_by_group,
+        streaming_score_counts_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"w{i % 7} w{(i * 3) % 11} w{i % 5} common words here",
+                "en" if i % 3 == 0 else "fr",
+                ["web", "books", "code"][i % 3],
+            )
+            for i in range(48)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    scored = [
+        (r.grp, int(r.score), int(r.label))
+        for r in corpus.hashclf_bucket_scores_by_source(docs).collect()
+    ]
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 9)
+    b1 = [(d1, g, s, lb) for g, s, lb in scored[:24]] + [
+        (d2, g, s, lb) for g, s, lb in scored[24:36]
+    ]
+    b2 = [(d1.replace(hour=23), g, s, lb) for g, s, lb in scored[36:]]
+    advancer = [(dt.datetime(2024, 4, 1), "web", 0, 0)]
+    schema = "ts timestamp, grp string, score long, label int"
+
+    src = tmp_path / "ckpt_src"
+    out = tmp_path / "ckpt_out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        return (
+            streaming_score_counts_by_group(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", str(out))
+            .start()
+        )
+
+    with _hostile_tz(spark):
+        # phase 1: real data only — the 2-day watermark never passes the
+        # day boundaries, so NOTHING is finalized before the kill
+        for i, rows in enumerate([b1, b2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = spark.read.schema(
+            "day date, grp string, score long, label int, c long"
+        ).parquet(str(out))
+        assert emitted.count() == 0, "no window may finalize before the kill"
+
+        # phase 2: restart from the checkpoint; the advancer closes the
+        # March windows — every emitted count comes from recovered state
+        spark.createDataFrame(advancer, schema).coalesce(1).write.parquet(
+            str(src / "b2_advancer")
+        )
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.parquet(str(out)).where("day < DATE'2024-04-01'")
+        got_auc = {
+            r.grp: r.asDict()
+            for r in mleval.auc_from_counts_by_group(
+                fold_score_counts_by_group(state)
+            ).collect()
+        }
+        folded = state.groupBy(
+            F.col("grp").alias("source"), F.col("score").alias("bucket")
+        ).agg(F.sum("c").cast("bigint").alias("c"))
+        got_psi = {
+            r.source: r.asDict()
+            for r in corpus.hashclf_drift_from_counts(
+                folded, state.select(F.col("grp").alias("source")).distinct()
+            ).collect()
+        }
+    batch_auc = {
+        r.grp: r.asDict()
+        for r in mleval.auc_by_group(
+            spark.createDataFrame(scored, "grp string, score long, label int")
+        ).collect()
+    }
+    assert set(got_auc) == set(batch_auc)
+    for g in batch_auc:
+        for k in ("n_pos", "n_neg", "auc_ppm", "auc"):
+            assert got_auc[g][k] == batch_auc[g][k], (g, k)
+    batch_counts = (
+        spark.createDataFrame(scored, "source string, bucket long, label int")
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    batch_psi = {
+        r.source: r.asDict()
+        for r in corpus.hashclf_drift_from_counts(
+            batch_counts,
+            spark.createDataFrame(
+                [("web",), ("books",), ("code",)], "source string"
+            ),
+        ).collect()
+    }
+    assert got_psi == batch_psi

@@ -32,7 +32,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # malloc failures ("Failed to allocate block ... bad allocation") on
     # queries whose true peak is <1 GiB. The parity oracles are tiny
     # (sf≤0.01); 8 GiB / 8 threads is >10× headroom and deterministic.
-    con.execute("SET memory_limit='8GB'")
+    # overridable for the sf1-scale sweeps (r11 verdict #4), where some
+    # oracles legitimately need more than the sf0.01-sized default
+    con.execute(
+        f"SET memory_limit='{os.environ.get('PARITY_DUCK_MEM', '8GB')}'"
+    )
     con.execute("SET threads=8")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
