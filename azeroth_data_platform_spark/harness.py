@@ -1972,6 +1972,17 @@ def q_x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.exact_quantiles(adapters.read_table(spark, sf_dir, "lineitem"))
 
 
+def q_x_group_quantiles_radix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type exact percentile_disc over the radix selector — the
+    group label rides the metric key, so partitions stay domain-bounded
+    regardless of group row counts (operators/profiling.py
+    group_quantiles_radix)."""
+    _prep(spark)
+    return profiling.group_quantiles_radix(
+        adapters.read_table(spark, sf_dir, "events")
+    )
+
+
 # Driver-facing registry — the external correctness harness records at most
 # 50 entries (verified round 1: CORRECTNESS_r01.json held exactly the first
 # 50 dict keys while 58 were registered). Entries PAST slot 50 rely solely
@@ -2800,6 +2811,11 @@ ALL_QUERIES: dict[str, QueryFn] = {
     "tp_mix_temperature": q_tp_mix_temperature,
     # arbitrary GROUPING SETS (the general form rollup/cube specialize)
     "x_grouping_sets": q_x_grouping_sets,
+    # round-12 legacy addition (r13 promotion candidate): the per-group
+    # form of x_exact_quantiles — group label on the radix metric key,
+    # partitions domain-bounded regardless of group row counts (the
+    # scale-correct sibling of x_group_percentiles)
+    "x_group_quantiles_radix": q_x_group_quantiles_radix,
     # a21_seasonal_mann_kendall / x_rfm_migration / w_funnel_wilson /
     # x_abtest_srm: promoted to the driver registry in r12
     # demoted from the driver registry in r12 (composition review —
@@ -3011,3 +3027,5 @@ ALL_ORACLES["o12_search_after"] = (
 )
 ALL_ORACLES["w_attribution_decay"] = windows.decay_attribution_sql()
 ALL_ORACLES["w_attribution_ushape"] = windows.ushape_attribution_sql()
+# round-12 legacy addition
+ALL_ORACLES["x_group_quantiles_radix"] = profiling.group_quantiles_radix_sql()

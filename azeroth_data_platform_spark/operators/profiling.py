@@ -1064,3 +1064,57 @@ SELECT metric, CAST(pct AS BIGINT) AS pct,
 FROM cums CROSS JOIN pcts
 GROUP BY metric, pct
 ORDER BY metric, pct"""
+
+
+def group_quantiles_radix(
+    events: DataFrame, pcts: tuple[int, ...] = QUANTILE_PCTS
+) -> DataFrame:
+    """(event_type, pct, n_rows, rank, value_units): exact per-group
+    percentile_disc of `value` (integer cents) — the scale-correct form
+    of the per-group percentile report: x_group_percentiles row-ranks
+    inside each group, so a window partition is sized by the GROUP'S ROW
+    COUNT (fine for eval SFs, a single-task sort for a hot group at
+    100 TB); here the group label rides the radix selector's metric key
+    (functions/ranks.exact_rank_values), so every partition stays
+    value-domain-bounded no matter how many rows a group has. Ties share
+    the value (percentile_disc); NULL values are excluded explicitly."""
+    from ..functions.ranks import exact_rank_values
+
+    vals = events.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("metric"),
+        int_units("value").cast("bigint").alias("_xu"),
+    )
+    bounds = exact_rank_values(vals, [(p, p, 100) for p in pcts])
+    return bounds.select(
+        F.col("metric").alias("event_type"),
+        F.col("_b").alias("pct"),
+        F.col("_n").alias("n_rows"),
+        F.col("_rank").alias("rank"),
+        F.col("_q").alias("value_units"),
+    ).orderBy("event_type", "pct")
+
+
+def group_quantiles_radix_sql(pcts: tuple[int, ...] = QUANTILE_PCTS) -> str:
+    """DuckDB twin of :func:`group_quantiles_radix` (one-level histogram
+    form of the same ceil-rank rule; integer counts, bit-equal twins)."""
+    values = ", ".join(f"({p})" for p in pcts)
+    return f"""
+  WITH vals AS (
+    SELECT event_type AS metric,
+           CAST({int_units_sql('value')} AS BIGINT) AS xu
+    FROM events WHERE value IS NOT NULL),
+  hist AS (
+    SELECT metric, xu, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2),
+  cums AS (
+    SELECT metric, xu,
+           CAST(SUM(c) OVER (PARTITION BY metric ORDER BY xu) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER (PARTITION BY metric) AS BIGINT) AS n
+    FROM hist),
+  pcts(pct) AS (VALUES {values})
+SELECT metric AS event_type, CAST(pct AS BIGINT) AS pct,
+       MAX(n) AS n_rows,
+       CAST((MAX(n) * pct + 99) // 100 AS BIGINT) AS rank,
+       MIN(CASE WHEN cum >= (n * pct + 99) // 100 THEN xu END) AS value_units
+FROM cums CROSS JOIN pcts
+GROUP BY metric, pct
+ORDER BY event_type, pct"""

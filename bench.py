@@ -445,6 +445,9 @@ def main() -> int:
             "w_rfm_segments",
             "x_cohort_ltv",
             "tp_padding_efficiency",
+            # round-12 addition: the two-level radix selection is one
+            # map-combinable histogram scan + domain-bounded windows
+            "x_exact_quantiles",
             # round-8 third-session trio: attribution is one user window
             # (linear), ACF one item exchange (linear in days), z-order a
             # pure projection + shard aggregate (linear, zero joins)

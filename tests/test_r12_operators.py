@@ -202,3 +202,40 @@ def test_exact_rank_values_empty_input(spark):
 
     df = spark.createDataFrame([], "metric string, _xu long")
     assert exact_rank_values(df, [(1, 1, 2)]).count() == 0
+
+
+def test_group_quantiles_radix_brute_force(spark, sf_dir):
+    """Per-group radix quantiles equal the single-node recompute over each
+    event_type's cent-quantized values (NULLs excluded)."""
+    from azeroth_data_platform_spark.operators import adapters, profiling
+
+    ev = adapters.read_table(spark, sf_dir, "events")
+    got = {
+        (r.event_type, r.pct): r
+        for r in profiling.group_quantiles_radix(ev).collect()
+    }
+    import decimal
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev.select("event_type", "value").collect():
+        if r.value is not None:
+            groups[r.event_type].append(
+                int(
+                    decimal.Decimal(r.value).quantize(
+                        decimal.Decimal("0.01"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                    * 100
+                )
+            )
+    for et, xs in groups.items():
+        s = sorted(xs)
+        n = len(s)
+        for pct in (25, 50, 75, 90, 99):
+            rank = -(-n * pct // 100)
+            r = got[(et, pct)]
+            assert (r.n_rows, r.rank, r.value_units) == (n, rank, s[rank - 1]), (
+                et,
+                pct,
+            )
