@@ -25,7 +25,7 @@ seam, not needed for cent/count/day-scaled values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # balanced for cent-scaled domains (≤ ~1e11): both levels ≤ ~4e5 rows
@@ -57,6 +57,37 @@ def exact_rank_values(
     coarse = vals.groupBy("metric", g.alias("_g")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
+    fine_src = vals.withColumn("_g", g).withColumn(
+        "_c", F.lit(1).cast("bigint")
+    )
+    return _select_from_coarse(coarse, fine_src, fracs)
+
+
+def exact_rank_values_from_counts(
+    hist: DataFrame,
+    fracs: list[tuple[int, int, int]],
+    radix_bits: int = DEFAULT_RADIX_BITS,
+) -> DataFrame:
+    """:func:`exact_rank_values` over a PRE-COUNTED value histogram
+    (metric STRING, _xu BIGINT, _c BIGINT) — the read-off path for
+    stream-maintained count state (the histogram is the commutative
+    monoid a watermarked stream folds to), and for any caller that
+    already paid the per-value aggregation."""
+    shift = 1 << radix_bits
+    g = F.expr(floor_div("_xu", shift))
+    coarse = hist.groupBy("metric", g.alias("_g")).agg(
+        F.sum("_c").cast("bigint").alias("_c")
+    )
+    return _select_from_coarse(coarse, hist.withColumn("_g", g), fracs)
+
+
+def _select_from_coarse(
+    coarse: DataFrame, fine_src: DataFrame, fracs: list[tuple[int, int, int]]
+) -> DataFrame:
+    """Shared two-level tail: locate each rank's coarse bucket, cumulate
+    the fine histogram inside the ≤len(fracs) target buckets, read off.
+    `coarse` is (metric, _g, _c) totals; `fine_src` is (metric, _g, _xu,
+    _c) rows (unit counts for the raw-vals path)."""
     w_m = Window.partitionBy("metric")
     w_cum = w_m.orderBy("_g").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -97,12 +128,11 @@ def exact_rank_values(
         .select("metric", "_g", "_b", F.col("_lt").alias("_base"), "_rank", "_n")
     )
     fine = (
-        vals.withColumn("_g", g)
-        .join(
+        fine_src.join(
             F.broadcast(targets.select("metric", "_g").distinct()), ["metric", "_g"]
         )
         .groupBy("metric", "_g", "_xu")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .agg(F.sum("_c").cast("bigint").alias("_c"))
     )
     w_fine = (
         Window.partitionBy("metric", "_g")

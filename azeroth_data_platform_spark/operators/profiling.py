@@ -1118,3 +1118,28 @@ SELECT metric AS event_type, CAST(pct AS BIGINT) AS pct,
 FROM cums CROSS JOIN pcts
 GROUP BY metric, pct
 ORDER BY event_type, pct"""
+
+
+def group_quantiles_from_counts(hist: DataFrame, pcts: tuple[int, ...] = QUANTILE_PCTS) -> DataFrame:
+    """:func:`group_quantiles_radix`'s read-off over a PRE-COUNTED
+    (event_type, value_units, c) histogram — the live-monitor path: a
+    watermarked stream folds per-day value counts (streaming/mleval.
+    streaming_value_counts), and this turns the folded state into the
+    same (event_type, pct, n_rows, rank, value_units) report, bit-equal
+    to the batch operator over the same rows (test-pinned under the
+    hostile trio + checkpoint recovery)."""
+    from ..functions.ranks import exact_rank_values_from_counts
+
+    h = hist.select(
+        F.col("event_type").alias("metric"),
+        F.col("value_units").cast("bigint").alias("_xu"),
+        F.col("c").cast("bigint").alias("_c"),
+    )
+    bounds = exact_rank_values_from_counts(h, [(p, p, 100) for p in pcts])
+    return bounds.select(
+        F.col("metric").alias("event_type"),
+        F.col("_b").alias("pct"),
+        F.col("_n").alias("n_rows"),
+        F.col("_rank").alias("rank"),
+        F.col("_q").alias("value_units"),
+    ).orderBy("event_type", "pct")

@@ -100,3 +100,45 @@ def fold_score_counts_by_group(state: DataFrame) -> DataFrame:
         .alias("c1"),
         F.sum("c").cast("bigint").alias("ct"),
     )
+
+
+def streaming_value_counts(events: DataFrame) -> DataFrame:
+    """Live EXACT-quantile monitor state (r12): events = streaming
+    (ts TIMESTAMP, event_type STRING, value DOUBLE) → (day, event_type,
+    value_units, c) finalized daily rows — the same commutative-monoid
+    window as :func:`streaming_score_counts` over the int_units-quantized
+    value, so state is bounded by groups × the VALUE DOMAIN in cents
+    (and pruned by the watermark), never by event volume. Fold with
+    :func:`fold_value_counts` and read off with
+    operators/profiling.group_quantiles_from_counts — the radix selector
+    over the folded histogram, bit-equal to the batch
+    group_quantiles_radix on the same rows (test-pinned under the
+    hostile trio + checkpoint recovery). NULL values are excluded, same
+    as the batch twin."""
+    from ..functions.numerics import int_units
+
+    return (
+        events.where(F.col("value").isNotNull())
+        .withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            int_units("value").cast("bigint").alias("value_units"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "value_units",
+            "c",
+        )
+    )
+
+
+def fold_value_counts(state: DataFrame) -> DataFrame:
+    """Fold (day, event_type, value_units, c) state across days to the
+    (event_type, value_units, c) histogram the quantile read-off
+    consumes — one groups×domain-sized groupBy."""
+    return state.groupBy("event_type", "value_units").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )

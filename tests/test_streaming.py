@@ -1404,3 +1404,75 @@ def test_streaming_auc_psi_state_checkpoint_recovery(spark, tmp_path):
         ).collect()
     }
     assert got_psi == batch_psi
+
+
+def test_streaming_exact_quantiles_from_value_counts(spark, tmp_path):
+    """r12: the live exact-quantile monitor — (day, event_type,
+    value_units) counts maintained on a watermarked stream under the
+    hostile trio (cross-batch day split, late-in-watermark rows, non-UTC
+    session), folded and read off through the radix selector
+    (profiling.group_quantiles_from_counts): bit-equal to batch
+    group_quantiles_radix over the same rows, with tie-heavy values so
+    ranks land inside tie runs."""
+    from azeroth_data_platform_spark.operators import profiling
+    from azeroth_data_platform_spark.streaming.mleval import (
+        fold_value_counts,
+        streaming_value_counts,
+    )
+
+    vals = []
+    for i in range(60):
+        et = ["click", "purchase"][i % 2]
+        v = [9.99, 9.99, 25.00, 25.00, 3.50, 120.75][i % 6]
+        vals.append((et, v))
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 9)
+    b1 = [(d1, et, v) for et, v in vals[:30]] + [
+        (d2, et, v) for et, v in vals[30:45]
+    ]
+    # day-1 stragglers in a later micro-batch, inside the watermark
+    b2 = [(d1.replace(hour=22), et, v) for et, v in vals[45:]]
+    advancer = [(dt.datetime(2024, 4, 1), "click", 0.0)]
+    advancer2 = [(dt.datetime(2024, 4, 1, 1), "click", 0.0)]
+    schema = "ts timestamp, event_type string, value double"
+
+    with _hostile_tz(spark):
+        src = tmp_path / "quantile_src"
+        src.mkdir()
+        for i, rows in enumerate([b1, b2, advancer, advancer2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_value_counts(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("value_quantile_state")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state = spark.sql(
+                "SELECT * FROM value_quantile_state WHERE day < DATE'2024-04-01'"
+            )
+            # state bound: rows <= days x groups x distinct cent values
+            assert state.count() <= 2 * 2 * 6
+            got = {
+                (r.event_type, r.pct): (r.n_rows, r.rank, r.value_units)
+                for r in profiling.group_quantiles_from_counts(
+                    fold_value_counts(state)
+                ).collect()
+            }
+        finally:
+            q.stop()
+    batch = {
+        (r.event_type, r.pct): (r.n_rows, r.rank, r.value_units)
+        for r in profiling.group_quantiles_radix(
+            spark.createDataFrame(vals, "event_type string, value double")
+        ).collect()
+    }
+    assert got == batch
