@@ -151,8 +151,10 @@ FUZZ_QUERIES = [
     "w_funnel_wilson",
     "x_abtest_srm",
     # round 12: boundary-based RFM scores on all-tied metrics; exact
-    # quantiles on tie-heavy price pools / degenerate discount domains
+    # quantiles on tie-heavy price pools / degenerate discount domains;
+    # the per-group radix form on hostile event values
     "x_exact_quantiles",
+    "x_group_quantiles_radix",
 ]
 
 VOCAB = (

@@ -239,3 +239,69 @@ def test_group_quantiles_radix_brute_force(spark, sf_dir):
                 et,
                 pct,
             )
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property: the radix selector vs python brute force
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rank_cases = st.tuples(
+    # multisets per metric: tie-heavy, negative-straddling, wide-domain
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=-5, max_value=5),
+                st.integers(min_value=-(2**22), max_value=2**22),
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    # rank fractions (num <= den so ranks stay in [1, n])
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),
+            st.integers(min_value=1, max_value=10),
+        ).map(lambda t: (min(t), max(t))),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    # radix width — degenerate 1-bit through wider-than-domain
+    st.sampled_from([1, 3, 6, 12, 24]),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rank_cases)
+def test_exact_rank_values_property(spark, case):
+    """For random multisets (ties, negatives, wide domains), random rank
+    fractions, and radix widths from degenerate to wider-than-domain, the
+    distributed selection equals the python sort + ceil-rank pick."""
+    from azeroth_data_platform_spark.functions.ranks import exact_rank_values
+
+    multisets, fracs_nd, radix_bits = case
+    fracs = [(i + 1, num, den) for i, (num, den) in enumerate(fracs_nd)]
+    rows = [
+        (f"m{mi}", v) for mi, vs in enumerate(multisets) for v in vs
+    ]
+    df = spark.createDataFrame(rows, "metric string, _xu long")
+    got = {
+        (r.metric, r._b): (r._rank, r._q, r._n)
+        for r in exact_rank_values(df, fracs, radix_bits=radix_bits).collect()
+    }
+    for mi, vs in enumerate(multisets):
+        s = sorted(vs)
+        n = len(s)
+        for lab, num, den in fracs:
+            rank = (n * num + den - 1) // den
+            assert got[(f"m{mi}", lab)] == (rank, s[rank - 1], n), (
+                mi,
+                lab,
+                radix_bits,
+            )
