@@ -126,6 +126,15 @@ def _select_from_coarse(
         )
         .where((F.col("_lt") < F.col("_rank")) & (F.col("_rank") <= F.col("_cum")))
         .select("metric", "_g", "_b", F.col("_lt").alias("_base"), "_rank", "_n")
+        # targets is ≤ len(fracs) rows per metric but feeds TWO broadcast
+        # consumers (the fine-histogram semi-join and the final read-off
+        # join); Spark does not CSE across plan branches, so without this
+        # each consumer re-ran the whole coarse pass — at fact scale two
+        # extra full scans of `vals` per query (r12: executed-plan scan
+        # count 5 → 3 on x_exact_quantiles). localCheckpoint materializes
+        # the handful of rows once per execution — recomputed every run,
+        # same device as semantic_dedup's assignment checkpoint.
+        .localCheckpoint()
     )
     fine = (
         fine_src.join(

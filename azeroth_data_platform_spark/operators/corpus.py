@@ -53,14 +53,19 @@ def _doc_hash_sql(duck: bool, mod: int = 100) -> str:
     sampling decisions are identical in Spark, DuckDB, or anything else
     that can md5 a string. Deterministic sampling means a re-run of the
     pipeline selects the same corpus — reproducible training data."""
-    instr = "strpos" if duck else "instr"
+    if not duck:
+        # one conv() parse of the 8-hex-digit prefix — same positional
+        # value as the per-nibble instr sum (r12; DuckDB keeps the
+        # strpos sum: no arbitrary-base conv there)
+        return (
+            f"(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {mod})"
+        )
     h = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
-    if duck:
-        h = h.replace("AS STRING", "AS VARCHAR")
     return f"(({h}) % {mod})"
 
 
@@ -415,10 +420,13 @@ K_BLOOM = 2  # probes per shingle
 def _sh_hash_sql(seed: int, duck: bool) -> str:
     """Engine-portable md5 hash of a shingle → [0, M_BLOOM_BITS): parse the
     first 8 hex nibbles of md5('<seed>:' || sh) exactly like _doc_hash_sql."""
-    instr = "strpos" if duck else "instr"
-    concat = f"'{seed}:' || sh" if duck else f"concat('{seed}:', sh)"
+    if not duck:
+        return (
+            f"(CAST(conv(substr(md5(concat('{seed}:', sh)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {M_BLOOM_BITS})"
+        )
     h = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr(md5({concat}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr(md5('{seed}:' || sh), {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
@@ -1483,11 +1491,10 @@ def hash_classifier(documents: DataFrame) -> DataFrame:
     # the md5 once PER NIBBLE TERM, i.e. 8 md5s per bigram (measured 6.2 s
     # at sf0.1). Hoist the md5 into its own transform so each bigram pays
     # exactly one md5; the nibble parse then reads the 8-char local string.
-    nib = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
+    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
+    # run INTERPRETED, so per-element expression count is the wall)
+    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
     bgs = F.expr(
         "transform(sequence(0, size(_ws) - 2),"
         " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
@@ -1595,11 +1602,10 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     map_lit = F.expr(
         "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
     )
-    nib = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
+    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
+    # run INTERPRETED, so per-element expression count is the wall)
+    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
     bgs = F.expr(
         "transform(sequence(0, size(_ws) - 2),"
         " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
@@ -1775,11 +1781,10 @@ def _hashclf_bucket_frame(
     map_lit = F.expr(
         "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
     )
-    nib = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
+    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
+    # run INTERPRETED, so per-element expression count is the wall)
+    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
     bgs = F.expr(
         "transform(sequence(0, size(_ws) - 2),"
         " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
@@ -2369,11 +2374,14 @@ SPLIT_MOD = 10  # 8/1/1 train/val/test
 
 def _cluster_split_sql(duck: bool) -> str:
     """Uniform hash of 'split:'||cluster_id ∈ [0, SPLIT_MOD)."""
-    instr = "strpos" if duck else "instr"
-    cast = "VARCHAR" if duck else "STRING"
-    md5e = f"md5('split:' || CAST(cluster_id AS {cast}))"
+    if not duck:
+        return (
+            f"(CAST(conv(substr(md5('split:' || CAST(cluster_id AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {SPLIT_MOD})"
+        )
+    md5e = "md5('split:' || CAST(cluster_id AS VARCHAR))"
     h = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr({md5e}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr({md5e}, {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
@@ -2427,11 +2435,14 @@ def _ws_u32_sql(duck: bool) -> str:
     md5('ws:' || doc_id) + 1 ∈ [1, 2^32] — engine-portable (the
     _doc_hash_sql nibble device), independent of every other sampler's
     hash stream via the 'ws:' seed."""
-    instr = "strpos" if duck else "instr"
-    s = "VARCHAR" if duck else "STRING"
-    md5 = f"md5('ws:' || CAST(doc_id AS {s}))"
+    if not duck:
+        return (
+            "(CAST(conv(substr(md5('ws:' || CAST(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) + 1)"
+        )
+    md5 = "md5('ws:' || CAST(doc_id AS VARCHAR))"
     terms = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr({md5}, {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )
@@ -2529,11 +2540,9 @@ def global_shuffle(
     valid because shard membership already routed every row. At 100 TB
     with n_shards sized to ~1-4 GB of tokens per shard, this is the
     write-side layout pass before `partitionBy("shard")`."""
-    instr_terms = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    # one conv() parse of skey's 8-hex-digit prefix (r12; same positional
+    # value as the per-nibble instr sum — DuckDB twin keeps strpos)
+    instr_terms = "CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"
     keyed = documents.select(
         "doc_id",
         "source",
@@ -2580,11 +2589,9 @@ def shard_manifest(
     Scale shape: one map-combinable groupBy on shard (n_shards groups),
     then a window over the n_shards-row aggregate. 128-bit staging keeps
     the ppm numbers exact past 1e14 total chars × 1e6 × n_shards."""
-    instr_terms = " + ".join(
-        f"CAST(instr('0123456789abcdef', substr(skey, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    # one conv() parse of skey's 8-hex-digit prefix (r12; same positional
+    # value as the per-nibble instr sum — DuckDB twin keeps strpos)
+    instr_terms = "CAST(conv(substr(skey, 1, 8), 16, 10) AS BIGINT)"
     keyed = documents.select(
         "doc_id",
         "n_chars",

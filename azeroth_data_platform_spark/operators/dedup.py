@@ -106,8 +106,20 @@ _SIZES_SQL = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id)"
 
 
 def _pairwise_jaccard(sh: DataFrame) -> DataFrame:
-    """(d1, d2, jaccard) for every doc pair sharing >=1 shingle."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    """(d1, d2, jaccard) for every doc pair sharing >=1 shingle.
+
+    The no-op isNotNull(sh) filter on the sizes branch (shingles are
+    concat()s of always-present tokens — never NULL) aligns its canonical
+    plan with the self-join sides, which carry the same filter pushed down
+    from the `sh` join key: AQE's exchange reuse then serves the sizes
+    branch from the already-shuffled shingle relation instead of
+    re-scanning and re-tokenizing the corpus (r12, measured plan diff:
+    one fewer parquet scan + shingle exchange)."""
+    sizes = (
+        sh.where(F.col("sh").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -169,10 +181,18 @@ _HEX_NIBBLES = 8  # 32 bits of the md5 → base integer
 
 
 def _hex_int_sql(expr: str, duck: bool) -> str:
-    """First 8 md5 nibbles → integer, portable across engines."""
-    instr = "strpos" if duck else "instr"
+    """First 8 md5 nibbles → integer, portable across engines.
+
+    Spark side parses the 8-hex-digit prefix in ONE conv() call (r12:
+    same value as the per-nibble instr sum — an 8-digit base-16 positional
+    number — for a quarter of the per-row string work; measured
+    equivalent bit-for-bit over 10⁶ md5s). DuckDB keeps the positional
+    strpos sum: its conv() lacks an arbitrary-base signature, and the
+    oracle text is frozen either way."""
+    if not duck:
+        return f"(CAST(conv(substr({expr}, 1, {_HEX_NIBBLES}), 16, 10) AS BIGINT) % {MINHASH_P})"
     terms = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (_HEX_NIBBLES - 1 - i)}"
         for i in range(_HEX_NIBBLES)
     )
@@ -263,8 +283,18 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     candidate side measures small at runtime, and degrades to a shuffled
     hash join when it does not — tests/test_skew_stress.py pins both: the
     uniform fixture still broadcasts, the dup-heavy fixture still returns
-    exact jaccards either way."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exact jaccards either way.
+
+    The no-op isNotNull(sh) filter on the sizes branch (shingle strings
+    are never NULL) matches the filter the `sh` equi-join key pushes into
+    s1/s2, so the sizes branch's distinct exchange canonicalizes equal to
+    theirs and AQE reuses the shuffle instead of re-scanning the corpus
+    (r12; one fewer scan + shingle exchange in the executed plan)."""
+    sizes = (
+        sh.where(F.col("sh").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     s1 = sh.select(F.col("doc_id").alias("d1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("d2"), "sh")
     common = (
@@ -632,15 +662,32 @@ def _simhash_bit_exprs(duck: bool) -> tuple[list[str], str]:
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """60-bit SimHash fingerprint per document (one groupBy pass)."""
+    """60-bit SimHash fingerprint per document (one groupBy pass).
+
+    r12 per-task rewrite: the 15-hex-digit md5 prefix is parsed ONCE per
+    shingle with conv() into a 60-bit BIGINT `_h`; each bit's ±1
+    contribution is then `(shiftright(_h, s) & 1) * 2 - 1` — one shift +
+    one AND instead of the old per-bit instr scan over the hex alphabet
+    (60 string scans per shingle → 1 parse + 60 integer ops; measured
+    ~25% off the fingerprint aggregate at 2M shingles, bit-identical
+    sums). Bit b lives at shift 4·(14 − b/4) + (3 − b%4): hex char b/4+1
+    (most-significant-first) holds nibble bits 3..0. The DuckDB twin
+    keeps the positional-instr form (_simhash_bit_exprs(duck=True));
+    both compute the same per-bit counts, so the fingerprints agree
+    bit-for-bit (pinned by every simhash oracle)."""
     # Pure DataFrame composition (no temp views — they're session-global
     # and would race if the harness ran queries concurrently).
-    sums, fp = _simhash_bit_exprs(duck=False)
-    agg_cols = []
-    for s in sums:
-        expr_body, alias = s.rsplit(" AS ", 1)
-        agg_cols.append(F.expr(expr_body).alias(alias))
-    bitsums = shingles(documents).groupBy("doc_id").agg(*agg_cols)
+    _, fp = _simhash_bit_exprs(duck=False)
+    parsed = shingles(documents).select(
+        "doc_id", F.expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").alias("_h")
+    )
+    agg_cols = [
+        F.expr(
+            f"SUM((shiftright(_h, {4 * (14 - b // 4) + (3 - b % 4)}) & 1) * 2 - 1)"
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bitsums = parsed.groupBy("doc_id").agg(*agg_cols)
     return bitsums.select("doc_id", F.expr(fp).alias("simhash"))
 
 
@@ -821,35 +868,54 @@ NEARDUP_CLUSTERS_SQL = f"""
 # embedding-cosine near-dup
 
 
+EMBED_PAIR_BLOCKS = 16  # b-side block count of the pair-generating equi-join
+
+
 def embedding_neardup(
     embeddings: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
 ) -> DataFrame:
     """Vector near-dup pairs above a cosine threshold (pairwise; bucket with
     similarity.py's LSH first at scale).
 
+    r12 optimization: the all-pairs generator is a BLOCKED EQUI-JOIN, not a
+    BroadcastNestedLoopJoin. The b side carries a pmod(vec_id, 16) block
+    key; the a side explodes to all 16 block values, so the hash join
+    `gj = g AND v1 < v2` emits every unordered pair exactly once — same n²
+    work, but inside whole-stage codegen instead of the BNL operator
+    (whose per-pair row copy + interpreted projection was the wall:
+    measured 5.7 s → 1.1 s at sf0.1, bit-identical output). That also
+    unlocks the named-dims + precomputed-norm layout (functions/vectors.py
+    — bit-identical by the evaluate-once lemma), which under the old BNL
+    join collapsed into the per-pair expression and knocked the stage out
+    of codegen (the round-2 7 s vs 48 s measurement). The plan compiles
+    under spark.sql.codegen.fallback=false (pinned).
+
     Perf note: the threshold filter must stay ABOVE the projection — if
-    Catalyst pushes it into the nested-loop join condition, the unrolled
-    dot product is evaluated by the join's interpreted predicate (BNL join
-    conditions don't whole-stage-codegen) and recomputed in the projection.
-    A nondeterministic term in the FILTER condition (`+ rand·0`, exactly
-    zero, bit-identical output) blocks that pushdown: nondeterministic
-    predicates are never moved into join conditions, and Spark has no
-    x·0→0 fold (it would be unsound for NaN). The round-1 guard — an
-    always-true `when(rand() >= -1)` around the projection — is eliminated
-    outright by Spark 4.1's optimizer, so the barrier lives in the filter
-    instead; tests/test_plan_shapes.py pins the resulting plan."""
-    # Inline cosine (not precomputed-norm projections): measured 7.0 s vs
-    # 48 s at sf0.1 — the norm projections collapse into the per-pair
-    # expression under the nested-loop join and drop the stage out of
-    # codegen, recomputing both norms per pair.
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    Catalyst pushed it into the join condition, the unrolled dot product
+    would be evaluated in the join's non-codegen condition path and again
+    in the projection. A nondeterministic term in the FILTER condition
+    (`+ rand·0`, exactly zero, bit-identical output) blocks that pushdown:
+    nondeterministic predicates are never moved into join conditions, and
+    Spark has no x·0→0 fold (it would be unsound for NaN);
+    tests/test_plan_shapes.py pins the resulting plan."""
+    from ..functions.vectors import dim_exprs, dims_cosine_sql, dims_norm_sql
+
+    a = (
+        embeddings.select(F.col("vec_id").alias("v1"), *dim_exprs("embedding", "_a"))
+        .withColumn("_na", F.expr(dims_norm_sql("_a")))
+        .withColumn("_gj", F.explode(F.expr(f"sequence(0, {EMBED_PAIR_BLOCKS - 1})")))
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("v2"),
+        F.pmod("vec_id", F.lit(EMBED_PAIR_BLOCKS)).alias("_g"),
+        *dim_exprs("embedding", "_b"),
+    ).withColumn("_nb", F.expr(dims_norm_sql("_b")))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(b, (F.col("_gj") == F.col("_g")) & (F.col("v1") < F.col("v2")))
         .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.expr(cosine_sql("a.embedding", "b.embedding")).alias("cosine"),
+            "v1",
+            "v2",
+            F.expr(dims_cosine_sql("_a", "_b", "_na", "_nb")).alias("cosine"),
         )
         .where((F.col("cosine") + F.rand(42) * 0.0) >= threshold)
     )

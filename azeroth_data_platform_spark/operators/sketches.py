@@ -61,10 +61,15 @@ _LN2 = repr(math.log(2.0))
 
 
 def _h48_sql(expr: str, duck: bool) -> str:
-    """First 12 md5 nibbles of `expr` → exact 48-bit integer."""
-    instr = "strpos" if duck else "instr"
+    """First 12 md5 nibbles of `expr` → exact 48-bit integer.
+
+    Spark side parses the 12-digit prefix with ONE conv() (r12; same
+    positional base-16 value as the per-nibble instr sum, 48 bits fits
+    BIGINT exactly). DuckDB keeps the strpos sum — frozen oracle text."""
+    if not duck:
+        return f"CAST(conv(substr(md5({expr}), 1, {_H_NIBBLES}), 16, 10) AS BIGINT)"
     terms = " + ".join(
-        f"CAST({instr}('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
         f" * {16 ** (_H_NIBBLES - 1 - i)}"
         for i in range(_H_NIBBLES)
     )

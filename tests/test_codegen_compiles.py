@@ -61,6 +61,15 @@ def test_semantic_dedup_compiles(no_codegen_fallback, emb):
     assert len(rows) > 0
 
 
+def test_embedding_neardup_compiles(no_codegen_fallback, emb):
+    """r12: the quadratic baseline's blocked equi-join + named-dims +
+    precomputed-norm layout must whole-stage-compile — under the old BNL
+    join this was the one deliberately-interpreted stage; the rewrite
+    exists precisely to put the per-pair cosine into generated code."""
+    rows = dedup.embedding_neardup(emb).collect()
+    assert len(rows) > 0
+
+
 def test_char_entropy_compiles(no_codegen_fallback, spark, sf_dir):
     """The 26-letter replace-count + plog2 polynomial tree is large but
     must stay inside whole-stage codegen (it is a pure string/arith

@@ -76,19 +76,26 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan  # corpus must stream, not cross-shuffle
 
 
-def test_embed_neardup_filter_not_pushed_into_bnl_join(spark, sf_dir):
-    """The cosine threshold must evaluate in a codegen'd Filter above the
-    projection — NOT inside the BroadcastNestedLoopJoin condition, whose
-    interpreted predicate would evaluate the unrolled dot product per pair
-    and the projection would recompute it (dedup.embedding_neardup's
-    rand-term barrier; Spark 4.1 eliminated the round-1 when(rand) guard)."""
+def test_embed_neardup_blocked_equi_join_keeps_cosine_out_of_condition(spark, sf_dir):
+    """r12: the all-pairs generator is a blocked HASH join (pmod block key
+    + exploded probe side), not a BroadcastNestedLoopJoin — the BNL
+    operator's per-pair row copy and interpreted projection were the
+    query's wall (measured 5.7 s → 1.1 s at sf0.1, bit-identical rows).
+    The cosine threshold must still evaluate in a Filter above the
+    projection — NOT inside the join condition, which would recompute the
+    unrolled dot product (the rand-term barrier)."""
     df = harness.ALL_QUERIES["dd_embed_neardup"](spark, sf_dir)
     plan = _plan(df)
     assert "rand(" in plan  # the barrier survived optimization
-    join_lines = [l for l in plan.splitlines() if "Join" in l or "CartesianProduct" in l]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
     assert join_lines, plan
     for l in join_lines:
-        assert "element_at" not in l, "dot product leaked into the join condition"
+        # no dim arithmetic in the join condition: dims are named _aN/_bN
+        # attributes post-projection, so a leaked dot product would show
+        # as a chain of multiplies; the condition must stay key-only
+        assert "element_at" not in l and "SQRT" not in l, l
 
 
 def test_langid_trigram_scores_stay_in_codegen(spark, sf_dir):
