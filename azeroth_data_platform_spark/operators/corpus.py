@@ -1329,17 +1329,27 @@ def bpe_encode(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
             lambda w: F.concat(F.lit(sep), F.regexp_replace(w, "(.)", "$1" + sep)),
         ).alias("ws"),
     )
+    # r12: attach all merge rounds (one-row broadcast model state each),
+    # then apply them in ONE array transform whose lambda nests the
+    # replaces innermost-first — the same left-to-right merge composition
+    # per element as the old chain of per-round transforms (bit-identical
+    # strings), for ONE array traversal + materialization instead of
+    # n_merges of them.
     for r, best in enumerate(bests, start=1):
         b = best.select(
             F.col("left").alias(f"_l{r}"), F.col("right").alias(f"_r{r}")
         )
-        enc = enc.crossJoin(F.broadcast(b)).select(
-            "doc_id",
-            F.expr(
-                f"transform(ws, s -> replace(s,"
+        enc = enc.crossJoin(F.broadcast(b))
+    if bests:
+        body = "s"
+        for r in range(1, len(bests) + 1):
+            body = (
+                f"replace({body},"
                 f" concat('{sep}', _l{r}, '{sep}', _r{r}),"
-                f" concat('{sep}', _l{r}, _r{r})))"
-            ).alias("ws"),
+                f" concat('{sep}', _l{r}, _r{r}))"
+            )
+        enc = enc.select(
+            "doc_id", F.expr(f"transform(ws, s -> {body})").alias("ws")
         )
     toks = enc.select(
         "doc_id",

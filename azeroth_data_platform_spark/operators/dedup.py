@@ -1282,6 +1282,11 @@ def semantic_dedup(
     # runs 1×, not 3×. At scale this is the quantizer-assignment table a
     # pipeline persists anyway (plan-pinned: exactly one
     # BroadcastNestedLoopJoin in the executed plan).
+    # (r12 note: the min(struct(dist, cid, dims)) argmin used elsewhere
+    # was tried here and REVERTED — with the 64 named-dim columns in the
+    # struct payload the optimizer's constraint/tree transforms blow the
+    # driver heap; the window over the checkpointed n×k relation is the
+    # cheaper plan for this operator's layout.)
     assigned = (
         v.join(F.broadcast(c))
         .select("v.vec_id", "c.cid", dist.alias("dist"), *vd)

@@ -78,16 +78,31 @@ def pagerank(
         .distinct()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # r12: fold deg into the node-sized rank state ONCE (ranks ⋈ deg is
+    # node-sized) and join the per-edge contribution value rv =
+    # ru DIV deg into the edge scan — each iteration is then ONE join
+    # over the checkpointed edges + one map-combined groupBy(dst),
+    # instead of two edge-relation joins per round. The rv join is
+    # deliberately UN-hinted: nodes are the item catalog (dim-sized
+    # relative to the fact table), so the planner broadcasts it from its
+    # measured checkpoint size — and degrades to a shuffle join instead
+    # of an OOM if a catalog ever outgrows broadcast (the repo's AQE
+    # no-cliff pattern). Same integer arithmetic per edge (ru DIV deg
+    # computed on the node row instead of the edge row), same
+    # associative BIGINT sum — ranks are bit-identical.
+    degn = deg.withColumnRenamed("src", "node").localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV n").alias("ru")
     )
     base_u = f"(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) DIV n)"  # 0.15/n in q15
     for _ in range(iters):
+        rv = ranks.join(degn, "node").select(
+            F.col("node").alias("src"), F.expr("ru DIV deg").alias("rv")
+        )
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edges.join(rv, "src")
             .groupBy("dst")
-            .agg(F.sum(F.expr("ru DIV deg")).cast("bigint").alias("s"))
+            .agg(F.sum("rv").cast("bigint").alias("s"))
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
@@ -175,9 +190,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint()
     )
+    # r12 join-strategy pass (guide §3.1): both joins hint SHUFFLE_HASH
+    # with the edge relation as build side. Sort-merge sorted the wedge
+    # stream — Σ out-deg² rows, the largest relation in the query — on
+    # both join boundaries; hashing the edge side (bounded by |E|, and
+    # per-partition by |E|/shuffle-partitions) streams the wedges through
+    # unsorted. Same rows, same counts — strategy only.
     e1 = keyed.alias("e1")
-    e2 = keyed.alias("e2")
-    e3 = keyed.alias("e3")
+    e2 = keyed.hint("shuffle_hash").alias("e2")
+    e3 = keyed.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(

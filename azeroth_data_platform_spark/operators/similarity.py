@@ -344,15 +344,18 @@ def _lsh_corpus_relation(embeddings: DataFrame, n_tables: int) -> DataFrame:
     )
 
 
-def _lsh_candidates_topk(
+def _lsh_scored_multitable(
     corpus_rel: DataFrame,
     queries: DataFrame,
-    k: int,
     n_tables: int,
     probe_hamming: int,
 ) -> DataFrame:
-    """Score + rank queries against a (possibly prebuilt) corpus bucket
-    relation (`_lsh_corpus_relation` / `build_lsh_index` layout)."""
+    """Scored candidates (q_vec_id, c_vec_id, cosine) against a (possibly
+    prebuilt) corpus bucket relation (`_lsh_corpus_relation` /
+    `build_lsh_index` layout) — one equi-join on the composite
+    (tbl, bucket) key, shared by the top-k and range-search consumers. A
+    pair colliding in several tables appears once per collision with a
+    bit-identical cosine; callers dedup with `.distinct()`."""
     qd = dim_names("_qd")
     c = corpus_rel.alias("c")
     probe_list = [""]  # hamming-0: the bucket itself
@@ -384,7 +387,7 @@ def _lsh_candidates_topk(
         .alias("q")
     )
     cos = F.expr(dims_cosine_sql("_qd", "_d", "q_nrm", "c_nrm"))
-    scored = (
+    return (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("c.vec_id") != F.col("q.q_vec_id"))
         .select(
@@ -393,6 +396,18 @@ def _lsh_candidates_topk(
             cos.alias("cosine"),
         )
     )
+
+
+def _lsh_candidates_topk(
+    corpus_rel: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_tables: int,
+    probe_hamming: int,
+) -> DataFrame:
+    """Score + rank queries against a (possibly prebuilt) corpus bucket
+    relation (`_lsh_corpus_relation` / `build_lsh_index` layout)."""
+    scored = _lsh_scored_multitable(corpus_rel, queries, n_tables, probe_hamming)
     return _two_phase_topk(scored.distinct(), k)
 
 
@@ -498,25 +513,50 @@ def kmeans_centroids(
         dist = F.expr(
             f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+        # r12 argmin rewrite: min(struct(dist, cid, embedding)) with
+        # map-side partial aggregation replaces the
+        # Window.partitionBy(vec_id) row_number — the window shuffled the
+        # whole n×k crossed relation and sorted every per-vector group;
+        # the struct-min reduces each map task's slice to one row per
+        # vec_id BEFORE the exchange. Identical assignment: (dist, cid)
+        # is unique per group (cid distinct per vector), so lexicographic
+        # struct-min == orderBy(dist asc, cid asc) first row, and the
+        # embedding field is never reached by the comparison.
         assigned = (
             v.join(F.broadcast(c))
             .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
+            .select("vec_id", F.struct("dist", "cid", "embedding").alias("_m"))
+            .groupBy("vec_id")
+            .agg(F.min("_m").alias("_m"))
+            .select("vec_id", F.col("_m.cid").alias("cid"), F.col("_m.embedding").alias("embedding"))
         )
-        dims = assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
-        means = dims.groupBy("cid", "pos").agg(
-            (F.sum(F.col("x").cast("decimal(28,8)")).cast("double") / F.count("x")).alias("m")
+        # r12 update rewrite: one groupBy(cid) with per-dimension decimal
+        # sums/counts replaces posexplode (n·dim rows) + groupBy(cid, pos)
+        # + collect_list/array_sort reassembly. Same exact-decimal sums
+        # (associative), same double division, same array order — the
+        # centroids are bit-identical.
+        sums = assigned.groupBy("cid").agg(
+            *[
+                F.sum(
+                    F.element_at("embedding", i).cast("decimal(28,8)")
+                ).alias(f"_s{i}")
+                for i in range(1, EMBED_DIM + 1)
+            ],
+            *[
+                F.count(F.element_at("embedding", i)).alias(f"_n{i}")
+                for i in range(1, EMBED_DIM + 1)
+            ],
         )
         cents = (
-            means.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("cemb_d")
+            sums.select(
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"_s{i}").cast("double") / F.col(f"_n{i}")
+                        for i in range(1, EMBED_DIM + 1)
+                    ]
+                ).cast("array<float>").alias("cemb"),
             )
-            .select("cid", F.col("cemb_d").cast("array<float>").alias("cemb"))
             .localCheckpoint()
         )
     return cents
@@ -550,11 +590,30 @@ def ivf_topk(
         dist = F.expr(
             f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
         )
+        crossed = a.join(F.broadcast(c)).select(
+            "v.vec_id", "v.embedding", "c.cid", dist.alias("dist")
+        )
+        if out_rank == 1:
+            # r12: corpus-side argmin via map-side min(struct) — the
+            # window form shuffled + sorted the n×k crossed relation;
+            # (dist, cid) unique per group ⇒ identical assignment (see
+            # kmeans_centroids).
+            return (
+                crossed.select(
+                    "vec_id", F.struct("dist", "cid", "embedding").alias("_m")
+                )
+                .groupBy("vec_id")
+                .agg(F.min("_m").alias("_m"))
+                .select(
+                    "vec_id",
+                    F.col("_m.embedding").alias("embedding"),
+                    F.col("_m.cid").alias("cid"),
+                )
+            )
+        # top-N probes: only ever the (tiny) query side — window is fine
         w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
         return (
-            a.join(F.broadcast(c))
-            .select("v.vec_id", "v.embedding", "c.cid", dist.alias("dist"))
-            .withColumn("crank", F.row_number().over(w))
+            crossed.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= out_rank)
         )
 
@@ -875,32 +934,40 @@ def pq_train(
     for _ in range(iters):
         s = subs.alias("s")
         c = cents.alias("c")
-        w = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("dist").asc(), F.col("cid").asc()
-        )
+        # r12: same argmin + per-dim-mean rewrites as kmeans_centroids —
+        # map-side min(struct) instead of the (vec_id, sub) window
+        # shuffle+sort, one groupBy(sub, cid) of sub_dim decimal sums
+        # instead of posexplode + groupBy(sub, cid, pos) + reassembly.
+        # Bit-identical: (dist, cid) unique per group; decimal sums are
+        # exact and associative; same double division per dimension.
         assigned = (
             s.join(F.broadcast(c), "sub")
             .select("vec_id", "sub", "sv", "cid", _sub_dist(sub_dim).alias("dist"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
+            .select("vec_id", "sub", F.struct("dist", "cid", "sv").alias("_m"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min("_m").alias("_m"))
+            .select("sub", F.col("_m.cid").alias("cid"), F.col("_m.sv").alias("sv"))
         )
-        means = (
-            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
-                    / F.count("x")
-                ).alias("mval")
-            )
+        sums = assigned.groupBy("sub", "cid").agg(
+            *[
+                F.sum(F.element_at("sv", i).cast("decimal(28,8)")).alias(f"_s{i}")
+                for i in range(1, sub_dim + 1)
+            ],
+            *[
+                F.count(F.element_at("sv", i)).alias(f"_n{i}")
+                for i in range(1, sub_dim + 1)
+            ],
         )
         cents = (
-            means.groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                    lambda st: st["mval"],
-                ).alias("cemb")
+            sums.select(
+                "sub",
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"_s{i}").cast("double") / F.col(f"_n{i}")
+                        for i in range(1, sub_dim + 1)
+                    ]
+                ).alias("cemb"),
             )
             .localCheckpoint()
         )
@@ -915,14 +982,16 @@ def pq_encode(
     argmin + one vec_id groupBy — the compressed-index write path."""
     sub_dim = EMBED_DIM // m
     subs = _pq_subvectors(embeddings, m)
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("dist").asc(), F.col("cid").asc()
-    )
+    # r12: per-(vec_id, sub) argmin via map-side min(struct) instead of
+    # the window shuffle+sort (identical code choice — (dist, cid) unique
+    # per group); the per-vector code assembly is unchanged.
     best = (
         subs.join(F.broadcast(codebooks), "sub")
         .select("vec_id", "sub", "cid", _sub_dist(sub_dim).alias("dist"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        .select("vec_id", "sub", F.struct("dist", "cid").alias("_m"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min("_m").alias("_m"))
+        .select("vec_id", "sub", F.col("_m.cid").alias("cid"))
     )
     return best.groupBy("vec_id").agg(
         F.transform(
@@ -1016,11 +1085,28 @@ def ivf_pq_topk(
         dist = F.expr(
             f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
         )
+        crossed = a.join(F.broadcast(c)).select(
+            "v.vec_id", "v.embedding", "c.ccid", dist.alias("dist")
+        )
+        if out_rank == 1:
+            # r12: corpus-side argmin via map-side min(struct) instead of
+            # the window shuffle+sort of the n×k crossed relation
+            # (identical assignment — (dist, ccid) unique per group).
+            return (
+                crossed.select(
+                    "vec_id", F.struct("dist", "ccid", "embedding").alias("_m")
+                )
+                .groupBy("vec_id")
+                .agg(F.min("_m").alias("_m"))
+                .select(
+                    "vec_id",
+                    F.col("_m.embedding").alias("embedding"),
+                    F.col("_m.ccid").alias("ccid"),
+                )
+            )
         w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("ccid").asc())
         return (
-            a.join(F.broadcast(c))
-            .select("v.vec_id", "v.embedding", "c.ccid", dist.alias("dist"))
-            .withColumn("crank", F.row_number().over(w))
+            crossed.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= out_rank)
         )
 
@@ -1263,14 +1349,19 @@ def cluster_sample(
     dist = F.expr(
         f"({dot_sql('c.cemb', 'c.cemb')}) - 2.0 * ({dot_sql('v.embedding', 'c.cemb')})"
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
     md5_expr = "md5('cs:' || CAST(vec_id AS STRING))"
+    # r12: argmin via map-side min(struct) instead of the per-vector
+    # window shuffle+sort (identical assignment — (dist, cid) unique).
     assigned = (
         v.join(F.broadcast(c))
-        .select("v.vec_id", "c.cid", dist.alias("dist"))
-        .withColumn("r", F.row_number().over(wa))
-        .where(F.col("r") == 1)
-        .select("cid", "vec_id", F.expr(_hex_int_sql(md5_expr, duck=False)).alias("h"))
+        .select("v.vec_id", F.struct(dist.alias("dist"), "c.cid").alias("_m"))
+        .groupBy("vec_id")
+        .agg(F.min("_m").alias("_m"))
+        .select(
+            F.col("_m.cid").alias("cid"),
+            "vec_id",
+            F.expr(_hex_int_sql(md5_expr, duck=False)).alias("h"),
+        )
     )
     order = [F.col("h").asc(), F.col("vec_id").asc()]
     w1 = Window.partitionBy("cid", "_salt").orderBy(*order)
@@ -1343,18 +1434,31 @@ def lsh_range_search(
     n_tables: int = RANGE_TABLES,
 ) -> DataFrame:
     """(q_vec_id, c_vec_id, cosine) for all bucketed candidates with
-    cosine ≥ tau, unioned over `n_tables` independent hash tables."""
-    from functools import reduce
+    cosine ≥ tau over `n_tables` independent hash tables.
 
-    parts = [
-        _lsh_table_scored(embeddings, queries, start=t * LSH_PLANES).where(
-            F.col("cosine") >= F.lit(tau)
-        )
-        for t in range(n_tables)
-    ]
-    # UNION (distinct) — duplicate cross-table pairs carry bit-identical
-    # cosines, so the distinct collapses them exactly.
-    return reduce(DataFrame.unionByName, parts).distinct()
+    r12 rewrite: ONE corpus scan + ONE equi-join on the composite
+    (tbl, bucket) key (the `lsh_multitable_topk` E2LSH fan-out,
+    `_lsh_scored_multitable`), replacing the per-table
+    scan→join→filter→union chain — at 100 TB that is 1× corpus I/O
+    instead of n_tables×, and the single candidate join replaces
+    n_tables joins + a union. Same candidate multiset (a pair colliding
+    in several tables scores a bit-identical cosine each time), so the
+    final distinct returns exactly the old rows.
+
+    The threshold filter carries the `+ rand·0` barrier (exactly zero,
+    bit-identical output — the embedding_neardup device): without it
+    Catalyst pushes the 64-term cosine into the join CONDITION, where it
+    evaluates on the interpreted non-codegen path per candidate and is
+    recomputed in the projection (the r12 before-plan shows exactly
+    that); nondeterministic predicates are never moved into join
+    conditions. Plan pinned in tests/test_plan_shapes.py."""
+    scored = _lsh_scored_multitable(
+        _lsh_corpus_relation(embeddings, n_tables),
+        queries,
+        n_tables=n_tables,
+        probe_hamming=1,
+    )
+    return scored.where((F.col("cosine") + F.rand(7) * 0.0) >= F.lit(tau)).distinct()
 
 
 def lsh_range_search_sql(

@@ -98,6 +98,25 @@ def test_embed_neardup_blocked_equi_join_keeps_cosine_out_of_condition(spark, sf
         assert "element_at" not in l and "SQRT" not in l, l
 
 
+def test_range_search_single_join_keeps_cosine_out_of_condition(spark, sf_dir):
+    """r12: ann_range_search is ONE equi-join on the composite
+    (tbl, bucket) key (the E2LSH one-scan fan-out) — not a per-table
+    scan→join→union chain — and the cosine threshold evaluates in a
+    Filter above the projection, not inside the join condition (the
+    before-plan showed the 64-term dot product pushed into all three
+    join conditions, evaluated on the interpreted path per candidate).
+    The rand-term barrier blocks that pushdown; output is bit-identical
+    (rand·0 = 0)."""
+    df = harness.ALL_QUERIES["ann_range_search"](spark, sf_dir)
+    plan = _plan(df)
+    assert "rand(" in plan  # the barrier survived optimization
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "type" not in l]
+    assert len(join_lines) == 1, join_lines  # one candidate join, no union chain
+    cond_lines = [l for l in plan.splitlines() if "Join condition" in l]
+    for l in cond_lines:
+        assert "_qd1" not in l and "SQRT" not in l, l  # cosine stayed out
+
+
 def test_langid_trigram_scores_stay_in_codegen(spark, sf_dir):
     """Trigram scores are replace-count string expressions — the plan must
     contain NO per-row trigram-array materialization (the interpreted-HOF
