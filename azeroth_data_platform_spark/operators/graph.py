@@ -77,7 +77,6 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     # r12: fold deg into the node-sized rank state ONCE (ranks ⋈ deg is
     # node-sized) and join the per-edge contribution value rv =
     # ru DIV deg into the edge scan — each iteration is then ONE join
@@ -90,11 +89,20 @@ def pagerank(
     # no-cliff pattern). Same integer arithmetic per edge (ru DIV deg
     # computed on the node row instead of the edge row), same
     # associative BIGINT sum — ranks are bit-identical.
+    #
+    # The node count is ONE scalar of model metadata — collected once
+    # (the legitimate tiny-result boundary class) and inlined as a SQL
+    # literal, so each iteration's update joins the PREVIOUS checkpointed
+    # rank state directly instead of re-deriving nodes ∪ distinct + a
+    # count aggregate + two one-row broadcasts per round (ranks always
+    # holds exactly one row per node — init from `nodes`, preserved by
+    # the left join). Same DIV-by-n BIGINT arithmetic, bit-identical.
+    n = nodes.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     degn = deg.withColumnRenamed("src", "node").localCheckpoint()
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV n").alias("ru")
+    ranks = nodes.select(
+        "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV {n}").alias("ru")
     )
-    base_u = f"(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) DIV n)"  # 0.15/n in q15
+    base_u = f"(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) DIV {n})"  # 0.15/n in q15
     for _ in range(iters):
         rv = ranks.join(degn, "node").select(
             F.col("node").alias("src"), F.expr("ru DIV deg").alias("rv")
@@ -105,7 +113,7 @@ def pagerank(
             .agg(F.sum("rv").cast("bigint").alias("s"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(nn))
+            ranks.select("node")
             .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
@@ -166,10 +174,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     orientation-invariant — the DuckDB oracle keeps the simple id-ordered
     form, so the hash check also verifies the orientation argument.
     """
+    # Input contract: `edges` is a DISTINCT directed edge relation (the
+    # copurchase_edges output — every caller). The src<dst filter on a
+    # distinct symmetric relation is therefore already the canonical
+    # undirected edge set; the old extra `.distinct()` here paid a SECOND
+    # full shuffle of the pair stream for nothing (r12: Catalyst cannot
+    # remove a duplicate Aggregate — it has no distinctness evidence —
+    # and it pushes the src<dst predicate below copurchase's own distinct,
+    # so exactly one half-sized distinct remains in the executed plan).
     canon = (
         edges.where(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .distinct()
         .localCheckpoint()
     )
     undirected = canon.unionByName(

@@ -745,7 +745,16 @@ def perplexity(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
     from ..functions.numerics import plog2_sql
 
     tok = documents.select("doc_id", F.explode(_words()).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # The token-count relation is the unigram LM itself (distinct-token-
+    # sized — vocabulary-bounded at any corpus scale) and feeds TWO
+    # consumers (top-k vocab + denominator total); Spark does not CSE
+    # across plan branches, so without materialization each consumer
+    # re-ran the corpus tokenize+count. localCheckpoint folds the model
+    # once per execution (r12; guide §3.3): corpus scans 3 → 2 — model
+    # build + the irreducible scoring pass.
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
         .limit(k)
@@ -1205,7 +1214,13 @@ CCNET_Q2 = 2 / 3
 def ccnet_buckets(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
     """(doc_id, n_tokens, mean_nll_bits, t_head, t_middle, ppl_bucket):
     head/middle/tail perplexity banding over the corpus unigram LM."""
-    pplx = perplexity(documents, k)
+    # The per-doc perplexity table feeds BOTH the tercile aggregate and
+    # the banded output; without materialization the whole LM pipeline
+    # (tokenize + model + score) ran twice. localCheckpoint folds the
+    # score table once per execution (r12; guide §3.3) — the per-doc
+    # quality-signal table a CCNet-style pipeline persists between its
+    # scoring and bucketing stages.
+    pplx = perplexity(documents, k).localCheckpoint()
     t = pplx.agg(
         F.percentile("mean_nll_bits", CCNET_Q1).alias("t_head"),
         F.percentile("mean_nll_bits", CCNET_Q2).alias("t_middle"),
@@ -1276,15 +1291,26 @@ def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame
         "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("_p")
     ).select("doc_id", "_p.v", "_p.w")
     tok = documents.select(F.explode(_words()).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # Model-table materialization (r12; guide §3.3, the unigram-perplexity
+    # device): `counts` (unigram LM) feeds vocab + total, `bgc` (bigram
+    # LM) feeds the pair join AND — new — the context counts: ctx(v) =
+    # Σ_w bgc(v, w) is the same exact integer as COUNT(*) over the raw
+    # bigram stream, so it is derived from the vocabulary-sized bgc
+    # instead of a third corpus-wide bigram explode. Corpus scans in the
+    # executed plan: 5 → 3 (unigram build, bigram build, scoring pass).
+    counts = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
         .limit(k)
         .select(F.col("token").alias("w"), (F.col("c") + 1).alias("_u"))
     )
     total = counts.agg((F.sum("c") + k + 1).cast("bigint").alias("_d"))
-    bgc = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a"))
-    ctx = bg.groupBy("v").agg(F.count(F.lit(1)).alias("_b"))
+    bgc = (
+        bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a")).localCheckpoint()
+    )
+    ctx = bgc.groupBy("v").agg(F.sum("_a").cast("bigint").alias("_b"))
     bits = (
         f"{plog2_sql('2 * _b * _d')} - {plog2_sql('_a * _d + coalesce(_u, 1) * _b')}"
     )

@@ -1678,6 +1678,11 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
     dim-sized relation ever matters). Cites reference main.py:31-79
     (the serving surface this kind of product analytics decorates)."""
     anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d1"))
+    # per_cust feeds the radix histogram AND the final projection; Spark
+    # does not CSE across branches, so without materialization the fact
+    # scan + aggregate ran once per consumer. localCheckpoint folds the
+    # customer-dim-sized aggregate once per execution (r12 — the option
+    # this docstring already reserved; guide §3.3).
     per_cust = (
         orders.crossJoin(F.broadcast(anchor))
         .groupBy("o_custkey")
@@ -1688,6 +1693,7 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             F.sum(int_units("o_totalprice")).cast("bigint").alias("monetary_cents"),
         )
+        .localCheckpoint()
     )
     vals = per_cust.select(
         F.explode(
