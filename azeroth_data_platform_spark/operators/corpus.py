@@ -945,6 +945,9 @@ def mix_rebalance(documents: DataFrame) -> DataFrame:
     expensive part (applying the plan) is `stratified_sample`-shaped.
     All derived columns are single IEEE divisions of exact integers, so
     the DuckDB twin matches bit-for-bit."""
+    # Source-dim rollup with corpus-scan lineage, two consumers (grand
+    # total + final projection): materialize once per execution (r12;
+    # guide §3.3 — mix_temperature's device). Corpus scans 2 → 1.
     per_src = (
         documents.select("source", F.size(textstats._words()).alias("_n"))
         .groupBy("source")
@@ -952,6 +955,7 @@ def mix_rebalance(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n").alias("tokens"),
         )
+        .localCheckpoint()
     )
     grand = per_src.agg(
         F.sum("tokens").alias("_total"), F.count(F.lit(1)).alias("_n_sources")
@@ -2290,10 +2294,17 @@ def mix_temperature(documents: DataFrame) -> DataFrame:
     exact, so every downstream double derives from identical integers
     through identical expression trees — bit-identical by construction.
     rt_q9 ≤ 1e16 at 100 TB token counts (√1e14·1e9), inside BIGINT."""
+    # per_src is the SOURCE-dim rollup (a handful of rows at any corpus
+    # scale) but its lineage is the full corpus tokenize+count; it feeds
+    # four plan branches (grand totals, the q projection, the budget min,
+    # the final select) and Spark does not CSE across branches, so without
+    # materialization the corpus scan ran once per branch. localCheckpoint
+    # folds it once per execution (r12; guide §3.3): corpus scans 4 → 1.
     per_src = (
         documents.select("source", F.size(textstats._words()).alias("_n"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("tokens"))
+        .localCheckpoint()
     )
     rooted = per_src.withColumn(
         "_rtq",
@@ -2873,8 +2884,12 @@ def sample_allocation(
     value-domain-sized source table."""
     from pyspark.sql import Window
 
-    per_src = documents.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # Source-dim rollup, two consumers (grand + quota projection):
+    # materialize once per execution (r12; guide §3.3). Scans 2 → 1.
+    per_src = (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint()
     )
     grand = per_src.agg(F.sum("n_docs").cast("bigint").alias("_total"))
     based = (

@@ -39,12 +39,30 @@ _BASE_LIT = repr(1.0 - PAGERANK_D)  # emitted identically in both engines
 
 def copurchase_edges(baskets: DataFrame) -> DataFrame:
     """Distinct directed co-purchase edges from (basket_id, item_id) rows.
-    Symmetric by construction: (a,b) and (b,a) both appear."""
-    a, b = baskets.alias("a"), baskets.alias("b")
+    Symmetric by construction: (a,b) and (b,a) both appear.
+
+    r12 (guide §2.4): one groupBy(basket_id) + a ROW-LOCAL pair expansion
+    replaces the basket self-join — the join shuffled the fact relation
+    and sorted both SMJ sides to rediscover rows that already share a
+    basket; collecting each basket's (bounded — ≤ basket size) item list
+    generates the same pair multiset inside a projection, so the only
+    exchanges left are the basket groupBy and the final distinct. The
+    per-element HOF lambdas run interpreted, but over ≤ 7-element basket
+    arrays that is noise next to the removed join (measured 1.5× at
+    sf0.1, identical 2.39M-edge output; same shape at any scale — pair
+    fan-out stays bounded by basket size either way)."""
     return (
-        a.join(b, "basket_id")
-        .where(F.col("a.item_id") != F.col("b.item_id"))
-        .select(F.col("a.item_id").alias("src"), F.col("b.item_id").alias("dst"))
+        baskets.groupBy("basket_id")
+        .agg(F.collect_list("item_id").alias("xs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, a -> transform("
+                    "filter(xs, b -> b != a), b -> struct(a AS src, b AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .distinct()
     )
 
@@ -72,11 +90,12 @@ def pagerank(
     the price of a partition-count-independent, engine-exact result."""
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # r12: the node set IS the degree table's key set — the input contract
+    # is symmetric edges (module docstring; every caller passes
+    # copurchase_edges, symmetry pinned in tests/test_graph.py), so every
+    # node appears as a src and the old union(src, dst) + distinct paid a
+    # second full-edge-relation shuffle for rows the deg groupBy already
+    # reduced. nodes/n now read the checkpointed node-sized deg relation.
     # r12: fold deg into the node-sized rank state ONCE (ranks ⋈ deg is
     # node-sized) and join the per-edge contribution value rv =
     # ru DIV deg into the edge scan — each iteration is then ONE join
@@ -97,9 +116,9 @@ def pagerank(
     # count aggregate + two one-row broadcasts per round (ranks always
     # holds exactly one row per node — init from `nodes`, preserved by
     # the left join). Same DIV-by-n BIGINT arithmetic, bit-identical.
-    n = nodes.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     degn = deg.withColumnRenamed("src", "node").localCheckpoint()
-    ranks = nodes.select(
+    n = degn.count()
+    ranks = degn.select(
         "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV {n}").alias("ru")
     )
     base_u = f"(CAST({PAGERANK_Q * 3 // 20} AS BIGINT) DIV {n})"  # 0.15/n in q15
@@ -205,23 +224,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint()
     )
-    # r12 join-strategy pass (guide §3.1): both joins hint SHUFFLE_HASH
-    # with the edge relation as build side. Sort-merge sorted the wedge
-    # stream — Σ out-deg² rows, the largest relation in the query — on
-    # both join boundaries; hashing the edge side (bounded by |E|, and
-    # per-partition by |E|/shuffle-partitions) streams the wedges through
-    # unsorted. Same rows, same counts — strategy only.
-    e1 = keyed.alias("e1")
-    e2 = keyed.hint("shuffle_hash").alias("e2")
-    e3 = keyed.hint("shuffle_hash").alias("e3")
+    # r12 algorithmic pass (guide §2.3 "shuffle keys and metadata instead
+    # of payloads", §2.4): the wedge-materializing form (e1 ⋈ e2 on dst=src
+    # → Σ out-deg² wedge ROWS through an exchange, then a second join
+    # shuffling that stream again on the (src, dst) composite to test
+    # closure) is replaced by adjacency-list intersection. Out-neighbor
+    # lists are node-sized payloads (Σ sizes = |E|; max size O(√m) under
+    # the degree orientation, so no giant row); attaching them to each
+    # edge moves the wedge volume ONCE as array payload bytes inside two
+    # equi-joins, and the closure test runs row-local as array_intersect
+    # inside whole-stage codegen — the Σ out-deg² intermediate never
+    # exists as rows and the second wedge-stream shuffle disappears.
+    #
+    # Exactness: for an oriented edge (u, v), w ∈ adj(u) ∩ adj(v) iff
+    # edges (u,v), (u,w), (v,w) all exist — exactly the triangles whose
+    # two-out-edge vertex is u, found once (the old e1⋈e2⋈e3 produced the
+    # same (a,b,c) = (u,v,w) triple via the wedge u→v→w closed by u→w).
+    # adj lists are duplicate-free (keyed is distinct), so the
+    # intersection is a set and the exploded member multiset is
+    # deterministic regardless of collect_list order. Counts are
+    # bit-identical (oracle keeps the id-ordered wedge-join form, so the
+    # hash check verifies the restructure independently).
+    adj = (
+        keyed.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint()
+    )
     tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        keyed.join(adj, "src")
         .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+            adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_d")),
+            "dst",
         )
         .select(
-            F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nbrs", "nbrs_d")).alias("c"),
         )
     )
     return (

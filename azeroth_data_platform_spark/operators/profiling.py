@@ -328,7 +328,14 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
     BEFORE floor, so floor is off by one whenever the true fractional
     part is ≥ 1 − 5e-7; and DuckDB executes DECIMAL/BIGINT as DOUBLE,
     losing exactness past 2^53. Integer division avoids both."""
-    counts = silver.groupBy("item_id").agg(F.count(F.lit(1)).alias("c"))
+    # key-dim count table with fact-scan lineage, two consumers (totals +
+    # final projection): materialize once per execution (r12; guide §3.3).
+    # Fact scans 2 → 1.
+    counts = (
+        silver.groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -386,6 +393,9 @@ def benford_check(silver: DataFrame) -> DataFrame:
         .select(F.expr("CAST(substr(CAST(xu AS STRING), 1, 1) AS INT)").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # 9-row digit histogram, two consumers (total + projection):
+        # materialize once per execution (r12; guide §3.3). Scans 2 → 1.
+        .localCheckpoint()
     )
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     return (
@@ -871,8 +881,12 @@ def selfjoin_density(silver: DataFrame, k: int = DENSITY_TOP_K) -> DataFrame:
     in 1e-4 units). One map-combinable groupBy + a broadcast scalar +
     TakeOrderedAndProject. Headroom: Σc² ≤ 1e38 via 128-bit staging
     (c ≤ 1e19-row keys)."""
-    counts = silver.groupBy("item_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # Same two-consumer count-table shape as skew_report: materialize the
+    # key-dim relation once (r12; guide §3.3). Fact scans 2 → 1.
+    counts = (
+        silver.groupBy("item_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
     )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("n"),

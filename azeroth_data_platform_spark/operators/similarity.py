@@ -535,28 +535,39 @@ def kmeans_centroids(
         # + collect_list/array_sort reassembly. Same exact-decimal sums
         # (associative), same double division, same array order — the
         # centroids are bit-identical.
-        sums = assigned.groupBy("cid").agg(
-            *[
-                F.sum(
-                    F.element_at("embedding", i).cast("decimal(28,8)")
-                ).alias(f"_s{i}")
+        #
+        # The whole 128-aggregate update is TWO parsed SQL expressions,
+        # not 128 Column objects: building per-dimension Columns in a
+        # Python loop cost ~1.3 s of py4j round-trips PER ITERATION at
+        # any data size (measured — the hash_classifier map-literal
+        # lesson applied to aggregates; guide §1.2 "per-task work"
+        # includes the driver). Identical aggregate functions, grouping
+        # and casts — bit-identical centroids.
+        sums_struct = (
+            "struct("
+            + ", ".join(
+                f"sum(CAST(element_at(embedding, {i}) AS DECIMAL(28,8))) AS _s{i}"
                 for i in range(1, EMBED_DIM + 1)
-            ],
-            *[
-                F.count(F.element_at("embedding", i)).alias(f"_n{i}")
+            )
+            + ", "
+            + ", ".join(
+                f"count(element_at(embedding, {i})) AS _n{i}"
                 for i in range(1, EMBED_DIM + 1)
-            ],
+            )
+            + ")"
+        )
+        mean_array = (
+            "CAST(array("
+            + ", ".join(
+                f"CAST(_agg._s{i} AS DOUBLE) / _agg._n{i}"
+                for i in range(1, EMBED_DIM + 1)
+            )
+            + ") AS ARRAY<FLOAT>) AS cemb"
         )
         cents = (
-            sums.select(
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"_s{i}").cast("double") / F.col(f"_n{i}")
-                        for i in range(1, EMBED_DIM + 1)
-                    ]
-                ).cast("array<float>").alias("cemb"),
-            )
+            assigned.groupBy("cid")
+            .agg(F.expr(sums_struct).alias("_agg"))
+            .selectExpr("cid", mean_array)
             .localCheckpoint()
         )
     return cents

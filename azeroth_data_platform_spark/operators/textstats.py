@@ -1413,12 +1413,16 @@ def bm25_scores(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> Da
     (k1 = 1.2, b = 0.75, scores in bits — see _bm25_term_score_sql).
 
     Plan shape: ONE scan-bound projection computes per-doc length and
-    per-term tf (row-local token filters, no explode); ONE global aggregate
-    reduces to the corpus statistics (N, Σdl, per-term df — a scalar row,
-    broadcast back); scoring is a second scan-bound projection. Two passes
-    over the corpus, no shuffle wider than a scalar — the shape an inverted
-    index would only improve for selective queries, which a 100 TB batch
-    scorer is not."""
+    per-term tf (row-local token filters, no explode), materialized once
+    per execution (r12; guide §3.3 — the tokenize + per-term array
+    filters are the expensive part, and the projection fed both the
+    stats aggregate and the scoring pass, so without materialization the
+    corpus paid it twice); ONE global aggregate reduces the narrow
+    (doc_id, dl, tf…) table to the corpus statistics (N, Σdl, per-term
+    df — a scalar row, broadcast back); scoring is a projection over the
+    same materialized table. One tokenize pass, no shuffle wider than a
+    scalar — the shape an inverted index would only improve for
+    selective queries, which a 100 TB batch scorer is not."""
     words = _words()
 
     def _eq(term: str):
@@ -1431,7 +1435,9 @@ def bm25_scores(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> Da
         F.size(F.filter(words, _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
-    per_doc = documents.select("doc_id", F.size(words).alias("dl"), *tf_cols)
+    per_doc = documents.select(
+        "doc_id", F.size(words).alias("dl"), *tf_cols
+    ).localCheckpoint()
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sdl"),
@@ -1527,18 +1533,28 @@ def pmi_collocations(
     bg = toks.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("_p")).select(
         "_p.v", "_p.w"
     )
+    # r12 model-table materialization (guide §3.3, the perplexity_bigram
+    # device): `uni` fed THREE branches (nu total + both marginal joins)
+    # and the unpruned bigram stream fed two (count table + nb total) —
+    # five corpus tokenize+explode passes without cross-branch CSE. Both
+    # count tables are vocab-sized; localCheckpoint folds each once, and
+    # the totals derive from the tables (nu = Σc, nb = Σc_ab over the
+    # UNPRUNED table — the same exact integers as counting the raw
+    # streams). Corpus explodes: 5 → 2 (one unigram, one bigram pass).
     uni = (
         documents.select(F.explode(_words()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
-    bgc = (
+    bgc_all = (
         bg.groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        .localCheckpoint()
     )
-    nb = bg.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    bgc = bgc_all.where(F.col("c_ab") >= min_count)
+    nb = bgc_all.agg(F.sum("c_ab").cast("bigint").alias("nb"))
     scored = (
         bgc.join(uni.select(F.col("token").alias("v"), F.col("c").alias("c_a")), "v")
         .join(uni.select(F.col("token").alias("w"), F.col("c").alias("c_b")), "w")
