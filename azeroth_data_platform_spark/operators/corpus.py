@@ -736,17 +736,19 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     count toward their flags."""
     from . import textstats as ts
 
-    ann = ts.corpus_annotations(documents).select(
-        "doc_id", "n_tokens", "quality_score", "lang_pred"
+    # r12 (guide §2.4): `source` rides the fused annotation projection via
+    # its carry parameter instead of a separate documents scan + doc-keyed
+    # join — annotations are row-local, so the old 4-scan/3-join
+    # composition had one scan + one shuffle that existed only to
+    # re-attach a column the scan already had. Corpus scans 4 → 3,
+    # doc-keyed joins 3 → 2 (rep and dec still need their own passes:
+    # rep's verdict and dec's shingle groupBy are different computations).
+    ann = ts.corpus_annotations(documents, carry=("source",)).select(
+        "doc_id", "source", "n_tokens", "quality_score", "lang_pred"
     )
     rep = ts.repetition_stats(documents).select("doc_id", "keep")
     dec = decontaminate(documents).select("doc_id", "contaminated")
-    j = (
-        documents.select("doc_id", "source")
-        .join(ann, "doc_id")
-        .join(rep, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-    )
+    j = ann.join(rep, "doc_id", "left").join(dec, "doc_id", "left")
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -938,9 +938,36 @@ def pq_train(
     kmeans_centroids: init = first k vectors' subvectors, exact-decimal
     means, ties break on cid. Returns (sub, cid, cemb)."""
     sub_dim = EMBED_DIM // m
-    subs = _pq_subvectors(embeddings, m)
+    # r12: materialize the shared subvector relation once — each Lloyd
+    # iteration re-executed the embeddings scan + 16-way explode without
+    # it (3 training passes; guide §3.3 / the fingerprint pattern of
+    # guide §8: one decode pass, many consumers of the narrow result).
+    subs = _pq_subvectors(embeddings, m).localCheckpoint()
     cents = subs.where(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cemb")
+    )
+    # The whole per-subspace update is two parsed SQL expressions, not
+    # 2·sub_dim Column objects per iteration (kmeans_centroids' py4j
+    # lesson, r12).
+    sums_struct = (
+        "struct("
+        + ", ".join(
+            f"sum(CAST(element_at(sv, {i}) AS DECIMAL(28,8))) AS _s{i}"
+            for i in range(1, sub_dim + 1)
+        )
+        + ", "
+        + ", ".join(
+            f"count(element_at(sv, {i})) AS _n{i}" for i in range(1, sub_dim + 1)
+        )
+        + ")"
+    )
+    mean_array = (
+        "array("
+        + ", ".join(
+            f"CAST(_agg._s{i} AS DOUBLE) / _agg._n{i}"
+            for i in range(1, sub_dim + 1)
+        )
+        + ") AS cemb"
     )
     for _ in range(iters):
         s = subs.alias("s")
@@ -959,27 +986,10 @@ def pq_train(
             .agg(F.min("_m").alias("_m"))
             .select("sub", F.col("_m.cid").alias("cid"), F.col("_m.sv").alias("sv"))
         )
-        sums = assigned.groupBy("sub", "cid").agg(
-            *[
-                F.sum(F.element_at("sv", i).cast("decimal(28,8)")).alias(f"_s{i}")
-                for i in range(1, sub_dim + 1)
-            ],
-            *[
-                F.count(F.element_at("sv", i)).alias(f"_n{i}")
-                for i in range(1, sub_dim + 1)
-            ],
-        )
         cents = (
-            sums.select(
-                "sub",
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"_s{i}").cast("double") / F.col(f"_n{i}")
-                        for i in range(1, sub_dim + 1)
-                    ]
-                ).alias("cemb"),
-            )
+            assigned.groupBy("sub", "cid")
+            .agg(F.expr(sums_struct).alias("_agg"))
+            .selectExpr("sub", "cid", mean_array)
             .localCheckpoint()
         )
     return cents

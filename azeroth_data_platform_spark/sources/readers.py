@@ -33,9 +33,25 @@ TESTDATA_TABLES = (
 )
 
 
+# Lazy DataFrame HANDLES, keyed by (session, dir, table) — NOT results:
+# a DataFrame is a query plan; every action on it recomputes from the
+# parquet files. What the memo skips is the per-call driver work of
+# spark.read.parquet (file listing + footer/schema read, ~0.13 s per
+# call here — guide §5 "the driver should do almost no data work"),
+# which Spark already treats as session-cacheable state
+# (spark.sql.hive.filesourcePartitionFileCacheSize). Keyed by
+# applicationId so a new session never sees another session's handles.
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one driver-provided parquet table."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _TABLE_HANDLES.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_HANDLES[key] = df
+    return df
 
 
 # Bronze auction-dump schema: the shape produced by the reference's ingestion

@@ -10,6 +10,7 @@ cost, no driver collect — the honest way to time a distributed plan).
 
 from __future__ import annotations
 
+import gc
 import statistics
 import json
 import os
@@ -250,6 +251,16 @@ def main() -> int:
     ).save()
 
     def run_once(name: str) -> float:
+        # r12 measurement-hygiene fix (documented in OPTIMIZATION_r12.md):
+        # localCheckpoint blocks from PRIOR queries stay pinned until
+        # Python GC releases the py4j references and the ContextCleaner
+        # unpersists them — measured as a monotone creep across a
+        # sequential run (ann_pq_codes 3.8 → 10 s over six back-to-back
+        # runs with no code change; stable 2.6-4.7 s with a collect
+        # between runs). Collect BEFORE starting the clock so each timing
+        # measures the query, not the previous query's leaked blocks; the
+        # collection itself is outside the timed window.
+        gc.collect()
         t0 = time.perf_counter()
         harness.ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -291,7 +302,10 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         # 4 runs, first discarded (its own plan compiles on run 1 — measured
-        # ~2.5× inflation pre-sweep), median of the remaining 3
+        # ~2.5× inflation pre-sweep), median of the remaining 3.
+        # Same pre-timing collect as run_once (r12): the canary is the
+        # drift reference, so it must not absorb leftover pinned blocks.
+        gc.collect()
         times = []
         for i in range(4):
             t0 = time.perf_counter()
