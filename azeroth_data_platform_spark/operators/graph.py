@@ -305,16 +305,27 @@ def association_rules(baskets: DataFrame, min_pair: int = MIN_PAIR_SUPPORT) -> D
     the broadcast joins, so rule volume tracks genuinely co-purchased
     pairs, not the pair cross product.
     """
-    b = baskets.select("basket_id", "item_id").distinct()
+    # r12: `b` fed four branches (basket total, item counts, both
+    # self-join sides) — four fact scans + distincts without cross-branch
+    # CSE; one narrow materialization folds them (guide §3.3). Pair
+    # generation then rides the copurchase_edges row-local expansion
+    # instead of the self-join (guide §2.4): identical ordered-pair
+    # multiset per basket, one groupBy instead of a sorted SMJ.
+    b = baskets.select("basket_id", "item_id").distinct().localCheckpoint()
     n_baskets = b.agg(F.count_distinct("basket_id").alias("n_baskets"))
     item_n = b.groupBy("item_id").agg(F.count(F.lit(1)).alias("item_n"))
-    l, r = b.alias("l"), b.alias("r")
     pair_n = (
-        l.join(r, "basket_id")
-        .where(F.col("l.item_id") != F.col("r.item_id"))
-        .groupBy(
-            F.col("l.item_id").alias("item_a"), F.col("r.item_id").alias("item_b")
+        b.groupBy("basket_id")
+        .agg(F.collect_list("item_id").alias("xs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, a -> transform("
+                    "filter(xs, b -> b != a), b -> struct(a AS item_a, b AS item_b))))"
+                )
+            ).alias("p")
         )
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .where(F.col("pair_n") >= min_pair)
     )
