@@ -152,7 +152,13 @@ def ngram_jaccard_dedup(
     cold query but slightly SLOWER across the bench's sequential
     multi-query run (pinned shingle RDDs accumulate until the context
     cleaner catches up) — recompute wins for the engine's usage pattern,
-    so no checkpoint here (PERF.md round-2 log)."""
+    so no checkpoint here (PERF.md round-2 log). Re-measured in r12 after
+    the bench GC fix removed the pinned-block penalty: alternating-pair
+    A/B is FLAT here (median pair delta −0.02 s) — the isNotNull
+    exchange-reuse alignment already folds the sizes branch, and the two
+    self-join sides share the distinct exchange — so recompute still
+    stands (unlike minhash_lsh_dedup, whose band/verify branches
+    canonicalize differently and did win a checkpoint)."""
     return _pairwise_jaccard(shingles(documents)).where(F.col("jaccard") >= threshold)
 
 
@@ -217,8 +223,19 @@ def minhash_lsh_dedup(
     of the shingle's md5 (see MINHASH_P block). Candidates are pairs
     sharing any band bucket (equi-join — the whole point: no pairwise
     comparison until after bucketing).
-    """
-    sh = shingles(documents)
+
+    The shingle relation feeds FIVE plan branches here (band sides a/b,
+    verify s1/s2, sizes) and Spark does not CSE across branches; AQE
+    exchange reuse recovers some but not all (the band and verify sides
+    canonicalize differently). localCheckpoint folds the scan + tokenize
+    + distinct to one execution per run (r12 round-2 re-measure after the
+    bench GC fix: alternating-pair A/B at sf0.1, median pair delta
+    −0.14 s ≈ −8%; the old r2 "pinned blocks hurt the sequential run"
+    penalty is gone now that the bench collects leaked references between
+    runs). Recomputed every execution — no cross-run caching. At 100 TB
+    the trade is 1 corpus pass + a local materialization vs ~3 corpus
+    passes — the guide-§8 "fingerprint once" shape."""
+    sh = shingles(documents).localCheckpoint()
     bands_df = _minhash_bands(sh, seeds, bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -693,8 +710,15 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
 
 def simhash_dedup(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance (pairwise comparison —
-    see module docstring for the banded scale path)."""
-    fps = simhash_fingerprints(documents)
+    see module docstring for the banded scale path).
+
+    Both self-join sides consume the fingerprint relation and Spark does
+    not CSE across branches — without materialization the scan + tokenize
+    + 60-bit-sum aggregate runs twice. The relation is DOC-sized (doc_id +
+    one BIGINT), so localCheckpoint is a tiny pin for half the corpus
+    work (r12 A/B/A at sf0.1: 1.48 s vs 1.82/1.75 s base blocks, ≈ −18%).
+    Recomputed every execution — no cross-run caching."""
+    fps = simhash_fingerprints(documents).localCheckpoint()
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -722,8 +746,14 @@ def simhash_banded_dedup(
     band, so candidates come from four equi-joins on (band, band value) —
     linear shuffles — and only candidates pay the hamming check. Exact
     (no recall loss) for the ≤3 threshold by the pigeonhole principle.
+
+    The fingerprint relation feeds both banded join sides; it is
+    doc-sized (doc_id + one BIGINT), so localCheckpoint folds the corpus
+    scan + fingerprint aggregate to one execution (r12 A/B/A at sf0.1:
+    1.46 s vs 1.71/1.84 s base blocks, ≈ −18%). Recomputed every
+    execution — no cross-run caching.
     """
-    fps = simhash_fingerprints(documents)
+    fps = simhash_fingerprints(documents).localCheckpoint()
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -2055,7 +2085,12 @@ def lsh_recall_report(
     counts are 1-row aggregates combined by 1-row crossJoins (the allowed
     crossJoin shape). Cites the public MinHash-LSH banding analysis
     (Broder; MMDS ch.3) the S-curve device comes from."""
-    sh = shingles(documents)
+    # The shingle relation feeds ~7 branches (truth's self-join + sizes,
+    # bands, verify s1/s2 + sizes); localCheckpoint folds the scan +
+    # tokenize + distinct to one execution (r12 alternating-pair A/B:
+    # median pair delta −1.0 s ≈ −19% at sf0.1, 5/6 pairs negative).
+    # Recomputed every execution — no cross-run caching.
+    sh = shingles(documents).localCheckpoint()
     truth = _pairwise_jaccard(sh).where(F.col("jaccard") >= threshold)
     bands_df = _minhash_bands(sh)
     a, b = bands_df.alias("a"), bands_df.alias("b")
