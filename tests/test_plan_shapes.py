@@ -662,3 +662,31 @@ def test_partitionless_windows_only_on_bounded_inputs(spark, sf_dir):
         "partition-less windows without a bounded-input justification: "
         f"{unexplained}"
     )
+
+
+def test_dedup_shared_relations_materialize_once(spark, sf_dir):
+    """r12 #23 pin: the shingle relation in minhash_lsh_dedup /
+    lsh_recall_report and the fingerprint relation in simhash_dedup /
+    simhash_banded_dedup feed 2-7 plan branches each, and Spark does not
+    CSE across branches — the branches must consume ONE materialized
+    relation (Scan ExistingRDD leaves), not re-run the corpus scan +
+    tokenize/fingerprint per branch (zero parquet scans left in the
+    final plan). ngram_jaccard_dedup is pinned to the OPPOSITE decision:
+    its branches already fold via exchange reuse (A/B flat), so it must
+    keep scanning parquet directly — a checkpoint appearing there means
+    an unmeasured regression of the documented trade."""
+    from azeroth_data_platform_spark.operators import dedup
+
+    docs = harness._docs(spark, sf_dir)
+    for fn in (
+        dedup.minhash_lsh_dedup,
+        dedup.lsh_recall_report,
+        dedup.simhash_dedup,
+        dedup.simhash_banded_dedup,
+    ):
+        plan = _plan(fn(docs))
+        assert "Scan ExistingRDD" in plan, fn.__name__
+        assert "Scan parquet" not in plan, fn.__name__
+    ngram_plan = _plan(dedup.ngram_jaccard_dedup(docs))
+    assert "Scan parquet" in ngram_plan
+    assert "Scan ExistingRDD" not in ngram_plan
