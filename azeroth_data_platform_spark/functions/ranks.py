@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lifecycle import materialize
+
 # balanced for cent-scaled domains (≤ ~1e11): both levels ≤ ~4e5 rows
 DEFAULT_RADIX_BITS = 18
 
@@ -104,7 +106,7 @@ def _select_from_coarse(
             ]
         )
     )
-    targets = (
+    targets = materialize(
         coarse.select(
             "metric",
             "_g",
@@ -134,7 +136,6 @@ def _select_from_coarse(
         # count 5 → 3 on x_exact_quantiles). localCheckpoint materializes
         # the handful of rows once per execution — recomputed every run,
         # same device as semantic_dedup's assignment checkpoint.
-        .localCheckpoint()
     )
     fine = (
         fine_src.join(

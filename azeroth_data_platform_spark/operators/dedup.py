@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize, release
+
 from ..functions.vectors import cosine_sql
 
 SHINGLE_N = 3
@@ -227,15 +229,22 @@ def minhash_lsh_dedup(
     The shingle relation feeds FIVE plan branches here (band sides a/b,
     verify s1/s2, sizes) and Spark does not CSE across branches; AQE
     exchange reuse recovers some but not all (the band and verify sides
-    canonicalize differently). localCheckpoint folds the scan + tokenize
-    + distinct to one execution per run (r12 round-2 re-measure after the
-    bench GC fix: alternating-pair A/B at sf0.1, median pair delta
-    −0.14 s ≈ −8%; the old r2 "pinned blocks hurt the sequential run"
-    penalty is gone now that the bench collects leaked references between
-    runs). Recomputed every execution — no cross-run caching. At 100 TB
-    the trade is 1 corpus pass + a local materialization vs ~3 corpus
-    passes — the guide-§8 "fingerprint once" shape."""
-    sh = shingles(documents).localCheckpoint()
+    canonicalize differently). lifecycle.materialize folds the scan +
+    tokenize + distinct to ONE eager execution (r12 A/B of the fold:
+    alternating-pair at sf0.1, median pair delta −0.14 s ≈ −8%; the r13
+    recompute-safe persist variant was measured 1.6-2.1 → 2.7-3.8 s here
+    and rejected — lifecycle.py module docstring has the numbers).
+    EAGER semantics, documented (r12 ADVICE #1/#4): constructing this
+    operator runs the shingle job once; actions on the ONE returned
+    DataFrame share the materialized blocks; a separate operator call
+    always re-executes (fresh checkpoint — no cross-run caching); the
+    POOL owns the unpersist deterministically (r13, no gc dependence).
+    Blocks are MEMORY_AND_DISK (spill-safe); at 100 TB the trade is
+    1 corpus pass + a local materialization vs ~3 corpus passes — the
+    guide-§8 "fingerprint once" shape. For multi-hour cluster jobs the
+    fault-tolerant variant is a reliable checkpoint()/replicated persist
+    (executor loss kills a localCheckpoint consumer)."""
+    sh = materialize(shingles(documents))
     bands_df = _minhash_bands(sh, seeds, bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -718,7 +727,7 @@ def simhash_dedup(documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) 
     one BIGINT), so localCheckpoint is a tiny pin for half the corpus
     work (r12 A/B/A at sf0.1: 1.48 s vs 1.82/1.75 s base blocks, ≈ −18%).
     Recomputed every execution — no cross-run caching."""
-    fps = simhash_fingerprints(documents).localCheckpoint()
+    fps = materialize(simhash_fingerprints(documents))
     a = fps.alias("a")
     b = fps.alias("b")
     return (
@@ -753,7 +762,7 @@ def simhash_banded_dedup(
     1.46 s vs 1.71/1.84 s base blocks, ≈ −18%). Recomputed every
     execution — no cross-run caching.
     """
-    fps = simhash_fingerprints(documents).localCheckpoint()
+    fps = materialize(simhash_fingerprints(documents))
     banded = fps.select(
         "doc_id",
         "simhash",
@@ -844,16 +853,18 @@ def neardup_clusters(documents: DataFrame, max_iterations: int = 50) -> DataFram
     # below reuse the materialized pairs instead of re-running the LSH
     # lineage every iteration (measured: 12.3 s → ~6 s for the composed
     # tp_keep_best at sf0.1).
-    edges = pairs.unionByName(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()
-    labels = (
+    edges = materialize(
+        pairs.unionByName(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        )
+    )
+    labels = materialize(
         edges.select(F.col("d1").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     converged = False
+    prev = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["d2"] == labels["node"])
@@ -867,7 +878,16 @@ def neardup_clusters(documents: DataFrame, max_iterations: int = 50) -> DataFram
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
                 (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint()
+        )
+        updated = materialize(updated)
+        # r13: release the superseded round DETERMINISTICALLY — the loop
+        # runs up to max_iterations rounds, and without this the pool's
+        # FIFO cap evicted the (expensive) `edges` relation mid-loop,
+        # recomputing the whole MinHash-LSH pass every remaining round
+        # (measured: tp_keep_best 2.75 → 10.5 s before this release).
+        if prev is not None:
+            release(prev)
+        prev = updated
         changed = updated.where("_changed").count()
         labels = updated.drop("_changed")
         if changed == 0:
@@ -1317,13 +1337,12 @@ def semantic_dedup(
     # struct payload the optimizer's constraint/tree transforms blow the
     # driver heap; the window over the checkpointed n×k relation is the
     # cheaper plan for this operator's layout.)
-    assigned = (
+    assigned = materialize(
         v.join(F.broadcast(c))
         .select("v.vec_id", "c.cid", dist.alias("dist"), *vd)
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
         .select("vec_id", "cid", F.expr(dims_norm_sql("_d")).alias("_nrm"), *vd)
-        .localCheckpoint()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -2090,7 +2109,7 @@ def lsh_recall_report(
     # tokenize + distinct to one execution (r12 alternating-pair A/B:
     # median pair delta −1.0 s ≈ −19% at sf0.1, 5/6 pairs negative).
     # Recomputed every execution — no cross-run caching.
-    sh = shingles(documents).localCheckpoint()
+    sh = materialize(shingles(documents))
     truth = _pairwise_jaccard(sh).where(F.col("jaccard") >= threshold)
     bands_df = _minhash_bands(sh)
     a, b = bands_df.alias("a"), bands_df.alias("b")

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 from ..functions.numerics import int_units, int_units_sql
 
 # (column, kind) spec for the lineitem profile; kinds: num | str | date
@@ -331,10 +333,9 @@ def skew_report(silver: DataFrame, k: int = SKEW_TOP_K) -> DataFrame:
     # key-dim count table with fact-scan lineage, two consumers (totals +
     # final projection): materialize once per execution (r12; guide §3.3).
     # Fact scans 2 → 1.
-    counts = (
+    counts = materialize(
         silver.groupBy("item_id")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
     )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("total"),
@@ -387,7 +388,7 @@ def benford_check(silver: DataFrame) -> DataFrame:
     exact integer ppm; expected shares are the frozen constants above.
     One map-combinable groupBy over 9 groups + a scalar broadcast."""
     exp_map = ", ".join(f"{d}, {p}" for d, p in BENFORD_PPM.items())
-    counts = (
+    counts = materialize(
         silver.select(int_units("unit_price").cast("bigint").alias("xu"))
         .where(F.col("xu") >= 1)
         .select(F.expr("CAST(substr(CAST(xu AS STRING), 1, 1) AS INT)").alias("digit"))
@@ -395,7 +396,6 @@ def benford_check(silver: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         # 9-row digit histogram, two consumers (total + projection):
         # materialize once per execution (r12; guide §3.3). Scans 2 → 1.
-        .localCheckpoint()
     )
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
     return (
@@ -480,10 +480,9 @@ def spearman_rank_corr(lineitem: DataFrame) -> DataFrame:
     # localCheckpointed (the midrank method's materialized value-pair
     # table; ≪ fact-sized at any scale). Fact scans: 3 → 1. Midranks,
     # 128-bit moment sums and rho are unchanged — bit-identical.
-    pairs = (
+    pairs = materialize(
         base.groupBy("g", "xu", "yu")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
-        .localCheckpoint()
     )
     wx = (
         Window.partitionBy("g")
@@ -883,10 +882,9 @@ def selfjoin_density(silver: DataFrame, k: int = DENSITY_TOP_K) -> DataFrame:
     (c ≤ 1e19-row keys)."""
     # Same two-consumer count-table shape as skew_report: materialize the
     # key-dim relation once (r12; guide §3.3). Fact scans 2 → 1.
-    counts = (
+    counts = materialize(
         silver.groupBy("item_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
     )
     totals = counts.agg(
         F.sum("c").cast("bigint").alias("n"),

@@ -43,6 +43,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 from ..functions.numerics import plog2_sql
 from .dedup import _affine_sql, _hex_int_sql
 from .textstats import WORDS_SQL, _words
@@ -407,7 +409,7 @@ def kmv_cohort_overlap(events: DataFrame, k: int = KMV_K) -> DataFrame:
     Jaccard in exact ppm of the retained set, and the intersection
     estimate. All integer arithmetic; 128-bit staging where products can
     pass 2^63 (c·est_union ≤ K·(K-1)·H ≈ 1.8e19)."""
-    sk = _kmv_sketches(events, k).localCheckpoint()  # K·#types rows; reused 4×
+    sk = materialize(_kmv_sketches(events, k))  # K·#types rows; reused 4×
     per_type = sk.groupBy("event_type").agg(
         F.max("r").alias("n_k"), F.max("h").alias("theta")
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 STOPWORDS = ("the", "a", "of", "to", "and")
 
 # Marker-word profiles for the n-gram-free language-ID heuristic. Real
@@ -752,8 +754,8 @@ def perplexity(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
     # re-ran the corpus tokenize+count. localCheckpoint folds the model
     # once per execution (r12; guide §3.3): corpus scans 3 → 2 — model
     # build + the irreducible scoring pass.
-    counts = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    counts = materialize(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
@@ -1220,7 +1222,7 @@ def ccnet_buckets(documents: DataFrame, k: int = PPLX_VOCAB_K) -> DataFrame:
     # score table once per execution (r12; guide §3.3) — the per-doc
     # quality-signal table a CCNet-style pipeline persists between its
     # scoring and bucketing stages.
-    pplx = perplexity(documents, k).localCheckpoint()
+    pplx = materialize(perplexity(documents, k))
     t = pplx.agg(
         F.percentile("mean_nll_bits", CCNET_Q1).alias("t_head"),
         F.percentile("mean_nll_bits", CCNET_Q2).alias("t_middle"),
@@ -1298,8 +1300,8 @@ def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame
     # bigram stream, so it is derived from the vocabulary-sized bgc
     # instead of a third corpus-wide bigram explode. Corpus scans in the
     # executed plan: 5 → 3 (unigram build, bigram build, scoring pass).
-    counts = (
-        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    counts = materialize(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = (
         counts.orderBy(F.col("c").desc(), F.col("token").asc())
@@ -1307,8 +1309,8 @@ def perplexity_bigram(documents: DataFrame, k: int = PPLX2_VOCAB_K) -> DataFrame
         .select(F.col("token").alias("w"), (F.col("c") + 1).alias("_u"))
     )
     total = counts.agg((F.sum("c") + k + 1).cast("bigint").alias("_d"))
-    bgc = (
-        bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a")).localCheckpoint()
+    bgc = materialize(
+        bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("_a"))
     )
     ctx = bgc.groupBy("v").agg(F.sum("_a").cast("bigint").alias("_b"))
     bits = (
@@ -1435,9 +1437,9 @@ def bm25_scores(documents: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> Da
         F.size(F.filter(words, _eq(t))).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
-    per_doc = documents.select(
-        "doc_id", F.size(words).alias("dl"), *tf_cols
-    ).localCheckpoint()
+    per_doc = materialize(
+        documents.select("doc_id", F.size(words).alias("dl"), *tf_cols)
+    )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sdl"),
@@ -1541,17 +1543,15 @@ def pmi_collocations(
     # the totals derive from the tables (nu = Σc, nb = Σc_ab over the
     # UNPRUNED table — the same exact integers as counting the raw
     # streams). Corpus explodes: 5 → 2 (one unigram, one bigram pass).
-    uni = (
+    uni = materialize(
         documents.select(F.explode(_words()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
     )
     nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
-    bgc_all = (
+    bgc_all = materialize(
         bg.groupBy("v", "w")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()
     )
     bgc = bgc_all.where(F.col("c_ab") >= min_count)
     nb = bgc_all.agg(F.sum("c_ab").cast("bigint").alias("nb"))

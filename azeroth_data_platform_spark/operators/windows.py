@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 from ..functions.numerics import int_units
 from ..functions.ranks import exact_rank_values
 
@@ -1683,7 +1685,7 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
     # scan + aggregate ran once per consumer. localCheckpoint folds the
     # customer-dim-sized aggregate once per execution (r12 — the option
     # this docstring already reserved; guide §3.3).
-    per_cust = (
+    per_cust = materialize(
         orders.crossJoin(F.broadcast(anchor))
         .groupBy("o_custkey")
         .agg(
@@ -1693,7 +1695,6 @@ def rfm_segments(orders: DataFrame, n: int = RFM_NTILES) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
             F.sum(int_units("o_totalprice")).cast("bigint").alias("monetary_cents"),
         )
-        .localCheckpoint()
     )
     vals = per_cust.select(
         F.explode(

@@ -134,7 +134,12 @@ def upsert(
         return
     existing = spark.read.parquet(target)
     kept = existing.join(batch.select(key), key, "left_anti")
-    _staged_rewrite(kept.unionByName(batch).localCheckpoint(), target)
+    # No materialization needed: _staged_rewrite writes to a staging dir
+    # FIRST and only renames the old target aside after the write
+    # completes, so the plan's own scan of `target` reads intact files —
+    # one streaming pass, zero pinned blocks (r13; the old localCheckpoint
+    # paid a full extra materialization of the merged table).
+    _staged_rewrite(kept.unionByName(batch), target)
 
 
 def overwrite_partitions(
@@ -177,23 +182,28 @@ def retention_delete(
     this row-level path is the faithful general fallback.
 
     The deleted count rides the single keep pass: ONE scan of the target
-    materializes a keep-marked checkpoint, both counts read the (local)
-    checkpoint, and the rewrite streams the kept rows from it — the
-    previous implementation paid three target scans (total count, keep
-    count, rewrite). SQL three-valued logic note: WHERE NOT(p) drops
-    p=NULL rows, so they are deleted — total−kept counts them correctly."""
+    materializes a keep-marked relation (lifecycle.materialize — pooled,
+    deterministically released below, r13), both counts read the blocks,
+    and the rewrite streams the kept rows from them. The previous
+    implementation paid three target scans (total count, keep count,
+    rewrite). SQL three-valued logic note: WHERE NOT(p) drops p=NULL
+    rows, so they are deleted — total−kept counts them correctly."""
     if not _exists(target):
         return 0
     import pyspark.sql.functions as F
 
-    marked = (
+    from ..functions.lifecycle import materialize, release
+
+    marked = materialize(
         spark.read.parquet(target)
         .withColumn("_keep", F.expr(f"NOT ({predicate})"))
-        .localCheckpoint()  # the single target scan
-    )
-    keep = marked.where(F.col("_keep")).drop("_keep")
-    kept = keep.count()          # local: reads the checkpoint, not the table
-    deleted = marked.count() - kept
-    if deleted:
-        _staged_rewrite(keep, target)
-    return deleted
+    )  # the single target scan
+    try:
+        keep = marked.where(F.col("_keep")).drop("_keep")
+        kept = keep.count()          # local: reads the blocks, not the table
+        deleted = marked.count() - kept
+        if deleted:
+            _staged_rewrite(keep, target)
+        return deleted
+    finally:
+        release(marked)

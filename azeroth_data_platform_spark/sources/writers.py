@@ -133,8 +133,10 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path).coalesce(n_files)
-    # localCheckpoint: the rewrite reads the path it replaces
-    _staged_rewrite(df.localCheckpoint(), path)
+    # No materialization needed: _staged_rewrite writes to a staging dir
+    # before the old path is renamed aside, so the plan's own scan of
+    # `path` reads intact files — one streaming pass (r13).
+    _staged_rewrite(df, path)
     return n_files
 
 

@@ -313,7 +313,7 @@ def test_round4_ops_keep_their_scale_shapes(spark, sf_dir):
 
     enc = _plan(harness.QUERIES["tp_bpe_encode"](spark, sf_dir))
     assert "CartesianProduct" not in enc
-    # every exchange in the encode plan sits above the checkpointed
+    # every exchange in the encode plan sits above the materialized
     # vocab-sized merge relations (scanned as ExistingRDD), never above
     # the documents parquet scan: the document side is exchange-free
     for frag in enc.split("Exchange")[1:]:
@@ -665,7 +665,8 @@ def test_partitionless_windows_only_on_bounded_inputs(spark, sf_dir):
 
 
 def test_dedup_shared_relations_materialize_once(spark, sf_dir):
-    """r12 #23 pin: the shingle relation in minhash_lsh_dedup /
+    """r12 #23 pin (r13: same plan shape, now through the pool-managed
+    lifecycle.materialize): the shingle relation in minhash_lsh_dedup /
     lsh_recall_report and the fingerprint relation in simhash_dedup /
     simhash_banded_dedup feed 2-7 plan branches each, and Spark does not
     CSE across branches — the branches must consume ONE materialized
@@ -673,8 +674,8 @@ def test_dedup_shared_relations_materialize_once(spark, sf_dir):
     tokenize/fingerprint per branch (zero parquet scans left in the
     final plan). ngram_jaccard_dedup is pinned to the OPPOSITE decision:
     its branches already fold via exchange reuse (A/B flat), so it must
-    keep scanning parquet directly — a checkpoint appearing there means
-    an unmeasured regression of the documented trade."""
+    keep scanning parquet directly — a materialization appearing there
+    means an unmeasured regression of the documented trade."""
     from azeroth_data_platform_spark.operators import dedup
 
     docs = harness._docs(spark, sf_dir)

@@ -1,5 +1,13 @@
 """A/B: materialize multi-consumer shingle/fingerprint relations?
 
+PRE-r12-ONLY (r12 ADVICE #3): this script's 'base' arm assumed the
+operators did NOT materialize internally. Since r12 the operators fold
+these relations themselves (r13: via functions/lifecycle.materialize), so
+'base' is no longer the no-materialization configuration and 'variant'
+double-materializes — re-running it now yields a misleading ~0 delta.
+Kept for the historical record of the r12 decision; use tools/
+ab_indirect.py's no-op-shadow methodology for post-merge re-measures.
+
 Measures, with the bench's exact methodology (noop sink, gc.collect before
 each timed run, 4 consecutive runs per query, first discarded, median of 3):
 
