@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 from . import dedup, textstats
 
 QUALITY_THRESHOLD = 0.5
@@ -823,7 +825,7 @@ def quality_prune(
     # execution (r12; guide §3.3) — at 100 TB this is the quality-score
     # table a pipeline persists anyway, and one scoring pass + a
     # columnar re-read beats two scoring passes.
-    ann = textstats.corpus_annotations(documents).localCheckpoint()
+    ann = materialize(textstats.corpus_annotations(documents))
     pct = (
         F.expr(f"approx_percentile(quality_score, {quantile})")
         if approx
@@ -879,10 +881,9 @@ def select_representatives(documents: DataFrame) -> DataFrame:
     # text-scoring scan twice (r12; guide §3.3 — quality_prune's device;
     # `clustered` is already materialized by the label-propagation loop's
     # per-round checkpoints).
-    ann = (
+    ann = materialize(
         textstats.corpus_annotations(documents)
         .select("doc_id", "quality_score")
-        .localCheckpoint()
     )
     in_cluster = ann.join(F.broadcast(clustered), "doc_id")
     w_rank = Window.partitionBy("cluster_id").orderBy(
@@ -950,14 +951,13 @@ def mix_rebalance(documents: DataFrame) -> DataFrame:
     # Source-dim rollup with corpus-scan lineage, two consumers (grand
     # total + final projection): materialize once per execution (r12;
     # guide §3.3 — mix_temperature's device). Corpus scans 2 → 1.
-    per_src = (
+    per_src = materialize(
         documents.select("source", F.size(textstats._words()).alias("_n"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n").alias("tokens"),
         )
-        .localCheckpoint()
     )
     grand = per_src.agg(
         F.sum("tokens").alias("_total"), F.count(F.lit(1)).alias("_n_sources")
@@ -1098,13 +1098,12 @@ def dsir_weights(
     # — same device as the exact-quantile targets relation). Corpus scans
     # in the executed plan: 3 → 2 (model build + scoring pass, the
     # irreducible train-then-score shape).
-    counts = (
+    counts = materialize(
         feats.groupBy("f")
         .agg(
             F.count(F.lit(1)).alias("c_r"),
             F.count(F.when(F.col("lang") == target_lang, 1)).alias("c_t"),
         )
-        .localCheckpoint()
     )
     bucket_scores = counts.select(
         "f",
@@ -1225,7 +1224,7 @@ def _bpe_train(
     from .textstats import _words
 
     sep = BPE_SEP
-    words = (
+    words = materialize(
         documents.select(F.explode(_words()).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1236,7 +1235,6 @@ def _bpe_train(
                 F.expr(f"regexp_replace(word, '(.)', concat('$1', '{sep}'))"),
             ).alias("s"),
         )
-        .localCheckpoint()
     )
     rows: list[tuple[int, str, str, int]] = []
     merged = words
@@ -1463,6 +1461,59 @@ FT_BUCKETS = 4096
 FT_BIAS = -0.015625  # −1/64: exact in binary and decimal
 FT_THRESHOLD = 0.0
 
+# --- r13 Arrow-vectorized gate scorer (guide §4.2) -------------------------
+# The per-bigram work — md5('ftq:' || bigram), 8-hex parse, mod-fold to a
+# bucket, weight lookup, integer sum per doc — ran as an interpreted HOF
+# aggregate (no codegen, ~10 µs/bigram measured via the family's ~2.5 s
+# walls at sf0.1's ~265k bigrams). The FROZEN feature definition needs a
+# cryptographic hash per bigram either way, so the win is executing it as
+# a tight batch loop with a per-task bigram→weight memo instead of an
+# expression-tree walk per element. The md5 bytes, the mod folds and the
+# integer sum are bit-identical (hashlib md5 over the same UTF-8 bytes;
+# all operands non-negative, so Python % == Spark %); the DuckDB oracle
+# still RE-DERIVES the weights in SQL, keeping the hash check an
+# independent-implementation check. Returns per-doc SW (BIGINT) — every
+# downstream variant (float logit, exact-score export, q6 bucket) keeps
+# its arithmetic tree unchanged on top of sw.
+
+_FT_WEIGHT_INTS: list[int] | None = None
+_HASHCLF_SW_UDF = None
+
+
+def _ft_weight_ints() -> list[int]:
+    global _FT_WEIGHT_INTS
+    if _FT_WEIGHT_INTS is None:
+        import hashlib
+
+        from .dedup import MINHASH_P
+
+        _FT_WEIGHT_INTS = [
+            int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16)
+            % MINHASH_P
+            % 2001
+            - 1000
+            for f in range(FT_BUCKETS)
+        ]
+    return _FT_WEIGHT_INTS
+
+
+def _hashclf_sw():
+    """pandas_udf: array<string> words → BIGINT SW = Σ weight[feature(bigram)].
+
+    Iterator form so the weight table binds once per task and the
+    bigram→weight memo amortizes repeats across every batch in the
+    partition (guide §4.5); the memo caches a pure function of the bigram
+    string, never data."""
+    global _HASHCLF_SW_UDF
+    if _HASHCLF_SW_UDF is not None:
+        return _HASHCLF_SW_UDF
+
+    from ..functions.gatescore import make_sw_udf
+    from .dedup import MINHASH_P
+
+    _HASHCLF_SW_UDF = make_sw_udf(_ft_weight_ints(), MINHASH_P, FT_BUCKETS)
+    return _HASHCLF_SW_UDF
+
 
 def _ft_feature_sql(duck: bool) -> str:
     """Hashed-bigram bucket id: first 8 md5 nibbles of 'ftq:'||bg mod B."""
@@ -1496,65 +1547,28 @@ def hash_classifier(documents: DataFrame) -> DataFrame:
     first cut exploded bigrams into a doc-keyed groupBy — a corpus-wide
     exchange for an aggregation whose inputs never leave the row.
 
-    The B-bucket weight vector is materialized DRIVER-SIDE into a map
-    literal folded into the plan (what shipping a trained model artifact
-    looks like — textstats.perplexity_scorer's device): scoring then pays
-    ONE md5 per bigram (the feature hash) plus a map lookup, not a second
-    md5 chain per feature. 16.2 → 2.8 s at sf0.1 (PERF.md), bit-identical
-    logits — the weight values are the same frozen function of the bucket
-    id, and the DuckDB oracle still RE-DERIVES them in SQL, making the
-    hash check an independent-implementation check of the model fold."""
-    import hashlib
-
-    import hashlib as _hl  # noqa: F401  (back-compat: hashlib imported above)
-
-    from .dedup import MINHASH_P
-
-    wmap: dict[int, float] = {}
-    for f in range(FT_BUCKETS):
-        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % 2_147_483_647
-        wmap[f] = float(h % 2001 - 1000) / 1024.0
-    # ONE parsed SQL expression, not 8192 F.lit Column objects: building
-    # the map via create_map cost ~3.4 s of py4j round-trips PER QUERY
-    # CONSTRUCTION (measured at sf0.1 — more than the execution itself).
-    # Weights are n/1024 so repr() round-trips exactly through the parser.
-    map_lit = F.expr(
-        "map(" + ", ".join(f"{k}, CAST({v!r} AS DOUBLE)" for k, v in wmap.items()) + ")"
-    )
-    # HOF lambdas are INTERPRETED (no whole-stage codegen, no common-
-    # subexpression elimination) — inlining _ft_feature_sql here evaluated
-    # the md5 once PER NIBBLE TERM, i.e. 8 md5s per bigram (measured 6.2 s
-    # at sf0.1). Hoist the md5 into its own transform so each bigram pays
-    # exactly one md5; the nibble parse then reads the 8-char local string.
-    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
-    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
-    # run INTERPRETED, so per-element expression count is the wall)
-    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
-    bgs = F.expr(
-        "transform(sequence(0, size(_ws) - 2),"
-        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
-    )
-    wts = F.expr(
-        "transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))"
-    )
-    sum_bits = (
-        "CAST(aggregate(_hx, CAST(0 AS DECIMAL(28,12)),"
-        " (acc, h) -> CAST(acc + CAST(element_at(_wmap,"
-        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT))"
-        " AS DECIMAL(28,12)) AS DECIMAL(28,12))) AS DOUBLE)"
-    )
+    Scoring runs through the r13 Arrow scorer (_hashclf_sw — guide §4.2):
+    the per-bigram md5 + bucket fold + weight sum execute as one
+    ArrowEvalPython batch pass instead of an interpreted HOF aggregate
+    (the r12 form paid ~10 µs of expression-tree walking per bigram).
+    Logits are bit-identical: the r12 DECIMAL(28,12) accumulation of
+    w = k/1024 weights summed EXACTLY to SW/1024 (each term has ≤ 10
+    decimal places; |SW| ≪ precision), and SW/1024 is a dyadic rational,
+    so its DOUBLE cast is exact — computing CAST(sw AS DOUBLE)/1024.0
+    (division by 2¹⁰ only shifts the exponent) reproduces the same
+    double, and the logit arithmetic on top is unchanged. The DuckDB
+    oracle still RE-DERIVES the weights in SQL, keeping the hash check
+    an independent-implementation check. The old rand()*0.0 projection-
+    collapse guard is gone WITH the interpreted tree it protected: the
+    ArrowEvalPython node is evaluated once and both logit and keep read
+    its output column."""
+    sw = _hashclf_sw()(F.col("_ws"))
     logit = (F.col("_sum") / F.col("n_features")) + F.lit(FT_BIAS)
     return (
         documents.withColumn("_ws", textstats._words())
         .where(F.size("_ws") >= 2)
-        .withColumn("_bgs", bgs)
-        .withColumn("_hx", wts)
-        .withColumn("_wmap", map_lit)
-        .withColumn("n_features", F.size("_bgs").cast("bigint"))
-        # the rand()*0.0 no-op makes _sum nondeterministic so projection
-        # collapse cannot inline the interpreted aggregate tree into BOTH
-        # logit and keep (the dedup cosine device) — measured 2× on this op
-        .withColumn("_sum", F.expr(sum_bits) + F.rand(45) * 0.0)
+        .withColumn("n_features", (F.size("_ws") - 1).cast("bigint"))
+        .withColumn("_sum", sw.cast("double") / F.lit(1024.0))
         .select(
             "doc_id",
             "n_features",
@@ -1626,31 +1640,6 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
     is measuring the ACTUAL gate score through the exact scaffold.
     Cites reference transformation.py:17-84 (the quality-gate stage this
     classifier stands in for)."""
-    import hashlib
-
-    from .dedup import MINHASH_P
-
-    wmap_int: dict[int, int] = {}
-    for f in range(FT_BUCKETS):
-        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % MINHASH_P
-        wmap_int[f] = h % 2001 - 1000
-    map_lit = F.expr(
-        "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
-    )
-    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
-    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
-    # run INTERPRETED, so per-element expression count is the wall)
-    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
-    bgs = F.expr(
-        "transform(sequence(0, size(_ws) - 2),"
-        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
-    )
-    hx = F.expr("transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))")
-    sw_expr = (
-        "aggregate(_hx, CAST(0 AS BIGINT),"
-        " (acc, h) -> acc + CAST(element_at(_wmapi,"
-        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT)) AS BIGINT))"
-    )
     from .textstats import _words
 
     nmax = (
@@ -1677,15 +1666,15 @@ def hash_classifier_scores(documents: DataFrame) -> DataFrame:
         f" ELSE -CAST((CAST(-sw AS DECIMAL(38,0)) * _k2 + _n - 1) DIV _n"
         " AS BIGINT) END"
     )
+    # r13: per-doc SW through the Arrow scorer (see _hashclf_sw) — the
+    # integer sum is order-independent-exact, so the BIGINT value is
+    # bit-identical to the r12 interpreted aggregate.
     return (
         documents.withColumn("_ws", _words())
         .where(F.size("_ws") >= 2)
-        .withColumn("_bgs", bgs)
-        .withColumn("_hx", hx)
-        .withColumn("_wmapi", map_lit)
         .select(
-            F.expr(sw_expr).alias("sw"),
-            F.size("_bgs").cast("bigint").alias("_n"),
+            _hashclf_sw()(F.col("_ws")).alias("sw"),
+            (F.size("_ws") - 1).cast("bigint").alias("_n"),
             F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
         )
         .crossJoin(F.broadcast(nmax.selectExpr(f"{k2} AS _k2")))
@@ -1804,32 +1793,8 @@ def _hashclf_bucket_frame(
     the per-source drift monitor's state constant-size at any corpus
     volume — the bounded-score instance the ts_auc_hashclf 100×-probe
     note calls for."""
-    import hashlib
-
-    from .dedup import MINHASH_P
     from .textstats import _words
 
-    wmap_int: dict[int, int] = {}
-    for f in range(FT_BUCKETS):
-        h = int(hashlib.md5(f"ftw:{f}".encode()).hexdigest()[:8], 16) % MINHASH_P
-        wmap_int[f] = h % 2001 - 1000
-    map_lit = F.expr(
-        "map(" + ", ".join(f"{k}, {v}" for k, v in wmap_int.items()) + ")"
-    )
-    # h is the 8-hex-char md5 prefix bound in the enclosing lambda; one
-    # conv() parse replaces the per-nibble instr sum (r12 — these lambdas
-    # run INTERPRETED, so per-element expression count is the wall)
-    nib = "CAST(conv(h, 16, 10) AS BIGINT)"
-    bgs = F.expr(
-        "transform(sequence(0, size(_ws) - 2),"
-        " i -> concat(element_at(_ws, i + 1), ' ', element_at(_ws, i + 2)))"
-    )
-    hx = F.expr("transform(_bgs, bg -> substr(md5('ftq:' || bg), 1, 8))")
-    sw_expr = (
-        "aggregate(_hx, CAST(0 AS BIGINT),"
-        " (acc, h) -> acc + CAST(element_at(_wmapi,"
-        f" CAST((({nib}) % {MINHASH_P}) % {FT_BUCKETS} AS INT)) AS BIGINT))"
-    )
     bucket = (
         f"LEAST(CAST({HASHCLF_BUCKET_HI} AS BIGINT),"
         f" GREATEST(CAST({HASHCLF_BUCKET_LO} AS BIGINT),"
@@ -1837,16 +1802,15 @@ def _hashclf_bucket_frame(
         " ELSE -((-(sw - 16 * _n) + 16 * _n - 1) DIV (16 * _n)) END))"
     )
     src = [F.col("source")] if with_source else []
+    # r13: per-doc SW through the Arrow scorer (see _hashclf_sw); the q6
+    # bucket arithmetic on top is unchanged.
     return (
         documents.withColumn("_ws", _words())
         .where(F.size("_ws") >= 2)
-        .withColumn("_bgs", bgs)
-        .withColumn("_hx", hx)
-        .withColumn("_wmapi", map_lit)
         .select(
             *src,
-            F.expr(sw_expr).alias("sw"),
-            F.size("_bgs").cast("bigint").alias("_n"),
+            _hashclf_sw()(F.col("_ws")).alias("sw"),
+            (F.size("_ws") - 1).cast("bigint").alias("_n"),
             F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("label"),
         )
         .select(*src, F.expr(bucket).alias("bucket"), "label")
@@ -2302,11 +2266,10 @@ def mix_temperature(documents: DataFrame) -> DataFrame:
     # the final select) and Spark does not CSE across branches, so without
     # materialization the corpus scan ran once per branch. localCheckpoint
     # folds it once per execution (r12; guide §3.3): corpus scans 4 → 1.
-    per_src = (
+    per_src = materialize(
         documents.select("source", F.size(textstats._words()).alias("_n"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("tokens"))
-        .localCheckpoint()
     )
     rooted = per_src.withColumn(
         "_rtq",
@@ -2888,10 +2851,9 @@ def sample_allocation(
 
     # Source-dim rollup, two consumers (grand + quota projection):
     # materialize once per execution (r12; guide §3.3). Scans 2 → 1.
-    per_src = (
+    per_src = materialize(
         documents.groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .localCheckpoint()
     )
     grand = per_src.agg(F.sum("n_docs").cast("bigint").alias("_total"))
     based = (
