@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 PAGERANK_D = 0.85
 PAGERANK_ITERS = 3
 _D_LIT = repr(PAGERANK_D)
@@ -50,20 +52,32 @@ def copurchase_edges(baskets: DataFrame) -> DataFrame:
     per-element HOF lambdas run interpreted, but over ≤ 7-element basket
     arrays that is noise next to the removed join (measured 1.5× at
     sf0.1, identical 2.39M-edge output; same shape at any scale — pair
-    fan-out stays bounded by basket size either way)."""
-    return (
+    fan-out stays bounded by basket size either way).
+
+    r13 (guide §2.3 — shuffle fewer bytes): the expansion emits only the
+    CANONICAL src < dst half, the distinct dedupes that half (half the
+    rows through the pair exchange and half the per-basket HOF work),
+    and the symmetric relation is restored by a ROW-LOCAL mirror union.
+    canon ∪ swap(canon) is exactly the old distinct pair set: the set is
+    symmetric by construction and the two halves are disjoint, so no
+    duplicates and nothing missing — bit-identical consumer results
+    (pagerank hash-checked against the unchanged full-join oracle)."""
+    canon = (
         baskets.groupBy("basket_id")
         .agg(F.collect_list("item_id").alias("xs"))
         .select(
             F.explode(
                 F.expr(
                     "flatten(transform(xs, a -> transform("
-                    "filter(xs, b -> b != a), b -> struct(a AS src, b AS dst))))"
+                    "filter(xs, b -> b > a), b -> struct(a AS src, b AS dst))))"
                 )
             ).alias("p")
         )
         .select("p.src", "p.dst")
         .distinct()
+    )
+    return canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -88,7 +102,7 @@ def pagerank(
     operands), and the update is base_u + 17·s DIV 20. Truncation sheds
     ≤ deg ulps of mass per node per iteration (≤ 1e-15·deg relative),
     the price of a partition-count-independent, engine-exact result."""
-    edges = edges.localCheckpoint()
+    edges = materialize(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # r12: the node set IS the degree table's key set — the input contract
     # is symmetric edges (module docstring; every caller passes
@@ -116,7 +130,7 @@ def pagerank(
     # count aggregate + two one-row broadcasts per round (ranks always
     # holds exactly one row per node — init from `nodes`, preserved by
     # the left join). Same DIV-by-n BIGINT arithmetic, bit-identical.
-    degn = deg.withColumnRenamed("src", "node").localCheckpoint()
+    degn = materialize(deg.withColumnRenamed("src", "node"))
     n = degn.count()
     ranks = degn.select(
         "node", F.expr(f"CAST({PAGERANK_Q} AS BIGINT) DIV {n}").alias("ru")
@@ -131,7 +145,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("rv").cast("bigint").alias("s"))
         )
-        ranks = (
+        ranks = materialize(
             ranks.select("node")
             .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
             .select(
@@ -141,7 +155,6 @@ def pagerank(
                     " + 17 * coalesce(s, CAST(0 AS BIGINT)) DIV 20 AS BIGINT)"
                 ).alias("ru"),
             )
-            .localCheckpoint()
         )
     return ranks.select(
         F.col("node").alias("item_id"),
@@ -201,17 +214,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # remove a duplicate Aggregate — it has no distinctness evidence —
     # and it pushes the src<dst predicate below copurchase's own distinct,
     # so exactly one half-sized distinct remains in the executed plan).
-    canon = (
+    canon = materialize(
         edges.where(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .localCheckpoint()
     )
     undirected = canon.unionByName(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = undirected.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # orientation key: pack (deg, id) into one orderable bigint-pair struct
-    keyed = (
+    keyed = materialize(
         undirected.join(deg, "src")
         .join(
             deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_d")),
@@ -222,7 +234,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             | ((F.col("deg") == F.col("deg_d")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst")
-        .localCheckpoint()
     )
     # r12 algorithmic pass (guide §2.3 "shuffle keys and metadata instead
     # of payloads", §2.4): the wedge-materializing form (e1 ⋈ e2 on dst=src
@@ -245,10 +256,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # deterministic regardless of collect_list order. Counts are
     # bit-identical (oracle keeps the id-ordered wedge-join form, so the
     # hash check verifies the restructure independently).
-    adj = (
+    adj = materialize(
         keyed.groupBy("src")
         .agg(F.collect_list("dst").alias("nbrs"))
-        .localCheckpoint()
     )
     tri = (
         keyed.join(adj, "src")
@@ -311,7 +321,7 @@ def association_rules(baskets: DataFrame, min_pair: int = MIN_PAIR_SUPPORT) -> D
     # generation then rides the copurchase_edges row-local expansion
     # instead of the self-join (guide §2.4): identical ordered-pair
     # multiset per basket, one groupBy instead of a sorted SMJ.
-    b = baskets.select("basket_id", "item_id").distinct().localCheckpoint()
+    b = materialize(baskets.select("basket_id", "item_id").distinct())
     n_baskets = b.agg(F.count_distinct("basket_id").alias("n_baskets"))
     item_n = b.groupBy("item_id").agg(F.count(F.lit(1)).alias("item_n"))
     pair_n = (

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.lifecycle import materialize
+
 from ..functions.vectors import (
     EMBED_DIM,
     cosine_sql,
@@ -418,13 +420,14 @@ def build_lsh_index(
     querying — the build/query split every production ANN system makes
     (build the index against the corpus; amortize it over all queries).
 
-    Returns the checkpointed (vec_id, c_nrm, tbl, bucket, dims) relation;
-    pass it to `lsh_index_topk`. In this single-JVM environment the
-    materialization is a localCheckpoint; on a cluster you persist the
-    same relation as a table bucketed by (tbl, bucket) so the query-side
-    equi-join co-locates with zero exchanges (sources/writers.py bucketed
-    writes)."""
-    return _lsh_corpus_relation(embeddings, n_tables).localCheckpoint()
+    Returns the pooled (vec_id, c_nrm, tbl, bucket, dims) relation
+    (lifecycle.materialize — eager localCheckpoint, engine-owned
+    unpersist); pass it to `lsh_index_topk`. In this single-JVM
+    environment that is the measured-fastest materialization; on a
+    cluster you persist the same relation as a table bucketed by
+    (tbl, bucket) so the query-side equi-join co-locates with zero
+    exchanges (sources/writers.py bucketed writes)."""
+    return materialize(_lsh_corpus_relation(embeddings, n_tables))
 
 
 def lsh_index_topk(
@@ -564,11 +567,10 @@ def kmeans_centroids(
             )
             + ") AS ARRAY<FLOAT>) AS cemb"
         )
-        cents = (
+        cents = materialize(
             assigned.groupBy("cid")
             .agg(F.expr(sums_struct).alias("_agg"))
             .selectExpr("cid", mean_array)
-            .localCheckpoint()
         )
     return cents
 
@@ -609,6 +611,15 @@ def ivf_topk(
             # window form shuffled + sorted the n×k crossed relation;
             # (dist, cid) unique per group ⇒ identical assignment (see
             # kmeans_centroids).
+            #
+            # r13 note: a fully ROW-LOCAL argmin (one-row broadcast
+            # centroid array + unrolled least(struct(dist, cid))
+            # projection — zero exchanges) was built and MEASURED:
+            # 1.9 s → ~15 s at sf0.1. Spark evaluates the ~4k-node
+            # unrolled projection orders of magnitude slower than the
+            # k-row broadcast join + min(struct) aggregate, so the r12
+            # form stands (guide §1.1: the "ideal" plan lost to the
+            # empirical one).
             return (
                 crossed.select(
                     "vec_id", F.struct("dist", "cid", "embedding").alias("_m")
@@ -639,7 +650,12 @@ def ivf_topk(
         cand.join(F.broadcast(probes), "cid")
         .where(F.col("c_vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "c_vec_id", cos.alias("cosine"))
-        .distinct()  # a candidate can appear via both probed buckets
+        # r13: the old distinct here was a full (q,c,cosine) exchange for
+        # a dedupe that can never fire — BY CONSTRUCTION each candidate
+        # carries exactly ONE cid (argmin) and each query probes DISTINCT
+        # cids (row_number ≤ N_PROBE over per-(q,cid) rows), so a (q,c)
+        # pair joins at most once. The oracle keeps SELECT DISTINCT; the
+        # result multiset is identical.
     )
     return _two_phase_topk(scored, k)
 
@@ -942,7 +958,7 @@ def pq_train(
     # iteration re-executed the embeddings scan + 16-way explode without
     # it (3 training passes; guide §3.3 / the fingerprint pattern of
     # guide §8: one decode pass, many consumers of the narrow result).
-    subs = _pq_subvectors(embeddings, m).localCheckpoint()
+    subs = materialize(_pq_subvectors(embeddings, m))
     cents = subs.where(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cemb")
     )
@@ -986,11 +1002,10 @@ def pq_train(
             .agg(F.min("_m").alias("_m"))
             .select("sub", F.col("_m.cid").alias("cid"), F.col("_m.sv").alias("sv"))
         )
-        cents = (
+        cents = materialize(
             assigned.groupBy("sub", "cid")
             .agg(F.expr(sums_struct).alias("_agg"))
             .selectExpr("sub", "cid", mean_array)
-            .localCheckpoint()
         )
     return cents
 
@@ -1148,7 +1163,8 @@ def ivf_pq_topk(
         cand.join(F.broadcast(probes), "ccid")
         .where(F.col("c_vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "c_vec_id", cos.alias("cosine"))
-        .distinct()
+        # r13: distinct removed — same no-op-dedupe argument as ivf_topk
+        # (one ccid per candidate, distinct probe ccids per query)
     )
     return _two_phase_topk(scored, k)
 
